@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine core: compiles a [[BatchSpec]] into a declarative DataFrame
+  * pipeline and lets Catalyst/Tungsten pick the physical plan.
+  *
+  * Reference dataflow (TaskManagerImpl.java:128-141):
+  *   scan dir → map-binary chain (+partition binary) → central concatenation
+  *   → reduce-binary chain → dedup-commit to dest dir
+  *
+  * Spark-native dataflow produced here:
+  *   `spark.read.text` (FileSourceScanExec) → chained native/flatMap ops
+  *   (whole-stage codegen; no per-binary temp files) → shuffle on `key`
+  *   (HashPartitioning replaces both the partition binary AND the
+  *   TaskManager's single-node concatenation phase — the latter disappears,
+  *   SURVEY.md O4) → per-key aggregation (partial+final HashAggregate or
+  *   `mapGroups`) → `write.text` (the task-commit protocol provides the
+  *   first-writer-wins exactly-once semantics of
+  *   DistrStorage.moveUniqueReduceResultsToDestDir, DistrStorage.java:213-233).
+  *
+  * Scale notes (100 TB): the plan contains exactly ONE shuffle (on `key`).
+  * `split_count`/`r_num` are honored as hints for parity, but on a real
+  * cluster you would leave `split_count` unset (file splits are sized by
+  * `spark.sql.files.maxPartitionBytes`) and let AQE coalesce/skew-split the
+  * reduce side instead of a fixed `r_num`. Speculative re-execution and
+  * bounded retry (reference M1/M2) come from `spark.speculation` and
+  * `spark.task.maxFailures` — configuration, not engine code.
+  */
+object Engine {
+
+  /** Build the logical plan for a spec: returns the final (key, value)
+    * DataFrame just before the sink. */
+  def plan(spark: SparkSession, spec: BatchSpec): DataFrame = {
+    // O1 — directory scan. split_count = 0 ⇒ empty job (DistrStorage.java:140-142).
+    val raw = spark.read.text(spec.inputId)
+    val sized =
+      if (spec.splitCount == 0) raw.limit(0)
+      else if (spec.splitCount > 0) raw.repartition(spec.splitCount)
+      else raw
+
+    // O2 — map chain: fold the named ops in order (≡ repeated map_bin_ids).
+    val mapped = spec.mapOps.foldLeft(sized) { (df, name) => Ops.mapOp(name)(df) }
+
+    // Lines → KV: key = first whitespace-separated token, value = rest
+    // (partition.cpp:30-31 / reduce.cpp:23-27 parsing convention).
+    val parts = split(col(KV.LineCol), "\\s+", 2)
+    val kv = mapped.select(
+      parts.getItem(0).as(KV.KeyCol),
+      coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))
+
+    // O3 — hash partition on key (≡ partition.cpp:33-35; r_num hint honored).
+    // When every reduce op is algebraic the explicit repartition is skipped:
+    // groupBy("key") already shuffles on key and a prior repartition would
+    // only force a SECOND shuffle and defeat partial aggregation.
+    val allAlgebraic = spec.reduceOps.forall(n => Ops.reduceOp(n).isInstanceOf[AlgebraicReduce])
+    val partitioned =
+      if (spec.rNum > 0 && !allAlgebraic) kv.repartition(spec.rNum, col(KV.KeyCol))
+      else kv
+
+    // O5 — reduce chain (≡ repeated reduce_bin_ids).
+    spec.reduceOps.foldLeft(partitioned) { (df, name) => applyReduce(df, Ops.reduceOp(name)) }
+  }
+
+  private def applyReduce(kv: DataFrame, op: ReduceOp): DataFrame = op match {
+    case AlgebraicReduce(_, agg) =>
+      kv.groupBy(col(KV.KeyCol)).agg(agg(col(KV.ValueCol)).as(KV.ValueCol))
+    case GenericReduce(_, f) =>
+      val spark = kv.sparkSession
+      import spark.implicits._
+      kv.as[KV](Encoders.product[KV])
+        .groupByKey(_.key)
+        .mapGroups((k, rows) => KV(k, f(k, rows.map(_.value))))
+        .toDF(KV.KeyCol, KV.ValueCol)
+  }
+
+  /** Run a spec end-to-end: plan + sink. The text sink writes the
+    * reference's `"<key> <value>"` line format; Spark's commit protocol
+    * supplies exactly-once output under retry/speculation (SURVEY.md O6). */
+  def run(spark: SparkSession, spec: BatchSpec): Unit = {
+    val out = plan(spark, spec)
+      .select(concat_ws(" ", col(KV.KeyCol), col(KV.ValueCol)).as("value"))
+    val sized = if (spec.rNum > 0) out.coalesce(spec.rNum) else out
+    sized.write.mode(SaveMode.Overwrite).text(spec.finalDestDirId)
+  }
+
+  def runJson(spark: SparkSession, json: String): Unit =
+    run(spark, BatchSpec.fromJson(json))
+}
