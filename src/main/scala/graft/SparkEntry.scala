@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every operator pack into the flat `queries` / `oracleSql`
+  * maps the driver's Verify/Bench harness consumes.
+  */
 object SparkEntry {
+
+  /** Full operator inventory (SURVEY.md §2 + training-pipeline extensions). */
+  val all: Seq[Q] =
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-/plane-dependent sketches
+    * (q_dedup_minhash_lsh, q_dedup_simhash, q_sim_ann_lsh,
+    * q_sim_bucketed_pairs) → driver records a rows-only check; their
+    * correctness oracle is the planted-duplicate ScalaTest specs. */
+  def oracleSql: Map[String, String] =
+    all.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
+
+  /** Queries included in the per-round Bench timing (excludes the
+    * quadratic oracle-demo variants, keeps their scalable twins). */
+  def headline: Seq[Q] = all.filter(_.headline)
 }

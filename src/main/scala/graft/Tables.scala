@@ -10,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned directories instead of single files and the same code holds.
   */
 object Tables {
+  /** Session config required to read the `events` table: its `ts` column is
+    * parquet INT64 TIMESTAMP(NANOS), which Spark rejects natively
+    * ([PARQUET_TYPE_ILLEGAL]). With this flag it reads as LongType
+    * nanoseconds and [[events]] converts to a microsecond timestamp —
+    * the same truncation DuckDB applies when casting TIMESTAMP_NS. */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -20,7 +27,12 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
+  /** `ts` arrives as raw nanos (see [[NanosAsLong]]); exposed as a proper
+    * TimestampType column truncated to micros via exact integer division. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

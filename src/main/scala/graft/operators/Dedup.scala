@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorOps
+import graft.functions.PortableRound.pround
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline. Five strategies, from exact to approximate:
+  *
+  *   1. exact       — hash-groupBy on a normalization key
+  *   2. n-gram Jaccard — inverted-index (shingle) join, NO cross join
+  *   3. MinHash+LSH — signature → bands → bucket join (the 100 TB path)
+  *   4. SimHash     — 64-bit sketch + Hamming-band blocking
+  *   5. embedding   — cosine near-dup pairs with candidate blocking
+  *
+  * Scale design: every pairwise method generates candidates through a join
+  * on a *blocking key* (shingle, band signature, Hamming band, label) and
+  * only scores the candidates — the all-pairs O(n²) plan never appears.
+  * Frequent shingles are capped (maxDF) exactly like stop-shingle filtering
+  * in production dedup: an ubiquitous shingle contributes no discriminative
+  * signal but quadratic pairs.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = TextOps.tokens(c)
+
+  /** Word trigram shingles (distinct) of a document. */
+  private def shingles(text: Column): Column = {
+    val t = toks(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(0))),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
+  private def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
+    sh.join(rare.select("sh"), "sh")
+  }
+
+  /** Exact dedup: group by the first-5-token normalization key; one
+    * representative (min doc_id) per group. Pure hash aggregation — the
+    * 100 TB version is identical (one shuffle on the key). */
+  def qExact(s: SparkSession, d: String): DataFrame = {
+    val key = concat_ws(" ", slice(toks(col("text")), 1, 5))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("dedup_key"))
+      .groupBy("dedup_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("dedup_key")
+  }
+
+  private val qExactSql = {
+    val t = TextOps.tokensSql
+    s"""SELECT array_to_string(list_slice($t, 1, 5), ' ') AS dedup_key,
+       |  min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM documents GROUP BY 1 ORDER BY dedup_key""".stripMargin
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs from the shingle inverted
+    * index (co-occurrence ≥ 2), exact Jaccard over the capped shingle sets.
+    * Jaccard is a ratio of integers — bit-identical across engines. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val pairs = a
+      .join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .select(
+        col("da"),
+        col("db"),
+        col("inter"),
+        pround(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+      .limit(50)
+  }
+
+  private val qNgramJaccardSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT da, db, inter,
+       |  floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |ORDER BY jaccard DESC, da, db LIMIT 50""".stripMargin
+  }
+
+  private val MinhashPerms = 64
+  private val Bands = 16 // 16 bands × 4 rows
+
+  /** MinHash + LSH banding — the 100 TB near-dup path. Signatures are
+    * computed per document in ONE projection (transform over 64 seeds ×
+    * array_min over shingle hashes — no 64-way explode), then banded;
+    * candidates share any band; candidates are verified with exact Jaccard.
+    * Hash-dependent (xxhash64) → no SQL oracle; ScalaTest plants near-dups
+    * and checks recall. */
+  def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("shs"))
+      .cache()
+    val sig = transform(
+      sequence(lit(0), lit(MinhashPerms - 1)),
+      i => array_min(transform(col("shs"), sh => xxhash64(sh, i))))
+    val banded = docs
+      .select(col("doc_id"), sig.as("sig"))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(Bands - 1)),
+            b =>
+              struct(
+                b.as("band"),
+                xxhash64(
+                  slice(col("sig"), b * lit(MinhashPerms / Bands) + lit(1), lit(MinhashPerms / Bands)))
+                  .as("bkey"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
+    withSets
+      .select(
+        col("da"),
+        col("db"),
+        pround(
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("jaccard").desc, col("da"), col("db"))
+  }
+
+  /** SimHash near-dup: 64-bit sketch (bit b set iff the sum of ±1 votes of
+    * token hashes is positive), banded into 4×16-bit chunks for blocking,
+    * verified by Hamming distance ≤ 6. Hash-dependent → no SQL oracle.
+    *
+    * The per-bit vote needs the lambda bit index as a shift amount, which
+    * the typed Column helpers can't express (`shiftright` takes a literal
+    * int), so the sketch is one SQL HOF expression — still fully native,
+    * no UDF. */
+  def qSimHash(s: SparkSession, d: String): DataFrame = {
+    val hs = transform(toks(col("text")), t => xxhash64(t))
+    val withSim = Tables.documents(s, d)
+      .select(col("doc_id"), hs.as("hs"))
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+            |  acc + if(aggregate(hs, 0L,
+            |             (a, h) -> a + (shiftright(h, b) & 1L) * 2L - 1L) > 0,
+            |           shiftleft(1L, b), 0L))""".stripMargin))
+      .drop("hs")
+    val banded2 = withSim.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535L AS bkey))"))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bkey"))
+    val cand = banded2.as("x")
+      .join(banded2.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("da"),
+        col("y.doc_id").as("db"),
+        col("x.simhash").as("ha"),
+        col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 6)
+      .select("da", "db", "hamming")
+      .orderBy("da", "db")
+  }
+
+  /** Embedding near-dup: cosine ≥ 0.3 pairs, blocked by label (the
+    * candidate-blocking stage a production pipeline would do with ANN
+    * buckets — see Similarity.qAnnLsh). Exact arithmetic in DOUBLE with
+    * sequential folds → DuckDB list_cosine_similarity matches at 1e-6. */
+  def qEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), VectorOps.asDouble(col("embedding")).as("v"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"),
+        col("b.vec_id").as("vb"),
+        pround(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+  }
+
+  private val qEmbeddingNearDupSql =
+    """SELECT a.vec_id AS va, b.vec_id AS vb,
+      |  floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000.0 AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000.0 >= 0.3
+      |ORDER BY cos DESC, va, vb""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_dedup_exact", qExact, Some(qExactSql)),
+    Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
+    Q("q_dedup_minhash_lsh", qMinHashLsh, None),
+    Q("q_dedup_simhash", qSimHash, None),
+    Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media as opaque BINARY columns with
+  * typed metadata, processed batch-wise in executor-side partitions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`FakeCodec`) — but everything Spark
+  * cares about is real and tested: the binary column schema, the
+  * mapPartitions batch shape (stream over rows, no per-row setup cost —
+  * exactly where a real decoder would amortize model/codec init), the typed
+  * output Encoder, and the pushdown-friendly projection that ships ONLY the
+  * blob + id into the "decoder".
+  *
+  * At 100 TB the same plan holds: the blob column stays out of every
+  * operator except the decode projection; metadata ops run on pruned
+  * columns. The `documents.text` bytes stand in for media payloads.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, sample_value: Long)
+
+  /** STUB decoder: derives fake media properties deterministically from the
+    * payload bytes. A real deployment swaps this object for JNI/codec calls
+    * — the surrounding Spark plumbing is unchanged. */
+  object FakeCodec {
+    def probe(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      MediaMeta(id, n, width = n % 640 + 1, height = n % 480 + 1, n_frames = 4)
+    }
+    /** "Frame sampling": pick n_frames evenly spaced payload bytes. */
+    def sampleFrames(id: Long, bytes: Array[Byte], nFrames: Int): Iterator[Frame] = {
+      val n = bytes.length
+      val stride = math.max(1, n / nFrames)
+      Iterator.tabulate(math.min(nFrames, n)) { f =>
+        Frame(id, f.toLong, (bytes(f * stride) & 0xff).toLong)
+      }
+    }
+  }
+
+  /** Blob + id projection — the ONLY place the binary column is read. */
+  private def blobs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  /** Metadata extraction over the binary column via mapPartitions (batch
+    * shape: one iterator per partition, streaming, constant memory). */
+  def qMediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows => rows.map { case (id, bytes) => FakeCodec.probe(id, bytes) } }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the stub's outputs are pure functions of payload length, so
+    * DuckDB reproduces them from octet_length — the decode is fake but the
+    * check is real end-to-end through the binary plumbing. */
+  private val qMediaMetaSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+      |  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
+      |  4::BIGINT AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: flatMap-shaped decode (0..n rows out per blob). */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => FakeCodec.sampleFrames(id, bytes, nFrames = 4) }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** ASCII payloads ⇒ byte samples equal character codes; DuckDB mirrors
+    * the stride arithmetic. */
+  private val qFrameSampleSql =
+    """SELECT doc_id, f::BIGINT AS frame_idx,
+      |  ascii(substr(text, (f * greatest(octet_length(encode(text)) // 4, 1) + 1)::INT, 1))::BIGINT
+      |    AS sample_value
+      |FROM documents, (SELECT unnest(range(4)) AS f)
+      |WHERE f < octet_length(encode(text))
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
+    Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)))
+}

@@ -1,0 +1,398 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.PortableRound.{asScaled, asScaledSql, pround, proundSql => pr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator pack over the TPC-H-ish star schema.
+  *
+  * The reference has NO relational surface (SURVEY.md §2.3) — its only
+  * dataflow is scan→flatMap→partition→reduce; anything relational lived
+  * inside opaque user binaries. Here each absent category becomes a
+  * first-class, Catalyst-planned operator: filtered aggregation, multi-way
+  * joins (dimensions broadcast), semi/anti joins, window functions, rollup,
+  * distinct aggregation, sorts/top-k and set operations.
+  *
+  * Scale notes (100 TB):
+  *   - Dimension tables (region/nation/supplier/customer at these SFs) are
+  *     broadcast explicitly so fact-table joins are map-side; only
+  *     fact-fact joins (orders⋈lineitem) shuffle, on their join key.
+  *   - Aggregations are algebraic → partial aggregation runs map-side
+  *     before the shuffle (HashAggregate partial/final pair).
+  *   - Filters sit directly on the scans so parquet gets them as
+  *     PushedFilters, and column pruning trims ReadSchema to what's used.
+  *   - Top-k (`orderBy.limit`) plans as TakeOrderedAndProject: per-partition
+  *     heaps + driver merge of k rows, never a global sort.
+  *
+  * All rounded float outputs use [[graft.functions.PortableRound]] so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object Relational {
+
+  /** Exact-cents revenue: Σ price¢·(100−disc¢) / 10⁴ — order-independent
+    * BIGINT sum, bit-identical across engines (see [[asScaled]]). */
+  private def revenueExact =
+    sum(asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))) /
+      lit(10000.0)
+
+  private val revenueExactSql =
+    s"sum(${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})) / 10000.0"
+
+  /** TPC-H Q1-style pricing summary: filtered scan → algebraic agg.
+    *
+    * Money math is exact fixed-point: 2-decimal columns become BIGINT
+    * cents ([[asScaled]]), per-row products stay integral
+    * (price¢ × (100−disc¢) × (100+tax¢)), and BIGINT sums are
+    * order-independent — so every output double is bit-identical across
+    * engines with no rounding epsilon at all. quantity is integer-valued,
+    * so its double sum/avg is already exact. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    val priceC = asScaled(col("l_extendedprice"), 2)
+    val discC = asScaled(col("l_discount"), 2)
+    val taxC = asScaled(col("l_tax"), 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        (sum(priceC) / lit(100.0)).as("sum_base_price"),
+        (sum(priceC * (lit(100L) - discC)) / lit(10000.0)).as("sum_disc_price"),
+        (sum(priceC * (lit(100L) - discC) * (lit(100L) + taxC)) / lit(1000000.0))
+          .as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        (sum(priceC) / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sum(discC) / lit(100.0) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql = {
+    val priceC = asScaledSql("l_extendedprice", 2)
+    val discC = asScaledSql("l_discount", 2)
+    val taxC = asScaledSql("l_tax", 2)
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  sum($priceC) / 100.0 AS sum_base_price,
+       |  sum($priceC * (100 - $discC)) / 10000.0 AS sum_disc_price,
+       |  sum($priceC * (100 - $discC) * (100 + $taxC)) / 1000000.0 AS sum_charge,
+       |  avg(l_quantity) AS avg_qty,
+       |  sum($priceC) / 100.0 / count(*) AS avg_price,
+       |  sum($discC) / 100.0 / count(*) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** TPC-H Q3-style: selective dim filter → two fact joins → agg → top-k.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revenueExact.as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+       |  $revenueExactSql AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join, all dims broadcast,
+    * region filter pruned at the nation scan. */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueExact.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  $revenueExactSql AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left-semi join: customers with ≥1 urgent order (EXISTS). The probe
+    * side is broadcast after the selective filter. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val qSemiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers who never placed an urgent order
+    * (NOT EXISTS). */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        broadcast(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val qAntiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by price. Partition-local
+    * sort after a single shuffle on the partition key; no global sort. */
+  def qWindowTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val qWindowTopSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Analytic window: per-user running revenue over the event stream
+    * (ROWS frame, fully deterministic tiebreak on event_id). */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value", sum(asScaled(col("value"), 2)).over(w) / lit(100.0))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qWindowRunningSql =
+    s"""SELECT user_id, event_id,
+       |  sum(${asScaledSql("value", 2)})
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+       |    AS running_value
+       |FROM events
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** ROLLUP grouping sets over lineitem flags. Null grouping rows sort
+    * last on both engines (asc_nulls_last ≡ DuckDB ASC default). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  private val qRollupSql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  sum(l_quantity) AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Distinct aggregation: per-brand distinct part types (expand+two-phase
+    * aggregate under the hood). */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_type")).as("distinct_types"),
+        count(lit(1)).as("n_parts"),
+        (sum(asScaled(col("p_retailprice"), 2)) / lit(100.0) / count(lit(1))).as("avg_price"))
+      .orderBy("p_brand")
+
+  private val qDistinctAggSql =
+    s"""SELECT p_brand, count(DISTINCT p_type) AS distinct_types,
+       |  count(*) AS n_parts,
+       |  sum(${asScaledSql("p_retailprice", 2)}) / 100.0 / count(*) AS avg_price
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Global top-k: plans as TakeOrderedAndProject (no full sort). */
+  def qTopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val qTopKSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Set operations: (open ∩ finished) ∖ pending buyer sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def buyers(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey").as("custkey")).distinct()
+    buyers("O").intersect(buyers("F")).except(buyers("P")).orderBy("custkey")
+  }
+
+  private val qSetOpsSql =
+    """SELECT custkey FROM (
+      |  (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |   INTERSECT
+      |   SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY custkey""".stripMargin
+
+  /** Broadcast dim join + multi-statistic aggregation per nation. */
+  def qNationStats(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum(asScaled(col("c_acctbal"), 2)) / lit(100.0) / count(lit(1))).as("avg_bal"),
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"),
+        // sample stddev from EXACT integer moments (Σc, Σc²) so both
+        // engines evaluate the same doubles; no streaming-algorithm drift
+        sqrt(
+          (sum(asScaled(col("c_acctbal"), 2) * asScaled(col("c_acctbal"), 2)).cast("double") -
+            sum(asScaled(col("c_acctbal"), 2)).cast("double") *
+            sum(asScaled(col("c_acctbal"), 2)).cast("double") / count(lit(1))) /
+            (count(lit(1)) - lit(1)))./(lit(100.0)).as("sd_bal"))
+      .orderBy("n_name")
+
+  private val qNationStatsSql = {
+    val c = asScaledSql("c_acctbal", 2)
+    s"""SELECT n_name, count(*) AS n_customers,
+       |  sum($c) / 100.0 / count(*) AS avg_bal,
+       |  min(c_acctbal) AS min_bal,
+       |  max(c_acctbal) AS max_bal,
+       |  sqrt((CAST(sum($c * $c) AS DOUBLE)
+       |        - CAST(sum($c) AS DOUBLE) * CAST(sum($c) AS DOUBLE) / count(*))
+       |       / (count(*) - 1)) / 100.0 AS sd_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  /** Hourly tumbling aggregation over events (batch twin of the streaming
+    * windowed aggregation in graft.streaming). */
+  def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(asScaled(col("value"), 2)) / lit(100.0)).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private val qEventsHourlySql =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  event_type, count(*) AS n,
+       |  sum(${asScaledSql("value", 2)}) / 100.0 AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions via lag + windowed running
+    * count — the batch expression of session windows. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800),
+          1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(asScaled(col("value"), 2)) / lit(100.0)).as("session_value"),
+        (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val qSessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sessions AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      ::BIGINT AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  sum(${asScaledSql("value", 2)}) / 100.0 AS session_value,
+       |  (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT AS duration_sec
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
+    Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
+    Q("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
+    Q("q_semi_join", qSemiJoin, Some(qSemiSql)),
+    Q("q_anti_join", qAntiJoin, Some(qAntiSql)),
+    Q("q_window_top_orders", qWindowTopOrders, Some(qWindowTopSql)),
+    Q("q_window_running_sum", qWindowRunning, Some(qWindowRunningSql)),
+    Q("q_rollup", qRollup, Some(qRollupSql)),
+    Q("q_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
+    Q("q_topk", qTopK, Some(qTopKSql)),
+    Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    Q("q_nation_stats", qNationStats, Some(qNationStatsSql)),
+    Q("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
+    Q("q_sessionize", qSessionize, Some(qSessionizeSql)))
+}

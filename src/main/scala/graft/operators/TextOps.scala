@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * `wordcount` is the reference's flagship capability (mr-bins/map/map.cpp +
+  * mr-bins/reduce/reduce.cpp composed) re-expressed declaratively; the rest
+  * are the text-pipeline operators a training-data pipeline needs: token
+  * counting, language ID (marker-word n-gram heuristic), quality scoring and
+  * content fingerprinting.
+  *
+  * All ops are pure column expressions (split/filter/transform/aggregate on
+  * arrays) — no UDFs, no collect, one narrow projection per document, so at
+  * 100 TB each stays a single embarrassingly-parallel scan stage; only
+  * wordcount shuffles (on the word, with map-side partial counts).
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text, empties dropped — the shared
+    * tokenizer (≡ map.cpp:16-23's `iss >> word` splitting). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** DuckDB rendering of [[tokens]] — keep in lockstep. */
+  val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  private def inList(t: Column, words: Seq[String]): Column = t.isin(words.map(_.asInstanceOf[Any]): _*)
+  private def sqlList(words: Seq[String]): String = words.mkString("('", "', '", "')")
+
+  /** Classic wordcount, Spark-first: explode → partial-agg count → order. */
+  def qWordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  private val qWordcountSql =
+    s"""SELECT w AS word, count(*) AS cnt
+       |FROM (SELECT unnest($tokensSql) AS w FROM documents)
+       |GROUP BY w ORDER BY word""".stripMargin
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (alnum runs + punctuation as separate tokens, long words split every
+    * 4 chars — a deterministic proxy for byte-pair tokenizer counts). */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")))
+          .cast("long").as("n_words"),
+        // BPE-ish estimate: ceil(chars/4) per word, summed
+        aggregate(
+          transform(tokens(col("text")), t => ceil(length(t).cast("double") / lit(4.0)).cast("long")),
+          lit(0L),
+          (acc, x) => acc + x).as("n_subwords"))
+      .orderBy("doc_id")
+
+  private val qTokenCountSql =
+    s"""SELECT doc_id,
+       |  len($tokensSql)::BIGINT AS n_tokens,
+       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_words,
+       |  list_sum(list_transform($tokensSql,
+       |                          x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))::BIGINT AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Language ID: marker-word hit counts per language, argmax with a fixed
+    * priority tiebreak — a deterministic n-gram-style heuristic whose exact
+    * SQL twin runs in DuckDB. */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val withHits = Tables.documents(s, d).select(
+      col("doc_id") +:
+        markers.map { case (lang, ws) =>
+          size(filter(t, tok => inList(tok, ws))).cast("long").as(s"${lang}_hits")
+        }: _*)
+    val hitCols = markers.map { case (lang, _) => col(s"${lang}_hits") }
+    val pred = markers.zipWithIndex.foldRight(lit("und")) {
+      case ((((lang, _)), i), elseCol) =>
+        val rest = hitCols.drop(i + 1)
+        val isMax =
+          if (rest.isEmpty) col(s"${lang}_hits") > 0
+          else {
+            val maxRest = if (rest.size == 1) rest.head else greatest(rest: _*)
+            col(s"${lang}_hits") > 0 && col(s"${lang}_hits") >= maxRest
+          }
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    withHits.withColumn("predicted", pred).orderBy("doc_id")
+  }
+
+  private val qLangIdSql = {
+    val hits = markers
+      .map { case (lang, ws) =>
+        s"len(list_filter($tokensSql, x -> x IN ${sqlList(ws)}))::BIGINT AS ${lang}_hits"
+      }
+      .mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val pred = langs.zipWithIndex
+      .map { case (lang, i) =>
+        val rest = langs.drop(i + 1).map(l => s"${l}_hits")
+        val cond =
+          if (rest.isEmpty) s"${lang}_hits > 0"
+          else s"${lang}_hits > 0 AND ${lang}_hits >= greatest(${rest.mkString(", ")})"
+        s"WHEN $cond THEN '$lang'"
+      }
+      .mkString(" ")
+    s"""SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+       |  CASE $pred ELSE 'und' END AS predicted
+       |FROM (SELECT doc_id,
+       |  $hits
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/stopword/char-class ratios composed into a
+    * single score — the heuristic filter stage of a data pipeline. */
+  def qQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val charsInTokens = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double")
+    val stopHits = size(filter(t, tok => inList(tok, stopwords))).cast("double")
+    val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        pround(charsInTokens / nTok, 4).as("avg_token_len"),
+        pround(stopHits / nTok, 4).as("stopword_ratio"),
+        pround(alnum / length(col("text")).cast("double"), 4).as("alnum_ratio"),
+        pround(
+          least(nTok / lit(100.0), lit(1.0)) * 0.5 +
+            least(stopHits / nTok * lit(5.0), lit(1.0)) * 0.3 +
+            (alnum / length(col("text")).cast("double")) * 0.2,
+          4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val qQualitySql = {
+    import graft.functions.PortableRound.{proundSql => pr}
+    val t = tokensSql
+    val stop = sqlList(stopwords)
+    s"""SELECT doc_id,
+       |  len($t)::BIGINT AS n_tokens,
+       |  length(text)::BIGINT AS n_chars,
+       |  ${pr(s"list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)", 4)} AS avg_token_len,
+       |  ${pr(s"len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t)", 4)} AS stopword_ratio,
+       |  ${pr("length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)", 4)} AS alnum_ratio,
+       |  ${pr(
+          s"least(len($t) / 100.0, 1.0) * 0.5 " +
+            s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
+            "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
+          4)} AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercased text —
+    * the exact-dedup key. (A rolling-hash winnowing fingerprint lives in
+    * Dedup.qMinHash's shingle machinery; md5 is the engine-portable one.) */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_wordcount", qWordcount, Some(qWordcountSql)),
+    Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
+    Q("q_lang_id", qLangId, Some(qLangIdSql)),
+    Q("q_quality_score", qQuality, Some(qQualitySql)),
+    Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)))
+}
