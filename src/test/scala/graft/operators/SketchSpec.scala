@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.types._
+
+/** Planted-ground-truth specs for the hash-/plane-dependent operators that
+  * have no DuckDB oracle (MinHash+LSH, SimHash, ANN): build a corpus with
+  * known near-duplicates / known nearest neighbors, assert the sketches
+  * find them and don't hallucinate unrelated pairs.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val vocab = Seq(
+    "spark", "query", "table", "scan", "join", "filter", "group", "sort",
+    "merge", "hash", "window", "batch", "stream", "vector", "column", "row")
+
+  /** 20 base docs of 40 deterministic tokens; docs 100/101 and 200/201 are
+    * planted near-dup pairs (one token changed); doc 300 is a planted exact
+    * duplicate of doc 0 shifted id. */
+  private def plantedDocsDir: String = {
+    val rnd = new scala.util.Random(7)
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.tabulate(20)(i => (i.toLong, doc()))
+    val nd1 = bases(3)._2.split(" ").updated(5, "zzz").mkString(" ")
+    val nd2 = bases(7)._2.split(" ").updated(11, "qqq").mkString(" ")
+    val rows = bases ++ Seq(
+      (100L, bases(3)._2), (101L, nd1),
+      (200L, bases(7)._2), (201L, nd2),
+      (300L, bases(0)._2))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t) => Row(id, t, "en", "planted", t.length.toLong) }),
+      schema)
+    val dir = Files.createTempDirectory("graft-planted-").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** 50 deterministic random 64-dim vectors; vec 500 is a tiny perturbation
+    * of vec 0 (cosine ≈ 1) — the planted nearest neighbor. */
+  private def plantedVecsDir: String = {
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(50)(i => (i.toLong, vec(), i % 5))
+    val near0 = base.head._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = base ++ Seq((500L, near0, 0))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v, l) => Row(id, v.toSeq, l) }),
+      schema)
+    val dir = Files.createTempDirectory("graft-planted-vec-").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("MinHash+LSH finds the planted near-dup and exact-dup pairs") {
+    val dir = plantedDocsDir
+    val pairs = Dedup.qMinHashLsh(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // exact dup of doc 0
+    assert(pairs.contains((0L, 300L)), s"missing exact dup (0,300) in $pairs")
+    // planted near-dups (39/40 tokens shared)
+    assert(pairs.contains((3L, 100L)) && pairs.contains((100L, 101L) )
+      || pairs.contains((3L, 101L)), s"missing near-dup cluster of doc 3 in $pairs")
+    assert(pairs.contains((7L, 200L)), s"missing dup (7,200) in $pairs")
+  }
+
+  test("SimHash finds planted near-dups within Hamming 6") {
+    val dir = plantedDocsDir
+    val pairs = Dedup.qSimHash(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 300L)), s"missing exact dup (0,300) in $pairs")
+    assert(pairs.contains((3L, 100L)), s"missing dup (3,100) in $pairs")
+  }
+
+  test("exact top-k cosine ranks the planted neighbor first") {
+    val dir = plantedVecsDir
+    val top = Similarity.qTopKExact(spark, dir).collect()
+    assert(top.head.getLong(0) === 500L, s"expected planted 500 first, got ${top.head}")
+    assert(top.head.getDouble(1) > 0.99)
+  }
+
+  test("ANN LSH recalls the planted near-identical neighbor") {
+    val dir = plantedVecsDir
+    val top = Similarity.qAnnLsh(spark, dir).collect()
+    assert(top.nonEmpty)
+    // A ~0.9999-cosine vector lands in the same or a 1-bit-adjacent bucket
+    // with overwhelming probability under 8 random hyperplanes.
+    assert(top.head.getLong(0) === 500L, s"expected planted 500 first, got ${top.toSeq}")
+  }
+
+  test("embedding near-dup pairs include the planted pair (same label block)") {
+    val dir = plantedVecsDir
+    val pairs = Dedup.qEmbeddingNearDup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 500L)), s"missing planted (0,500) in ${pairs.toSeq}")
+  }
+}
