@@ -1,0 +1,378 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * Spark's higher-order array functions (transform/filter/aggregate/
+  * zip_with) are CodegenFallback: every element goes through an interpreted
+  * lambda with boxing. For per-row loops over 64-dim vectors or hundreds of
+  * tokens that interpretation dominates the query (measured: q_lang_id 20 s,
+  * q_dedup_simhash 25 s at sf0.1 on the HOF formulation). Each expression
+  * here fuses one logical operator into a single primitive-typed pass:
+  *
+  *   - [[CosineSim]] / [[DotProd]]  — full whole-stage-codegen loops
+  *   - [[Tokens]], [[TextStats]], [[TokenSetCounts]] — one-pass text scans
+  *   - [[SimHash64]] — token-hash ±1 bit votes, one pass
+  *   - [[MinHashSig]] — k-permutation signature via the standard
+  *     two-hash construction h1 + i·h2 (Broder-style), 2 hashes per shingle
+  *     instead of k
+  *
+  * Semantics match the declarative formulations exactly where a DuckDB
+  * oracle checks them (tokenization = lowercase + split on `\s+` runs,
+  * empties dropped; counts are plain Longs).
+  */
+object NativeExprs {
+
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def dotProd(a: Column, b: Column): Column = c(DotProd(e(a), e(b)))
+  def tokens(text: Column): Column = c(Tokens(e(text)))
+  def textStats(text: Column, stopwords: Seq[String]): Column =
+    c(TextStats(e(text), stopwords))
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    c(TokenSetCounts(e(text), sets))
+  def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def minHashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
+  def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
+
+  /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
+  @inline private[functions] def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+}
+
+/** Element accessor fragment for float/double arrays in generated code. */
+private[functions] object VecCodegen {
+  def elem(arr: String, i: String, et: DataType): String = et match {
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+  def elemEval(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType  => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case other      => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** Fused cosine similarity over two ARRAY<FLOAT|DOUBLE> columns: one
+  * codegen'd loop accumulating dot and both norms — replaces three
+  * interpreted HOF scans (zip_with + 2× aggregate) and the array<double>
+  * cast. Accumulation order matches the left-fold the declarative version
+  * used, so results are bit-identical. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(aa.numElements(), ba.numElements())
+    val (lt, rt) = (elemType(left), elemType(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VecCodegen.elemEval(aa, i, lt)
+      val y = VecCodegen.elemEval(ba, i, rt)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${VecCodegen.elem(a, i, elemType(left))};
+         |  double $y = ${VecCodegen.elem(b, i, elemType(right))};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Fused dot product (same codegen shape as [[CosineSim]]). */
+case class DotProd(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(aa.numElements(), ba.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += VecCodegen.elemEval(aa, i, elemType(left)) *
+        VecCodegen.elemEval(ba, i, elemType(right))
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${VecCodegen.elem(a, i, elemType(left))} * ${VecCodegen.elem(b, i, elemType(right))};
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_prod"
+}
+
+/** One-pass tokenizer: lowercased whitespace tokens, empties dropped —
+  * exactly `filter(split(lower(text), "\\s+"), _ != "")`. */
+case class Tokens(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && NativeExprs.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !NativeExprs.isWs(s.charAt(i))) i += 1
+      if (i > start) out += UTF8String.fromString(s.substring(start, i))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokens"
+}
+
+/** One-pass text statistics used by token-count and quality scoring:
+  * struct(n_tokens, sum_token_len, n_words, n_subwords, stop_hits,
+  * n_alnum). Semantics lock-step with the SQL oracles:
+  * words = runs of [a-z0-9] in the lowercased text; subwords =
+  * Σ ceil(len/4) over whitespace tokens; alnum = count of [a-z0-9] chars. */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  private val stopSet = stopwords.toSet
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("n_alnum", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val n = s.length
+    var nTokens = 0L; var sumLen = 0L; var nWords = 0L
+    var nSub = 0L; var stopHits = 0L; var nAlnum = 0L
+    var i = 0
+    while (i < n) { // whitespace tokens
+      while (i < n && NativeExprs.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !NativeExprs.isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val len = i - start
+        nTokens += 1; sumLen += len; nSub += (len + 3) / 4
+        if (stopSet.contains(s.substring(start, i))) stopHits += 1
+      }
+    }
+    i = 0
+    @inline def alnum(ch: Char) = (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')
+    while (i < n) { // [a-z0-9] runs
+      while (i < n && !alnum(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && alnum(s.charAt(i))) { nAlnum += 1; i += 1 }
+      if (i > start) nWords += 1
+    }
+    InternalRow(nTokens, sumLen, nWords, nSub, stopHits, nAlnum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_text_stats"
+}
+
+/** One-pass membership counts: for each word set, how many whitespace
+  * tokens of the lowercased text are in it. Drives language-ID. */
+case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  private val hashSets: Array[Set[String]] = sets.map(_.toSet).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val counts = new Array[Long](hashSets.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && NativeExprs.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !NativeExprs.isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val tok = s.substring(start, i)
+        var j = 0
+        while (j < hashSets.length) {
+          if (hashSets(j).contains(tok)) counts(j) += 1
+          j += 1
+        }
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_set_counts"
+}
+
+/** SimHash sketch: 64-bit signature from xxhash64(token, seed=42) bit
+  * votes — identical output to the HOF formulation it replaces, one pass,
+  * no boxing. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >> b) & 1L) * 2L - 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** MinHash signature of a shingle set: k permutations via the standard
+  * two-hash construction h_i = h1 + i·h2 (h1 = xxhash64 seed 42,
+  * h2 = xxhash64 seed 1337 | 1) — 2 hash computations per shingle instead
+  * of k. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      val h2 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 1337L) | 1L
+      var j = 0
+      var h = h1
+      while (j < k) {
+        if (h < mins(j)) mins(j) = h
+        h += h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** One-pass distinct word n-gram shingles of the lowercased text —
+  * replaces the tokenize→sequence→transform→element_at→array_distinct HOF
+  * chain. First-occurrence order preserved (≡ array_distinct). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && NativeExprs.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !NativeExprs.isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var j = 0
+    while (j + n <= toks.length) {
+      seen += toks.slice(j, j + n).mkString(" ")
+      j += 1
+    }
+    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_shingles"
+}

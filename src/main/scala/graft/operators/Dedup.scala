@@ -24,16 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def toks(c: Column): Column = TextOps.tokens(c)
+  private def toks(c: Column): Column = graft.functions.NativeExprs.tokens(c)
 
-  /** Word trigram shingles (distinct) of a document. */
-  private def shingles(text: Column): Column = {
-    val t = toks(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(t) - 2, lit(0))),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-  }
+  /** Word trigram shingles (distinct) of a document — native one-pass
+    * ([[graft.functions.WordShingles]]). */
+  private def shingles(text: Column): Column =
+    graft.functions.NativeExprs.wordShingles(text, 3)
 
   /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
   private def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
@@ -126,9 +122,7 @@ object Dedup {
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("shs"))
       .cache()
-    val sig = transform(
-      sequence(lit(0), lit(MinhashPerms - 1)),
-      i => array_min(transform(col("shs"), sh => xxhash64(sh, i))))
+    val sig = graft.functions.NativeExprs.minHashSig(col("shs"), MinhashPerms)
     val banded = docs
       .select(col("doc_id"), sig.as("sig"))
       .select(
@@ -173,17 +167,10 @@ object Dedup {
     * int), so the sketch is one SQL HOF expression — still fully native,
     * no UDF. */
   def qSimHash(s: SparkSession, d: String): DataFrame = {
-    val hs = transform(toks(col("text")), t => xxhash64(t))
     val withSim = Tables.documents(s, d)
-      .select(col("doc_id"), hs.as("hs"))
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-            |  acc + if(aggregate(hs, 0L,
-            |             (a, h) -> a + (shiftright(h, b) & 1L) * 2L - 1L) > 0,
-            |           shiftleft(1L, b), 0L))""".stripMargin))
-      .drop("hs")
+      .select(
+        col("doc_id"),
+        graft.functions.NativeExprs.simHash64(toks(col("text"))).as("simhash"))
     val banded2 = withSim.select(
       col("doc_id"),
       col("simhash"),
@@ -213,14 +200,14 @@ object Dedup {
     * sequential folds → DuckDB list_cosine_similarity matches at 1e-6. */
   def qEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"),
-        pround(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        pround(graft.functions.NativeExprs.cosineSim(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }

@@ -35,18 +35,19 @@ object Similarity {
   /** Sign-bit bucket id of a vector under the fixed hyperplanes. */
   private def bucketOf(v: Column): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      acc + when(VectorOps.dot(v, typedlit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      acc + when(graft.functions.NativeExprs.dotProd(v, typedlit(p)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
     }
 
   /** Exact top-10 cosine neighbors of vec_id 0 (the brute-force baseline).
     * DuckDB oracle uses list_cosine_similarity over the same DOUBLE[] data. */
   def qTopKExact(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
     val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(q)
-      .select(col("vec_id"), pround(VectorOps.cosine(col("v"), col("qv")), 6).as("cos"))
+      .select(col("vec_id"), pround(graft.functions.NativeExprs.cosineSim(col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -64,7 +65,7 @@ object Similarity {
     * Returns approximate top-10 for vec_id 0. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", bucketOf(col("v")))
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
@@ -78,7 +79,7 @@ object Similarity {
         .as("bucket"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), "bucket")
-      .select(col("vec_id"), pround(VectorOps.cosine(col("v"), col("qv")), 6).as("cos"))
+      .select(col("vec_id"), pround(graft.functions.NativeExprs.cosineSim(col("v"), col("qv")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -87,7 +88,7 @@ object Similarity {
     * content across the corpus" sweep (bucket join instead of cross join). */
   def qBucketedPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", bucketOf(col("v")))
     e.as("a")
       .join(e.as("b"), Seq("bucket"))
@@ -95,7 +96,7 @@ object Similarity {
       .select(
         col("a.vec_id").as("va"),
         col("b.vec_id").as("vb"),
-        pround(VectorOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        pround(graft.functions.NativeExprs.cosineSim(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= 0.25)
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(100)

@@ -31,10 +31,11 @@ object TextOps {
   private def inList(t: Column, words: Seq[String]): Column = t.isin(words.map(_.asInstanceOf[Any]): _*)
   private def sqlList(words: Seq[String]): String = words.mkString("('", "', '", "')")
 
-  /** Classic wordcount, Spark-first: explode → partial-agg count → order. */
+  /** Classic wordcount, Spark-first: explode → partial-agg count → order.
+    * Tokenization is the native one-pass [[graft.functions.Tokens]]. */
   def qWordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
@@ -45,20 +46,18 @@ object TextOps {
        |GROUP BY w ORDER BY word""".stripMargin
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
-    * (alnum runs + punctuation as separate tokens, long words split every
-    * 4 chars — a deterministic proxy for byte-pair tokenizer counts). */
+    * (ceil(len/4) per word — a deterministic proxy for byte-pair tokenizer
+    * counts). One native pass ([[graft.functions.TextStats]]). */
   def qTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= lit("")))
-          .cast("long").as("n_words"),
-        // BPE-ish estimate: ceil(chars/4) per word, summed
-        aggregate(
-          transform(tokens(col("text")), t => ceil(length(t).cast("double") / lit(4.0)).cast("long")),
-          lit(0L),
-          (acc, x) => acc + x).as("n_subwords"))
+        graft.functions.NativeExprs.textStats(col("text"), stopwords).as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_words").as("n_words"),
+        col("st.n_subwords").as("n_subwords"))
       .orderBy("doc_id")
 
   private val qTokenCountSql =
@@ -80,12 +79,14 @@ object TextOps {
     * priority tiebreak — a deterministic n-gram-style heuristic whose exact
     * SQL twin runs in DuckDB. */
   def qLangId(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
-    val withHits = Tables.documents(s, d).select(
-      col("doc_id") +:
-        markers.map { case (lang, ws) =>
-          size(filter(t, tok => inList(tok, ws))).cast("long").as(s"${lang}_hits")
-        }: _*)
+    val hitsArr = graft.functions.NativeExprs.tokenSetCounts(col("text"), markers.map(_._2))
+    val withHits = Tables.documents(s, d)
+      .select(col("doc_id"), hitsArr.as("h"))
+      .select(
+        col("doc_id") +:
+          markers.zipWithIndex.map { case ((lang, _), i) =>
+            element_at(col("h"), i + 1).as(s"${lang}_hits")
+          }: _*)
     val hitCols = markers.map { case (lang, _) => col(s"${lang}_hits") }
     val pred = markers.zipWithIndex.foldRight(lit("und")) {
       case ((((lang, _)), i), elseCol) =>
@@ -129,15 +130,16 @@ object TextOps {
     * single score — the heuristic filter stage of a data pipeline. */
   def qQuality(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PortableRound.pround
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val charsInTokens = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double")
-    val stopHits = size(filter(t, tok => inList(tok, stopwords))).cast("double")
-    val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("double")
-    Tables.documents(s, d)
+    val st = graft.functions.NativeExprs.textStats(col("text"), stopwords)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"), st.as("st"))
+    val nTok = col("st.n_tokens").cast("double")
+    val charsInTokens = col("st.sum_token_len").cast("double")
+    val stopHits = col("st.stop_hits").cast("double")
+    val alnum = col("st.n_alnum").cast("double")
+    base
       .select(
         col("doc_id"),
-        size(t).cast("long").as("n_tokens"),
+        col("st.n_tokens").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         pround(charsInTokens / nTok, 4).as("avg_token_len"),
         pround(stopHits / nTok, 4).as("stopword_ratio"),
