@@ -44,6 +44,7 @@ object NativeExprs {
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def minHashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
+  def normalizeWs(text: Column): Column = c(NormalizeWs(e(text)))
 
   /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
   @inline private[functions] def isWs(ch: Char): Boolean =
@@ -375,4 +376,33 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "graft_word_shingles"
+}
+
+/** One-pass lowercase + whitespace-run collapse (each `\s+` run → one
+  * space, leading/trailing runs included) — exactly
+  * `regexp_replace(lower(text), "\\s+", " ")` without the regex engine.
+  * Feeds the md5 content fingerprint. */
+case class NormalizeWs(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (NativeExprs.isWs(s.charAt(i))) {
+        sb.append(' ')
+        while (i < n && NativeExprs.isWs(s.charAt(i))) i += 1
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
+    copy(child = newChild)
+  override def prettyName: String = "graft_normalize_ws"
 }

@@ -177,7 +177,7 @@ object TextOps {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+        md5(graft.functions.NativeExprs.normalizeWs(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
 
   private val qFingerprintSql =
