@@ -21,6 +21,10 @@ object Bench {
       .config(Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM warmup outside the timed region: class loading, codegen compiler
+    // and parquet reader init otherwise land entirely on the first query.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Tables.lineitem(spark, sfDir).limit(100).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.headline.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
