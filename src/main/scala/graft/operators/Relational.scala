@@ -380,6 +380,49 @@ object Relational {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** JSON extraction from the events props column (semi-structured
+    * function library): parse `{"k": int}` and aggregate per type. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val qJsonSql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CUBE grouping sets (all four combinations of the two flags). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** HyperLogLog approximate distinct (sketch aggregation at scale —
+    * merges across partitions without holding the key set). Sketch values
+    * are engine-specific → no SQL oracle; RelationalSpec bounds the error
+    * against the exact count. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
@@ -394,5 +437,8 @@ object Relational {
     Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Q("q_nation_stats", qNationStats, Some(qNationStatsSql)),
     Q("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
-    Q("q_sessionize", qSessionize, Some(qSessionizeSql)))
+    Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
+    Q("q_cube", qCube, Some(qCubeSql)),
+    Q("q_approx_distinct", qApproxDistinct, None))
 }

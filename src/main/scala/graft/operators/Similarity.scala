@@ -102,8 +102,86 @@ object Similarity {
       .limit(100)
   }
 
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  /** IVF-style ANN: assign every vector to its nearest "centroid" cell,
+    * probe only the query's nearest cells, exact-score the candidates.
+    *
+    * Centroids here are a deterministic sample (vec_id < 16) instead of a
+    * k-means fit, so the whole index is a pure function of the data and the
+    * DuckDB oracle replays it exactly — the plumbing (cell assignment as a
+    * narrow projection, candidate pruning to probed cells ≈ nprobe/nlist of
+    * the corpus, exact re-rank) is precisely the production IVF shape. At
+    * 100 TB: centroids broadcast (≤64k rows), assignment is one scan, and
+    * the probe reads only matching cells (partition-prunable if the index
+    * is written bucketed by cell). */
+  def qIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents: Array[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < IvfCells)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+
+    // nearest cell = max by (cos, -cid): struct ordering gives the
+    // row_number(ORDER BY cos DESC, cid) = 1 tiebreak the oracle uses
+    def cellOf(v: Column): Column = {
+      val scored = cents.map { case (cid, cv) =>
+        struct(
+          graft.functions.NativeExprs.cosineSim(v, typedlit(cv)).as("cos"),
+          lit(-cid).as("negid"))
+      }
+      -array_max(array(scored: _*)).getField("negid")
+    }
+
+    val qvec = e.filter(col("vec_id") === 0).collect().head.getSeq[Float](1).map(_.toDouble)
+    def cosScala(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = cents
+      .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(IvfProbes)
+      .map(_._1)
+
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("cell", cellOf(col("v")))
+      .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
+      .select(
+        col("vec_id"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val qIvfSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
+       |pc AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS cos FROM e, c),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |    FROM pc) WHERE rn = 1),
+       |probe AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rn
+       |    FROM pc WHERE vec_id = 0) WHERE rn <= $IvfProbes)
+       |SELECT e.vec_id,
+       |  floor(list_cosine_similarity(e.v, q.v) * 1000000 + 0.5) / 1000000.0 AS cos
+       |FROM assign a
+       |JOIN probe p ON a.cell = p.cell
+       |JOIN e ON a.vec_id = e.vec_id,
+       |  (SELECT v FROM e WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
-    Q("q_sim_bucketed_pairs", qBucketedPairs, None))
+    Q("q_sim_bucketed_pairs", qBucketedPairs, None),
+    Q("q_sim_ivf", qIvf, Some(qIvfSql)))
 }

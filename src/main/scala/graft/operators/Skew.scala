@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys.
+  *
+  * A plain `groupBy(key)` sends every record of a hot key to one reduce
+  * task; at 100 TB one key with 1% of the data stalls the stage. Salting
+  * splits each key into `salt` sub-keys for a partial aggregate, then
+  * merges the partials in a second (tiny) aggregate — the classic
+  * two-phase decomposition, valid for any algebraic aggregate.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) covers joins; this utility covers aggregations whose partial
+  * states are small but whose input distribution is pathological.
+  */
+object Skew {
+
+  /** Salted count: exactly `df.groupBy(key).count()` but with bounded
+    * per-task fan-in regardless of key skew. */
+  def saltedCount(df: DataFrame, key: Column, salt: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col("key"))
+      .agg(sum("__partial").as("cnt"))
+
+  /** Salted sum over a long column (same two-phase shape). */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salt: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__partial"))
+      .groupBy(col("key"))
+      .agg(sum("__partial").as("total"))
+}

@@ -13,4 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL function on a live session (the
+    * imperative twin of wiring [[graft.functions.GraftExtensions]] into
+    * `spark.sql.extensions` at session build time). */
+  def registerFunction(
+      spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
