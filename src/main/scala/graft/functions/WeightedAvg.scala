@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregation — the `Aggregator[IN, BUF, OUT]` surface (the
+  * Spark-native answer to the reference's arbitrary reduce binaries when
+  * the aggregation is algebraic but not built-in).
+  *
+  * Quantity-weighted average price in exact cents: the buffer is a pair of
+  * exact integer sums, so merge order doesn't affect the result and the
+  * DuckDB oracle reproduces it bit-for-bit. Spark plans this as a regular
+  * two-phase aggregate (partial buffers merged after the shuffle).
+  */
+object WeightedAvgCents extends Aggregator[(Long, Long), (Long, Long), Double] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+    (b._1 + a._1 * a._2, b._2 + a._2)
+  override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (Long, Long)): Double =
+    if (r._2 == 0) Double.NaN else r._1 / 100.0 / r._2
+  override def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -90,7 +90,64 @@ object Multimodal {
       |WHERE f < octet_length(encode(text))
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  final case class MediaFeature(doc_id: Long, feature: Array[Double])
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long)
+
+  /** Feature extraction over the binary column: an 8-bin byte histogram as
+    * the stand-in "embedding" (a real pipeline would run a vision encoder
+    * here — same mapPartitions batch shape, same ARRAY<DOUBLE> output
+    * schema that similarity search consumes downstream). Deterministic;
+    * validated by MultimodalSpec against an independent computation. */
+  def qFeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val hist = new Array[Double](8)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) % 8) += 1.0; i += 1 }
+          MediaFeature(id, hist)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Resize stub: target box 224×224, aspect preserved (integer math only
+    * so the DuckDB oracle replays it exactly). The real decoder swap-in
+    * changes FakeCodec, not this plan. */
+  def qResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    blobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val m = FakeCodec.probe(id, bytes)
+          // fit into 224x224 preserving aspect: scale = 224/max(w,h)
+          val mx = math.max(m.width, m.height)
+          ResizedMeta(id, m.width, m.height, m.width * 224 / mx, m.height * 224 / mx)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val qResizeSql =
+    """SELECT doc_id,
+      |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+      |  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
+      |  ((octet_length(encode(text)) % 640 + 1) * 224
+      |    // greatest(octet_length(encode(text)) % 640 + 1,
+      |               octet_length(encode(text)) % 480 + 1))::BIGINT AS out_w,
+      |  ((octet_length(encode(text)) % 480 + 1) * 224
+      |    // greatest(octet_length(encode(text)) % 640 + 1,
+      |               octet_length(encode(text)) % 480 + 1))::BIGINT AS out_h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
-    Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)))
+    Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
+    Q("q_media_features", qFeatureExtract, None),
+    Q("q_media_resize", qResize, Some(qResizeSql)))
 }

@@ -423,6 +423,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Custom typed Aggregator (UDAF surface): quantity-weighted average
+    * price per return flag, buffered as exact integer sums. */
+  def qWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(graft.functions.WeightedAvgCents)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        wavg(asScaled(col("l_extendedprice"), 2), col("l_quantity").cast("long"))
+          .as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qWeightedAvgSql = {
+    val p = asScaledSql("l_extendedprice", 2)
+    s"""SELECT l_returnflag,
+       |  sum($p * CAST(l_quantity AS BIGINT)) / 100.0
+       |    / sum(CAST(l_quantity AS BIGINT)) AS wavg_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
@@ -440,5 +461,6 @@ object Relational {
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),
-    Q("q_approx_distinct", qApproxDistinct, None))
+    Q("q_approx_distinct", qApproxDistinct, None),
+    Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)))
 }

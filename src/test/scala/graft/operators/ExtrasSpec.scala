@@ -47,6 +47,18 @@ class ExtrasSpec extends SparkSpec {
     assert(sig != 0L)
   }
 
+  test("media feature extraction matches an independent byte-histogram computation") {
+    val got = Multimodal.qFeatureExtract(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val hist = new Array[Double](8)
+      text.getBytes("UTF-8").foreach(b => hist((b & 0xff) % 8) += 1.0)
+      assert(got(id) === hist.toVector, s"doc $id histogram mismatch")
+    }
+  }
+
   test("IVF probes find the true nearest neighbor on real data when cells align") {
     // On the real sf0.001 embeddings the oracle guards exactness; here we
     // check the structural property: all returned candidates come from the
