@@ -1,0 +1,40 @@
+package graft.engine
+
+import java.nio.file.Files
+import graft.{SparkSpec, Tables}
+
+/** Source/sink format coverage beyond the reference's raw text files:
+  * parquet (primary, everywhere), csv and json round-trips preserve the
+  * analytics tables' content. */
+class FormatsSpec extends SparkSpec {
+
+  test("csv and json round-trips preserve the nation table") {
+    val nation = Tables.nation(spark, sfDir)
+    val base = Files.createTempDirectory("graft-fmt-")
+
+    nation.write.option("header", "true").csv(s"$base/csv")
+    val csvBack = spark.read
+      .option("header", "true")
+      .schema(nation.schema)
+      .csv(s"$base/csv")
+    assert(csvBack.collect().toSet === nation.collect().toSet)
+
+    nation.write.json(s"$base/json")
+    val jsonBack = spark.read.schema(nation.schema).json(s"$base/json")
+    assert(jsonBack.collect().toSet === nation.collect().toSet)
+  }
+
+  test("engine text sink output is re-readable as a text source (chaining)") {
+    // Reference chains batches by feeding one batch's dest dir to the next
+    // (directory in/out contract) — prove the same works here.
+    val in = Files.createTempDirectory("graft-chain-in-")
+    Files.writeString(in.resolve("0"), "a b a\n")
+    val mid = Files.createTempDirectory("graft-chain-").resolve("mid")
+    val out = Files.createTempDirectory("graft-chain-").resolve("out")
+    Engine.run(spark, BatchSpec(List("tokenize"), List("sum_ints"), in.toString, mid.toString, 1, 1))
+    // second batch: identity map + max reduce over the first's output
+    Engine.run(spark, BatchSpec(List("identity"), List("max"), mid.toString, out.toString, 1, 1))
+    val got = spark.read.text(out.toString).collect().map(_.getString(0)).toSet
+    assert(got === Set("a 2", "b 1"))
+  }
+}

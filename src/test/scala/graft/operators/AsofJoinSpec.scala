@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Unit tests of the generic as-of join construction on hand-built frames:
+  * backward match, no-earlier-match nulls, equal-time inclusivity, and the
+  * max-tiebreak on duplicate right timestamps. */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("asofBackward: backward match, inclusive time, tie and null semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), "l-a"), // after r at 5 → matches r5
+      (1L, ts(5), "l-b"),  // equal time → inclusive, matches r5 (max tb)
+      (1L, ts(1), "l-c"),  // before any right → null
+      (2L, ts(99), "l-d")  // key with no right rows at all → null
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, ts(5), 100L, "r-low"),
+      (1L, ts(5), 200L, "r-high"), // same ts: greatest tiebreak wins
+      (1L, ts(8), 50L, "r-later")
+    ).toDF("k", "rt", "tb", "rv")
+
+    val out = TemporalJoins.asofBackward(
+      left, right,
+      key = "k", leftTime = "t", rightTime = "rt",
+      rightTiebreak = "tb", rightCols = Seq("tb", "rv"))
+      .select("payload", "tb", "rv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+
+    assert(out === Set(
+      ("l-a", Some(50L), Some("r-later")), // 8 ≤ 10 is the latest
+      ("l-b", Some(200L), Some("r-high")), // inclusive + max tiebreak
+      ("l-c", None, None),
+      ("l-d", None, None)))
+  }
+}
