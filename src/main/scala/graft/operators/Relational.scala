@@ -423,6 +423,24 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Top-3 orders per customer via the bounded-heap [[graft.functions.TopKAgg]]
+    * aggregation — identical result set to q_window_top_orders but the
+    * shuffle carries ≤ k rows per key per partition instead of every order
+    * (see TopKAgg scaladoc). Shares the window version's oracle. */
+  def qTopKPerKeyAgg(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(new graft.functions.TopKAgg(3))
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Custom typed Aggregator (UDAF surface): quantity-weighted average
     * price per return flag, buffered as exact integer sums. */
   def qWeightedAvg(s: SparkSession, d: String): DataFrame = {
@@ -462,5 +480,6 @@ object Relational {
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
-    Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)))
+    Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
+    Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)))
 }
