@@ -24,6 +24,19 @@ class FormatsSpec extends SparkSpec {
     assert(jsonBack.collect().toSet === nation.collect().toSet)
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-part-")
+    Tables.lineitem(spark, sfDir)
+      .write.partitionBy("l_returnflag").parquet(s"$base/li")
+    val pruned = spark.read.parquet(s"$base/li").filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"), s"no partition pruning in plan:\n$plan")
+    val expected = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R").count()
+    assert(pruned.count() === expected)
+  }
+
   test("engine text sink output is re-readable as a text source (chaining)") {
     // Reference chains batches by feeding one batch's dest dir to the next
     // (directory in/out contract) — prove the same works here.
