@@ -108,6 +108,65 @@ object Dedup {
        |ORDER BY jaccard DESC, da, db LIMIT 50""".stripMargin
   }
 
+  /** End-to-end dedup APPLICATION: return the corpus with near-duplicates
+    * removed (greedy: a doc is dropped if it is the higher id of any pair
+    * with Jaccard ≥ 0.6 over capped trigram shingles, or a non-minimal
+    * member of an exact-fingerprint group). This is the operator a
+    * pipeline actually runs; the pair queries above are its diagnostics. */
+  def qDedupApply(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20)
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
+    val nearDrops = pairs.select(col("db").as("doc_id")).distinct()
+    val fp = graft.functions.NativeExprs.normalizeWs(col("text"))
+    val exactDrops = Tables.documents(s, d)
+      .select(col("doc_id"), md5(fp).as("f"))
+      .withColumn("keep", min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    Tables.documents(s, d)
+      .join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val qDedupApplySql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near_drops AS (
+       |  SELECT DISTINCT db AS doc_id FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (
+       |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keep
+       |    FROM documents) WHERE doc_id <> keep)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
+       |                     UNION SELECT doc_id FROM exact_drops)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
@@ -221,6 +280,7 @@ object Dedup {
       |ORDER BY cos DESC, va, vb""".stripMargin
 
   val queries: Seq[Q] = Seq(
+    Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),

@@ -423,6 +423,46 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Pivot: order counts and exact-cents revenue per priority × status
+    * (wide-format reporting; Catalyst plans it as conditional aggregation
+    * — mirrored literally in the oracle). */
+  def qPivot(s: SparkSession, d: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact percentiles (median/p90) of integer-valued quantity — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same
+    * linear-interpolation definition; on integer data at these
+    * percentiles the interpolation arithmetic is identical. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val qPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Top-3 orders per customer via the bounded-heap [[graft.functions.TopKAgg]]
     * aggregation — identical result set to q_window_top_orders but the
     * shuffle carries ≤ k rows per key per partition instead of every order
@@ -481,5 +521,7 @@ object Relational {
     Q("q_cube", qCube, Some(qCubeSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
-    Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)))
+    Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
+    Q("q_pivot", qPivot, Some(qPivotSql)),
+    Q("q_percentiles", qPercentiles, Some(qPercentilesSql)))
 }
