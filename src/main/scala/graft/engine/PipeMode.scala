@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders}
 
 /** Optional external-binary compatibility mode.
   *
@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
   * calls inside one stage, so no extra shuffle is introduced.
   */
 object PipeMode {
-  private implicit val stringEnc = Encoders.STRING
+  private implicit val stringEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
 
   /** Wrap a reference-style `-i/-o` binary into a stdin/stdout pipe command. */
   def stdioCommand(binary: String, extraArgs: String = ""): Seq[String] =

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.VectorOps
 import graft.functions.PortableRound.pround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
