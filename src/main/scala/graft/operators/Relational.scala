@@ -423,6 +423,32 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q10-style returned-item revenue: which customers returned the
+    * most value. Fact join on orderkey, customer/nation broadcast, exact
+    * revenue, top 20. */
+  def q10Returns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  $revenueExactSql AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
   /** Pivot: order counts and exact-cents revenue per priority × status
     * (wide-format reporting; Catalyst plans it as conditional aggregation
     * — mirrored literally in the oracle). */
@@ -523,5 +549,6 @@ object Relational {
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
-    Q("q_percentiles", qPercentiles, Some(qPercentilesSql)))
+    Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    Q("q10_returned_items", q10Returns, Some(q10Sql)))
 }
