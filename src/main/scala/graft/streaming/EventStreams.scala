@@ -90,4 +90,19 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     hourlyCounts(raw)
   }
+
+  /** Streaming exact dedup: one document per content fingerprint, with a
+    * watermark bounding the fingerprint state — the incremental twin of
+    * Dedup.qExact/qDedupApply's exact stage. A fingerprint seen in an
+    * earlier micro-batch is always dropped; within a single micro-batch an
+    * arbitrary representative wins (Spark's dropDuplicates contract).
+    * Expects (doc_id, ts, text). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn(
+        "fingerprint",
+        md5(graft.functions.NativeExprs.normalizeWs(col("text"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fingerprint")
+      .select("doc_id", "ts", "fingerprint")
 }

@@ -36,6 +36,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream over the real events parquet equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val query = EventStreams.hourlyFromDirectory(spark, dir.toString)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_file_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("hourly_file_test")
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Relational.qEventsHourly(spark, sfDir)
+        .select("hour", "event_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("streaming dedup keeps only the first document per fingerprint") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val df = source.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupStream(df).writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // timestamps well above epoch 0 — rows AT the initial watermark are
+      // treated as late and silently dropped
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      source.addData((1L, t2(0), "hello  world"))
+      query.processAllAvailable()
+      source.addData(
+        (2L, t2(1), "hello world"), // same after ws-normalization → dropped
+        (3L, t2(2), "different doc"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream_test").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("sessionize emits a session once the inactivity gap elapses") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
