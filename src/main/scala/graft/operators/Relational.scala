@@ -423,6 +423,41 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q7-style trade flows: revenue between (customer nation,
+    * supplier nation) pairs — two independent broadcast dim chains hanging
+    * off the same fact join. */
+  def q7TradeFlows(s: SparkSession, d: String): DataFrame = {
+    val custNation = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("cust_nation"), col("supp_nation"))
+      .limit(30)
+  }
+
+  private val q7Sql =
+    s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       |  $revenueExactSql AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE cn.n_name <> sn.n_name
+       |GROUP BY cn.n_name, sn.n_name
+       |ORDER BY revenue DESC, cust_nation, supp_nation
+       |LIMIT 30""".stripMargin
+
   /** TPC-H Q10-style returned-item revenue: which customers returned the
     * most value. Fact join on orderkey, customer/nation broadcast, exact
     * revenue, top 20. */
@@ -550,5 +585,6 @@ object Relational {
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
-    Q("q10_returned_items", q10Returns, Some(q10Sql)))
+    Q("q10_returned_items", q10Returns, Some(q10Sql)),
+    Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)))
 }
