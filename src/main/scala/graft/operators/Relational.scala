@@ -484,6 +484,114 @@ object Relational {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  /** TPC-H Q14-style promo revenue share: conditional exact-cents sums →
+    * one ratio row. Integer sums make the percentage bit-identical. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) * lit(100.0) / sum(rev))
+          .as("promo_pct"),
+        (sum(rev) / lit(10000.0)).as("total_revenue"))
+  }
+
+  private val q14Sql = {
+    val rev = s"${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})"
+    s"""SELECT
+       |  sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) * 100.0 / sum($rev)
+       |    AS promo_pct,
+       |  sum($rev) / 10000.0 AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+  }
+
+  /** Sliding windows (1 h window, 30 min slide): each event lands in two
+    * overlapping windows — the built-in `window()` slide semantics,
+    * replayed in the oracle as a two-bucket union. */
+  def qEventsSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(asScaled(col("value"), 2)) / lit(100.0)).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val qEventsSlidingSql =
+    s"""WITH b AS (
+       |  SELECT time_bucket(INTERVAL 30 MINUTES, ts::TIMESTAMP) AS w, event_type, value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL 30 MINUTES, ts::TIMESTAMP) - INTERVAL 30 MINUTES,
+       |         event_type, value
+       |  FROM events)
+       |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       |  count(*) AS n, sum(${asScaledSql("value", 2)}) / 100.0 AS sum_value
+       |FROM b GROUP BY w, event_type ORDER BY win_start, event_type""".stripMargin
+
+  /** Salted two-phase count through the [[Skew]] utility — same result as
+    * a plain GROUP BY (which is exactly what the oracle runs), with
+    * bounded per-task fan-in under key skew. */
+  def qSkewSaltedCount(s: SparkSession, d: String): DataFrame =
+    Skew.saltedCount(Tables.orders(s, d), col("o_custkey"), salt = 16)
+      .withColumnRenamed("key", "custkey")
+      .orderBy("custkey")
+
+  private val qSkewSaltedSql =
+    """SELECT o_custkey AS custkey, count(*)::BIGINT AS cnt
+      |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin
+
+  /** Scalar string-function battery over part. */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        expr("replace(p_brand, 'Brand#', 'B')").as("brand_short"),
+        col("p_name").like("%widget%").as("is_widget"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"))
+      .orderBy("p_partkey")
+
+  private val qStringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 5)) AS name_prefix,
+      |  length(p_name)::BIGINT AS name_len,
+      |  replace(p_brand, 'Brand#', 'B') AS brand_short,
+      |  p_name LIKE '%widget%' AS is_widget,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  lpad(p_size::VARCHAR, 3, '0') AS size_pad
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Scalar date-function battery over orders (ISO weekday convention
+    * aligned across engines: Spark weekday()+1 == DuckDB isodow). */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  private val qDateFuncsSql =
+    """SELECT o_orderkey,
+      |  year(o_orderdate)::BIGINT AS y,
+      |  month(o_orderdate)::BIGINT AS m,
+      |  day(o_orderdate)::BIGINT AS dom,
+      |  quarter(o_orderdate)::BIGINT AS q,
+      |  isodow(o_orderdate)::BIGINT AS isodow,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Pivot: order counts and exact-cents revenue per priority × status
     * (wide-format reporting; Catalyst plans it as conditional aggregation
     * — mirrored literally in the oracle). */
@@ -586,5 +694,10 @@ object Relational {
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Q("q10_returned_items", q10Returns, Some(q10Sql)),
-    Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)))
+    Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)),
+    Q("q14_promo_share", q14PromoShare, Some(q14Sql)),
+    Q("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
+    Q("q_skew_salted_count", qSkewSaltedCount, Some(qSkewSaltedSql)),
+    Q("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
+    Q("q_date_funcs", qDateFuncs, Some(qDateFuncsSql)))
 }
