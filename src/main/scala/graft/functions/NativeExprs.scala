@@ -172,8 +172,17 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
 
 /** One-pass tokenizer: lowercased whitespace tokens, empties dropped —
   * exactly `filter(split(lower(text), "\\s+"), _ != "")`. */
-case class Tokens(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** Typed entry point for generated code (no boxing). */
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokensExpr", this, classOf[Tokens].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase
@@ -200,8 +209,16 @@ case class Tokens(child: Expression) extends UnaryExpression with CodegenFallbac
   * words = runs of [a-z0-9] in the lowercased text; subwords =
   * Σ ceil(len/4) over whitespace tokens; alnum = count of [a-z0-9] chars. */
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val stopSet = stopwords.toSet
+
+  def kernel(s: UTF8String): InternalRow = nullSafeEval(s).asInstanceOf[InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("textStatsExpr", this, classOf[TextStats].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -246,8 +263,16 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 /** One-pass membership counts: for each word set, how many whitespace
   * tokens of the lowercased text are in it. Drives language-ID. */
 case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val hashSets: Array[Set[String]] = sets.map(_.toSet).toArray
+
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokenSetExpr", this, classOf[TokenSetCounts].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -280,8 +305,16 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
 /** SimHash sketch: 64-bit signature from xxhash64(token, seed=42) bit
   * votes — identical output to the HOF formulation it replaces, one pass,
   * no boxing. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  def kernel(arr: ArrayData): Long = nullSafeEval(arr).asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -317,8 +350,16 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * h2 = xxhash64 seed 1337 | 1) — 2 hash computations per shingle instead
   * of k. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def kernel(arr: ArrayData): ArrayData = nullSafeEval(arr).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSig].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -350,8 +391,16 @@ case class MinHashSig(child: Expression, k: Int)
   * replaces the tokenize→sequence→transform→element_at→array_distinct HOF
   * chain. First-occurrence order preserved (≡ array_distinct). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[WordShingles].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase
@@ -382,8 +431,16 @@ case class WordShingles(child: Expression, n: Int)
   * space, leading/trailing runs included) — exactly
   * `regexp_replace(lower(text), "\\s+", " ")` without the regex engine.
   * Feeds the md5 content fingerprint. */
-case class NormalizeWs(child: Expression) extends UnaryExpression with CodegenFallback {
+case class NormalizeWs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+
+  def kernel(s: UTF8String): UTF8String = nullSafeEval(s).asInstanceOf[UTF8String]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("normWsExpr", this, classOf[NormalizeWs].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase
