@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.PortableRound.{asScaled, asScaledSql, pround, proundSql => pr}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -592,6 +592,66 @@ object Relational {
       |  date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS days_since
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Pearson correlation of quantity vs extended price per return flag —
+    * computed from EXACT integer moments (DECIMAL(38) sums so Σx² can't
+    * overflow at scale) rather than the engines' streaming corr()
+    * implementations, which differ in the last ulps. Both engines evaluate
+    * the same closed formula over the same exact integers. */
+  def qCorr(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = asScaled(col("l_extendedprice"), 2)
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(
+            (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"),
+        col("n").cast("long").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qCorrSql = {
+    val y = asScaledSql("l_extendedprice", 2)
+    s"""SELECT l_returnflag,
+       |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+       |    AS corr_qty_price,
+       |  CAST(n AS BIGINT) AS n_rows
+       |FROM (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+       |    CAST(sum($y) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+       |    CAST(sum($y * $y) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(l_quantity AS BIGINT) * $y) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Fixed-width histogram of order values: exact integer bucketing
+    * (10k-dollar buckets on cents). */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((asScaled(col("o_totalprice"), 2) / lit(1000000L)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  private val qHistogramSql =
+    s"""SELECT ${asScaledSql("o_totalprice", 2)} // 1000000 AS bucket, count(*) AS n
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Pivot: order counts and exact-cents revenue per priority × status
     * (wide-format reporting; Catalyst plans it as conditional aggregation
     * — mirrored literally in the oracle). */
@@ -699,5 +759,7 @@ object Relational {
     Q("q_events_sliding", qEventsSliding, Some(qEventsSlidingSql)),
     Q("q_skew_salted_count", qSkewSaltedCount, Some(qSkewSaltedSql)),
     Q("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
-    Q("q_date_funcs", qDateFuncs, Some(qDateFuncsSql)))
+    Q("q_date_funcs", qDateFuncs, Some(qDateFuncsSql)),
+    Q("q_corr", qCorr, Some(qCorrSql)),
+    Q("q_histogram", qHistogram, Some(qHistogramSql)))
 }
