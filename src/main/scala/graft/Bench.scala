@@ -28,20 +28,36 @@ object Bench {
     // best-of-2 per query: the first execution pays JIT/codegen for that
     // query's operators, which otherwise dominates sub-second queries and
     // makes run-to-run totals jitter by 2-3x.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.headline.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: $e")
+            errors(q.name) = e.toString.take(300)
+            None
+        }
       }
-      q.name -> times.min
+      q.name -> times.minOption
     }
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => jstr(k) + ":" + v.map(t => f"$t%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query contributes NO time (not a truncated partial) and the
+    // run exits nonzero — a broken query must fail the round, not quietly
+    // deflate the total.
+    val total = f"${results.flatMap(_._2).sum}%.3f"
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -44,8 +44,11 @@ object Engine {
     val mapped = spec.mapOps.foldLeft(sized) { (df, name) => Ops.mapOp(name)(df) }
 
     // Lines → KV: key = first whitespace-separated token, value = rest
-    // (partition.cpp:30-31 / reduce.cpp:23-27 parsing convention).
-    val parts = split(col(KV.LineCol), "\\s+", 2)
+    // (partition.cpp:30-31 / reduce.cpp:23-27 parsing convention). The
+    // reference's `iss >> key` stream extraction skips leading whitespace,
+    // so ltrim first — otherwise split() would yield an empty-string key
+    // for indented lines.
+    val parts = split(ltrim(col(KV.LineCol)), "\\s+", 2)
     val kv = mapped.select(
       parts.getItem(0).as(KV.KeyCol),
       coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))

@@ -65,17 +65,9 @@ private[functions] object VecCodegen {
   }
 }
 
-/** Fused cosine similarity over two ARRAY<FLOAT|DOUBLE> columns: one
-  * codegen'd loop accumulating dot and both norms — replaces three
-  * interpreted HOF scans (zip_with + 2× aggregate) and the array<double>
-  * cast. Accumulation order matches the left-fold the declarative version
-  * used, so results are bit-identical. */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes()
+/** Shared type check for the vector kernels. */
+private[functions] object VecTypeCheck {
+  def check(name: String, left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -85,12 +77,30 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+        s"$name expects array<float|double>, got ${left.dataType} / ${right.dataType}")
   }
+}
+
+/** Fused cosine similarity over two ARRAY<FLOAT|DOUBLE> columns: one
+  * codegen'd loop accumulating dot and both norms — replaces three
+  * interpreted HOF scans (zip_with + 2× aggregate) and the array<double>
+  * cast. Accumulation order matches the left-fold the declarative version
+  * used, so results are bit-identical; like that formulation (zip_with
+  * null-pads the shorter array, nulling the sum), ragged inputs yield NULL. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeCheck.check("cosine_sim", left, right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), ba.numElements())
+    val n = aa.numElements()
+    if (n != ba.numElements()) return null
     val (lt, rt) = (elemType(left), elemType(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -113,14 +123,18 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${VecCodegen.elem(a, i, elemType(left))};
-         |  double $y = ${VecCodegen.elem(b, i, elemType(right))};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${VecCodegen.elem(a, i, elemType(left))};
+         |    double $y = ${VecCodegen.elem(b, i, elemType(right))};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -130,15 +144,22 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
-/** Fused dot product (same codegen shape as [[CosineSim]]). */
+/** Fused dot product (same codegen shape and ragged-input NULL semantics
+  * as [[CosineSim]]). */
 case class DotProd(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeCheck.check("dot_prod", left, right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (aa, ba) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(aa.numElements(), ba.numElements())
+    val n = aa.numElements()
+    if (n != ba.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -155,12 +176,16 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${VecCodegen.elem(a, i, elemType(left))} * ${VecCodegen.elem(b, i, elemType(right))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${VecCodegen.elem(a, i, elemType(left))} * ${VecCodegen.elem(b, i, elemType(right))};
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -185,7 +210,7 @@ case class Tokens(child: Expression) extends UnaryExpression {
     })
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     val n = s.length
@@ -229,7 +254,7 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     StructField("n_alnum", LongType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     var nTokens = 0L; var sumLen = 0L; var nWords = 0L
     var nSub = 0L; var stopHits = 0L; var nAlnum = 0L
@@ -277,7 +302,7 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Long](hashSets.length)
     val n = s.length
     var i = 0
@@ -403,7 +428,7 @@ case class WordShingles(child: Expression, n: Int)
     })
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val len = s.length
@@ -443,7 +468,7 @@ case class NormalizeWs(child: Expression) extends UnaryExpression {
     })
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     val n = s.length

@@ -47,34 +47,62 @@ object EventStreams {
       user_id: Long, session_start: java.sql.Timestamp, n_events: Long, session_value: Double)
 
   /** Event-time sessionization with a 30-minute inactivity gap as explicit
-    * keyed state: emits a session when the gap elapses (event-time driven
-    * via per-batch sorting + timeout). The streaming twin of q_sessionize. */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionAgg] = {
+    * keyed state. A session is emitted either when a later event from the
+    * same user arrives past the gap, or — via EventTimeTimeout — when the
+    * watermark passes the session's gap deadline, so a user's FINAL session
+    * is flushed and their state evicted without needing another event.
+    * State size is therefore bounded by the watermark: one in-flight
+    * session per user active within the watermark horizon.
+    * The streaming twin of q_sessionize. */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          // Within a micro-batch events may arrive unordered; session logic
-          // is event-time only, so sort the batch (bounded by batch size).
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (st == null) {
-              st = SessionState(t, t, 1, e.value)
-            } else if (t - st.lastTs > gapSeconds) {
-              out += SessionAgg(userId, new java.sql.Timestamp(st.start * 1000), st.n, st.total)
-              st = SessionState(t, t, 1, e.value)
-            } else {
-              st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          def emit(st: SessionState) =
+            SessionAgg(userId, new java.sql.Timestamp(st.start * 1000), st.n, st.total)
+          if (state.hasTimedOut) {
+            // Watermark passed lastTs + gap with no further events: the
+            // session is final — flush it and drop the state.
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            // Within a micro-batch events may arrive unordered; session
+            // logic is event-time only, so sort the batch (bounded by
+            // batch size).
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st == null) {
+                st = SessionState(t, t, 1, e.value)
+              } else if (t - st.lastTs > gapSeconds) {
+                out += emit(st)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // Flush when the watermark passes the gap deadline. The
+              // timeout must sit strictly above the current watermark;
+              // max() guards the edge where a just-not-late event's
+              // deadline already trails it.
+              state.setTimeoutTimestamp(
+                math.max((st.lastTs + gapSeconds) * 1000, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          out.iterator
       }
   }
 

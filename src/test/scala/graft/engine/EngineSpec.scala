@@ -98,6 +98,13 @@ class EngineSpec extends SparkSpec {
     assert(wordcount(in, m = 0, r = 2) === Map.empty)
   }
 
+  test("indented lines key on the first real token (stream-extraction semantics)") {
+    // The reference's `iss >> key` skips leading whitespace
+    // (partition.cpp:30-31); "  a b c" must count a, b, c — not key on "".
+    val in = writeCorpus(Seq("  a b c", "\ta b"))
+    assert(wordcount(in, m = 1, r = 1) === Map("a" -> "2", "b" -> "2", "c" -> "1"))
+  }
+
   test("generic reduce op: concat_sorted collapses all values per key") {
     val in = writeCorpus(Seq("k1 b", "k1 a", "k2 z"))
     val out = Files.createTempDirectory("graft-out-").resolve("dest")

@@ -21,6 +21,17 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff === 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("cosineSim/dotProd yield NULL on ragged arrays (zip_with semantics)") {
+    val df = spark.sql(
+      "SELECT cast(array(1.0, 2.0) as array<double>) a, cast(array(1.0) as array<double>) b")
+    val out = df.select(
+      NativeExprs.cosineSim(col("a"), col("b")).as("cos"),
+      NativeExprs.dotProd(col("a"), col("b")).as("dot"),
+      NativeExprs.cosineSim(col("a"), col("a")).as("cos_ok")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("Tokens matches filter(split(lower)) exactly on all documents") {
     val d = Tables.documents(spark, sfDir)
       .select(

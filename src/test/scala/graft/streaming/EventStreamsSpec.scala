@@ -110,4 +110,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.toSet === Set((1L, 0L, 2L, 3.0)))
     } finally query.stop()
   }
+
+  test("sessionize flushes a user's final session via event-time timeout") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    def t2(min: Long) = new Timestamp(base + min * 60_000L)
+    val source = MemoryStream[Event]
+    val query = sessionize(source.toDS(), watermarkDelay = "10 minutes").writeStream
+      .format("memory")
+      .queryName("session_timeout_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1 goes quiet after one event; only OTHER users' events advance
+      // the watermark past user 1's gap deadline → the state times out and
+      // the final session must emit without any further user-1 event.
+      source.addData(Event(1, t2(0), 1, 1.0))
+      query.processAllAvailable()
+      source.addData(Event(2, t2(120), 2, 5.0)) // advances watermark to +110min
+      query.processAllAvailable()
+      source.addData(Event(3, t2(121), 2, 1.0)) // next batch processes timeouts
+      query.processAllAvailable()
+      val sessions = spark.table("session_timeout_test").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - base) / 60000, r.getLong(2), r.getDouble(3)))
+      assert(sessions.toSet.contains((1L, 0L, 1L, 1.0)),
+        s"final session for user 1 not flushed; got ${sessions.toSet}")
+    } finally query.stop()
+  }
 }
