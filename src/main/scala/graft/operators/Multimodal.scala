@@ -90,14 +90,19 @@ object Multimodal {
       |WHERE f < octet_length(encode(text))
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  final case class MediaFeature(doc_id: Long, feature: Array[Double])
+  final case class MediaFeature(
+      doc_id: Long,
+      h0: Double, h1: Double, h2: Double, h3: Double,
+      h4: Double, h5: Double, h6: Double, h7: Double)
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long)
 
   /** Feature extraction over the binary column: an 8-bin byte histogram as
     * the stand-in "embedding" (a real pipeline would run a vision encoder
-    * here — same mapPartitions batch shape, same ARRAY<DOUBLE> output
-    * schema that similarity search consumes downstream). Deterministic;
-    * validated by MultimodalSpec against an independent computation. */
+    * here — same mapPartitions batch shape). Bins are emitted as scalar
+    * columns h0..h7 so both the driver's row-sort check and a plain SQL
+    * oracle work; downstream vector consumers can re-pack with
+    * `array(col("h0"), ..., col("h7"))`. Deterministic; validated by
+    * ExtrasSpec against an independent computation AND the DuckDB oracle. */
   def qFeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     blobs(s, d)
@@ -107,12 +112,31 @@ object Multimodal {
           val hist = new Array[Double](8)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xff) % 8) += 1.0; i += 1 }
-          MediaFeature(id, hist)
+          MediaFeature(id, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** ASCII payloads ⇒ byte values equal character codes; DuckDB counts
+    * characters per `ascii(ch) % 8` bin by unnesting one position index per
+    * byte. (documents.text is never empty in the generated data — min length
+    * 48 — so the unnest can't drop a doc.) */
+  private val qFeatureExtractSql =
+    """SELECT doc_id,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 0 THEN 1 END)::DOUBLE AS h0,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 1 THEN 1 END)::DOUBLE AS h1,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 2 THEN 1 END)::DOUBLE AS h2,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 3 THEN 1 END)::DOUBLE AS h3,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 4 THEN 1 END)::DOUBLE AS h4,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 5 THEN 1 END)::DOUBLE AS h5,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 6 THEN 1 END)::DOUBLE AS h6,
+      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 7 THEN 1 END)::DOUBLE AS h7
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(1, octet_length(encode(text)) + 1)) AS i
+      |      FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Resize stub: target box 224×224, aspect preserved (integer math only
     * so the DuckDB oracle replays it exactly). The real decoder swap-in
@@ -148,6 +172,6 @@ object Multimodal {
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
     Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
-    Q("q_media_features", qFeatureExtract, None),
+    Q("q_media_features", qFeatureExtract, Some(qFeatureExtractSql)),
     Q("q_media_resize", qResize, Some(qResizeSql)))
 }

@@ -49,7 +49,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("media feature extraction matches an independent byte-histogram computation") {
     val got = Multimodal.qFeatureExtract(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
     val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     texts.foreach { case (id, text) =>

@@ -98,15 +98,19 @@ class EventStreamsSpec extends SparkSpec {
       .start()
     try {
       // user 1: two events 10 min apart (one session), then a 40-min gap →
-      // third event closes session 1
+      // third event closes session 1. Timestamps are based well above epoch 0:
+      // a row sitting exactly AT the initial watermark is treated as late and
+      // silently dropped (see the dedup test above).
+      val base = 1700000000000L
+      def t2(min: Long) = new Timestamp(base + min * 60_000L)
       source.addData(
-        Event(1, ts(0), 1, 1.0),
-        Event(2, ts(10), 1, 2.0))
+        Event(1, t2(0), 1, 1.0),
+        Event(2, t2(10), 1, 2.0))
       query.processAllAvailable()
-      source.addData(Event(3, ts(50), 1, 7.0))
+      source.addData(Event(3, t2(50), 1, 7.0))
       query.processAllAvailable()
       val sessions = spark.table("session_test").collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - base) / 60000, r.getLong(2), r.getDouble(3)))
       assert(sessions.toSet === Set((1L, 0L, 2L, 3.0)))
     } finally query.stop()
   }
