@@ -1,5 +1,6 @@
 package graft
 
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main. Runs the headline queries against
@@ -8,8 +9,22 @@ import org.apache.spark.sql.SparkSession
   * Execution is forced with a noop-format write: every operator runs to
   * completion (unlike count(), which can prune projections), nothing is
   * collected to the driver, and no output files are written.
+  *
+  * Robustness against host noise (a ~45 s external stall once faked a 2.3×
+  * regression across three consecutive queries):
+  *   - median of 3 attempts per query, not best-of-2 — a single stalled
+  *     attempt can no longer dominate the recorded time;
+  *   - per-attempt times are emitted under "attempts" so a stall is
+  *     diagnosable from the driver's JSON alone;
+  *   - `spark.catalog.clearCache()` between queries drops any `.cache()`
+  *     a query marked (Dedup's shingle/doc caches), so no query times
+  *     another query's leaked cache memory pressure;
+  *   - all numbers are formatted under Locale.ROOT — a comma-decimal
+  *     default locale must not break the machine-parsed JSON line.
   */
 object Bench {
+  private val Attempts = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,12 +40,9 @@ object Bench {
     // and parquet reader init otherwise land entirely on the first query.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Tables.lineitem(spark, sfDir).limit(100).write.format("noop").mode("overwrite").save()
-    // best-of-2 per query: the first execution pays JIT/codegen for that
-    // query's operators, which otherwise dominates sub-second queries and
-    // makes run-to-run totals jitter by 2-3x.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.headline.map { q =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to Attempts).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -42,21 +54,35 @@ object Bench {
             None
         }
       }
-      q.name -> times.minOption
+      // drop caches a query marked, so the next query starts clean
+      spark.catalog.clearCache()
+      // lower median: attempt 1 pays this query's JIT/codegen, and a host
+      // stall can only inflate — so the representative time leans low.
+      val sorted = times.sorted
+      val med = if (sorted.isEmpty) None else Some(sorted((sorted.size - 1) / 2))
+      (q.name, med, times)
     }
+    def num(t: Double) = "%.3f".formatLocal(Locale.ROOT, t)
     def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".formatLocal(Locale.ROOT, c.toInt)
+        case c => c.toString
+      } + "\""
     val qs = results
-      .map { case (k, v) => jstr(k) + ":" + v.map(t => f"$t%.3f").getOrElse("null") }
+      .map { case (k, med, _) => jstr(k) + ":" + med.map(num).getOrElse("null") }
+      .mkString("{", ",", "}")
+    val attempts = results
+      .map { case (k, _, ts) => jstr(k) + ":" + ts.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // A failed query contributes NO time (not a truncated partial) and the
     // run exits nonzero — a broken query must fail the round, not quietly
     // deflate the total.
-    val total = f"${results.flatMap(_._2).sum}%.3f"
+    val total = num(results.flatMap(_._2).sum)
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attempts,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -25,9 +25,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-/plane-dependent sketches
-    * (q_dedup_minhash_lsh, q_dedup_simhash, q_sim_ann_lsh,
-    * q_sim_bucketed_pairs) → driver records a rows-only check; their
-    * correctness oracle is the planted-duplicate ScalaTest specs. */
+    * (q_dedup_minhash_lsh, q_dedup_simhash, q_dedup_embedding_lsh,
+    * q_sim_ann_lsh, q_sim_bucketed_pairs) and the k-means-fit index
+    * (q_sim_ivf_kmeans) → driver records a rows-only check; their
+    * correctness oracle is the planted-ground-truth / recall ScalaTest
+    * specs in SketchSpec. */
   def oracleSql: Map[String, String] =
     all.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
 

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * distinct aggregation, sorts/top-k and set operations.
   *
   * Scale notes (100 TB):
-  *   - Dimension tables (region/nation/supplier/customer at these SFs) are
-  *     broadcast explicitly so fact-table joins are map-side; only
-  *     fact-fact joins (orders⋈lineitem) shuffle, on their join key.
+  *   - Only FIXED-size dimensions (region: 5 rows, nation: 25 rows — they
+  *     do not grow with scale factor) carry explicit `broadcast()` hints.
+  *     Tables that grow with the fact data (customer/supplier/part/orders)
+  *     are left unhinted: at test SF the planner still chooses
+  *     BroadcastHashJoin (asserted in PlanShapeSpec), and at 100 TB it
+  *     degrades gracefully to a shuffle join instead of OOMing the driver
+  *     on a forced 8 GB+ broadcast.
   *   - Aggregations are algebraic → partial aggregation runs map-side
   *     before the shuffle (HashAggregate partial/final pair).
   *   - Filters sit directly on the scans so parquet gets them as
@@ -88,13 +92,15 @@ object Relational {
   }
 
   /** TPC-H Q3-style: selective dim filter → two fact joins → agg → top-k.
-    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+    * customer grows with SF so it carries no broadcast hint — the planner
+    * broadcasts the filtered side while it fits and shuffles beyond;
+    * orders⋈lineitem shuffles on orderkey. */
   def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(revenueExact.as("revenue"))
       .select(
@@ -119,15 +125,16 @@ object Relational {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-style local-supplier revenue: 6-way join, all dims broadcast,
-    * region filter pruned at the nation scan. */
+  /** TPC-H Q5-style local-supplier revenue: 6-way join. Fixed-size
+    * nation/region are hinted broadcast; SF-growing customer/supplier are
+    * left to the planner (broadcast at this SF, shuffle at 100 TB). */
   def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).filter(col("r_name") === "EUROPE")
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(
-        broadcast(Tables.supplier(s, d)),
+        Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -149,12 +156,13 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
-  /** Left-semi join: customers with ≥1 urgent order (EXISTS). The probe
-    * side is broadcast after the selective filter. */
+  /** Left-semi join: customers with ≥1 urgent order (EXISTS). orders grows
+    * with SF — no hint; the planner broadcasts the filtered probe side
+    * while it fits and falls back to a shuffled semi join at scale. */
   def qSemiJoin(s: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
     Tables.customer(s, d)
-      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -171,8 +179,7 @@ object Relational {
   def qAntiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(
-        broadcast(
-          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")),
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
         col("c_custkey") === col("o_custkey"),
         "left_anti")
       .select("c_custkey", "c_name")
@@ -424,8 +431,9 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** TPC-H Q7-style trade flows: revenue between (customer nation,
-    * supplier nation) pairs — two independent broadcast dim chains hanging
-    * off the same fact join. */
+    * supplier nation) pairs — two dim chains hanging off the same fact
+    * join. Only the fixed 25-row nation joins are hinted; the
+    * customer/supplier chains grow with SF and are planner-chosen. */
   def q7TradeFlows(s: SparkSession, d: String): DataFrame = {
     val custNation = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -435,8 +443,8 @@ object Relational {
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .filter(col("cust_nation") =!= col("supp_nation"))
       .groupBy("cust_nation", "supp_nation")
       .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
@@ -459,13 +467,13 @@ object Relational {
        |LIMIT 30""".stripMargin
 
   /** TPC-H Q10-style returned-item revenue: which customers returned the
-    * most value. Fact join on orderkey, customer/nation broadcast, exact
-    * revenue, top 20. */
+    * most value. Fact join on orderkey, fixed-size nation hinted broadcast,
+    * customer planner-chosen, exact revenue, top 20. */
   def q10Returns(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
@@ -485,11 +493,12 @@ object Relational {
        |LIMIT 20""".stripMargin
 
   /** TPC-H Q14-style promo revenue share: conditional exact-cents sums →
-    * one ratio row. Integer sums make the percentage bit-identical. */
+    * one ratio row. Integer sums make the percentage bit-identical. part
+    * grows with SF → unhinted join. */
   def q14PromoShare(s: SparkSession, d: String): DataFrame = {
     val rev = asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) * lit(100.0) / sum(rev))
           .as("promo_pct"),

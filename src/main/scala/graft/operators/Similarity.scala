@@ -31,12 +31,35 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of a vector under the fixed hyperplanes. */
-  private def bucketOf(v: Column): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  private def bucketWith(ps: Seq[Seq[Double]], v: Column): Column =
+    ps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       acc + when(graft.functions.NativeExprs.dotProd(v, typedlit(p)) >= 0, shiftleft(lit(1L), i))
         .otherwise(lit(0L))
     }
+
+  /** Sign-bit bucket id of a vector under the fixed hyperplanes. */
+  private[operators] def bucketOf(v: Column): Column = bucketWith(planes, v)
+
+  private val NearDupBands = 4
+
+  /** Independent per-band hyperplane sets (seeds 1000+b) for banded
+    * near-dup blocking: a pair collides if it shares ANY band's bucket,
+    * boosting recall over a single 8-plane bucket the same way MinHash
+    * bands do over one long signature. */
+  private lazy val bandPlanes: Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(NearDupBands) { b =>
+      val rnd = new scala.util.Random(1000 + b)
+      Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+    }
+
+  /** array<struct<band,bkey>>: one sign-bit bucket per band. Used by
+    * [[Dedup.qEmbeddingNearDupLsh]] as the corpus-size-independent
+    * candidate-blocking key (~n/2⁸ of the data per band bucket). */
+  private[operators] def bandedBuckets(v: Column): Column =
+    array(bandPlanes.zipWithIndex.map { case (ps, b) =>
+      struct(lit(b).as("band"), bucketWith(ps, v).as("bkey"))
+    }: _*)
 
   /** Exact top-10 cosine neighbors of vec_id 0 (the brute-force baseline).
     * DuckDB oracle uses list_cosine_similarity over the same DOUBLE[] data. */
@@ -104,6 +127,23 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 2
 
+  private def cosScala(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest cell = max by (cos, -cid): struct ordering gives the
+    * row_number(ORDER BY cos DESC, cid) = 1 tiebreak the oracle uses. */
+  private def nearestCell(cents: Array[(Int, Seq[Double])], v: Column): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.NativeExprs.cosineSim(v, typedlit(cv)).as("cos"),
+        lit(-cid).as("negid"))
+    }
+    -array_max(array(scored.toSeq: _*)).getField("negid")
+  }
+
   /** IVF-style ANN: assign every vector to its nearest "centroid" cell,
     * probe only the query's nearest cells, exact-score the candidates.
     *
@@ -123,23 +163,7 @@ object Similarity {
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
 
-    // nearest cell = max by (cos, -cid): struct ordering gives the
-    // row_number(ORDER BY cos DESC, cid) = 1 tiebreak the oracle uses
-    def cellOf(v: Column): Column = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(
-          graft.functions.NativeExprs.cosineSim(v, typedlit(cv)).as("cos"),
-          lit(-cid).as("negid"))
-      }
-      -array_max(array(scored: _*)).getField("negid")
-    }
-
     val qvec = e.filter(col("vec_id") === 0).collect().head.getSeq[Float](1).map(_.toDouble)
-    def cosScala(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probes = cents
       .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
       .sortBy { case (cid, cos) => (-cos, cid) }
@@ -147,7 +171,7 @@ object Similarity {
       .map(_._1)
 
     e.filter(col("vec_id") =!= 0)
-      .withColumn("cell", cellOf(col("v")))
+      .withColumn("cell", nearestCell(cents, col("v")))
       .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
       .select(
         col("vec_id"),
@@ -178,9 +202,62 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** Seeded distributed k-means (Lloyd's): init = the k lowest-vec_id
+    * vectors, fixed iteration count. Assignment is one scan against the
+    * centroid literals; the update step averages per (cell, dim) via
+    * posexplode + two-phase avg — both fully distributed; only the k×dim
+    * centroid matrix is ever collected to the driver (once per iteration,
+    * the legitimate broadcast-small pattern). Deterministic for a given
+    * dataset; empty cells keep their previous centroid. */
+  private def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Array[(Int, Seq[Double])] = {
+    var cents = e.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val byCell = e
+        .withColumn("cell", nearestCell(cents, col("v")))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) => (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+      cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  private val KmeansIters = 5
+  private val KmeansProbes = 4
+
+  /** IVF ANN with k-means-fit centroids — the production index build.
+    * Same probe shape as [[qIvf]] but the cells come from a seeded Lloyd's
+    * fit, so cell populations follow the data's cluster structure rather
+    * than which vectors happened to have low ids. k-means isn't reasonably
+    * SQL-expressible → no DuckDB oracle; SketchSpec asserts recall@10 ≥ 0.9
+    * against the brute-force baseline on the real sf data. */
+  def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents = kmeansCentroids(e, IvfCells, KmeansIters)
+    val qvec = e.filter(col("vec_id") === 0).collect().head.getSeq[Float](1).map(_.toDouble)
+    val probes = cents
+      .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(KmeansProbes)
+      .map(_._1)
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("cell", nearestCell(cents, col("v")))
+      .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
+      .select(
+        col("vec_id"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
-    Q("q_sim_ivf", qIvf, Some(qIvfSql)))
+    Q("q_sim_ivf", qIvf, Some(qIvfSql)),
+    Q("q_sim_ivf_kmeans", qIvfKmeans, None))
 }

@@ -26,6 +26,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  /** The 100 TB guard: SF-growing tables (customer/supplier/part/orders)
+    * must NOT carry broadcast hints — a forced broadcast that fits at
+    * sf0.1 OOMs the driver at 1000×. Only fixed-size region (5 rows) and
+    * nation (25 rows) are hinted. The second half of the guard keeps the
+    * LOCAL plan fast: with no hint, the planner must still CHOOSE
+    * BroadcastHashJoin at this SF (sizes under the threshold), so dropping
+    * the hint costs nothing where it used to help. */
+  test("scaling-table joins carry no hints, yet the chosen plan is still broadcast") {
+    def hintCount(df: DataFrame): Int =
+      "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    // (query, expected hints = number of fixed-size nation/region hints)
+    val cases = Seq(
+      ("q3", Relational.q3TopRevenue(spark, sfDir), 0),
+      ("q5", Relational.q5RegionRevenue(spark, sfDir), 2),
+      ("q7", Relational.q7TradeFlows(spark, sfDir), 2),
+      ("q10", Relational.q10Returns(spark, sfDir), 1),
+      ("q14", Relational.q14PromoShare(spark, sfDir), 0),
+      ("semi", Relational.qSemiJoin(spark, sfDir), 0),
+      ("anti", Relational.qAntiJoin(spark, sfDir), 0))
+    for ((name, df, hints) <- cases) {
+      assert(hintCount(df) === hints,
+        s"$name: broadcast hints drifted (want only fixed-size dims hinted)")
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name: planner chose no broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: un-hinted join degraded to a shuffle join at test SF:\n$p")
+    }
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.qTopK(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"top-k became a sort:\n$p")

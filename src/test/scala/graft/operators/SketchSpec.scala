@@ -111,4 +111,29 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 500L)), s"missing planted (0,500) in ${pairs.toSeq}")
   }
+
+  test("LSH-blocked embedding near-dup finds the planted pair without label blocking") {
+    val dir = plantedVecsDir
+    val pairs = Dedup.qEmbeddingNearDupLsh(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // cosine ≈ 0.9999 ⇒ the pair shares every band bucket w.h.p.; one
+    // band collision is enough to become a candidate.
+    assert(pairs.contains((0L, 500L)), s"missing planted (0,500) in ${pairs.toSeq}")
+  }
+
+  test("bucketed all-pairs sweep surfaces the planted near-identical pair") {
+    val dir = plantedVecsDir
+    val pairs = Similarity.qBucketedPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 500L)), s"missing planted (0,500) in ${pairs.toSeq}")
+  }
+
+  test("k-means IVF achieves recall@10 >= 0.9 vs the brute-force baseline") {
+    val exact = Similarity.qTopKExact(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.qIvfKmeans(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall; exact=$exact approx=$approx")
+  }
 }
