@@ -45,10 +45,11 @@ object Engine {
 
     // Lines → KV: key = first whitespace-separated token, value = rest
     // (partition.cpp:30-31 / reduce.cpp:23-27 parsing convention). The
-    // reference's `iss >> key` stream extraction skips leading whitespace,
-    // so ltrim first — otherwise split() would yield an empty-string key
-    // for indented lines.
-    val parts = split(ltrim(col(KV.LineCol)), "\\s+", 2)
+    // reference's `iss >> key` stream extraction skips leading whitespace
+    // of EVERY kind, so trim \s+ first (Spark's ltrim strips only the
+    // space character — a tab-indented line would still split to an
+    // empty-string key).
+    val parts = split(regexp_replace(col(KV.LineCol), "^\\s+", ""), "\\s+", 2)
     val kv = mapped.select(
       parts.getItem(0).as(KV.KeyCol),
       coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))

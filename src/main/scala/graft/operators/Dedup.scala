@@ -291,9 +291,12 @@ object Dedup {
     * its size, where a label block grows linearly (quadratic pairs within
     * it). A pair colliding in ANY band is scored once (distinct on ids
     * BEFORE re-joining vectors, so the wide embedding column never rides
-    * through the dedup shuffle); verified with exact cosine ≥ 0.8.
-    * Plane-dependent candidates → no SQL oracle; SketchSpec asserts the
-    * planted near-identical pair survives. */
+    * through the dedup shuffle); candidates verified with exact cosine
+    * against the same ≥ 0.3 near-dup bar as the label-blocked oracle
+    * variant, so the two results are directly comparable (LSH recall =
+    * this row count / the exhaustive count). Plane-dependent candidates →
+    * no SQL oracle; SketchSpec asserts the planted near-identical pair
+    * survives. */
   def qEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val banded = e
@@ -311,7 +314,7 @@ object Dedup {
         col("va"),
         col("vb"),
         pround(graft.functions.NativeExprs.cosineSim(col("xa"), col("xb")), 6).as("cos"))
-      .filter(col("cos") >= 0.8)
+      .filter(col("cos") >= 0.3)
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }
 

@@ -121,8 +121,9 @@ object Multimodal {
 
   /** ASCII payloads ⇒ byte values equal character codes; DuckDB counts
     * characters per `ascii(ch) % 8` bin by unnesting one position index per
-    * byte. (documents.text is never empty in the generated data — min length
-    * 48 — so the unnest can't drop a doc.) */
+    * byte. (documents.text is never empty in the generated data — min
+    * octet length 44 across the sf0.001/0.01/0.1 dirs — so the unnest
+    * can't drop a doc.) */
   private val qFeatureExtractSql =
     """SELECT doc_id,
       |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 0 THEN 1 END)::DOUBLE AS h0,

@@ -740,8 +740,74 @@ object Relational {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** TPC-H Q2-style correlated scalar subquery: the cheapest line of each
+    * size-10 part (no partsupp table in this schema — lineitem links part
+    * to supplier). Exercises Catalyst's decorrelation:
+    * RewriteCorrelatedScalarSubquery turns the per-part subquery into ONE
+    * min-aggregate over lineitem joined back on partkey — a two-scan
+    * shuffle plan, never a per-row re-execution (plan-guarded in
+    * PlanShapeSpec). SQL front-end surface: expressed through spark.sql,
+    * since correlated scalar subqueries have no DataFrame-API form.
+    * DISTINCT makes ties produce one row each → fully deterministic. */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_q2_part")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q2_lineitem")
+    s.sql("""SELECT DISTINCT p_partkey, p_name, l_suppkey,
+            |  l_extendedprice AS min_price
+            |FROM graft_q2_part p JOIN graft_q2_lineitem l ON p_partkey = l_partkey
+            |WHERE p_size = 10
+            |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+            |                         FROM graft_q2_lineitem l2
+            |                         WHERE l2.l_partkey = p.p_partkey)
+            |ORDER BY p_partkey, l_suppkey""".stripMargin)
+  }
+
+  private val q2Sql =
+    """SELECT DISTINCT p_partkey, p_name, l_suppkey,
+      |  l_extendedprice AS min_price
+      |FROM part p JOIN lineitem l ON p_partkey = l_partkey
+      |WHERE p_size = 10
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey, l_suppkey""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate join: OR-of-ANDs mixing both
+    * sides' columns on top of the common partkey equi-key. Catalyst keeps
+    * the equi-join (the OR becomes a post-join filter); the
+    * single-side-derivable filters (brand set, quantity envelope) are
+    * stated explicitly so they PUSH DOWN to the scans — at 100 TB that
+    * prunes both inputs to the few matching row groups instead of
+    * shuffling full tables into the join (the classic manual Q19
+    * optimization; redundant w.r.t. semantics, plan-guarded). */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val branch = (brand: String, sizeHi: Int, qtyLo: Int, qtyHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    val part = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size").between(1, 15))
+    val li = Tables.lineitem(s, d).filter(col("l_quantity").between(1, 30))
+    li.join(part, col("l_partkey") === col("p_partkey") &&
+        (branch("Brand#12", 5, 1, 11) || branch("Brand#23", 10, 10, 20) ||
+          branch("Brand#34", 15, 20, 30)))
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    s"""SELECT $revenueExactSql AS revenue, count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |        AND l_quantity BETWEEN 1 AND 11)
+       |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |        AND l_quantity BETWEEN 10 AND 20)
+       |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
+    Q("q2_min_cost", q2MinCost, Some(q2Sql)),
+    Q("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
     Q("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
     Q("q_semi_join", qSemiJoin, Some(qSemiSql)),

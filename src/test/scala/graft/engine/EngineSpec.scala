@@ -105,6 +105,19 @@ class EngineSpec extends SparkSpec {
     assert(wordcount(in, m = 1, r = 1) === Map("a" -> "2", "b" -> "2", "c" -> "1"))
   }
 
+  test("ltrim path: identity-mapped indented lines key on the first real token") {
+    // Unlike the tokenize test above (whose map op already strips
+    // whitespace before the KV split), `identity` delivers the indented
+    // line verbatim to Engine's line→KV parse — without the ltrim at the
+    // split (Engine.scala:51) these lines would key on "".
+    val in = writeCorpus(Seq("  k 1", "\tk 2"))
+    val out = Files.createTempDirectory("graft-out-").resolve("dest")
+    Engine.run(
+      spark,
+      BatchSpec(List("identity"), List("sum_ints"), in.toString, out.toString, -1, 1))
+    assert(readOutput(out) === Map("k" -> "3"))
+  }
+
   test("generic reduce op: concat_sorted collapses all values per key") {
     val in = writeCorpus(Seq("k1 b", "k1 a", "k2 z"))
     val out = Files.createTempDirectory("graft-out-").resolve("dest")

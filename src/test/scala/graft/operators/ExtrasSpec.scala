@@ -47,6 +47,18 @@ class ExtrasSpec extends SparkSpec {
     assert(sig != 0L)
   }
 
+  test("documents.text is pure ASCII (assumption the media oracles rely on)") {
+    // qFeatureExtract's and qFrameSampleSql's DuckDB oracles equate
+    // character positions (substr/ascii) with byte values — valid only
+    // while the generated text is ASCII. If the generator ever emits
+    // multi-byte characters this must fail loudly here, not silently
+    // diverge in the driver's hash compare.
+    val nonAscii = graft.Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L, s"$nonAscii documents contain non-ASCII text")
+  }
+
   test("media feature extraction matches an independent byte-histogram computation") {
     val got = Multimodal.qFeatureExtract(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap

@@ -73,6 +73,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
   }
 
+  test("q2: correlated scalar subquery is decorrelated into an aggregate + join") {
+    val df = Relational.q2MinCost(spark, sfDir)
+    val p = plan(df)
+    // RewriteCorrelatedScalarSubquery: no per-row subquery node survives —
+    // the min() runs once as a grouped aggregate joined back on partkey.
+    assert(!p.contains("Subquery"), s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("min(l_extendedprice"), s"min-aggregate missing:\n$p")
+  }
+
+  test("q19: single-side filters of the disjunctive join push to both scans") {
+    val p = plan(Relational.q19Disjunctive(spark, sfDir))
+    assert(p.contains("In(p_brand"), s"brand set not pushed to the part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      s"quantity envelope not pushed to the lineitem scan:\n$p")
+  }
+
   test("bucketed tables co-locate a fact join with no shuffle exchange") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
