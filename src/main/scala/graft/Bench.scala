@@ -34,6 +34,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosAsLong, "true")
+      // ~60 queries × several codegen units far exceed the default
+      // 100-entry generated-class cache: constant eviction forces a Janino
+      // recompile of every heavy expression tree on EVERY attempt, which
+      // measured as a 5-10× inflation of the late-run queries. Static conf,
+      // so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM warmup outside the timed region: class loading, codegen compiler

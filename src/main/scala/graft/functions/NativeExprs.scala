@@ -196,7 +196,15 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
 }
 
 /** One-pass tokenizer: lowercased whitespace tokens, empties dropped —
-  * exactly `filter(split(lower(text), "\\s+"), _ != "")`. */
+  * exactly `filter(split(lower(text), "\\s+"), _ != "")`.
+  *
+  * Lowercasing here (and in every kernel below) is `Locale.ROOT`, which is
+  * JVM-default-locale-independent — the same result on every executor
+  * regardless of host locale. Spark's builtin `lower()` lowercases via
+  * UTF8String's locale-independent Unicode mapping, and the two agree on
+  * all one-to-one mappings; they can differ from a default-locale
+  * `String.toLowerCase()` (e.g. Turkish dotted I), which is precisely why
+  * the kernels pin ROOT instead. */
 case class Tokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

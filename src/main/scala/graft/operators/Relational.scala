@@ -804,10 +804,164 @@ object Relational {
        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  /** TPC-H Q13-style left-outer join + two-level aggregation: how many
+    * customers placed 0, 1, 2… non-urgent orders. The outer join keeps
+    * no-order customers (count(o_orderkey) ignores their NULLs → 0); the
+    * priority filter sits on the RIGHT side before the join — on a left
+    * outer join that is the ON-clause placement, NOT a post-join WHERE
+    * (which would silently drop the zero-order customers). Two shuffles
+    * (custkey, then c_count) on strictly shrinking data; the first-level
+    * agg reuses the join's custkey partitioning — Catalyst elides the
+    * exchange between join and count. */
+  def q13CustDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q4-style EXISTS: orders in a quarter with at least one line
+    * shipped after the order date. Catalyst's RewritePredicateSubquery
+    * turns the correlated EXISTS into a LEFT SEMI join on orderkey
+    * (plan-guarded) — lineitem is scanned once, never per-order. The date
+    * window pushes to the orders scan. */
+  def q4LateShipped(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_q4_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q4_lineitem")
+    s.sql("""SELECT o_orderpriority, count(*) AS order_count
+            |FROM graft_q4_orders
+            |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            |  AND o_orderdate < TIMESTAMP '1998-04-01'
+            |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem
+            |              WHERE l_orderkey = o_orderkey
+            |                AND l_shipdate > o_orderdate)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q21-style double-correlated EXISTS + NOT EXISTS: suppliers who
+    * were the ONLY supplier with a returned line on a finished
+    * multi-supplier order. Both subqueries correlate on l1's orderkey with
+    * a suppkey inequality; Catalyst rewrites them into one LEFT SEMI and
+    * one LEFT ANTI join against lineitem (plan-guarded) — three scans of
+    * lineitem total, each shuffled once on orderkey, no per-row
+    * re-execution. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q21_supplier")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q21_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q21_lineitem")
+    s.sql("""SELECT s_name, count(*) AS numwait
+            |FROM graft_q21_supplier
+            |JOIN graft_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+            |JOIN graft_q21_orders ON o_orderkey = l1.l_orderkey
+            |WHERE o_orderstatus = 'F'
+            |  AND l1.l_returnflag = 'R'
+            |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND l3.l_returnflag = 'R')
+            |GROUP BY s_name
+            |ORDER BY numwait DESC, s_name
+            |LIMIT 20""".stripMargin)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-style: customers with above-average balance and no
+    * finished order (every customer in the generated data has SOME order,
+    * so the classic no-order predicate would be vacuously empty), per
+    * nation. The uncorrelated average executes ONCE as a scalar
+    * subquery (a separate tiny job, its result inlined into the filter);
+    * the NOT EXISTS becomes a LEFT ANTI join. The comparison is phrased in
+    * exact integer cents (bal¢ · n > Σbal¢ ⟺ bal > avg) so the threshold
+    * is bit-identical across engines — a double `avg()` would make rows at
+    * the boundary engine-dependent. */
+  def q22NoOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_q22_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q22_orders")
+    val balC = asScaledSql("c_acctbal", 2)
+    s.sql(s"""SELECT c_nationkey, count(*) AS numcust,
+             |  sum($balC) / 100.0 AS totacctbal
+             |FROM graft_q22_customer c
+             |WHERE $balC * (SELECT count(*) FROM graft_q22_customer
+             |               WHERE c_acctbal > 0.0)
+             |      > (SELECT sum($balC) FROM graft_q22_customer
+             |         WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'F')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val q22Sql = {
+    val balC = asScaledSql("c_acctbal", 2)
+    s"""SELECT c_nationkey, count(*) AS numcust,
+       |  sum($balC) / 100.0 AS totacctbal
+       |FROM customer c
+       |WHERE $balC * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+       |      > (SELECT sum($balC) FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderstatus = 'F')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
     Q("q2_min_cost", q2MinCost, Some(q2Sql)),
+    Q("q4_late_shipped", q4LateShipped, Some(q4Sql)),
+    Q("q13_cust_dist", q13CustDist, Some(q13Sql)),
     Q("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
+    Q("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
+    Q("q22_no_orders", q22NoOrders, Some(q22Sql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
     Q("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
     Q("q_semi_join", qSemiJoin, Some(qSemiSql)),

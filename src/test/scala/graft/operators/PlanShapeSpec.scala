@@ -89,6 +89,24 @@ class PlanShapeSpec extends SparkSpec {
       s"quantity envelope not pushed to the lineitem scan:\n$p")
   }
 
+  test("q4/q21: EXISTS and NOT EXISTS rewrite to semi/anti joins, never per-row subqueries") {
+    val p4 = plan(Relational.q4LateShipped(spark, sfDir))
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS did not become a semi join:\n$p4")
+    val p21 = plan(Relational.q21WaitingSupplier(spark, sfDir))
+    assert(p21.contains("LeftSemi"), s"q21 EXISTS did not become a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"q21 NOT EXISTS did not become an anti join:\n$p21")
+  }
+
+  test("q13: outer join keeps zero-order customers and reuses its partitioning for the count") {
+    val df = Relational.q13CustDist(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("LeftOuter"), s"q13 lost its outer join:\n$p")
+    // the per-custkey count must reuse the join's custkey partitioning —
+    // an extra exchange between join and first aggregate is a regression
+    val exchanges = "Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).length
+    assert(exchanges <= 1, s"redundant custkey exchange between join and agg:\n$p")
+  }
+
   test("bucketed tables co-locate a fact join with no shuffle exchange") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
