@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, TemporalJoins, TextOps}
+import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,8 @@ object SparkEntry {
   /** Full operator inventory (SURVEY.md §2 + training-pipeline extensions). */
   val all: Seq[Q] =
     Relational.queries ++ TemporalJoins.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Formats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -954,6 +954,117 @@ object Relational {
        |ORDER BY c_nationkey""".stripMargin
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-flag, per-status, and per-pair aggregates in ONE pass — Catalyst
+    * plans a single Expand + two-phase aggregate, reading lineitem once
+    * instead of three times. grouping() columns disambiguate the NULL
+    * grouping rows from genuine NULL data. SQL-only surface (the
+    * DataFrame API exposes only the rollup/cube specializations). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+            |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+            |  count(*) AS n, sum(l_quantity) AS sum_qty
+            |FROM graft_gs_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+            |                        (l_returnflag, l_linestatus))
+            |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST,
+            |         l_linestatus NULLS LAST""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST,
+      |         l_linestatus NULLS LAST""".stripMargin
+
+  /** Navigation window functions: lag/lead (NULL at partition edges),
+    * ntile quartiles and percent_rank over each customer's order history.
+    * One shuffle on custkey + partition-local sort serves all four
+    * functions (a single Window node). percent_rank's (rank−1)/(n−1)
+    * division is the same double on both engines — no rounding needed. */
+  def qWindowNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowNavSql =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Array higher-order functions over the embedding vectors: size,
+    * aggregate-fold (L2 norm), array_max, filter+size (positive-component
+    * count). All four stay inside whole-stage codegen on one narrow scan
+    * of (vec_id, embedding) — the HOF lambda surface the reference could
+    * only express as an opaque map binary. Sums fold the array in element
+    * order on both engines; 4-decimal portable rounding absorbs the last
+    * double ulp. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding")
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(e).cast("long").as("dim"),
+        pround(sqrt(aggregate(e, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("l2norm"),
+        pround(array_max(e).cast("double"), 4).as("max_val"),
+        size(filter(e, x => x > lit(0.0f))).cast("long").as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  private val qArrayFuncsSql =
+    s"""SELECT vec_id,
+       |  len(embedding)::BIGINT AS dim,
+       |  ${pr("sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))", 4)} AS l2norm,
+       |  ${pr("list_max(embedding)::DOUBLE", 4)} AS max_val,
+       |  len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Map-type surface: parse the events' JSON props into MAP<STRING,BIGINT>
+    * and drive map_keys / element_at / transform_values — schema-on-read
+    * of semi-structured payloads as a first-class column type (the JSON
+    * twin q_json_extract handles nested paths; this one covers the map
+    * HOFs). */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(s, d)
+      .select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(transform_values(col("m"), (_, v) => v * 2L), "k").as("k_doubled"))
+      .orderBy("event_id")
+  }
+
+  private val qMapFuncsSql =
+    """SELECT event_id,
+      |  len(json_keys(props::JSON))::BIGINT AS n_keys,
+      |  array_to_string(json_keys(props::JSON), ',') AS keys,
+      |  json_extract(props, '$.k')::BIGINT AS k_val,
+      |  json_extract(props, '$.k')::BIGINT * 2 AS k_doubled
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
     Q("q2_min_cost", q2MinCost, Some(q2Sql)),
@@ -962,6 +1073,10 @@ object Relational {
     Q("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     Q("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     Q("q22_no_orders", q22NoOrders, Some(q22Sql)),
+    Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    Q("q_window_nav", qWindowNav, Some(qWindowNavSql)),
+    Q("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
+    Q("q_map_funcs", qMapFuncs, Some(qMapFuncsSql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
     Q("q5_region_revenue", q5RegionRevenue, Some(q5Sql)),
     Q("q_semi_join", qSemiJoin, Some(qSemiSql)),

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.{asScaled, asScaledSql}
+
+/** File-format coverage beyond parquet and the engine's text sink: CSV,
+  * JSON-lines and ORC sink→source round-trips.
+  *
+  * The reference's storage layer is format-agnostic raw files
+  * (DistrStorage.java:88-102 — bytes in flat directories; the binaries
+  * decide the encoding), so format support is part of its capability
+  * surface. Here each round-trip query writes a driver-table slice to the
+  * format under test, reads it back with an EXPLICIT schema (never
+  * inferSchema — a second full scan and nondeterministic at that), and
+  * aggregates; the DuckDB oracle computes the same aggregate straight from
+  * the parquet table, so a hash match proves the sink+source preserved
+  * every value bit-for-bit (timestamps through CSV's ISO text form,
+  * doubles through JSON's shortest-round-trip form, everything through
+  * ORC's binary form).
+  *
+  * Scale notes: all three formats write one file per partition and read
+  * back splittable (CSV/JSON by line, ORC by stripe) — the round-trip
+  * parallelizes at any SF. The tmp sink is per-call, so repeated runs
+  * never read a stale directory.
+  */
+object Formats {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("data").toString
+
+  /** CSV: timestamps survive as ISO-8601 text; header on to prove
+    * name-based column binding. */
+  def qSourceCsv(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val out = tmpDir("graft-csv-")
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(orders.schema).option("header", "true").csv(out)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(asScaled(col("o_totalprice"), 2)) / lit(100.0)).as("total_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val qSourceCsvSql =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |  sum(${asScaledSql("o_totalprice", 2)}) / 100.0 AS total_price,
+       |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+       |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** JSON lines: doubles survive via Jackson's shortest-round-trip
+    * rendering — the sum over read-back acctbals must be cent-exact. */
+  def qSourceJson(s: SparkSession, d: String): DataFrame = {
+    val customer = Tables.customer(s, d)
+    val out = tmpDir("graft-json-")
+    customer.write.mode("overwrite").json(out)
+    s.read.schema(customer.schema).json(out)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(asScaled(col("c_acctbal"), 2)) / lit(100.0)).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qSourceJsonSql =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |  sum(${asScaledSql("c_acctbal", 2)}) / 100.0 AS total_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** ORC: the columnar binary sibling — longs (nanos timestamps read as
+    * long), strings and doubles through ORC stripes. */
+  def qSourceOrc(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val out = tmpDir("graft-orc-")
+    events.write.mode("overwrite").orc(out)
+    s.read.schema(events.schema).orc(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(asScaled(col("value"), 2)) / lit(100.0)).as("total_value"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+      .orderBy("event_type")
+  }
+
+  private val qSourceOrcSql =
+    s"""SELECT event_type, count(*) AS n,
+       |  sum(${asScaledSql("value", 2)}) / 100.0 AS total_value,
+       |  min(event_id) AS min_event,
+       |  max(event_id) AS max_event
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    Q("q_source_csv", qSourceCsv, Some(qSourceCsvSql)),
+    Q("q_source_json", qSourceJson, Some(qSourceJsonSql)),
+    Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)))
+}

@@ -119,12 +119,18 @@ object EventStreams {
     hourlyCounts(raw)
   }
 
-  /** Streaming exact dedup: one document per content fingerprint, with a
-    * watermark bounding the fingerprint state — the incremental twin of
-    * Dedup.qExact/qDedupApply's exact stage. A fingerprint seen in an
-    * earlier micro-batch is always dropped; within a single micro-batch an
-    * arbitrary representative wins (Spark's dropDuplicates contract).
-    * Expects (doc_id, ts, text). */
+  /** Streaming exact dedup: one document per content fingerprint — the
+    * incremental twin of Dedup.qExact/qDedupApply's exact stage. A
+    * fingerprint seen in an earlier micro-batch is always dropped; within
+    * a single micro-batch an arbitrary representative wins (Spark's
+    * dropDuplicates contract). Expects (doc_id, ts, text).
+    *
+    * CAUTION — state is UNBOUNDED here: dropDuplicates evicts by watermark
+    * only when the event-time column is part of the dedup key, and the key
+    * here is the fingerprint alone, so every fingerprint ever seen stays
+    * in the state store. Correct for exact global dedup, but at 100 TB use
+    * [[dedupStreamBounded]] unless the corpus's fingerprint cardinality
+    * genuinely fits in cluster state. */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn(
@@ -133,4 +139,54 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("fingerprint")
       .select("doc_id", "ts", "fingerprint")
+
+  /** Bounded-state streaming dedup: dropDuplicatesWithinWatermark evicts a
+    * fingerprint's state once the watermark passes its event time plus the
+    * delay, so state holds only the fingerprints of the last watermark
+    * window — the 100 TB-safe trade: duplicates are guaranteed dropped
+    * only within the watermark horizon (a re-post months later is treated
+    * as new), which is the semantics near-dup pipelines actually want for
+    * rolling ingestion. */
+  def dedupStreamBounded(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn(
+        "fingerprint",
+        md5(graft.functions.NativeExprs.normalizeWs(col("text"))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("doc_id", "ts", "fingerprint")
+
+  /** Watermarked stream-stream interval join: attribute each purchase to
+    * the same user's views in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds p_ts to [v_ts, v_ts+1h], so
+    * Spark derives state-eviction watermarks for BOTH join state stores —
+    * without the time bound, stream-stream join state grows forever. The
+    * join shuffles both streams on user_id; state is sharded with them. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(
+        col("user_id").as("v_user"),
+        col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"),
+        col("value"))
+      .withWatermark("p_ts", "2 hours")
+    v.join(
+        p,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(
+        col("v_user").as("user_id"),
+        col("view_id"),
+        col("purchase_id"),
+        col("v_ts"),
+        col("p_ts"),
+        col("value"))
+  }
 }

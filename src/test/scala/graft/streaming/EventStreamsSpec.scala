@@ -87,6 +87,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bounded dedup drops dups within the watermark and re-admits after eviction") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val df = source.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupStreamBounded(df).writeStream
+      .format("memory")
+      .queryName("dedup_bounded_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      source.addData(
+        (1L, t2(0), "hello  world"),
+        (2L, t2(1), "hello world")) // same fingerprint, inside watermark → dropped
+      query.processAllAvailable()
+      source.addData((3L, t2(600), "filler")) // watermark → +540 min, evicts doc 1's state
+      query.processAllAvailable()
+      source.addData((4L, t2(601), "hello world")) // same fingerprint, state gone → re-admitted
+      query.processAllAvailable()
+      val kept = spark.table("dedup_bounded_test").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 3L, 4L),
+        s"expected within-watermark dup dropped and post-eviction doc re-admitted; got $kept")
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to preceding views, state bounded") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStreams.viewPurchaseJoin(
+      views.toDF().toDF(cols: _*),
+      purchases.toDF().toDF(cols: _*))
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("vp_join_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      views.addData(
+        (1L, t2(0), 1L, "view", 0.0),
+        (2L, t2(5), 2L, "view", 0.0))
+      purchases.addData(
+        (10L, t2(30), 1L, "purchase", 9.99), // within 1h of user 1's view → joins
+        (11L, t2(90), 2L, "purchase", 5.0)) //  85 min after user 2's view → outside bound
+      query.processAllAvailable()
+      val rows = spark.table("vp_join_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+      assert(rows === Set((1L, 1L, 10L, 9.99)), s"unexpected join rows: $rows")
+    } finally query.stop()
+  }
+
   test("sessionize emits a session once the inactivity gap elapses") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
