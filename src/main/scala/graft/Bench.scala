@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Robustness against host noise (a ~45 s external stall once faked a 2.3×
   * regression across three consecutive queries):
-  *   - median of 3 attempts per query, not best-of-2 — a single stalled
-  *     attempt can no longer dominate the recorded time;
-  *   - per-attempt times are emitted under "attempts" so a stall is
-  *     diagnosable from the driver's JSON alone;
+  *   - 3 INTERLEAVED passes over the whole query list (pass1 all queries,
+  *     pass2 all queries, …), median per query across passes. Attempts of
+  *     one query are therefore minutes apart: a contiguous multi-second
+  *     host stall lands inside ONE pass and inflates each query at most
+  *     once, and the cross-pass median rejects it — back-to-back attempts
+  *     would let the same stall eat all three;
+  *   - per-pass times are emitted under "attempts" so a stall is
+  *     diagnosable from the driver's JSON alone (it shows up as one
+  *     inflated column, not an inflated query);
   *   - `spark.catalog.clearCache()` between queries drops any `.cache()`
   *     a query marked (Dedup's shingle/doc caches), so no query times
   *     another query's leaked cache memory pressure;
@@ -47,22 +52,25 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Tables.lineitem(spark, sfDir).limit(100).write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.headline.map { q =>
-      val times = (1 to Attempts).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: $e")
-            errors(q.name) = e.toString.take(300)
-            None
-        }
+    val headline = SparkEntry.headline
+    val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    for (_ <- 1 to Attempts; q <- headline) {
+      val t0 = System.nanoTime()
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        passTimes(q.name) =
+          passTimes.getOrElse(q.name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: $e")
+          errors(q.name) = e.toString.take(300)
       }
       // drop caches a query marked, so the next query starts clean
       spark.catalog.clearCache()
-      // lower median: attempt 1 pays this query's JIT/codegen, and a host
+    }
+    val results = headline.map { q =>
+      val times = passTimes.getOrElse(q.name, Vector.empty)
+      // lower median: pass 1 pays this query's JIT/codegen, and a host
       // stall can only inflate — so the representative time leans low.
       val sorted = times.sorted
       val med = if (sorted.isEmpty) None else Some(sorted((sorted.size - 1) / 2))

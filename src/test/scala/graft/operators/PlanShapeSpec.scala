@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** Physical-plan regression guards: the scale claims in README are plan
   * properties, so pin them — a refactor that silently un-pushes a filter,
@@ -105,6 +105,38 @@ class PlanShapeSpec extends SparkSpec {
     // an extra exchange between join and first aggregate is a regression
     val exchanges = "Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).length
     assert(exchanges <= 1, s"redundant custkey exchange between join and agg:\n$p")
+  }
+
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the runtime re-plan story: 32 static shuffle partitions are wrong
+    // for a 6-group aggregate — AQE must fold them after seeing the real
+    // map output sizes, without any per-query tuning
+    val df = Relational.q1Pricing(spark, sfDir)
+    df.collect() // adaptive plan is final only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"), s"AQE did not coalesce:\n$p")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // shrink the skew thresholds so test-sized data exhibits the 100 TB
+    // behavior: one hot key ≫ advisory partition size → AQE must split
+    // that partition and mark the join skew-handled
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    val left = s2.range(200000).select(
+      (when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id"))).as("k"),
+      col("id").as("payload"))
+    val right = s2.range(1000).select(col("id").as("k"), col("id").as("r"))
+    val joined = left.join(right, "k")
+    // execute THIS DataFrame's own QueryExecution (count() would plan a
+    // separate aggregate and leave joined's adaptive plan non-final)
+    assert(joined.collect().length === 198000 + 10) // hot key 7 + ids ≡ 0 (mod 100) < 1000
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"AQE did not flag the skewed join:\n$p")
   }
 
   test("bucketed tables co-locate a fact join with no shuffle exchange") {
