@@ -25,11 +25,16 @@ object Similarity {
   private val Dim = 64
   private val NumPlanes = 8
 
-  /** Fixed pseudo-random hyperplanes (seed 42), shipped as a literal. */
-  private lazy val planes: Seq[Seq[Double]] = {
+  /** First `h` pseudo-random hyperplanes of the fixed seed-42 stream —
+    * prefix-stable: planesFor(8) is exactly the first 8 of planesFor(24),
+    * so growing `h` refines buckets without re-randomizing them. */
+  private def planesFor(h: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(h)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
+
+  /** Fixed pseudo-random hyperplanes (seed 42), shipped as a literal. */
+  private lazy val planes: Seq[Seq[Double]] = planesFor(NumPlanes)
 
   /** Sign-bit bucket id of a vector under the given hyperplanes. */
   private def bucketWith(ps: Seq[Seq[Double]], v: Column): Column =
@@ -106,12 +111,30 @@ object Similarity {
       .limit(10)
   }
 
+  /** Target mean bucket occupancy for the all-pairs sweep: candidate pairs
+    * ≈ n·TargetBucket/2 — linear in corpus size. */
+  private val TargetBucket = 64L
+
   /** All-pairs top similar within LSH buckets — the scalable "find similar
-    * content across the corpus" sweep (bucket join instead of cross join). */
+    * content across the corpus" sweep (bucket join instead of cross join).
+    *
+    * The plane count ADAPTS to the corpus: h = max(8, ⌈log₂(n/64)⌉), so
+    * mean bucket occupancy stays ~64 and the within-bucket join stays
+    * linear in n — a fixed 8-plane bucketing would go quadratic (n²/256
+    * pairs) at a billion vectors. The count() that sizes h is a
+    * metadata-only parquet row-count. Growing h trades recall for
+    * candidate volume (collision prob (1−θ/π)^h); the recall-compensated
+    * form is the banded blocking in [[Dedup.qEmbeddingNearDupLsh]], which
+    * ORs h-bit buckets across independent bands. At the test SFs
+    * (n ≤ 5000) h stays 8, so results are SF-stable. */
   def qBucketedPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e0 = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+    val n = e0.count()
+    def ceilLog2(x: Long): Int =
+      if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    val h = math.max(NumPlanes, ceilLog2(math.max(1L, n / TargetBucket)))
+    val e = e0.withColumn("bucket", bucketWith(planesFor(h), col("v")))
     e.as("a")
       .join(e.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))

@@ -170,6 +170,46 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition ratio: 1 − distinct-bigram / total-bigram fraction over
+    * the whitespace tokens — the Gopher/C4-style "repetitious document"
+    * quality signal (boilerplate and looping generations score high).
+    * Pure array expressions on one narrow scan: adjacent-token bigrams via
+    * zip_with over two shifted slices, dedup via array_distinct — no
+    * shuffle, no UDF. Docs with <2 tokens define ratio 0. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val toks = graft.functions.NativeExprs.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    Tables.documents(s, d)
+      .select(col("doc_id"), bigrams.as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_unique"),
+        when(size(col("bg")) > 0,
+          pround(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val qRepetitionSql = {
+    import graft.functions.PortableRound.{proundSql => pr}
+    val bg = s"list_transform(range(1, len($tokensSql)), i -> " +
+      s"$tokensSql[i] || ' ' || $tokensSql[i+1])"
+    s"""SELECT doc_id,
+       |  len(bg)::BIGINT AS n_bigrams,
+       |  len(list_distinct(bg))::BIGINT AS n_unique,
+       |  CASE WHEN len(bg) > 0
+       |    THEN ${pr("1.0 - len(list_distinct(bg))::DOUBLE / len(bg)", 4)}
+       |    ELSE 0.0 END AS rep_ratio
+       |FROM (SELECT doc_id, $bg AS bg FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercased text —
     * the exact-dedup key. (A rolling-hash winnowing fingerprint lives in
     * Dedup.qMinHash's shingle machinery; md5 is the engine-portable one.) */
@@ -190,5 +230,6 @@ object TextOps {
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
     Q("q_lang_id", qLangId, Some(qLangIdSql)),
     Q("q_quality_score", qQuality, Some(qQualitySql)),
+    Q("q_repetition", qRepetition, Some(qRepetitionSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)))
 }
