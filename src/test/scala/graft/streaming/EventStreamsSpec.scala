@@ -142,6 +142,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpointed dedup recovers state across a restart, sink stays exactly-once") {
+    // The reference's whole fault-tolerance story is "re-execution must not
+    // duplicate output" (first-writer-wins commit). The streaming
+    // equivalent: stop a checkpointed query, restart it on new data, and
+    // require (a) dedup state SURVIVES the restart (a dup of a pre-restart
+    // doc is still dropped) and (b) pre-restart output is not re-emitted.
+    import org.apache.spark.sql.types._
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-ckpt-src-").toString
+    val sinkDir = Files.createTempDirectory("graft-ckpt-sink-").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-state-").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    def writeDocs(rows: (Long, Timestamp, String)*): Unit = {
+      import spark.implicits._
+      rows.toSeq.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = EventStreams.dedupStream(stream).writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    writeDocs((1L, t2(0), "hello  world"), (2L, t2(1), "hello world"))
+    runOnce() // doc 2 is an in-flight dup of doc 1 → only doc 1 lands
+    writeDocs(
+      (3L, t2(2), "hello   world"), // dup of PRE-RESTART doc 1 → recovered state must drop it
+      (4L, t2(3), "brand new doc"))
+    runOnce()
+    val kept = spark.read.parquet(sinkDir).collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept === Seq(1L, 4L),
+      s"state recovery or sink exactly-once broken: got $kept")
+  }
+
   test("sessionize emits a session once the inactivity gap elapses") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
