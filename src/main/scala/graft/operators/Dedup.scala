@@ -173,6 +173,38 @@ object Dedup {
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
+  /** 64-perm MinHash signature of a (distinct-trigram-shingle) array —
+    * shared by the batch LSH sweep and the streaming against-corpus dedup
+    * ([[graft.streaming.StreamingDedup]]). */
+  private[graft] def minhashSignature(shs: Column): Column =
+    graft.functions.NativeExprs.minHashSig(shs, MinhashPerms)
+
+  /** array<struct<band,bkey>> of the 16 LSH band keys of a signature.
+    * Computed from a MATERIALIZED sig column (sig is referenced once per
+    * band — inlining the signature expression here would evaluate it 16×
+    * per row). */
+  private[graft] def signatureBands(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(Bands - 1)),
+      b =>
+        struct(
+          b.as("band"),
+          xxhash64(slice(sig, b * lit(MinhashPerms / Bands) + lit(1), lit(MinhashPerms / Bands)))
+            .as("bkey")))
+
+  /** Appends the distinct trigram shingle set as `shs`, dropping docs with
+    * <3 tokens (no shingle). Keeps every other column — streaming callers
+    * must preserve their event-time column without a self-join. */
+  private[graft] def withShingleSet(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(toks(col("text"))) >= 3)
+      .withColumn("shs", shingles(col("text")))
+
+  /** doc_id + distinct trigram shingle set of every doc with ≥3 tokens —
+    * the input both minhash stages start from. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    withShingleSet(docs).select(col("doc_id"), col("shs"))
+
   /** MinHash + LSH banding — the 100 TB near-dup path. Signatures are
     * computed per document in ONE projection (transform over 64 seeds ×
     * array_min over shingle hashes — no 64-way explode), then banded;
@@ -180,25 +212,10 @@ object Dedup {
     * Hash-dependent (xxhash64) → no SQL oracle; ScalaTest plants near-dups
     * and checks recall. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("shs"))
-      .cache()
-    val sig = graft.functions.NativeExprs.minHashSig(col("shs"), MinhashPerms)
+    val docs = shingleSets(Tables.documents(s, d)).cache()
     val banded = docs
-      .select(col("doc_id"), sig.as("sig"))
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(0), lit(Bands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                xxhash64(
-                  slice(col("sig"), b * lit(MinhashPerms / Bands) + lit(1), lit(MinhashPerms / Bands)))
-                  .as("bkey"))))
-          .as("bb"))
+      .select(col("doc_id"), minhashSignature(col("shs")).as("sig"))
+      .select(col("doc_id"), explode(signatureBands(col("sig"))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val cand = banded.as("x")
       .join(banded.as("y"), Seq("band", "bkey"))

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
+import graft.operators.Dedup
+
+/** Incremental near-dedup: flag arriving documents that near-duplicate an
+  * INDEXED STATIC CORPUS — the rolling-ingestion shape of a training-data
+  * pipeline (a crawl snapshot is indexed once; every new batch/stream of
+  * candidate documents is checked against it before admission).
+  *
+  * The reference has no streaming at all (SURVEY.md §2.3); this composes
+  * the batch MinHash machinery ([[graft.operators.Dedup]]) with Structured
+  * Streaming's stream-static join:
+  *
+  *   - corpus side (static, built ONCE and cached): shingle sets →
+  *     64-perm minhash signature → 16 LSH band keys, exploded to
+  *     (band, bkey) rows — the inverted index.
+  *   - stream side (per micro-batch, pure projections): same signature +
+  *     band keys; carries its shingle set through the explode so
+  *     verification needs no stream-to-stream self-join.
+  *   - stream-static INNER join on (band, bkey) yields candidates; exact
+  *     Jaccard over the shingle sets verifies them (same ≥ threshold bar
+  *     as the batch sweep).
+  *   - a pair colliding in several bands would report once per band, so
+  *     the output is deduplicated with dropDuplicatesWithinWatermark on
+  *     (new_id, corpus_id): state is bounded by the watermark horizon,
+  *     exactly the right guarantee for rolling ingestion.
+  *
+  * 100 TB notes: the static index is shuffled once when built; each
+  * micro-batch shuffles only its own band rows to the join. Streaming state
+  * exists ONLY in the final pair-dedup and is watermark-evicted.
+  *
+  * @param newDocs streaming (doc_id, ts, text)
+  * @param corpus  static (doc_id, text, …) — the indexed snapshot
+  */
+object StreamingDedup {
+
+  def minhashAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      jaccardMin: Double = 0.5,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    // static index: banded corpus + shingle sets, computed once per query
+    val corpusSh = Dedup.shingleSets(corpus)
+      .select(col("doc_id").as("corpus_id"), col("shs").as("corpus_shs"))
+      .cache()
+    val corpusBands = corpusSh
+      .select(col("corpus_id"), Dedup.minhashSignature(col("corpus_shs")).as("sig"))
+      .select(col("corpus_id"), explode(Dedup.signatureBands(col("sig"))).as("bb"))
+      .select(col("corpus_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val streamBands = Dedup.withShingleSet(newDocs) // keeps ts — no self-join
+      .select(
+        col("doc_id").as("new_id"),
+        col("ts"),
+        col("shs"),
+        Dedup.minhashSignature(col("shs")).as("sig"))
+      .select(
+        col("new_id"), col("ts"), col("shs"),
+        explode(Dedup.signatureBands(col("sig"))).as("bb"))
+      .select(
+        col("new_id"), col("ts"), col("shs"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    streamBands
+      .join(corpusBands, Seq("band", "bkey")) // stream-static join
+      .join(corpusSh, "corpus_id")
+      .select(
+        col("new_id"),
+        col("ts"),
+        col("corpus_id"),
+        pround(
+          size(array_intersect(col("shs"), col("corpus_shs"))).cast("double") /
+            size(array_union(col("shs"), col("corpus_shs"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+  }
+}
