@@ -23,6 +23,30 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("session_window builtin agrees with the window-function sessionization") {
+    // Two independent constructions of 30-min-gap sessions over the real
+    // events table: the built-in session_window aggregate vs q_sessionize's
+    // lag+cumsum windows. (Boundary semantics differ only for gaps of
+    // EXACTLY 1800 s — the generated data has none, DuckDB-checked.)
+    import graft.functions.PortableRound.asScaled
+    val builtin = graft.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(asScaled(col("value"), 2)) / lit(100.0)).as("session_value"))
+      .select("user_id", "n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val custom = Relational.qSessionize(spark, sfDir)
+      .select("user_id", "n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(builtin === custom,
+      s"session multisets diverge: builtin ${builtin.size} keys vs custom ${custom.size}")
+  }
+
   test("salted aggregation equals plain groupBy (skew-safe decomposition)") {
     import spark.implicits._
     // heavy skew: 90% of rows share one key
