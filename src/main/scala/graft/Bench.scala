@@ -1,7 +1,11 @@
 package graft
 
 import java.util.Locale
+import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Per-round benchmark main. Runs the headline queries against
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
@@ -30,6 +34,20 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Attempts = 3
 
+  /** Total "shuffle bytes written" across a finished physical plan —
+    * per-query scale evidence (how much data actually crossed an
+    * exchange). AQE wraps stages in leaf nodes, so the traversal unwraps
+    * AdaptiveSparkPlanExec/QueryStageExec explicitly. */
+  private def shuffleWriteBytes(p: SparkPlan): Long = {
+    val self = p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + children.map(shuffleWriteBytes).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,6 +65,14 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // capture each noop write's QueryExecution so shuffle-byte metrics can
+    // be read after the run; listener delivery is async → poll briefly
+    val lastQE = new AtomicReference[QueryExecution](null)
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        lastQE.set(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    })
     // JVM warmup outside the timed region: class loading, codegen compiler
     // and parquet reader init otherwise land entirely on the first query.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -54,12 +80,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val headline = SparkEntry.headline
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
-    for (_ <- 1 to Attempts; q <- headline) {
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    for (pass <- 1 to Attempts; q <- headline) {
       val t0 = System.nanoTime()
       try {
+        lastQE.set(null)
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         passTimes(q.name) =
           passTimes.getOrElse(q.name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
+        if (pass == Attempts) {
+          // outside the timed region; listener delivery is async
+          val deadline = System.nanoTime() + 2e9.toLong
+          while (lastQE.get() == null && System.nanoTime() < deadline) Thread.sleep(10)
+          Option(lastQE.get()).foreach { qe =>
+            shuffleBytes(q.name) = shuffleWriteBytes(qe.executedPlan)
+          }
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: $e")
@@ -95,8 +131,11 @@ object Bench {
     // deflate the total.
     val total = num(results.flatMap(_._2).sum)
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val shuffles = results
+      .map { case (k, _, _) => jstr(k) + ":" + shuffleBytes.get(k).map(_.toString).getOrElse("null") }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attempts,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
