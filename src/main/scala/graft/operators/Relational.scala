@@ -954,6 +954,55 @@ object Relational {
        |ORDER BY c_nationkey""".stripMargin
   }
 
+  /** TPC-H Q8-style market share: the fraction of each year's EUROPE
+    * revenue supplied from one nation — a conditional aggregate
+    * (sum-if / sum) over the full 6-way join with a year extraction.
+    * The ratio of two exact-cents BIGINT sums divides once per group —
+    * portable-rounded to 6 decimals. Only fixed-size nation/region carry
+    * broadcast hints (same policy as q5/q7). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custEurope = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val volume =
+      asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custEurope, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        pround(
+          sum(when(col("supp_nation") === "GERMANY", volume).otherwise(lit(0L))).cast("double") /
+            sum(volume).cast("double"),
+          6).as("mkt_share"),
+        (sum(volume) / lit(10000.0)).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql = {
+    val volume = s"${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})"
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  ${pr(s"sum(CASE WHEN sn.n_name = 'GERMANY' THEN $volume ELSE 0 END)::DOUBLE / sum($volume)", 6)}
+       |    AS mkt_share,
+       |  sum($volume) / 10000.0 AS total_volume
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region ON cn.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE r_name = 'EUROPE'
+       |GROUP BY year(o_orderdate)
+       |ORDER BY o_year""".stripMargin
+  }
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-flag, per-status, and per-pair aggregates in ONE pass — Catalyst
     * plans a single Expand + two-phase aggregate, reading lineitem once
@@ -1073,6 +1122,7 @@ object Relational {
     Q("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     Q("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     Q("q22_no_orders", q22NoOrders, Some(q22Sql)),
+    Q("q8_market_share", q8MarketShare, Some(q8Sql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Q("q_window_nav", qWindowNav, Some(qWindowNavSql)),
     Q("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
