@@ -701,6 +701,24 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate percentiles via Spark's GK sketch — the 100 TB form:
+    * exact percentile materializes every group's value list, the sketch
+    * merges bounded summaries across partitions. Sketch internals are
+    * engine-specific → no SQL oracle; ExtrasSpec bounds the rank error
+    * against the exact twin ([[qPercentiles]]). */
+  def qApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("ap"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("ap"), 1).as("p50_qty"),
+        element_at(col("ap"), 2).as("p90_qty"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   /** Top-3 orders per customer via the bounded-heap [[graft.functions.TopKAgg]]
     * aggregation — identical result set to q_window_top_orders but the
     * shuffle carries ≤ k rows per key per partition instead of every order
@@ -1147,6 +1165,7 @@ object Relational {
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    Q("q_approx_percentiles", qApproxPercentiles, None),
     Q("q10_returned_items", q10Returns, Some(q10Sql)),
     Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)),
     Q("q14_promo_share", q14PromoShare, Some(q14Sql)),

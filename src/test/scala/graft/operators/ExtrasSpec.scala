@@ -23,6 +23,19 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within one quantity unit of the exact percentile") {
+    // accuracy=1000 bounds rank error at n/1000; quantities are small
+    // integers, so the approximate p50/p90 must land within 1 unit
+    val exact = Relational.qPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Relational.qApproxPercentiles(spark, sfDir).collect().foreach { r =>
+      val flag = r.getString(0)
+      val (p50e, p90e) = exact(flag)
+      assert(math.abs(r.getDouble(1) - p50e) <= 1.0, s"$flag p50: ${r.getDouble(1)} vs $p50e")
+      assert(math.abs(r.getDouble(2) - p90e) <= 1.0, s"$flag p90: ${r.getDouble(2)} vs $p90e")
+    }
+  }
+
   test("session_window builtin agrees with the window-function sessionization") {
     // Two independent constructions of 30-min-gap sessions over the real
     // events table: the built-in session_window aggregate vs q_sessionize's
