@@ -294,6 +294,31 @@ object Relational {
       |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
       |ORDER BY custkey""".stripMargin
 
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): per-occurrence
+    * semantics over order-status flag pairs — the bag-algebra forms that
+    * keep duplicate multiplicities, planned as aggregating joins rather
+    * than distinct-hash ops. */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def flags(status: String) =
+      li.filter(col("l_linestatus") === status)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+    flags("F").intersectAll(flags("O")).exceptAll(flags("P"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+      .orderBy("flag")
+  }
+
+  private val qSetOpsAllSql =
+    """SELECT flag, count(*) AS n, sum(qty) AS sum_qty
+      |FROM (
+      |  (SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_linestatus = 'F'
+      |   INTERSECT ALL
+      |   SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_linestatus = 'O')
+      |  EXCEPT ALL
+      |  SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_linestatus = 'P')
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   /** Broadcast dim join + multi-statistic aggregation per nation. */
   def qNationStats(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -1155,6 +1180,7 @@ object Relational {
     Q("q_distinct_agg", qDistinctAgg, Some(qDistinctAggSql)),
     Q("q_topk", qTopK, Some(qTopKSql)),
     Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    Q("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
     Q("q_nation_stats", qNationStats, Some(qNationStatsSql)),
     Q("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),

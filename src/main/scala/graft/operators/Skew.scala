@@ -33,4 +33,35 @@ object Skew {
       .agg(sum(value).as("__partial"))
       .groupBy(col("key"))
       .agg(sum("__partial").as("total"))
+
+  /** Salted equi-join for a skewed LEFT side against a small-but-not-
+    * broadcastable right side: the left's hot key is scattered across
+    * `salt` sub-keys (derived from the physical row position — no data
+    * column needed, deterministic within a run), and the right side is
+    * replicated once per salt value, so the hot key's rows spread over
+    * `salt` reduce tasks instead of stalling one. Row-multiset identical
+    * to `left.join(right, leftKey === rightKey)`.
+    *
+    * This is the MANUAL fallback for engines/plans where AQE's runtime
+    * skew-join split (demonstrated in PlanShapeSpec) can't apply — e.g. a
+    * skewed aggregate feeding the join in the same stage. Cost: right side
+    * ×salt (keep salt modest, 8–32). */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val replicatedRight = right.withColumn(
+      "__salt",
+      explode(sequence(lit(0L), lit(salt - 1L)))) // long elements: matches pmod's type
+    saltedLeft
+      .join(
+        replicatedRight,
+        leftKey === rightKey && saltedLeft("__salt") === replicatedRight("__salt"))
+      .drop("__salt")
+  }
 }

@@ -71,6 +71,24 @@ class ExtrasSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of left rows share the hot key
+    val left = spark.range(20000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(5L)).otherwise(col("id") % 100).as("lk"),
+        col("id").as("payload"))
+    val right = spark.range(100).select(col("id").as("rk"), (col("id") * 7).as("rval"))
+    val plain = left.join(right, col("lk") === col("rk"))
+      .select("lk", "payload", "rval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Skew.saltedJoin(left, right, col("lk"), col("rk"), salt = 8)
+      .select("lk", "payload", "rval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted.length === plain.length)
+    assert(salted === plain)
+  }
+
   test("native expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val cos = spark.sql(
