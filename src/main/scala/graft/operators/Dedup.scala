@@ -273,6 +273,40 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Benchmark-contamination check: flag corpus documents that share ANY
+    * trigram shingle with a probe set (here: the two lowest-id documents,
+    * a deterministic stand-in for a benchmark/eval suite). The probe
+    * shingle set is tiny → broadcast; the corpus side is a LEFT SEMI join
+    * against it — each doc flagged at most once, no pair explosion, one
+    * scan of the corpus. The 100 TB shape of "did eval data leak into the
+    * training set". */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(Tables.documents(s, d))
+    val probes = sh.filter(col("doc_id") < 2)
+      .select(explode(col("shs")).as("sh"))
+      .distinct()
+    sh.filter(col("doc_id") >= 2)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(probes), Seq("sh"), "left_semi")
+      .select("doc_id")
+      .distinct()
+      .orderBy("doc_id")
+  }
+
+  private val qContaminationSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3)
+       |SELECT DISTINCT doc_id FROM tri
+       |WHERE doc_id >= 2
+       |  AND sh IN (SELECT sh FROM tri WHERE doc_id < 2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Embedding near-dup, ORACLE DEMO variant: cosine ≥ 0.3 pairs blocked
     * by the label column — SQL-replayable, so it carries the DuckDB
     * oracle for the scoring arithmetic. NOT the scale path: label
@@ -342,5 +376,6 @@ object Dedup {
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
-    Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None))
+    Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
+    Q("q_contamination", qContamination, Some(qContaminationSql)))
 }
