@@ -1,7 +1,6 @@
 package graft
 
 import java.util.Locale
-import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -65,14 +64,30 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // capture each noop write's QueryExecution so shuffle-byte metrics can
-    // be read after the run; listener delivery is async → poll briefly
-    val lastQE = new AtomicReference[QueryExecution](null)
+    // Capture QueryExecutions so shuffle-byte metrics can be read after the
+    // run. Some queries run intermediate driver actions inside q.run (a
+    // temp-sink write, a centroid collect) — each fires its own listener
+    // event BEFORE the final noop save's, and delivery is async but
+    // IN ORDER (single bus queue). So: collect every event, wait for the
+    // bus to go quiet, and take the LAST one — that is the noop write of
+    // the benched plan, never an intermediate command's.
+    val qeEvents = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        lastQE.set(qe)
+        qeEvents.add(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     })
+    /** Last QE once the listener bus has been quiet for ~200 ms (bounded). */
+    def lastQuiescentQE(): Option[QueryExecution] = {
+      val deadline = System.nanoTime() + 3e9.toLong
+      var size = -1
+      while (System.nanoTime() < deadline && {
+          val s = qeEvents.size; val grew = s != size || s == 0; size = s; grew
+        }) Thread.sleep(100)
+      var last: QueryExecution = null
+      while (!qeEvents.isEmpty) last = qeEvents.poll()
+      Option(last)
+    }
     // JVM warmup outside the timed region: class loading, codegen compiler
     // and parquet reader init otherwise land entirely on the first query.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
@@ -84,15 +99,13 @@ object Bench {
     for (pass <- 1 to Attempts; q <- headline) {
       val t0 = System.nanoTime()
       try {
-        lastQE.set(null)
+        qeEvents.clear()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         passTimes(q.name) =
           passTimes.getOrElse(q.name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9
         if (pass == Attempts) {
-          // outside the timed region; listener delivery is async
-          val deadline = System.nanoTime() + 2e9.toLong
-          while (lastQE.get() == null && System.nanoTime() < deadline) Thread.sleep(10)
-          Option(lastQE.get()).foreach { qe =>
+          // outside the timed region
+          lastQuiescentQE().foreach { qe =>
             shuffleBytes(q.name) = shuffleWriteBytes(qe.executedPlan)
           }
         }

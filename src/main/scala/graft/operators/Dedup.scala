@@ -281,7 +281,10 @@ object Dedup {
     * scan of the corpus. The 100 TB shape of "did eval data leak into the
     * training set". */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(Tables.documents(s, d))
+    // cached: referenced by both the probe and corpus subtrees — without
+    // it Spark scans+shingles documents twice. Bench/Verify clearCache()
+    // after each query, so this cannot leak.
+    val sh = shingleSets(Tables.documents(s, d)).cache()
     val probes = sh.filter(col("doc_id") < 2)
       .select(explode(col("shs")).as("sh"))
       .distinct()

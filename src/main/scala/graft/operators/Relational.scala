@@ -295,15 +295,21 @@ object Relational {
       |ORDER BY custkey""".stripMargin
 
   /** Multiset set operations (INTERSECT ALL / EXCEPT ALL): per-occurrence
-    * semantics over order-status flag pairs — the bag-algebra forms that
-    * keep duplicate multiplicities, planned as aggregating joins rather
-    * than distinct-hash ops. */
+    * semantics over (returnflag, quantity) pairs — the bag-algebra forms
+    * that keep duplicate multiplicities, planned as aggregating joins
+    * rather than distinct-hash ops. The EXCEPT ALL leg subtracts the
+    * returned-'R' F-status multiset, which is NON-empty and overlapping
+    * (l_linestatus only ever holds F/O in this data — a status-based third
+    * leg would be vacuously empty and let a broken exceptAll pass). */
   def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     def flags(status: String) =
       li.filter(col("l_linestatus") === status)
         .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
-    flags("F").intersectAll(flags("O")).exceptAll(flags("P"))
+    val returnedF = li
+      .filter(col("l_linestatus") === "F" && col("l_returnflag") === "R")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+    flags("F").intersectAll(flags("O")).exceptAll(returnedF)
       .groupBy("flag")
       .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
       .orderBy("flag")
@@ -316,7 +322,8 @@ object Relational {
       |   INTERSECT ALL
       |   SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_linestatus = 'O')
       |  EXCEPT ALL
-      |  SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem WHERE l_linestatus = 'P')
+      |  SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem
+      |  WHERE l_linestatus = 'F' AND l_returnflag = 'R')
       |GROUP BY flag ORDER BY flag""".stripMargin
 
   /** Broadcast dim join + multi-statistic aggregation per nation. */

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,19 +22,30 @@ import graft.functions.PortableRound.{asScaled, asScaledSql}
   *
   * Scale notes: all three formats write one file per partition and read
   * back splittable (CSV/JSON by line, ORC by stripe) — the round-trip
-  * parallelizes at any SF. The tmp sink is per-call, so repeated runs
-  * never read a stale directory.
+  * parallelizes at any SF. The sink defaults to a fixed java.io.tmpdir
+  * subpath, overwritten per run (no accumulation across Bench passes /
+  * rounds); that path is DRIVER-LOCAL, correct only in local mode where
+  * driver and executors share a filesystem — a cluster run must point
+  * GRAFT_ROUNDTRIP_DIR at shared storage, and the local-mode guard makes
+  * the misconfiguration fail loudly instead of silently reading the
+  * driver-local subset of a multi-node write.
   */
 object Formats {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).resolve("data").toString
+  private def sinkDir(s: SparkSession, fmt: String): String =
+    sys.env.get("GRAFT_ROUNDTRIP_DIR").map(base => s"$base/$fmt").getOrElse {
+      require(
+        s.sparkContext.isLocal,
+        "default round-trip sink is driver-local /tmp; set GRAFT_ROUNDTRIP_DIR " +
+          "to shared storage when running on a cluster")
+      s"${sys.props("java.io.tmpdir")}/graft-roundtrip/$fmt"
+    }
 
   /** CSV: timestamps survive as ISO-8601 text; header on to prove
     * name-based column binding. */
   def qSourceCsv(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
-    val out = tmpDir("graft-csv-")
+    val out = sinkDir(s, "csv")
     orders.write.mode("overwrite").option("header", "true").csv(out)
     s.read.schema(orders.schema).option("header", "true").csv(out)
       .groupBy("o_orderstatus")
@@ -58,7 +68,7 @@ object Formats {
     * rendering — the sum over read-back acctbals must be cent-exact. */
   def qSourceJson(s: SparkSession, d: String): DataFrame = {
     val customer = Tables.customer(s, d)
-    val out = tmpDir("graft-json-")
+    val out = sinkDir(s, "json")
     customer.write.mode("overwrite").json(out)
     s.read.schema(customer.schema).json(out)
       .groupBy("c_mktsegment")
@@ -77,7 +87,7 @@ object Formats {
     * long), strings and doubles through ORC stripes. */
   def qSourceOrc(s: SparkSession, d: String): DataFrame = {
     val events = Tables.events(s, d)
-    val out = tmpDir("graft-orc-")
+    val out = sinkDir(s, "orc")
     events.write.mode("overwrite").orc(out)
     s.read.schema(events.schema).orc(out)
       .groupBy("event_type")

@@ -20,13 +20,15 @@ import graft.operators.Dedup
   *   - stream side (per micro-batch, pure projections): same signature +
   *     band keys; carries its shingle set through the explode so
   *     verification needs no stream-to-stream self-join.
-  *   - stream-static INNER join on (band, bkey) yields candidates; exact
-  *     Jaccard over the shingle sets verifies them (same ≥ threshold bar
-  *     as the batch sweep).
-  *   - a pair colliding in several bands would report once per band, so
-  *     the output is deduplicated with dropDuplicatesWithinWatermark on
-  *     (new_id, corpus_id): state is bounded by the watermark horizon,
-  *     exactly the right guarantee for rolling ingestion.
+  *   - stream-static INNER join on (band, bkey) yields candidate pairs; a
+  *     true near-dup collides in MOST of the 16 bands, so the pairs are
+  *     deduplicated FIRST — dropDuplicatesWithinWatermark on
+  *     (new_id, corpus_id), state bounded by the watermark horizon — and
+  *     only then verified ONCE with exact Jaccard over the shingle sets
+  *     (same ≥ threshold bar as the batch sweep). Verifying before the
+  *     dedup would re-join and re-score each pair once per colliding band.
+  *   - the corpus index cache lives for the application (it IS the index);
+  *     call `unpersist()` on a rebuilt index if the snapshot rotates.
   *
   * 100 TB notes: the static index is shuffled once when built; each
   * micro-batch shuffles only its own band rows to the join. Streaming state
@@ -66,6 +68,9 @@ object StreamingDedup {
 
     streamBands
       .join(corpusBands, Seq("band", "bkey")) // stream-static join
+      .select(col("new_id"), col("ts"), col("shs"), col("corpus_id"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id") // before scoring
       .join(corpusSh, "corpus_id")
       .select(
         col("new_id"),
@@ -76,7 +81,5 @@ object StreamingDedup {
             size(array_union(col("shs"), col("corpus_shs"))).cast("double"),
           6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
   }
 }
