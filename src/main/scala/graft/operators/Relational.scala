@@ -713,6 +713,62 @@ object Relational {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Unpivot (melt) — the inverse of [[qPivot]]: the per-status pivoted
+    * counts fold back into (priority, status, n) rows. Unpivot is a pure
+    * projection+explode (one Expand node, no shuffle beyond the pivot's
+    * own aggregation); ids/values/names mirror Spark's melt signature. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    qPivot(s, d)
+      .unpivot(
+        ids = Array(col("o_orderpriority")),
+        values = Array(col("F"), col("O"), col("P")),
+        variableColumnName = "status",
+        valueColumnName = "n")
+      .orderBy("o_orderpriority", "status")
+
+  private val qUnpivotSql =
+    """SELECT o_orderpriority, status, n FROM (
+      |  SELECT o_orderpriority,
+      |    count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |    count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |    count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |  FROM orders GROUP BY o_orderpriority)
+      |UNPIVOT (n FOR status IN (F, O, P))
+      |ORDER BY o_orderpriority, status""".stripMargin
+
+  /** LATERAL correlated subquery join: each nation's single most valuable
+    * order among its customers — the per-row-subquery shape Catalyst
+    * rewrites into a window/aggregate plan (DecorrelateInnerQuery +
+    * RewriteLateralSubquery), never a nested loop over nations. SQL-only
+    * surface (no DataFrame form for LATERAL). */
+  def qLateralTopOrder(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_lat_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    s.sql("""SELECT n_name, top.o_orderkey AS top_orderkey,
+            |  top.o_totalprice AS top_price
+            |FROM graft_lat_nation,
+            |LATERAL (SELECT o_orderkey, o_totalprice
+            |         FROM graft_lat_orders o JOIN graft_lat_customer c
+            |           ON o.o_custkey = c.c_custkey
+            |         WHERE c.c_nationkey = n_nationkey
+            |         ORDER BY o_totalprice DESC, o_orderkey
+            |         LIMIT 1) AS top
+            |ORDER BY n_name""".stripMargin)
+  }
+
+  private val qLateralSql =
+    """SELECT n_name, top.o_orderkey AS top_orderkey,
+      |  top.o_totalprice AS top_price
+      |FROM nation,
+      |LATERAL (SELECT o_orderkey, o_totalprice
+      |         FROM orders o JOIN customer c
+      |           ON o.o_custkey = c.c_custkey
+      |         WHERE c.c_nationkey = n_nationkey
+      |         ORDER BY o_totalprice DESC, o_orderkey
+      |         LIMIT 1) AS top
+      |ORDER BY n_name""".stripMargin
+
   /** Exact percentiles (median/p90) of integer-valued quantity — Spark's
     * `percentile` and DuckDB's `quantile_cont` share the same
     * linear-interpolation definition; on integer data at these
@@ -1197,6 +1253,8 @@ object Relational {
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
+    Q("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    Q("q_lateral_top_order", qLateralTopOrder, Some(qLateralSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Q("q_approx_percentiles", qApproxPercentiles, None),
     Q("q10_returned_items", q10Returns, Some(q10Sql)),
