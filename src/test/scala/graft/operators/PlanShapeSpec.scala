@@ -107,6 +107,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"redundant custkey exchange between join and agg:\n$p")
   }
 
+  test("lateral top-1 subquery decorrelates to WindowGroupLimit, not a nested loop") {
+    val p = plan(Relational.qLateralTopOrder(spark, sfDir))
+    // the correlated LIMIT 1 must become a per-key group-limit (with a
+    // map-side Partial pass) joined back on the equi-key — never a
+    // per-nation nested-loop re-execution
+    assert(p.contains("WindowGroupLimit"), s"no group-limit rewrite:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"lateral subquery planned as a nested loop:\n$p")
+  }
+
   test("AQE coalesces undersized shuffle partitions at runtime") {
     // the runtime re-plan story: 32 static shuffle partitions are wrong
     // for a 6-group aggregate — AQE must fold them after seeing the real
