@@ -30,9 +30,16 @@ object BatchSpec {
   def fromJson(json: String): BatchSpec = {
     val j = JsonMethods.parse(json)
     def strs(field: String): List[String] = j \ field match {
-      case JArray(xs) => xs.collect { case JString(s) => s }
-      case JNothing   => Nil
-      case other      => throw new IllegalArgumentException(s"$field: expected array, got $other")
+      case JArray(xs) =>
+        xs.map {
+          case JString(s) => s
+          // reject rather than silently drop — a malformed op entry must
+          // fail the job, not run it with a missing op
+          case other =>
+            throw new IllegalArgumentException(s"$field: expected string element, got $other")
+        }
+      case JNothing => Nil
+      case other    => throw new IllegalArgumentException(s"$field: expected array, got $other")
     }
     def str(field: String): String = j \ field match {
       case JString(s) => s

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   *   first-writer-wins exactly-once semantics of
   *   DistrStorage.moveUniqueReduceResultsToDestDir, DistrStorage.java:213-233).
   *
-  * Scale notes (100 TB): the plan contains exactly ONE shuffle (on `key`).
-  * `split_count`/`r_num` are honored as hints for parity, but on a real
-  * cluster you would leave `split_count` unset (file splits are sized by
-  * `spark.sql.files.maxPartitionBytes`) and let AQE coalesce/skew-split the
-  * reduce side instead of a fixed `r_num`. Speculative re-execution and
-  * bounded retry (reference M1/M2) come from `spark.speculation` and
+  * Scale notes (100 TB): the plan contains exactly ONE shuffle on `key`
+  * (the reduce's own groupBy/groupByKey exchange, or an explicit
+  * repartition for map-only jobs). A positive `split_count` adds one
+  * parity-only round-robin shuffle of the raw input BEFORE the map chain —
+  * on a real cluster leave it unset (file splits are sized by
+  * `spark.sql.files.maxPartitionBytes`) and let AQE coalesce/skew-split
+  * the reduce side instead of a fixed `r_num`. Speculative re-execution
+  * and bounded retry (reference M1/M2) come from `spark.speculation` and
   * `spark.task.maxFailures` — configuration, not engine code.
   */
 object Engine {
@@ -48,19 +50,25 @@ object Engine {
     // reference's `iss >> key` stream extraction skips leading whitespace
     // of EVERY kind, so trim \s+ first (Spark's ltrim strips only the
     // space character — a tab-indented line would still split to an
-    // empty-string key).
+    // empty-string key). Blank/whitespace-only lines are DROPPED: the
+    // reference's `iss >> key` fails extraction on them and emits nothing,
+    // so fabricating a (key="", value="") record would diverge.
     val parts = split(regexp_replace(col(KV.LineCol), "^\\s+", ""), "\\s+", 2)
-    val kv = mapped.select(
-      parts.getItem(0).as(KV.KeyCol),
-      coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))
+    val kv = mapped
+      .filter(col(KV.LineCol).rlike("\\S"))
+      .select(
+        parts.getItem(0).as(KV.KeyCol),
+        coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))
 
-    // O3 — hash partition on key (≡ partition.cpp:33-35; r_num hint honored).
-    // When every reduce op is algebraic the explicit repartition is skipped:
-    // groupBy("key") already shuffles on key and a prior repartition would
-    // only force a SECOND shuffle and defeat partial aggregation.
-    val allAlgebraic = spec.reduceOps.forall(n => Ops.reduceOp(n).isInstanceOf[AlgebraicReduce])
+    // O3 — hash partition on key (≡ partition.cpp:33-35). Every reduce op
+    // brings its OWN key shuffle (groupBy for algebraic, groupByKey for
+    // generic), so an explicit repartition before it would only force a
+    // second full shuffle of the data. The explicit hash partition is
+    // needed exactly when there is NO reduce: a map-only job must still
+    // co-locate equal keys in the R output files (the reference's
+    // partition binary always runs, TaskManagerImpl.java:151).
     val partitioned =
-      if (spec.rNum > 0 && !allAlgebraic) kv.repartition(spec.rNum, col(KV.KeyCol))
+      if (spec.rNum > 0 && spec.reduceOps.isEmpty) kv.repartition(spec.rNum, col(KV.KeyCol))
       else kv
 
     // O5 — reduce chain (≡ repeated reduce_bin_ids).

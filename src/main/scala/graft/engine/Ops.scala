@@ -78,14 +78,21 @@ object Ops {
 
   val lowercase: MapOp = ExprMapOp("lowercase", line => array(lower(line)))
 
-  /** Drop empty lines (a filtering map binary emits 0 lines). */
+  /** Drop blank lines (a filtering map binary emits 0 lines). rlike("\\S")
+    * keeps lines with ANY non-whitespace — Spark's `trim` strips only the
+    * space character, so a trim-based check would keep tab-only lines. */
   val dropEmpty: MapOp =
-    ExprMapOp("drop_empty", line => filter(array(line), l => trim(l) =!= lit("")))
+    ExprMapOp("drop_empty", line => filter(array(line), l => l.rlike("\\S")))
 
   /** ≡ mr-bins/reduce/reduce.cpp:9-40 — interpret values as ints, sum per
-    * key. Algebraic → Spark plans partial+final HashAggregate. */
+    * key. Algebraic → Spark plans partial+final HashAggregate. A
+    * non-numeric value contributes 0, matching C++ `iss >> value` leaving
+    * the int 0 on failed extraction: try_cast (ANSI cast would THROW on
+    * the malformed string and fail the whole job) + coalesce (an
+    * all-non-numeric key must sum to 0, not SQL NULL — the sink would
+    * emit a bare-key line). */
   val sumInts: ReduceOp =
-    AlgebraicReduce("sum_ints", v => sum(v.cast("long")).cast("string"))
+    AlgebraicReduce("sum_ints", v => sum(coalesce(v.try_cast("long"), lit(0L))).cast("string"))
 
   val countValues: ReduceOp =
     AlgebraicReduce("count", v => count(v).cast("string"))

@@ -24,9 +24,16 @@ import org.apache.spark.sql.{Dataset, Encoders}
 object PipeMode {
   private implicit val stringEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
 
-  /** Wrap a reference-style `-i/-o` binary into a stdin/stdout pipe command. */
-  def stdioCommand(binary: String, extraArgs: String = ""): Seq[String] =
-    Seq("sh", "-c", s"$binary -i /dev/stdin -o /dev/stdout $extraArgs")
+  /** Wrap a reference-style `-i/-o` binary into a stdin/stdout pipe
+    * command. The binary path is single-quote-escaped so paths with spaces
+    * (e.g. some SparkFiles staging dirs) exec correctly and metacharacters
+    * in the path are never shell-interpreted; `extraArgs` is deliberately
+    * raw shell text (the parity seam for reference-style argument strings
+    * like `-R 2`) — callers own its quoting. */
+  def stdioCommand(binary: String, extraArgs: String = ""): Seq[String] = {
+    val quoted = "'" + binary.replace("'", "'\\''") + "'"
+    Seq("sh", "-c", s"$quoted -i /dev/stdin -o /dev/stdout $extraArgs")
+  }
 
   /** Apply a chain of external map binaries to a dataset of text lines. */
   def mapChain(lines: Dataset[String], commands: Seq[Seq[String]]): Dataset[String] = {
@@ -41,8 +48,14 @@ object PipeMode {
   def reduceChain(kvLines: Dataset[String], commands: Seq[Seq[String]], rNum: Int): Dataset[String] = {
     val spark = kvLines.sparkSession
     import org.apache.spark.sql.functions._
+    // ltrim \s+ before keying — `iss >> key` skips ALL leading whitespace,
+    // so an indented line must key on its first real token, not "" (same
+    // convention as Engine.plan's line→KV parse)
     val keyed = kvLines.toDF(KV.LineCol)
-      .select(split(col(KV.LineCol), "\\s+", 2).getItem(0).as(KV.KeyCol), col(KV.LineCol))
+      .select(
+        split(regexp_replace(col(KV.LineCol), "^\\s+", ""), "\\s+", 2)
+          .getItem(0).as(KV.KeyCol),
+        col(KV.LineCol))
       .repartition(rNum, col(KV.KeyCol))
       .select(col(KV.LineCol)).as[String]
     val piped = commands.foldLeft(keyed.rdd)((rdd, cmd) => rdd.pipe(cmd))

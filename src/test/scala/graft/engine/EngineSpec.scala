@@ -118,6 +118,54 @@ class EngineSpec extends SparkSpec {
     assert(readOutput(out) === Map("k" -> "3"))
   }
 
+  test("blank and whitespace-only lines are dropped, never keyed on the empty string") {
+    // the reference's `iss >> key` fails extraction on a blank line and
+    // emits nothing — fabricating a ("", "") record would diverge
+    val in = writeCorpus(Seq("a 1", "", "   ", "\t", "a 2"))
+    val out = Files.createTempDirectory("graft-out-").resolve("dest")
+    Engine.run(
+      spark,
+      BatchSpec(List("identity"), List("sum_ints"), in.toString, out.toString, -1, 1))
+    assert(readOutput(out) === Map("a" -> "3"))
+  }
+
+  test("sum_ints treats non-numeric values as 0 (C++ failed-extraction parity)") {
+    val in = writeCorpus(Seq("k abc", "k 2", "j xyz"))
+    val out = Files.createTempDirectory("graft-out-").resolve("dest")
+    Engine.run(
+      spark,
+      BatchSpec(List("identity"), List("sum_ints"), in.toString, out.toString, -1, 1))
+    // k: abc→0 + 2 = 2; j: all non-numeric → 0, NOT a bare-key line
+    assert(readOutput(out) === Map("k" -> "2", "j" -> "0"))
+  }
+
+  test("map-only job still hash-partitions: each key lands in exactly one output file") {
+    // the reference's partition binary ALWAYS runs (TaskManagerImpl.java:151)
+    // — with no reduce op there is no groupBy shuffle, so the engine must
+    // add the key repartition itself or equal keys spread across files
+    val in = writeCorpus(Seq("a 1\nb 1\nc 1", "a 1\nb 1\nd 1", "c 1\nd 1\na 1"))
+    val out = Files.createTempDirectory("graft-out-").resolve("dest")
+    Engine.run(
+      spark,
+      BatchSpec(List("identity"), Nil, in.toString, out.toString, -1, 2))
+    val perFile: Seq[Set[String]] = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .map(p => Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        .map(_.split("\\s+", 2)(0)).toSet)
+      .toSeq
+    val overlaps = perFile.combinations(2).filter { case Seq(x, y) => (x & y).nonEmpty }
+    assert(overlaps.isEmpty, s"keys split across output files: $perFile")
+  }
+
+  test("drop_empty removes tab-only lines (not just space-only)") {
+    val in = writeCorpus(Seq("x 1", "\t", "  "))
+    val out = Files.createTempDirectory("graft-out-").resolve("dest")
+    Engine.run(
+      spark,
+      BatchSpec(List("drop_empty", "identity"), List("count"), in.toString, out.toString, -1, 1))
+    assert(readOutput(out) === Map("x" -> "1"))
+  }
+
   test("generic reduce op: concat_sorted collapses all values per key") {
     val in = writeCorpus(Seq("k1 b", "k1 a", "k2 z"))
     val out = Files.createTempDirectory("graft-out-").resolve("dest")
@@ -142,5 +190,13 @@ class EngineSpec extends SparkSpec {
          |"input_id":"/in","final_dest_dir_id":"/out",
          |"split_count":10,"r_num":2}""".stripMargin)
     assert(spec === BatchSpec(List("tokenize"), List("sum_ints"), "/in", "/out", 10, 2))
+  }
+
+  test("BatchSpec rejects non-string op entries instead of silently dropping them") {
+    val bad =
+      """{"map_ops":["tokenize",5],"reduce_ops":[],
+        |"input_id":"/in","final_dest_dir_id":"/out"}""".stripMargin
+    val e = intercept[IllegalArgumentException](BatchSpec.fromJson(bad))
+    assert(e.getMessage.contains("map_ops"))
   }
 }

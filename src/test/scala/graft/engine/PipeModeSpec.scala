@@ -26,9 +26,12 @@ class PipeModeSpec extends SparkSpec {
     assert(counts === Map("a" -> "2", "b" -> "3", "c" -> "2", "z" -> "1"))
   }
 
-  test("stdioCommand wraps the reference's -i/-o file contract") {
+  test("stdioCommand wraps the reference's -i/-o file contract, path shell-quoted") {
     assert(PipeMode.stdioCommand("/bin/mapbin") ===
-      Seq("sh", "-c", "/bin/mapbin -i /dev/stdin -o /dev/stdout "))
+      Seq("sh", "-c", "'/bin/mapbin' -i /dev/stdin -o /dev/stdout "))
+    // a staging path with a space must exec as ONE command word
+    assert(PipeMode.stdioCommand("/tmp/my tools/mapbin") ===
+      Seq("sh", "-c", "'/tmp/my tools/mapbin' -i /dev/stdin -o /dev/stdout "))
   }
 
   test("a real -i/-o binary that OPENS its file arguments runs the reference wordcount") {
