@@ -38,10 +38,21 @@ object GraftFunctions {
     ("graft_tokens", 1, es => Tokens(es(0))),
     ("graft_normalize_ws", 1, es => NormalizeWs(es(0))),
     ("graft_simhash64", 1, es => SimHash64(es(0))),
+    // fixed n=3 (trigrams) — the SQL surface mirrors the dedup pipeline's
+    // width; the Scala DSL (NativeExprs.wordShingles) exposes n
     ("graft_word_shingles", 1, es => WordShingles(es(0), 3)))
 
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      GraftBridge.registerFunction(spark, name, builder)
+    all.foreach { case (name, arity, builder) =>
+      // same arity validation as the extensions path — without it a
+      // wrong-arity SQL call dies in the builder with a nameless
+      // IndexOutOfBoundsException instead of a usable error
+      GraftBridge.registerFunction(
+        spark,
+        name,
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == arity, s"$name expects $arity arguments")
+          builder(exprs)
+        })
     }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -86,7 +86,10 @@ private[functions] object VecTypeCheck {
   * interpreted HOF scans (zip_with + 2× aggregate) and the array<double>
   * cast. Accumulation order matches the left-fold the declarative version
   * used, so results are bit-identical; like that formulation (zip_with
-  * null-pads the shorter array, nulling the sum), ragged inputs yield NULL. */
+  * null-pads the shorter array, nulling the sum), ragged inputs yield
+  * NULL, and so does a NULL element on either side (the HOF sum over a
+  * null product is null — folding it in as 0.0 would be a silent wrong
+  * answer). */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -105,6 +108,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || ba.isNullAt(i)) return null
       val x = VecCodegen.elemEval(aa, i, lt)
       val y = VecCodegen.elemEval(ba, i, rt)
       dot += x * y; na += x * x; nb += y * y
@@ -129,11 +133,14 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = ${VecCodegen.elem(a, i, elemType(left))};
          |    double $y = ${VecCodegen.elem(b, i, elemType(right))};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -163,6 +170,7 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (aa.isNullAt(i) || ba.isNullAt(i)) return null
       dot += VecCodegen.elemEval(aa, i, elemType(left)) *
         VecCodegen.elemEval(ba, i, elemType(right))
       i += 1
@@ -182,9 +190,10 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += ${VecCodegen.elem(a, i, elemType(left))} * ${VecCodegen.elem(b, i, elemType(right))};
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })
@@ -205,7 +214,8 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
   * all one-to-one mappings; they can differ from a default-locale
   * `String.toLowerCase()` (e.g. Turkish dotted I), which is precisely why
   * the kernels pin ROOT instead. */
-case class Tokens(child: Expression) extends UnaryExpression {
+case class Tokens(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   /** Typed entry point for generated code (no boxing). */
@@ -242,7 +252,8 @@ case class Tokens(child: Expression) extends UnaryExpression {
   * words = runs of [a-z0-9] in the lowercased text; subwords =
   * Σ ceil(len/4) over whitespace tokens; alnum = count of [a-z0-9] chars. */
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   private val stopSet = stopwords.toSet
 
   def kernel(s: UTF8String): InternalRow = nullSafeEval(s).asInstanceOf[InternalRow]
@@ -296,7 +307,8 @@ case class TextStats(child: Expression, stopwords: Seq[String])
 /** One-pass membership counts: for each word set, how many whitespace
   * tokens of the lowercased text are in it. Drives language-ID. */
 case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   private val hashSets: Array[Set[String]] = sets.map(_.toSet).toArray
 
   def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
@@ -338,7 +350,8 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
 /** SimHash sketch: 64-bit signature from xxhash64(token, seed=42) bit
   * votes — identical output to the HOF formulation it replaces, one pass,
   * no boxing. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   def kernel(arr: ArrayData): Long = nullSafeEval(arr).asInstanceOf[Long]
@@ -355,7 +368,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // a NULL token contributes nothing (the tokenizers never emit one,
+      // but SQL users can) — hashing it would NPE on the executor
       val t = arr.getUTF8String(i)
+      if (t == null) { i += 1 }
+      else {
       val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
       var b = 0
       while (b < 64) {
@@ -363,6 +380,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0
@@ -383,7 +401,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * h2 = xxhash64 seed 1337 | 1) — 2 hash computations per shingle instead
   * of k. */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def kernel(arr: ArrayData): ArrayData = nullSafeEval(arr).asInstanceOf[ArrayData]
@@ -400,17 +419,20 @@ case class MinHashSig(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val h1 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-      val h2 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 1337L) | 1L
-      var j = 0
-      var h = h1
-      while (j < k) {
-        if (h < mins(j)) mins(j) = h
-        h += h2
-        j += 1
+      val t = arr.getUTF8String(i) // null token contributes nothing (see SimHash64)
+      if (t == null) { i += 1 }
+      else {
+        val h1 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        val h2 = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 1337L) | 1L
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+        i += 1
       }
-      i += 1
     }
     new GenericArrayData(mins)
   }
@@ -424,7 +446,9 @@ case class MinHashSig(child: Expression, k: Int)
   * replaces the tokenize→sequence→transform→element_at→array_distinct HOF
   * chain. First-occurrence order preserved (≡ array_distinct). */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
@@ -464,7 +488,8 @@ case class WordShingles(child: Expression, n: Int)
   * space, leading/trailing runs included) — exactly
   * `regexp_replace(lower(text), "\\s+", " ")` without the regex engine.
   * Feeds the md5 content fingerprint. */
-case class NormalizeWs(child: Expression) extends UnaryExpression {
+case class NormalizeWs(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   override def dataType: DataType = StringType
 
   def kernel(s: UTF8String): UTF8String = nullSafeEval(s).asInstanceOf[UTF8String]

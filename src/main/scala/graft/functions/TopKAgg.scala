@@ -15,19 +15,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * shuffle on heavy data (the same trick TakeOrderedAndProject applies
   * globally, applied per key).
   *
-  * Buffer kept sorted (desc ord, asc id); insertion cost O(k) per row is
-  * the right trade for the small k this targets.
+  * Buffer kept sorted (desc ord, asc id); insertion is a single O(k)
+  * splice at the insertion point (no re-sort of the already-sorted
+  * buffer). Ordering uses java.lang.Double.compare — a TOTAL order in
+  * which NaN ranks above every finite value, matching Spark's window-sort
+  * NaN placement under DESC; a naive `>` comparator is not a strict weak
+  * order under NaN and makes the surviving rows partitioning-dependent.
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
   private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
     if (buf.length == k && better(buf.last, x)) buf
-    else ((buf :+ x).sortWith(better) take k)
+    else {
+      val (above, below) = buf.span(better(_, x))
+      (above ++ (x +: below)).take(k)
+    }
 
-  /** a ranks above b: greater ord first, lower id breaks ties. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** a ranks above b: greater ord first (total order, NaN greatest),
+    * lower id breaks ties. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
   override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =

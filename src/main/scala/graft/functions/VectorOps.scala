@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: for the 100 TB hot path these stay per-row projections —
   * no shuffle, no UDF boundary. The interpreted-HOF overhead of
-  * zip_with/aggregate is visible in tight loops; graft.functions.DotProduct
+  * zip_with/aggregate is visible in tight loops; graft.functions.DotProd
   * (native codegen expression) is the optimized variant used by the ANN
   * scale path.
   */

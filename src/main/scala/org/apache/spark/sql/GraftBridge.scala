@@ -11,6 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * org.apache.spark.sql package, nothing else reaches into internals.
   */
 object GraftBridge {
+  /** Re-export of the `private[sql]` AbstractDataType so graft expressions
+    * can declare `inputTypes` (ExpectsInputTypes) outside the sql package. */
+  type AbstractDT = org.apache.spark.sql.types.AbstractDataType
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 

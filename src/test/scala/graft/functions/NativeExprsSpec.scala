@@ -95,4 +95,43 @@ class NativeExprsSpec extends SparkSpec {
         col("st.n_alnum") =!= col("h_alnum")).count()
     assert(bad === 0)
   }
+
+  test("vector kernels yield NULL for a NULL element, matching the HOF twin") {
+    GraftFunctions.register(spark)
+    // folding a null slot in as 0.0 would be a silent wrong answer — the
+    // zip_with/aggregate formulation nulls the whole sum
+    val rows = spark.sql(
+      """SELECT graft_cosine_sim(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS c,
+        |       graft_dot_prod(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d,
+        |       graft_cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS ok""".stripMargin)
+      .collect().head
+    assert(rows.isNullAt(0), "cosine over a null element must be NULL")
+    assert(rows.isNullAt(1), "dot over a null element must be NULL")
+    assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("SQL kernels reject wrong-typed arguments at analysis time") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_tokens(123)").collect())
+    assert(e.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_simhash64('not an array')").collect())
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("hash kernels skip NULL tokens instead of failing the task") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64(array('a', CAST(NULL AS STRING), 'b')) AS withNull,
+        |       graft_simhash64(array('a', 'b')) AS without""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) === r.getLong(1), "null token must contribute nothing")
+  }
+
+  test("wrong-arity SQL calls fail with the function name, not an index error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine_sim(array(1.0d))").collect())
+    assert(e.getMessage.contains("graft_cosine_sim"), s"unhelpful error: ${e.getMessage}")
+  }
 }
