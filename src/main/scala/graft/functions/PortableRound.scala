@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{floor, lit}
+import org.apache.spark.sql.functions.{floor, lit, sum}
 
 /** Engine-portable decimal rounding.
   *
@@ -53,4 +53,14 @@ object PortableRound {
     val s = "1" + ("0" * d)
     s"CAST(floor(($e) * $s + 0.5) AS BIGINT)"
   }
+
+  /** Overflow-proof exact integer sum: accumulate the cents(-product)
+    * values in DECIMAL(38,0) — unbounded for any physical data scale —
+    * then convert the EXACT sum to double, which is the same conversion
+    * DuckDB applies to its HUGEINT sum, so hash parity is unchanged.
+    * A raw BIGINT sum of three-factor cents products (price¢·disc·tax
+    * ≈ 1e11/row) passes Long.MaxValue near 1e8 rows per group — far below
+    * the 100 TB design point — and would fail the job under ANSI or wrap
+    * silently without it. */
+  def sumExact(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
 }

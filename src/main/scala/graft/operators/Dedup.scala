@@ -162,7 +162,7 @@ object Dedup {
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (
-       |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keep
+       |      PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g'))) AS keep
        |    FROM documents) WHERE doc_id <> keep)
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
@@ -239,7 +239,13 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit sketch (bit b set iff the sum of ±1 votes of
     * token hashes is positive), banded into 4×16-bit chunks for blocking,
-    * verified by Hamming distance ≤ 6. Hash-dependent → no SQL oracle.
+    * verified by Hamming distance ≤ 3 — the bar the banding is COMPLETE
+    * for: with 4 bands, any pair differing in ≤3 bits has a zero-diff band
+    * by pigeonhole, so every qualifying pair is generated. (A ≤6 bar would
+    * silently miss pairs whose 4-6 differing bits spread across all four
+    * bands; guaranteeing ≤6 needs 7 bands of ~9 bits, whose 512-bucket
+    * keys collide far too often at corpus scale.) Hash-dependent → no SQL
+    * oracle.
     *
     * The per-bit vote needs the lambda bit index as a shift amount, which
     * the typed Column helpers can't express (`shiftright` takes a literal
@@ -268,7 +274,7 @@ object Dedup {
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3)
       .select("da", "db", "hamming")
       .orderBy("da", "db")
   }
@@ -352,7 +358,9 @@ object Dedup {
     * no SQL oracle; SketchSpec asserts the planted near-identical pair
     * survives. */
   def qEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    // cached: scanned for banding + twice more to re-attach vectors to the
+    // candidate pairs; the harness clearCache()s after each query
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
     val banded = e
       .select(col("vec_id"), explode(Similarity.bandedBuckets(col("v"))).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

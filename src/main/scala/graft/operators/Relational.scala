@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.PortableRound.{asScaled, asScaledSql, pround, proundSql => pr}
+import graft.functions.PortableRound.{asScaled, asScaledSql, pround, sumExact, proundSql => pr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** Exact-cents revenue: Σ price¢·(100−disc¢) / 10⁴ — order-independent
-    * BIGINT sum, bit-identical across engines (see [[asScaled]]). */
+    * integer sum, bit-identical across engines (see [[asScaled]]),
+    * accumulated in DECIMAL(38,0) so it cannot overflow at any SF
+    * ([[sumExact]]; DuckDB's HUGEINT sum is the oracle twin). */
   private def revenueExact =
-    sum(asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))) /
+    sumExact(asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2))) /
       lit(10000.0)
 
   private val revenueExactSql =
@@ -61,13 +63,13 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        (sum(priceC) / lit(100.0)).as("sum_base_price"),
-        (sum(priceC * (lit(100L) - discC)) / lit(10000.0)).as("sum_disc_price"),
-        (sum(priceC * (lit(100L) - discC) * (lit(100L) + taxC)) / lit(1000000.0))
+        (sumExact(priceC) / lit(100.0)).as("sum_base_price"),
+        (sumExact(priceC * (lit(100L) - discC)) / lit(10000.0)).as("sum_disc_price"),
+        (sumExact(priceC * (lit(100L) - discC) * (lit(100L) + taxC)) / lit(1000000.0))
           .as("sum_charge"),
         avg("l_quantity").as("avg_qty"),
-        (sum(priceC) / lit(100.0) / count(lit(1))).as("avg_price"),
-        (sum(discC) / lit(100.0) / count(lit(1))).as("avg_disc"),
+        (sumExact(priceC) / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sumExact(discC) / lit(100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -257,7 +259,7 @@ object Relational {
       .agg(
         countDistinct(col("p_type")).as("distinct_types"),
         count(lit(1)).as("n_parts"),
-        (sum(asScaled(col("p_retailprice"), 2)) / lit(100.0) / count(lit(1))).as("avg_price"))
+        (sumExact(asScaled(col("p_retailprice"), 2)) / lit(100.0) / count(lit(1))).as("avg_price"))
       .orderBy("p_brand")
 
   private val qDistinctAggSql =
@@ -333,15 +335,16 @@ object Relational {
       .groupBy("n_name")
       .agg(
         count(lit(1)).as("n_customers"),
-        (sum(asScaled(col("c_acctbal"), 2)) / lit(100.0) / count(lit(1))).as("avg_bal"),
+        (sumExact(asScaled(col("c_acctbal"), 2)) / lit(100.0) / count(lit(1))).as("avg_bal"),
         min("c_acctbal").as("min_bal"),
         max("c_acctbal").as("max_bal"),
         // sample stddev from EXACT integer moments (Σc, Σc²) so both
         // engines evaluate the same doubles; no streaming-algorithm drift
+        // (Σc² ≈ 1e12/row — decimal accumulation is load-bearing here)
         sqrt(
-          (sum(asScaled(col("c_acctbal"), 2) * asScaled(col("c_acctbal"), 2)).cast("double") -
-            sum(asScaled(col("c_acctbal"), 2)).cast("double") *
-            sum(asScaled(col("c_acctbal"), 2)).cast("double") / count(lit(1))) /
+          (sumExact(asScaled(col("c_acctbal"), 2) * asScaled(col("c_acctbal"), 2)) -
+            sumExact(asScaled(col("c_acctbal"), 2)) *
+            sumExact(asScaled(col("c_acctbal"), 2)) / count(lit(1))) /
             (count(lit(1)) - lit(1)))./(lit(100.0)).as("sd_bal"))
       .orderBy("n_name")
 
@@ -532,9 +535,9 @@ object Relational {
     Tables.lineitem(s, d)
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg(
-        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) * lit(100.0) / sum(rev))
-          .as("promo_pct"),
-        (sum(rev) / lit(10000.0)).as("total_revenue"))
+        (sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) * lit(100.0) /
+          sumExact(rev)).as("promo_pct"),
+        (sumExact(rev) / lit(10000.0)).as("total_revenue"))
   }
 
   private val q14Sql = {
@@ -641,7 +644,7 @@ object Relational {
   def qCorr(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity").cast("long")
     val y = asScaled(col("l_extendedprice"), 2)
-    def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    def dsum(c: Column) = sumExact(c)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -1084,10 +1087,10 @@ object Relational {
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         pround(
-          sum(when(col("supp_nation") === "GERMANY", volume).otherwise(lit(0L))).cast("double") /
-            sum(volume).cast("double"),
+          sumExact(when(col("supp_nation") === "GERMANY", volume).otherwise(lit(0L))) /
+            sumExact(volume),
           6).as("mkt_share"),
-        (sum(volume) / lit(10000.0)).as("total_volume"))
+        (sumExact(volume) / lit(10000.0)).as("total_volume"))
       .orderBy("o_year")
   }
 

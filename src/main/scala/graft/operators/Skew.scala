@@ -17,19 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic-within-a-run salt in [0, salt): derived from the
+    * physical row position (monotonically_increasing_id encodes the
+    * partition id in its high bits and a per-partition counter in the low
+    * bits, so pmod spreads rows evenly within every partition). One
+    * definition — three call sites below must not drift. */
+  private def saltCol(salt: Int): Column = pmod(monotonically_increasing_id(), lit(salt))
+
+  private val SaltName = "__graft_salt"
+
   /** Salted count: exactly `df.groupBy(key).count()` but with bounded
     * per-task fan-in regardless of key skew. */
   def saltedCount(df: DataFrame, key: Column, salt: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
-      .groupBy(key.as("key"), col("__salt"))
+    df.withColumn(SaltName, saltCol(salt))
+      .groupBy(key.as("key"), col(SaltName))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col("key"))
       .agg(sum("__partial").as("cnt"))
 
   /** Salted sum over a long column (same two-phase shape). */
   def saltedSum(df: DataFrame, key: Column, value: Column, salt: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
-      .groupBy(key.as("key"), col("__salt"))
+    df.withColumn(SaltName, saltCol(salt))
+      .groupBy(key.as("key"), col(SaltName))
       .agg(sum(value).as("__partial"))
       .groupBy(col("key"))
       .agg(sum("__partial").as("total"))
@@ -52,16 +61,17 @@ object Skew {
       leftKey: Column,
       rightKey: Column,
       salt: Int): DataFrame = {
-    val saltedLeft = left.withColumn(
-      "__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    require(
+      !left.columns.contains(SaltName) && !right.columns.contains(SaltName),
+      s"inputs must not already contain a $SaltName column")
+    val saltedLeft = left.withColumn(SaltName, saltCol(salt))
     val replicatedRight = right.withColumn(
-      "__salt",
+      SaltName,
       explode(sequence(lit(0L), lit(salt - 1L)))) // long elements: matches pmod's type
     saltedLeft
       .join(
         replicatedRight,
-        leftKey === rightKey && saltedLeft("__salt") === replicatedRight("__salt"))
-      .drop("__salt")
+        leftKey === rightKey && saltedLeft(SaltName) === replicatedRight(SaltName))
+      .drop(SaltName)
   }
 }

@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of lowercased text, empties dropped — the shared
-    * tokenizer (≡ map.cpp:16-23's `iss >> word` splitting). */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
-
-  /** DuckDB rendering of [[tokens]] — keep in lockstep. */
-  val tokensSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+  /** DuckDB rendering of the shared tokenizer
+    * ([[graft.functions.NativeExprs.tokens]] — lowercase, split on runs of
+    * Java-whitespace, empties dropped) — keep in lockstep with that native
+    * kernel (the only tokenizer the Spark side uses). The whitespace class
+    * is spelled out because RE2 (DuckDB's regex engine) does NOT include
+    * vertical tab 0x0B in `\\s` while Java does — a bare '\\s+' here would
+    * silently diverge on any document containing a vertical tab. */
+  val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[\\t\\n\\v\\f\\r ]+'), x -> x <> '')"
 
   private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
   private def inList(t: Column, words: Seq[String]): Column = t.isin(words.map(_.asInstanceOf[Any]): _*)
@@ -222,7 +224,7 @@ object TextOps {
 
   private val qFingerprintSql =
     """SELECT doc_id,
-      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |  md5(regexp_replace(lower(text), '[\t\n\v\f\r ]+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(

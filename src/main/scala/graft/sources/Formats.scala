@@ -3,7 +3,7 @@ package graft.sources
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.PortableRound.{asScaled, asScaledSql}
+import graft.functions.PortableRound.{asScaled, asScaledSql, sumExact}
 
 /** File-format coverage beyond parquet and the engine's text sink: CSV,
   * JSON-lines and ORC sink→source round-trips.
@@ -51,7 +51,7 @@ object Formats {
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
-        (sum(asScaled(col("o_totalprice"), 2)) / lit(100.0)).as("total_price"),
+        (sumExact(asScaled(col("o_totalprice"), 2)) / lit(100.0)).as("total_price"),
         date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_date"))
       .orderBy("o_orderstatus")
@@ -74,7 +74,7 @@ object Formats {
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n"),
-        (sum(asScaled(col("c_acctbal"), 2)) / lit(100.0)).as("total_bal"))
+        (sumExact(asScaled(col("c_acctbal"), 2)) / lit(100.0)).as("total_bal"))
       .orderBy("c_mktsegment")
   }
 
@@ -93,7 +93,7 @@ object Formats {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        (sum(asScaled(col("value"), 2)) / lit(100.0)).as("total_value"),
+        (sumExact(asScaled(col("value"), 2)) / lit(100.0)).as("total_value"),
         min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"))
       .orderBy("event_type")
