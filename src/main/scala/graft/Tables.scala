@@ -27,12 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** `ts` arrives as raw nanos (see [[NanosAsLong]]); exposed as a proper
-    * TimestampType column truncated to micros via exact integer division. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Nanos-long → TimestampType truncated to micros via exact integer
+    * division — THE conversion for the events `ts` column; shared by the
+    * batch loader below and the streaming file source
+    * ([[graft.streaming.EventStreams.hourlyFromDirectory]]) so the rule
+    * cannot drift between the two. */
+  def nanosToTs(colName: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // integer DIV, not `/`: Column./ is DOUBLE division, and a double
+    // cannot hold epoch nanos (~1.7e18) without precision loss
+    expr(s"timestamp_micros($colName DIV 1000L)")
   }
+
+  /** `ts` arrives as raw nanos (see [[NanosAsLong]]); exposed as a proper
+    * TimestampType column (see [[nanosToTs]]). */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts", nanosToTs("ts"))
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -24,6 +24,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale dump from a previous run must not pass the driver's
+        // compare on behalf of a now-broken query
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
       // drop any caches the query marked (Dedup shingle/doc caches) so
       // they can't accumulate across the 50+ query dump

@@ -30,6 +30,13 @@ object Dedup {
   private def shingles(text: Column): Column =
     graft.functions.NativeExprs.wordShingles(text, 3)
 
+  /** THE content-fingerprint of a document (md5 over whitespace-normalized
+    * lowercased text) — the exact-dedup identity. One definition shared by
+    * the batch exact stage, q_fingerprint, and the streaming dedups; a
+    * drift between them would make streaming dedup disagree with batch. */
+  def fingerprint(text: Column): Column =
+    md5(graft.functions.NativeExprs.normalizeWs(text))
+
   /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
   private def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
     val sh = Tables.documents(s, d)
@@ -127,9 +134,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
     val nearDrops = pairs.select(col("db").as("doc_id")).distinct()
-    val fp = graft.functions.NativeExprs.normalizeWs(col("text"))
     val exactDrops = Tables.documents(s, d)
-      .select(col("doc_id"), md5(fp).as("f"))
+      .select(col("doc_id"), fingerprint(col("text")).as("f"))
       .withColumn("keep", min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")

@@ -219,7 +219,7 @@ object TextOps {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        md5(graft.functions.NativeExprs.normalizeWs(col("text"))).as("fingerprint"))
+        Dedup.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
   private val qFingerprintSql =

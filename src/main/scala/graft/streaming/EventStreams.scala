@@ -23,24 +23,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * identical transformation graph.
   */
 /** Keyed session state (public top-level: Spark's product encoder codegen
-  * requires an accessible constructor). */
-final case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  * requires an accessible constructor). Timestamps in epoch MILLIS (the
+  * source precision — second-truncation would corrupt session_start);
+  * value total in exact cents (the same fixed-point the batch twin sums —
+  * a raw double accumulator would be merge-order-dependent). */
+final case class SessionState(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
 
 object EventStreams {
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
     * watermark for late data. Append-mode compatible: results emit once a
-    * window is below the watermark. */
-  def hourlyCounts(events: DataFrame): DataFrame =
+    * window is below the watermark. sum_value is the exact-cents sum the
+    * batch twin (q_events_hourly) computes — order-independent, so the
+    * incremental result is bit-identical to the batch one. */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    import graft.functions.PortableRound.asScaled
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"), (sum(asScaled(col("value"), 2)) / lit(100.0)).as("sum_value"))
       .select(
         col("window.start").as("hour"),
         col("event_type"),
         col("n"),
         col("sum_value"))
+  }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessionAgg(
@@ -53,13 +60,25 @@ object EventStreams {
     * is flushed and their state evicted without needing another event.
     * State size is therefore bounded by the watermark: one in-flight
     * session per user active within the watermark horizon.
-    * The streaming twin of q_sessionize. */
+    * The streaming twin of q_sessionize.
+    *
+    * Out-of-order handling: within a micro-batch, events are sorted; an
+    * in-watermark event from a LATER batch that is older than the stored
+    * span merges with min/max guards — the span only widens, so a late
+    * event can neither regress lastMs (which would wrongly split the
+    * session and shrink the timeout deadline) nor be double-counted. The
+    * one documented deviation from the batch twin: a late event older
+    * than the span start by more than the gap would, in the fully-sorted
+    * batch view, form its own earlier session; handling that exactly
+    * needs full event buffering in state, and the watermark bounds how
+    * far such an event can trail. */
   def sessionize(
       events: Dataset[Event],
       gapSeconds: Long = 1800,
       watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapSeconds * 1000
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -67,9 +86,11 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           def emit(st: SessionState) =
-            SessionAgg(userId, new java.sql.Timestamp(st.start * 1000), st.n, st.total)
+            SessionAgg(
+              userId, new java.sql.Timestamp(st.startMs), st.n, st.totalCents / 100.0)
+          def cents(v: Double) = math.floor(v * 100 + 0.5).toLong // ≡ asScaled(v, 2)
           if (state.hasTimedOut) {
-            // Watermark passed lastTs + gap with no further events: the
+            // Watermark passed lastMs + gap with no further events: the
             // session is final — flush it and drop the state.
             val out = state.getOption.map(emit).iterator
             state.remove()
@@ -82,14 +103,18 @@ object EventStreams {
             var st = state.getOption.orNull
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
             sorted.foreach { e =>
-              val t = e.ts.getTime / 1000
+              val t = e.ts.getTime
               if (st == null) {
-                st = SessionState(t, t, 1, e.value)
-              } else if (t - st.lastTs > gapSeconds) {
+                st = SessionState(t, t, 1, cents(e.value))
+              } else if (t - st.lastMs > gapMs) {
                 out += emit(st)
-                st = SessionState(t, t, 1, e.value)
+                st = SessionState(t, t, 1, cents(e.value))
               } else {
-                st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+                st = SessionState(
+                  math.min(st.startMs, t),
+                  math.max(st.lastMs, t),
+                  st.n + 1,
+                  st.totalCents + cents(e.value))
               }
             }
             if (st != null) {
@@ -99,7 +124,7 @@ object EventStreams {
               // max() guards the edge where a just-not-late event's
               // deadline already trails it.
               state.setTimeoutTimestamp(
-                math.max((st.lastTs + gapSeconds) * 1000, state.getCurrentWatermarkMs() + 1))
+                math.max(st.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             out.iterator
           }
@@ -115,7 +140,7 @@ object EventStreams {
         "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
           "value DOUBLE, props STRING")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.Tables.nanosToTs("ts")) // shared batch/stream conversion
     hourlyCounts(raw)
   }
 
@@ -133,9 +158,7 @@ object EventStreams {
     * genuinely fits in cluster state. */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn(
-        "fingerprint",
-        md5(graft.functions.NativeExprs.normalizeWs(col("text"))))
+      .withColumn("fingerprint", graft.operators.Dedup.fingerprint(col("text")))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("fingerprint")
       .select("doc_id", "ts", "fingerprint")
@@ -149,9 +172,7 @@ object EventStreams {
     * rolling ingestion. */
   def dedupStreamBounded(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn(
-        "fingerprint",
-        md5(graft.functions.NativeExprs.normalizeWs(col("text"))))
+      .withColumn("fingerprint", graft.operators.Dedup.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("doc_id", "ts", "fingerprint")

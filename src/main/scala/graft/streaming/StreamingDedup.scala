@@ -48,10 +48,15 @@ object StreamingDedup {
     val corpusSh = Dedup.shingleSets(corpus)
       .select(col("doc_id").as("corpus_id"), col("shs").as("corpus_shs"))
       .cache()
+    // the INDEX itself is cached too: a stream-static join re-evaluates
+    // the static plan every micro-batch, and caching only the shingle sets
+    // would re-run the signature + banding + explode over the whole corpus
+    // per batch
     val corpusBands = corpusSh
       .select(col("corpus_id"), Dedup.minhashSignature(col("corpus_shs")).as("sig"))
       .select(col("corpus_id"), explode(Dedup.signatureBands(col("sig"))).as("bb"))
       .select(col("corpus_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache()
 
     val streamBands = Dedup.withShingleSet(newDocs) // keeps ts — no self-join
       .select(

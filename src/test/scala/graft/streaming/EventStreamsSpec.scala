@@ -50,14 +50,18 @@ class EventStreamsSpec extends SparkSpec {
       .start()
     try {
       query.processAllAvailable()
+      // compare the SUMS too: both sides aggregate in exact cents, so the
+      // incremental result must be bit-identical to the batch one
       val streamed = spark.table("hourly_file_test")
         .select(
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("n"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+          col("event_type"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       val batch = graft.operators.Relational.qEventsHourly(spark, sfDir)
-        .select("hour", "event_type", "n")
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        .select("hour", "event_type", "n", "sum_value")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(streamed === batch)
     } finally query.stop()
   }
