@@ -26,6 +26,44 @@ class EngineProperties extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default.withSize(12), Seed(seed))
 
+  test("KV parse matches stream-extraction semantics under arbitrary whitespace") {
+    // fuzz the exact parity surface the reference's `iss >> key` defines:
+    // random leading whitespace (any kind), mixed separators, and blank
+    // lines — keyed on the first real token, blanks contribute nothing
+    val wsRun = Gen.oneOf(" ", "\t", "  ", "\t ", " \t")
+    val messyLine: Gen[String] = for {
+      lead <- Gen.oneOf("", " ", "\t", " \t\t")
+      ws <- wsRun
+      words <- Gen.listOf(word)
+    } yield lead + words.mkString(ws)
+    val messyCorpus = Gen.nonEmptyListOf(messyLine).map(_.take(10))
+    (1L to 8L).foreach { s =>
+      val lines = sample(messyCorpus, s * 101)
+      // reference model: skip whitespace-only lines; key = first \s+ token
+      val expected = lines
+        .map(_.replaceFirst("^\\s+", ""))
+        .filter(_.nonEmpty)
+        .map(_.split("\\s+", 2)(0))
+        .groupBy(identity)
+        .map { case (k, ks) => k -> ks.size.toString }
+      val in = Files.createTempDirectory("graft-prop-ws-in-")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        Files.writeString(in.resolve(i.toString), l + "\n")
+      }
+      val out = Files.createTempDirectory("graft-prop-ws-out-").resolve("dest")
+      Engine.run(
+        spark,
+        BatchSpec(List("identity"), List("count"), in.toString, out.toString, -1, 1))
+      val got = Files.list(out).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split(" ", 2); k -> v }
+        .toMap
+      assert(got === expected, s"seed=$s corpus=${lines.map(l => s"[$l]")}")
+    }
+  }
+
   test("wordcount is correct and M/R-invariant for arbitrary corpora") {
     (1L to 8L).foreach { s =>
       val lines = sample(corpus, s)

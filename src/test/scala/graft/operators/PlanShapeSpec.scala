@@ -107,6 +107,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"redundant custkey exchange between join and agg:\n$p")
   }
 
+  test("un-hinted joins degrade gracefully to sort-merge beyond the broadcast threshold") {
+    // the other half of the broadcast policy: the same un-hinted q3 that
+    // broadcasts at test SF must fall back to a shuffle join — with
+    // IDENTICAL results — once the dimension no longer fits (simulated by
+    // shrinking the threshold; at 100 TB the data does the shrinking)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    val degraded = Relational.q3TopRevenue(s2, sfDir)
+    val p = degraded.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no shuffle-join fallback under a tiny threshold:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"still broadcasting past the threshold:\n$p")
+    val broadcastRows = Relational.q3TopRevenue(spark, sfDir).collect().map(_.toString).toSeq
+    val degradedRows = degraded.collect().map(_.toString).toSeq
+    assert(degradedRows === broadcastRows, "join strategy changed the results")
+  }
+
   test("lateral top-1 subquery decorrelates to WindowGroupLimit, not a nested loop") {
     val p = plan(Relational.qLateralTopOrder(spark, sfDir))
     // the correlated LIMIT 1 must become a per-key group-limit (with a
