@@ -30,7 +30,9 @@ object Multimodal {
   object FakeCodec {
     def probe(id: Long, bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length.toLong
-      MediaMeta(id, n, width = n % 640 + 1, height = n % 480 + 1, n_frames = 4)
+      // n_frames reports what sampleFrames actually emits — min(4, n), so
+      // metadata and frame output agree even on tiny payloads
+      MediaMeta(id, n, width = n % 640 + 1, height = n % 480 + 1, n_frames = math.min(4L, n))
     }
     /** "Frame sampling": pick n_frames evenly spaced payload bytes. */
     def sampleFrames(id: Long, bytes: Array[Byte], nFrames: Int): Iterator[Frame] = {
@@ -65,7 +67,7 @@ object Multimodal {
       |  octet_length(encode(text))::BIGINT AS n_bytes,
       |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
       |  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
-      |  4::BIGINT AS n_frames
+      |  least(4, octet_length(encode(text)))::BIGINT AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame sampling: flatMap-shaped decode (0..n rows out per blob). */

@@ -178,21 +178,19 @@ object Similarity {
     * 100 TB: centroids broadcast (≤64k rows), assignment is one scan, and
     * the probe reads only matching cells (partition-prunable if the index
     * is written bucketed by cell). */
-  def qIvf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-    val cents: Array[(Int, Seq[Double])] = e
-      .filter(col("vec_id") < IvfCells)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-
-    val qvec = e.filter(col("vec_id") === 0).collect().head.getSeq[Float](1).map(_.toDouble)
+  /** Shared IVF probe tail: pick the query's nProbes nearest cells, assign
+    * every vector to its cell, exact-rerank only the probed cells. One
+    * definition — the sampled and k-means variants must not drift. */
+  private def probeAndRerank(
+      e: DataFrame,
+      cents: Array[(Int, Seq[Double])],
+      qvec: Seq[Double],
+      nProbes: Int): DataFrame = {
     val probes = cents
       .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
       .sortBy { case (cid, cos) => (-cos, cid) }
-      .take(IvfProbes)
+      .take(nProbes)
       .map(_._1)
-
     e.filter(col("vec_id") =!= 0)
       .withColumn("cell", nearestCell(cents, col("v")))
       .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
@@ -201,6 +199,26 @@ object Similarity {
         pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Empty top-k result (query vector absent from the corpus) — degrade
+    * like the other similarity queries instead of a driver crash. */
+  private def emptyTopK(e: DataFrame): DataFrame =
+    e.limit(0).select(col("vec_id"), lit(0.0d).as("cos"))
+
+  def qIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val cents: Array[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < IvfCells)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    // vec 0 satisfies vec_id < IvfCells — reuse the centroid pull instead
+    // of a second full-scan collect; absent query vector → empty result
+    cents.find(_._1 == 0).map(_._2) match {
+      case Some(qvec) => probeAndRerank(e, cents, qvec, IvfProbes)
+      case None => emptyTopK(e)
+    }
   }
 
   private val qIvfSql =
@@ -259,22 +277,16 @@ object Similarity {
     * SQL-expressible → no DuckDB oracle; SketchSpec asserts recall@10 ≥ 0.9
     * against the brute-force baseline on the real sf data. */
   def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    // cached: the Lloyd iterations re-scan the table once each, plus the
+    // query-vector pull and the final assignment scan (~7 reads total);
+    // the harness clearCache()s after each query
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
     val cents = kmeansCentroids(e, IvfCells, KmeansIters)
-    val qvec = e.filter(col("vec_id") === 0).collect().head.getSeq[Float](1).map(_.toDouble)
-    val probes = cents
-      .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
-      .sortBy { case (cid, cos) => (-cos, cid) }
-      .take(KmeansProbes)
-      .map(_._1)
-    e.filter(col("vec_id") =!= 0)
-      .withColumn("cell", nearestCell(cents, col("v")))
-      .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
-      .select(
-        col("vec_id"),
-        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+    e.filter(col("vec_id") === 0).collect().headOption
+      .map(_.getSeq[Float](1).map(_.toDouble)) match {
+      case Some(qvec) => probeAndRerank(e, cents, qvec, KmeansProbes)
+      case None => emptyTopK(e) // absent query vector → empty, not a crash
+    }
   }
 
   val queries: Seq[Q] = Seq(

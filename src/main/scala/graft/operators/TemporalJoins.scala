@@ -29,7 +29,15 @@ object TemporalJoins {
     * For every left row (key, t, payload), attach the right payload of the
     * greatest right t' ≤ t with the same key (ties on t' broken by the
     * greatest `rightTiebreak`). Right columns come back null when no
-    * earlier right row exists.
+    * earlier right row exists. SQL join semantics for NULL keys: a
+    * NULL-key left row never matches (right NULL-key rows are filtered
+    * out, so its window carries no payload) — window partitioning alone
+    * would have grouped NULL with NULL, diverging from the ASOF oracle.
+    *
+    * Type caveat: if `rightTime` is a DATE and `leftTime` a TIMESTAMP,
+    * the union coerces the date at the SESSION time zone while DuckDB
+    * casts to naive midnight — pass both sides as timestamps (as the
+    * queries here do) or pin the session to UTC.
     *
     * @param left       (key, t, ...) — probe side
     * @param right      (key, t, ...) — reference side (e.g. dimension
@@ -53,6 +61,7 @@ object TemporalJoins {
       .withColumn("__tb", lit(null).cast("long"))
       .withColumn("__payload", lit(null).cast(structType(right, rightCols)))
     val r = right
+      .filter(col(key).isNotNull) // NULL never equi-joins (see scaladoc)
       .select(
         col(key),
         col(rightTime).as("__t"),
