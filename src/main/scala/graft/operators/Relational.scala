@@ -1112,6 +1112,70 @@ object Relational {
        |ORDER BY o_year""".stripMargin
   }
 
+  /** TPC-H Q17-style correlated AVG threshold: revenue from small-quantity
+    * lines of one brand, "small" defined per part as half its average
+    * quantity. A third decorrelation shape (q2 = correlated MIN, q21 =
+    * correlated EXISTS): the per-part AVG becomes ONE grouped aggregate
+    * joined back on partkey. avg(quantity) is an exact-int-sum / count
+    * double — identical on both engines, so the < threshold never flips. */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_q17_part")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q17_lineitem")
+    val cents = asScaledSql("l_extendedprice", 2)
+    s.sql(s"""SELECT ${pr(s"sum($cents) / 100.0 / 7.0", 4)} AS avg_yearly,
+             |  count(*) AS n_lines
+             |FROM graft_q17_lineitem l JOIN graft_q17_part p ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#23'
+             |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+             |                          FROM graft_q17_lineitem l2
+             |                          WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
+  private val q17Sql = {
+    val cents = asScaledSql("l_extendedprice", 2)
+    s"""SELECT ${pr(s"sum($cents) / 100.0 / 7.0", 4)} AS avg_yearly,
+       |  count(*) AS n_lines
+       |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#23'
+       |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+       |                          FROM lineitem l2
+       |                          WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+  }
+
+  /** TPC-H Q18-style large-order customers: IN over an aggregated-HAVING
+    * subquery — Catalyst rewrites the IN into a LEFT SEMI join against the
+    * aggregate (a different rewrite than the EXISTS forms: the subquery
+    * has its own grouped aggregation before the semi join). */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_q18_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q18_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q18_lineitem")
+    s.sql("""SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+            |  sum(l_quantity) AS qty_sum
+            |FROM graft_q18_customer
+            |JOIN graft_q18_orders ON c_custkey = o_custkey
+            |JOIN graft_q18_lineitem ON o_orderkey = l_orderkey
+            |WHERE o_orderkey IN (SELECT l_orderkey FROM graft_q18_lineitem
+            |                     GROUP BY l_orderkey
+            |                     HAVING sum(l_quantity) > 300)
+            |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+            |ORDER BY o_totalprice DESC, o_orderkey
+            |LIMIT 20""".stripMargin)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      |  sum(l_quantity) AS qty_sum
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   /** Explicit GROUPING SETS (the general form rollup/cube specialize):
     * per-flag, per-status, and per-pair aggregates in ONE pass — Catalyst
     * plans a single Expand + two-phase aggregate, reading lineitem once
@@ -1228,6 +1292,8 @@ object Relational {
     Q("q2_min_cost", q2MinCost, Some(q2Sql)),
     Q("q4_late_shipped", q4LateShipped, Some(q4Sql)),
     Q("q13_cust_dist", q13CustDist, Some(q13Sql)),
+    Q("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
+    Q("q18_large_orders", q18LargeOrders, Some(q18Sql)),
     Q("q19_disjunctive", q19Disjunctive, Some(q19Sql)),
     Q("q21_waiting_supplier", q21WaitingSupplier, Some(q21Sql)),
     Q("q22_no_orders", q22NoOrders, Some(q22Sql)),
