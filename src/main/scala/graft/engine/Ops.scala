@@ -110,9 +110,25 @@ object Ops {
   val reduces: Map[String, ReduceOp] =
     Seq(sumInts, countValues, maxValue, concatSorted).map(o => o.name -> o).toMap
 
+  /** User-registered ops — the Spark-native equivalent of uploading a new
+    * binary to the reference's reserved `__BINARY` dir (Storage.java:13):
+    * application code registers a named op once and every JSON batch spec
+    * can then reference it. Built-ins take precedence over registrations
+    * of the same name. */
+  private val extraMaps = new java.util.concurrent.ConcurrentHashMap[String, MapOp]()
+  private val extraReduces = new java.util.concurrent.ConcurrentHashMap[String, ReduceOp]()
+  def registerMap(op: MapOp): Unit = extraMaps.put(op.name, op)
+  def registerReduce(op: ReduceOp): Unit = extraReduces.put(op.name, op)
+
   def mapOp(name: String): MapOp =
-    maps.getOrElse(name, throw new IllegalArgumentException(s"unknown map op: $name"))
+    maps.getOrElse(
+      name,
+      Option(extraMaps.get(name))
+        .getOrElse(throw new IllegalArgumentException(s"unknown map op: $name")))
 
   def reduceOp(name: String): ReduceOp =
-    reduces.getOrElse(name, throw new IllegalArgumentException(s"unknown reduce op: $name"))
+    reduces.getOrElse(
+      name,
+      Option(extraReduces.get(name))
+        .getOrElse(throw new IllegalArgumentException(s"unknown reduce op: $name")))
 }

@@ -55,32 +55,33 @@ class FaultToleranceSpec extends SparkSpec {
   }
 
   test("engine batch survives transient failure with exactly-once text sink") {
-    // Same property through the Engine.run path (map chain + shuffle +
-    // reduce + text sink with the commit protocol).
+    // The SAME property through the REAL Engine.run path: a registered
+    // flaky map op (≡ a misbehaving user binary) in the chain of a normal
+    // JSON-shaped spec — wordcount must come out exactly-once through the
+    // engine's own parse, reduce, and text-sink commit.
     val in = Files.createTempDirectory("graft-ft-in-")
     (0 until 8).foreach(i => Files.writeString(in.resolve(i.toString), "a b c a\n"))
     val out = Files.createTempDirectory("graft-ft-out-").resolve("dest")
 
-    // Inject a one-shot failure through a lambda map op.
-    val flaky = LambdaMapOp(
+    FaultToleranceSpec.injected.set(0)
+    Ops.registerMap(LambdaMapOp(
       "flaky-identity",
       line => {
         val tc = TaskContext.get()
-        if (tc != null && tc.partitionId() == 1 && tc.attemptNumber() == 0)
+        if (tc != null && tc.partitionId() == 1 && tc.attemptNumber() == 0) {
+          FaultToleranceSpec.injected.incrementAndGet()
           throw new RuntimeException("injected")
+        }
         Iterator.single(line)
-      })
-    val spec = BatchSpec(List("tokenize"), List("sum_ints"), in.toString, out.toString, 4, 2)
-    val mapped = Ops.mapOp("tokenize")(flaky(spark.read.text(in.toString).repartition(4)))
-    // run the real engine on the flaky source by composing manually
-    import org.apache.spark.sql.functions._
-    val parts = split(col("value"), "\\s+", 2)
-    val result = mapped
-      .select(parts.getItem(0).as("key"), coalesce(parts.getItem(1), lit("")).as("value"))
-      .groupBy("key").agg(sum(col("value").cast("long")).cast("string").as("value"))
-    result.select(concat_ws(" ", col("key"), col("value")).as("value"))
-      .write.mode("overwrite").text(out.toString)
+      }))
+    Engine.run(
+      spark,
+      BatchSpec(
+        List("flaky-identity", "tokenize"), List("sum_ints"),
+        in.toString, out.toString, splitCount = 4, rNum = 2))
 
+    assert(FaultToleranceSpec.injected.get() >= 1,
+      "failure was never injected — test proves nothing")
     val counts = Files.list(out).iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-"))
       .flatMap(p => Files.readAllLines(p).asScala)

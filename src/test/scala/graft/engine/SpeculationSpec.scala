@@ -92,6 +92,10 @@ class SpeculationSpec extends AnyFunSuite {
       }
       scala.concurrent.Await.result(job, scala.concurrent.duration.Duration(60, "s"))
 
+      // listener delivery is async — poll briefly so a queued
+      // SpeculativeTaskSubmitted event can land before the assert
+      val flagDeadline = System.nanoTime() + 5e9.toLong
+      while (flagged.get() < 1 && System.nanoTime() < flagDeadline) Thread.sleep(50)
       assert(flagged.get() >= 1,
         "speculation never flagged the straggler — detection half unproven")
       val rows = spark.read.parquet(out).as[Long].collect().sorted

@@ -128,8 +128,9 @@ class ExtrasSpec extends SparkSpec {
 
   test("IVF probes find the true nearest neighbor on real data when cells align") {
     // On the real sf0.001 embeddings the oracle guards exactness; here we
-    // check the structural property: all returned candidates come from the
-    // probed cells and scores are correctly ordered.
+    // check that the probe path returns a non-empty, correctly
+    // score-ordered result (cell membership itself is what the DuckDB
+    // oracle replays exactly).
     val rows = Similarity.qIvf(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val scores = rows.map(_.getDouble(1)).toSeq

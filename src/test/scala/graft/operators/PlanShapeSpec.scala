@@ -135,9 +135,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("AQE coalesces undersized shuffle partitions at runtime") {
-    // the runtime re-plan story: 32 static shuffle partitions are wrong
-    // for a 6-group aggregate — AQE must fold them after seeing the real
-    // map output sizes, without any per-query tuning
+    // the runtime re-plan story: the static shuffle partitions (4 in this
+    // test session, 32 in the mains) are wrong for a 6-group aggregate —
+    // AQE must fold them after seeing the real map output sizes, without
+    // any per-query tuning
     val df = Relational.q1Pricing(spark, sfDir)
     df.collect() // adaptive plan is final only after execution
     val p = df.queryExecution.executedPlan.toString
@@ -171,6 +172,14 @@ class PlanShapeSpec extends SparkSpec {
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     s2.sql("DROP TABLE IF EXISTS orders_b")
     s2.sql("DROP TABLE IF EXISTS lineitem_b")
+    // a crashed previous run leaves the managed-table dirs behind with no
+    // catalog entry — DROP can't clean them and saveAsTable would wedge on
+    // "location already exists" until someone deletes the warehouse by hand
+    val warehouse = new java.io.File(s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("orders_b", "lineitem_b").foreach { tbl =>
+      val d = new java.io.File(warehouse, tbl)
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
     Tables.orders(s2, sfDir).write
       .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
     Tables.lineitem(s2, sfDir).write

@@ -72,13 +72,15 @@ class SketchSpec extends SparkSpec {
       .toSet
     // exact dup of doc 0
     assert(pairs.contains((0L, 300L)), s"missing exact dup (0,300) in $pairs")
-    // planted near-dups (39/40 tokens shared)
-    assert(pairs.contains((3L, 100L)) && pairs.contains((100L, 101L) )
-      || pairs.contains((3L, 101L)), s"missing near-dup cluster of doc 3 in $pairs")
+    // the exact dup of doc 3 MUST collide (identical signatures); the
+    // one-token-changed variant may surface via either side of the cluster
+    assert(pairs.contains((3L, 100L)), s"missing exact dup (3,100) in $pairs")
+    assert(pairs.contains((100L, 101L)) || pairs.contains((3L, 101L)),
+      s"missing near-dup of doc 3's cluster in $pairs")
     assert(pairs.contains((7L, 200L)), s"missing dup (7,200) in $pairs")
   }
 
-  test("SimHash finds planted near-dups within Hamming 6") {
+  test("SimHash finds the planted duplicates (bar: Hamming <= 3, the banding-complete bound)") {
     val dir = plantedDocsDir
     val pairs = Dedup.qSimHash(spark, dir)
       .collect()
@@ -133,7 +135,7 @@ class SketchSpec extends SparkSpec {
   test("k-means IVF achieves recall@10 >= 0.9 vs the brute-force baseline") {
     val exact = Similarity.qTopKExact(spark, sfDir).collect().map(_.getLong(0)).toSet
     val approx = Similarity.qIvfKmeans(spark, sfDir).collect().map(_.getLong(0)).toSet
-    val recall = (exact intersect approx).size / 10.0
+    val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall@10 = $recall; exact=$exact approx=$approx")
   }
 }

@@ -39,12 +39,16 @@ class StreamingDedupSpec extends SparkSpec {
         s"near-dup of corpus doc 100 not flagged; got $flagged")
       assert(!flagged.exists(_._1 == 2L), s"novel doc falsely flagged: $flagged")
 
-      // the same pair arriving again inside the watermark reports ONCE
+      // cross-batch pair-dedup state: the SAME (new_id, corpus_id) pair
+      // recurring in a later batch inside the watermark must report once —
+      // re-send doc 1 itself, plus a fresh near-dup doc 3
       source.addData(
+        (1L, t2(2), "the quick brown fox jumps over the lazy cat near the river bank"),
         (3L, t2(2), "the quick brown fox jumps over the lazy cat near the river bank"))
       query.processAllAvailable()
       val all = spark.table("sdedup_test").collect().map(r => (r.getLong(0), r.getLong(2)))
-      assert(all.count(_ == (1L, 100L)) === 1, "pair reported more than once")
+      assert(all.count(_ == (1L, 100L)) === 1,
+        s"pair (1,100) reported more than once across batches: ${all.toSeq}")
       assert(all.toSet.contains((3L, 100L)), "second near-dup doc not flagged")
     } finally query.stop()
   }
