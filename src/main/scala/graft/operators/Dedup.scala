@@ -176,6 +176,110 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The CAPSTONE composition — the one call a training-data pipeline
+    * actually makes: exact dedup + near dedup + benchmark-contamination
+    * screen + quality floor, returning the admitted corpus. Each stage is
+    * the operator proven individually above/in TextOps; composing them in
+    * one DataFrame lets Catalyst share the shingle scan between the
+    * near-dup join and the contamination screen. The quality threshold
+    * compares the PORTABLY-ROUNDED score (4 decimals) so an engine-side
+    * ulp can never flip an admission decision. One pass of drops, one
+    * anti join — at 100 TB every stage keeps its own documented bound. */
+  def qPipelineClean(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val docs = Tables.documents(s, d)
+    // near-dup drops (capped shingle join, Jaccard ≥ 0.6 — as qDedupApply)
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nearDrops = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
+      .select(col("db").as("doc_id"))
+    // exact drops (fingerprint groups — keep min doc_id)
+    val exactDrops = docs
+      .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      .withColumn(
+        "keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    // contamination drops (share any shingle with the probe docs — as qContamination)
+    val sh = shingleSets(docs).cache()
+    val probes = sh.filter(col("doc_id") < 2).select(explode(col("shs")).as("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= 2)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(probes), Seq("sh"), "left_semi")
+      .select("doc_id")
+    // quality drops (score below the floor — same formula as q_quality_score)
+    val st = graft.functions.NativeExprs.textStats(col("text"), TextOps.stopwordList)
+    val nTok = col("st.n_tokens").cast("double")
+    val lowQuality = docs
+      .select(col("doc_id"), length(col("text")).cast("double").as("len"), st.as("st"))
+      .withColumn(
+        "score",
+        pround(
+          least(nTok / lit(100.0), lit(1.0)) * 0.5 +
+            least(col("st.stop_hits").cast("double") / nTok * lit(5.0), lit(1.0)) * 0.3 +
+            (col("st.n_alnum").cast("double") / col("len")) * 0.2,
+          4))
+      .filter(col("score") < 0.35)
+      .select("doc_id")
+    val drops = nearDrops.union(exactDrops).union(contaminated).union(lowQuality).distinct()
+    docs
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val qPipelineCleanSql = {
+    import graft.functions.PortableRound.{proundSql => pr}
+    val t = TextOps.tokensSql
+    val stop = "('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'on', 'for')"
+    val score = pr(
+      s"least(len($t) / 100.0, 1.0) * 0.5 " +
+        s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
+        "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
+      4)
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near_drops AS (
+       |  SELECT DISTINCT db AS doc_id FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (
+       |      PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g'))) AS keep
+       |    FROM documents) WHERE doc_id <> keep),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM tri
+       |  WHERE doc_id >= 2 AND sh IN (SELECT sh FROM tri WHERE doc_id < 2)),
+       |low_quality AS (
+       |  SELECT doc_id FROM documents WHERE $score < 0.35)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
+       |                     UNION SELECT doc_id FROM exact_drops
+       |                     UNION SELECT doc_id FROM contaminated
+       |                     UNION SELECT doc_id FROM low_quality)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
@@ -394,5 +498,6 @@ object Dedup {
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
     Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
-    Q("q_contamination", qContamination, Some(qContaminationSql)))
+    Q("q_contamination", qContamination, Some(qContaminationSql)),
+    Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)))
 }

@@ -29,7 +29,10 @@ object TextOps {
   val tokensSql =
     "list_filter(string_split_regex(lower(text), '[\\t\\n\\v\\f\\r ]+'), x -> x <> '')"
 
-  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  /** Shared with [[Dedup.qPipelineClean]]'s quality floor. */
+  private[operators] val stopwordList =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  private val stopwords = stopwordList
   private def inList(t: Column, words: Seq[String]): Column = t.isin(words.map(_.asInstanceOf[Any]): _*)
   private def sqlList(words: Seq[String]): String = words.mkString("('", "', '", "')")
 
