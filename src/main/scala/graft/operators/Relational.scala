@@ -236,6 +236,34 @@ object Relational {
        |FROM events
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-RANGE window frame: each event's trailing-1-hour per-user
+    * revenue — a RANGE frame over event time, evaluated by timestamp
+    * VALUE, unlike the ROWS frames elsewhere (a row 61 minutes back is
+    * excluded no matter how many rows sit between). Same single shuffle
+    * on the partition key; the frame scan is partition-local. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_wr_events")
+    val cents = asScaledSql("value", 2)
+    s.sql(s"""SELECT event_id, user_id,
+             |  sum($cents)
+             |    OVER (PARTITION BY user_id ORDER BY ts
+             |          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |    / 100.0 AS trailing_1h
+             |FROM graft_wr_events
+             |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  private val qWindowRangeSql = {
+    val cents = asScaledSql("value", 2)
+    s"""SELECT event_id, user_id,
+       |  sum($cents)
+       |    OVER (PARTITION BY user_id ORDER BY ts
+       |          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       |    / 100.0 AS trailing_1h
+       |FROM events
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   /** ROLLUP grouping sets over lineitem flags. Null grouping rows sort
     * last on both engines (asc_nulls_last ≡ DuckDB ASC default). */
   def qRollup(s: SparkSession, d: String): DataFrame =
@@ -1300,6 +1328,7 @@ object Relational {
     Q("q8_market_share", q8MarketShare, Some(q8Sql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Q("q_window_nav", qWindowNav, Some(qWindowNavSql)),
+    Q("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     Q("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     Q("q_map_funcs", qMapFuncs, Some(qMapFuncsSql)),
     Q("q3_top_revenue", q3TopRevenue, Some(q3Sql)),
