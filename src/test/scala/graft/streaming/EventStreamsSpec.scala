@@ -217,6 +217,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("built-in session_window stream agrees with the custom-state sessionizer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    def t2(min: Long) = new Timestamp(base + min * 60_000L)
+    val source = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.sessionizeBuiltin(df).writeStream
+      .format("memory")
+      .queryName("session_builtin_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // same scenario as the custom-state test: two events 10 min apart,
+      // then a 40-min gap — the first session must close identically
+      source.addData(
+        (1L, t2(0), 1L, "click", 1.0),
+        (2L, t2(10), 1L, "click", 2.0))
+      query.processAllAvailable()
+      source.addData((3L, t2(50), 1L, "click", 7.0))
+      query.processAllAvailable()
+      source.addData((4L, t2(200), 2L, "click", 0.0)) // advance watermark → flush
+      query.processAllAvailable()
+      val sessions = spark.table("session_builtin_test").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - base) / 60000,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(sessions.contains((1L, 0L, 2L, 3.0)),
+        s"first session (user 1, start 0, 2 events, 3.0) missing: $sessions")
+      assert(sessions.contains((1L, 50L, 1L, 7.0)),
+        s"second session (user 1, start 50, 1 event, 7.0) missing: $sessions")
+    } finally query.stop()
+  }
+
   test("sessionize flushes a user's final session via event-time timeout") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
