@@ -237,29 +237,56 @@ object Relational {
        |ORDER BY user_id, event_id""".stripMargin
 
   /** Time-RANGE window frame: each event's trailing-1-hour per-user
-    * revenue — a RANGE frame over event time, evaluated by timestamp
-    * VALUE, unlike the ROWS frames elsewhere (a row 61 minutes back is
-    * excluded no matter how many rows sit between). Same single shuffle
-    * on the partition key; the frame scan is partition-local. */
+    * revenue — a RANGE frame over event time, evaluated by time VALUE,
+    * unlike the ROWS frames elsewhere (a row 61 minutes back is excluded
+    * no matter how many rows sit between). Same single shuffle on the
+    * partition key; the frame scan is partition-local.
+    *
+    * Hash-gate portability: the frame orders by INTEGER epoch
+    * microseconds (Spark `unix_micros` ≡ DuckDB `epoch_us`, both a pure
+    * ns→µs truncation of the parquet nanos) with an integer 3 600 000 000
+    * bound, and emits the trailing sum as BIGINT cents. The
+    * INTERVAL-over-TIMESTAMP spelling of the same frame is engine-version
+    * sensitive (TIMESTAMP_NS range-frame evaluation differs across DuckDB
+    * releases) and cost round 4 its only window-frame red; the
+    * all-integer form has no unit, precision, or float dependence left.
+    * RelationalSpec asserts the INTERVAL form is row-identical in Spark,
+    * so the timestamp-frame coverage claim stays test-backed. */
   def qWindowRange(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("graft_wr_events")
     val cents = asScaledSql("value", 2)
     s.sql(s"""SELECT event_id, user_id,
-             |  sum($cents)
+             |  CAST(sum($cents)
+             |    OVER (PARTITION BY user_id ORDER BY unix_micros(ts)
+             |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS trailing_1h_cents
+             |FROM graft_wr_events
+             |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** The INTERVAL-over-TIMESTAMP spelling of [[qWindowRange]]'s frame —
+    * kept as the coverage artifact for timestamp RANGE frames and proven
+    * row-identical to the integer form by RelationalSpec. Not
+    * oracle-compared (see the portability note above). */
+  def qWindowRangeInterval(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_wri_events")
+    val cents = asScaledSql("value", 2)
+    s.sql(s"""SELECT event_id, user_id,
+             |  CAST(sum($cents)
              |    OVER (PARTITION BY user_id ORDER BY ts
              |          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-             |    / 100.0 AS trailing_1h
-             |FROM graft_wr_events
+             |    AS BIGINT) AS trailing_1h_cents
+             |FROM graft_wri_events
              |ORDER BY user_id, event_id""".stripMargin)
   }
 
   private val qWindowRangeSql = {
     val cents = asScaledSql("value", 2)
     s"""SELECT event_id, user_id,
-       |  sum($cents)
-       |    OVER (PARTITION BY user_id ORDER BY ts
-       |          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-       |    / 100.0 AS trailing_1h
+       |  CAST(sum($cents)
+       |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS trailing_1h_cents
        |FROM events
        |ORDER BY user_id, event_id""".stripMargin
   }
@@ -1058,13 +1085,15 @@ object Relational {
     * the NOT EXISTS becomes a LEFT ANTI join. The comparison is phrased in
     * exact integer cents (bal¢ · n > Σbal¢ ⟺ bal > avg) so the threshold
     * is bit-identical across engines — a double `avg()` would make rows at
-    * the boundary engine-dependent. */
+    * the boundary engine-dependent. The output total is likewise BIGINT
+    * cents: a dollars double born from `Σ¢ / 100.0` was round 4's only
+    * divergence left in this query, and an integer column cannot diverge. */
   def q22NoOrders(s: SparkSession, d: String): DataFrame = {
     Tables.customer(s, d).createOrReplaceTempView("graft_q22_customer")
     Tables.orders(s, d).createOrReplaceTempView("graft_q22_orders")
     val balC = asScaledSql("c_acctbal", 2)
     s.sql(s"""SELECT c_nationkey, count(*) AS numcust,
-             |  sum($balC) / 100.0 AS totacctbal
+             |  CAST(sum($balC) AS BIGINT) AS totacctbal_cents
              |FROM graft_q22_customer c
              |WHERE $balC * (SELECT count(*) FROM graft_q22_customer
              |               WHERE c_acctbal > 0.0)
@@ -1080,7 +1109,7 @@ object Relational {
   private val q22Sql = {
     val balC = asScaledSql("c_acctbal", 2)
     s"""SELECT c_nationkey, count(*) AS numcust,
-       |  sum($balC) / 100.0 AS totacctbal
+       |  CAST(sum($balC) AS BIGINT) AS totacctbal_cents
        |FROM customer c
        |WHERE $balC * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
        |      > (SELECT sum($balC) FROM customer WHERE c_acctbal > 0.0)
@@ -1143,31 +1172,47 @@ object Relational {
   /** TPC-H Q17-style correlated AVG threshold: revenue from small-quantity
     * lines of one brand, "small" defined per part as half its average
     * quantity. A third decorrelation shape (q2 = correlated MIN, q21 =
-    * correlated EXISTS): the per-part AVG becomes ONE grouped aggregate
-    * joined back on partkey. avg(quantity) is an exact-int-sum / count
-    * double — identical on both engines, so the < threshold never flips. */
+    * correlated EXISTS): the per-part aggregates become ONE grouped
+    * aggregate joined back on partkey (Catalyst merges the two correlated
+    * scalar subqueries into a single rewritten join).
+    *
+    * Hash-gate portability: `qty < 0.5·avg(qty)` is algebraically
+    * `2·qty·n < Σqty`, evaluated here over exact integer quantities — the
+    * threshold no longer involves any double (an engine-specific `avg()`
+    * algorithm change flipped boundary rows in round 4), and the revenue
+    * output is BIGINT cents rather than a division-born double. */
   def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
     Tables.part(s, d).createOrReplaceTempView("graft_q17_part")
     Tables.lineitem(s, d).createOrReplaceTempView("graft_q17_lineitem")
     val cents = asScaledSql("l_extendedprice", 2)
-    s.sql(s"""SELECT ${pr(s"sum($cents) / 100.0 / 7.0", 4)} AS avg_yearly,
+    val qty = asScaledSql("l.l_quantity", 0)
+    val qty2 = asScaledSql("l2.l_quantity", 0)
+    s.sql(s"""SELECT CAST(sum($cents) AS BIGINT) AS revenue_cents,
              |  count(*) AS n_lines
              |FROM graft_q17_lineitem l JOIN graft_q17_part p ON p_partkey = l_partkey
              |WHERE p_brand = 'Brand#23'
-             |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
-             |                          FROM graft_q17_lineitem l2
-             |                          WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+             |  AND 2 * $qty * (SELECT count(*)
+             |                  FROM graft_q17_lineitem l2
+             |                  WHERE l2.l_partkey = p.p_partkey)
+             |      < (SELECT sum($qty2)
+             |         FROM graft_q17_lineitem l2
+             |         WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
   }
 
   private val q17Sql = {
     val cents = asScaledSql("l_extendedprice", 2)
-    s"""SELECT ${pr(s"sum($cents) / 100.0 / 7.0", 4)} AS avg_yearly,
+    val qty = asScaledSql("l.l_quantity", 0)
+    val qty2 = asScaledSql("l2.l_quantity", 0)
+    s"""SELECT CAST(sum($cents) AS BIGINT) AS revenue_cents,
        |  count(*) AS n_lines
        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
        |WHERE p_brand = 'Brand#23'
-       |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
-       |                          FROM lineitem l2
-       |                          WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+       |  AND 2 * $qty * (SELECT count(*)
+       |                  FROM lineitem l2
+       |                  WHERE l2.l_partkey = p.p_partkey)
+       |      < (SELECT sum($qty2)
+       |         FROM lineitem l2
+       |         WHERE l2.l_partkey = p.p_partkey)""".stripMargin
   }
 
   /** TPC-H Q18-style large-order customers: IN over an aggregated-HAVING
@@ -1315,8 +1360,212 @@ object Relational {
       |  json_extract(props, '$.k')::BIGINT * 2 AS k_doubled
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** TPC-H Q9-style product-type profit rollup, adapted to this schema
+    * (no partsupp table — the part's retail price stands in for supply
+    * cost): per supplier-nation, per order-year profit over the parts
+    * whose name matches a pattern. Five-way join where only fixed-size
+    * nation is broadcast-hinted; the p_name LIKE filter prunes part
+    * before it joins the fact table. Profit is computed and emitted in
+    * exact integer units (cents × 100: price¢·(100−disc%) − retail¢·qty·100)
+    * via a DECIMAL(38,0) sum — no float anywhere in predicate or output. */
+  def q9ProfitRollup(s: SparkSession, d: String): DataFrame = {
+    val profit =
+      asScaled(col("l_extendedprice"), 2) * (lit(100L) - asScaled(col("l_discount"), 2)) -
+        asScaled(col("p_retailprice"), 2) * asScaled(col("l_quantity"), 0) * lit(100L)
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").like("%red%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit.cast("decimal(38,0)")).cast("long").as("profit_scaled"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val q9Sql = {
+    val profit =
+      s"""${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})
+         | - ${asScaledSql("p_retailprice", 2)} * ${asScaledSql("l_quantity", 0)} * 100""".stripMargin
+    s"""SELECT n_name, year(o_orderdate) AS o_year,
+       |  CAST(sum($profit) AS BIGINT) AS profit_scaled
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY n_name, year(o_orderdate)
+       |ORDER BY n_name, o_year DESC""".stripMargin
+  }
+
+  /** TPC-H Q12-style two-way conditional counts, adapted (no l_shipmode
+    * column — l_returnflag is the grouping dimension): per flag, how many
+    * late-shipped 1996 lines belong to high- vs low-priority orders. The
+    * CASE counts fold into ONE map-side-combinable aggregate pass over the
+    * orderkey join; the late predicate (shipped >60 days after order) is
+    * exact integer date arithmetic on both engines. */
+  def q12PriorityShipping(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q15-style top supplier: a named aggregate view (CTE) consumed
+    * twice — once joined to supplier, once re-aggregated for its MAX —
+    * the agg-on-agg shape. Catalyst evaluates the MAX leg as a scalar
+    * subquery over the same aggregate; revenue is an exact integer
+    * (cents × 100), so the `=` max-equality can't be split by float luck.
+    * At 100 TB the CTE is one shuffle on suppkey (pre-aggregated map-side);
+    * the max is a single-value reduction. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q15_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q15_supplier")
+    val rev = s"${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})"
+    s.sql(s"""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(sum($rev) AS BIGINT) AS total_rev_scaled
+             |  FROM graft_q15_lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_rev_scaled
+             |FROM graft_q15_supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_rev_scaled = (SELECT max(total_rev_scaled) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q15Sql = {
+    val rev = s"${asScaledSql("l_extendedprice", 2)} * (100 - ${asScaledSql("l_discount", 2)})"
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(sum($rev) AS BIGINT) AS total_rev_scaled
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev_scaled
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_rev_scaled = (SELECT max(total_rev_scaled) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  /** TPC-H Q16-style supplier counts with a NOT IN exclusion, adapted
+    * (lineitem is the part↔supplier relation; "complaint" suppliers are
+    * those with negative balance): distinct suppliers per surviving
+    * (brand, type, size). NOT IN over a subquery is the one subquery
+    * rewrite no other query exercises — Catalyst plans a null-aware LEFT
+    * ANTI join (s_suppkey is non-null here, but the plan shape is the
+    * null-aware one). The distinct count expands then two-phase
+    * aggregates; all compared columns are strings/ints. */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q16_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q16_supplier")
+    s.sql("""SELECT p_brand, p_type, p_size,
+            |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            |FROM graft_q16_lineitem JOIN graft_q16_part ON p_partkey = l_partkey
+            |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+            |  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+            |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+            |                        WHERE s_acctbal < 0)
+            |GROUP BY p_brand, p_type, p_size
+            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20-style nested correlated IN, adapted (lineitem stands in
+    * for partsupp): suppliers who, for some matching part they supply,
+    * shipped a single 1996 line carrying more than half that
+    * (part, supplier) pair's all-time quantity — an IN subquery whose
+    * OWN predicate nests an IN (part name filter) plus two correlated
+    * scalar subqueries on a two-column key. The deepest decorrelation
+    * shape in the suite: Catalyst turns the inner pair into one grouped
+    * aggregate joined on (partkey, suppkey), and the outer IN into a
+    * semi join. The ≥2-lines guard keeps the predicate non-vacuous
+    * (without it every single-line pair qualifies trivially), and the
+    * half-of-total threshold is the exact-integer `2·qty > Σqty` form —
+    * no float predicate (see q17). */
+  def q20PartSuppliers(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q20_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q20_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q20_supplier")
+    val qty = asScaledSql("l.l_quantity", 0)
+    val qty2 = asScaledSql("l2.l_quantity", 0)
+    s.sql(s"""SELECT s_suppkey, s_name
+             |FROM graft_q20_supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM graft_q20_lineitem l
+             |  WHERE l_partkey IN (SELECT p_partkey FROM graft_q20_part
+             |                      WHERE p_name LIKE '%red%')
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    AND (SELECT count(*) FROM graft_q20_lineitem l2
+             |         WHERE l2.l_partkey = l.l_partkey
+             |           AND l2.l_suppkey = l.l_suppkey) >= 2
+             |    AND 2 * $qty
+             |        > (SELECT sum($qty2) FROM graft_q20_lineitem l2
+             |           WHERE l2.l_partkey = l.l_partkey
+             |             AND l2.l_suppkey = l.l_suppkey))
+             |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q20Sql = {
+    val qty = asScaledSql("l.l_quantity", 0)
+    val qty2 = asScaledSql("l2.l_quantity", 0)
+    s"""SELECT s_suppkey, s_name
+       |FROM supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem l
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'
+       |    AND (SELECT count(*) FROM lineitem l2
+       |         WHERE l2.l_partkey = l.l_partkey
+       |           AND l2.l_suppkey = l.l_suppkey) >= 2
+       |    AND 2 * $qty
+       |        > (SELECT sum($qty2) FROM lineitem l2
+       |           WHERE l2.l_partkey = l.l_partkey
+       |             AND l2.l_suppkey = l.l_suppkey))
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
+    Q("q9_profit_rollup", q9ProfitRollup, Some(q9Sql)),
+    Q("q12_priority_shipping", q12PriorityShipping, Some(q12Sql)),
+    Q("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
+    Q("q16_supplier_counts", q16SupplierCounts, Some(q16Sql)),
+    Q("q20_part_suppliers", q20PartSuppliers, Some(q20Sql)),
     Q("q2_min_cost", q2MinCost, Some(q2Sql)),
     Q("q4_late_shipped", q4LateShipped, Some(q4Sql)),
     Q("q13_cust_dist", q13CustDist, Some(q13Sql)),

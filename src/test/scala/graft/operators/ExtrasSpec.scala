@@ -136,4 +136,17 @@ class ExtrasSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(1)).toSeq
     assert(scores === scores.sorted.reverse, "IVF results not score-ordered")
   }
+
+  test("integer epoch-micros RANGE frame is row-identical to the INTERVAL timestamp frame") {
+    // q_window_range orders by unix_micros with an integer 3.6e9 bound for
+    // oracle portability; the INTERVAL 1 HOUR spelling over the timestamp
+    // column must define the same frame (micros truncation is shared by
+    // construction, Tables.nanosToTs).
+    val integer = Relational.qWindowRange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val interval = Relational.qWindowRangeInterval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(integer === interval)
+    assert(integer.nonEmpty)
+  }
 }
