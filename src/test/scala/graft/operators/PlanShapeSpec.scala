@@ -199,4 +199,35 @@ class PlanShapeSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned-directory layout prunes non-matching partitions at plan time") {
+    // The "at 100 TB these tables would be partitioned directories"
+    // claim (Tables.scala) as a plan property: lineitem written
+    // partitioned by ship year, then a single-year aggregate must carry
+    // the year as a PartitionFilter on the scan (directory pruning — the
+    // other years' files are never opened, let alone read), NOT as a
+    // post-scan row filter over all years.
+    import org.apache.spark.sql.functions.year
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("ship_year") === 1996)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("ship_year"),
+      s"year filter did not become a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(ship_year)"),
+      s"year filter degraded to a data filter:\n$p")
+    // pruning must agree with the unpartitioned computation
+    val expect = li.filter(col("ship_year") === 1996)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -80,6 +80,60 @@ class SketchSpec extends SparkSpec {
     assert(pairs.contains((7L, 200L)), s"missing dup (7,200) in $pairs")
   }
 
+  test("MinHash LSH recall vs the exhaustive Jaccard sweep on the REAL sf0.01 corpus") {
+    // Planted-pair specs prove the machinery; this measures recall where it
+    // matters — against the exhaustive all-pairs sweep over the actual
+    // corpus at q_dedup_minhash_lsh's own bar (Jaccard >= 0.5). Every true
+    // pair in this corpus sits at j >= 0.9, where 16-band × 4-row banding
+    // collides with prob 1-(1-j^4)^16 > 0.9999 — measured recall is 1.0;
+    // the floor leaves room for an adversarial pair near the bar.
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val lsh = Dedup.qMinHashLsh(spark, d).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ss = Dedup.shingleSets(graft.Tables.documents(spark, d)).cache()
+    val exhaustive = ss.select(col("doc_id").as("da"), col("shs").as("sa"))
+      .crossJoin(ss.select(col("doc_id").as("db"), col("shs").as("sb")))
+      .filter(col("da") < col("db"))
+      .filter(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") >=
+          lit(0.5) * size(array_union(col("sa"), col("sb"))).cast("double"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ss.unpersist()
+    assert(exhaustive.nonEmpty, "sf0.01 corpus has no true near-dup pairs — vacuous recall")
+    val recall = (lsh & exhaustive).size.toDouble / exhaustive.size
+    assert(recall >= 0.9,
+      s"minhash LSH recall $recall (${(lsh & exhaustive).size}/${exhaustive.size}) below 0.9")
+  }
+
+  test("embedding LSH banding recalls planted near-dups inside the REAL sf0.01 corpus") {
+    // The real corpus holds no pairs above cosine 0.8 (its 0.3-bar matches
+    // are "related", not near-dups), so near-dup recall is measured by
+    // planting 30 clones (sigma 0.01/component => cosine ~0.997) of real
+    // vectors INTO the real corpus: the banding must find them against the
+    // full background. Per-pair miss prob at cos 0.997 with 4 bands x 8
+    // hyperplanes is ~1e-3; >= 27/30 found leaves 3-sigma headroom.
+    val d = "/root/testdata/sf0.01"
+    val real = graft.Tables.embeddings(spark, d)
+    val rnd = new scala.util.Random(29)
+    val picked = real.collect().sortBy(_.getLong(0)).grouped(16).map(_.head).take(30).toSeq
+    assert(picked.size === 30)
+    val planted = picked.map { r =>
+      val clone = r.getSeq[Float](1).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Row(100000L + r.getLong(0), clone, r.getInt(2))
+    }
+    val dir = Files.createTempDirectory("graft-recall-vec-").toString
+    real.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(planted), real.schema))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.qEmbeddingNearDupLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = picked.map(r => (r.getLong(0), 100000L + r.getLong(0))).toSet
+    val hit = want.count(pairs.contains)
+    assert(hit.toDouble / want.size >= 0.9,
+      s"embedding LSH recall $hit/${want.size} below 0.9; found pairs: ${pairs.size}")
+  }
+
   test("SimHash finds the planted duplicates (bar: Hamming <= 3, the banding-complete bound)") {
     val dir = plantedDocsDir
     val pairs = Dedup.qSimHash(spark, dir)

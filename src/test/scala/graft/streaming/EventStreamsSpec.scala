@@ -277,4 +277,61 @@ class EventStreamsSpec extends SparkSpec {
         s"final session for user 1 not flushed; got ${sessions.toSet}")
     } finally query.stop()
   }
+
+  test("checkpointed sessionizer recovers in-flight session state across a restart") {
+    // The harder state-store story than dedup recovery (above): an OPEN
+    // session must survive a stop/start — a post-restart event within the
+    // gap must MERGE into the recovered session (not start a second one),
+    // pre-restart emissions must not re-emit, and no session may be lost.
+    import org.apache.spark.sql.types._
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-sess-src-").toString
+    val sinkDir = Files.createTempDirectory("graft-sess-sink-").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val base = 1700000000000L
+    def t2(min: Long) = new Timestamp(base + min * 60_000L)
+    def writeEvents(rows: (Long, Long, Long, Double)*): Unit = {
+      import spark.implicits._
+      rows.toSeq.map { case (id, min, uid, v) => (id, t2(min), uid, v) }
+        .toDF("event_id", "ts", "user_id", "value").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(schema).parquet(srcDir).as[Event]
+      val q = sessionize(stream).writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // Phase 1: user 1's session closes pre-restart (watermark pushed past
+    // its deadline by user 99's event); user 99's session stays OPEN.
+    writeEvents((1L, 0L, 1L, 1.0), (2L, 10L, 1L, 2.0), (3L, 120L, 99L, 5.0))
+    writeEvents((4L, 121L, 99L, 1.0)) // separate file → follow-up batch fires the timeout
+    runOnce()
+    // Phase 2 (restart): event 5 falls within user 99's gap → must merge
+    // into the RECOVERED session; user 98's later events push the
+    // watermark past its deadline so the merged session flushes.
+    writeEvents((5L, 130L, 99L, 3.0), (6L, 300L, 98L, 7.0))
+    writeEvents((7L, 301L, 98L, 1.0))
+    runOnce()
+    val sessions = spark.read.parquet(sinkDir).collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - base) / 60000, r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val u1 = sessions.filter(_._1 == 1L)
+    val u99 = sessions.filter(_._1 == 99L)
+    assert(u1 === Seq((1L, 0L, 2L, 3.0)),
+      s"pre-restart session duplicated or lost: $u1")
+    assert(u99 === Seq((99L, 120L, 3L, 9.0)),
+      s"in-flight session not merged across restart: $u99")
+  }
 }
