@@ -135,9 +135,6 @@ object Bench {
         case c if c < ' ' => "\\u%04x".formatLocal(Locale.ROOT, c.toInt)
         case c => c.toString
       } + "\""
-    val qs = results
-      .map { case (k, med, _) => jstr(k) + ":" + med.map(num).getOrElse("null") }
-      .mkString("{", ",", "}")
     val attempts = results
       .map { case (k, _, ts) => jstr(k) + ":" + ts.map(num).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -145,20 +142,43 @@ object Bench {
     // run exits nonzero — a broken query must fail the round, not quietly
     // deflate the total.
     val total = num(results.flatMap(_._2).sum)
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // Errors are capped on the summary line (full text on the detail line
+    // and stderr) so one long stack trace can't blow the length budget.
+    val errJson =
+      errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }.mkString("{", ",", "}")
     val shuffles = results
       .map { case (k, _, _) => jstr(k) + ":" + shuffleBytes.get(k).map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    // Two lines, diagnostics FIRST and the driver-parsed summary LAST:
-    // round 4's single fat line (attempts + shuffle bytes for 74 queries)
-    // outgrew the driver's stdout-tail capture and its parse came back
-    // null, costing the round its bench record. The final line is the
-    // compact contract shape; per-attempt times and shuffle bytes stay
-    // available on the preceding detail line.
+    // The driver captures only the LAST ~2000 chars of stdout (measured
+    // from BENCH_r04/r05 "tail"), and sbt appends a ~78-char "[success]"
+    // line after ours — a summary line longer than ~1900 chars gets its
+    // head cut off and parses as null, which is exactly what round 4's
+    // single fat line and round 5's still-too-long "compact" line both
+    // did. So the final line is built to a hard budget: per-query medians
+    // are admitted SLOWEST FIRST (the ones that matter for grading) until
+    // the line would exceed the budget; everything always remains on the
+    // preceding full-detail line.
+    val lineBudget = 1800
+    val byCost = results.collect { case (k, Some(med), _) => (k, med) }.sortBy(-_._2)
+    def line(entries: Seq[(String, Double)], omitted: Int) = {
+      val qs = entries
+        .map { case (k, med) => jstr(k) + ":" + num(med) }
+        .mkString("{", ",", "}")
+      val omittedField = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$omittedField""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    }
+    val kept = (byCost.length to 0 by -1)
+      .iterator
+      .map(n => line(byCost.take(n), byCost.length - n))
+      .find(_.length <= lineBudget)
+      .getOrElse(line(Seq.empty, byCost.length))
+    // Two lines, diagnostics FIRST and the driver-parsed summary LAST.
     println(
-      s"""{"detail":"bench_diagnostics","attempts":$attempts,"shuffle_write_bytes":$shuffles}""")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"detail":"bench_diagnostics","attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors_full":${errors
+          .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+          .mkString("{", ",", "}")}}""")
+    println(kept)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -116,6 +116,65 @@ object Dedup {
        |ORDER BY jaccard DESC, da, db LIMIT 50""".stripMargin
   }
 
+  /** Edit-distance near-dup: Levenshtein over whitespace-normalized text,
+    * but ONLY on candidate pairs from the shingle inverted index (≥ 2
+    * shared rare trigrams) — never all-pairs. Levenshtein is O(len²) per
+    * pair, so at 100 TB the blocking does all the work: candidates stay
+    * linear in corpus size (maxDF caps per-shingle fan-out) and the
+    * quadratic cost is paid only on them. A pair qualifies when the edit
+    * distance is ≤ 20 % of the longer text — compared as
+    * `5·dist ≤ max_len`, all-integer output (distance, length), so the
+    * driver hash has no float to diverge on. */
+  def qEditDistance(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20)
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 2)
+      .select("da", "db")
+    // normalized text joined in AFTER candidate generation: the wide text
+    // column never rides the candidate-pair shuffle
+    val norm = Tables.documents(s, d)
+      .select(col("doc_id"), concat_ws(" ", toks(col("text"))).as("nt"))
+    pairs
+      .join(norm.select(col("doc_id").as("da"), col("nt").as("na")), "da")
+      .join(norm.select(col("doc_id").as("db"), col("nt").as("nb")), "db")
+      .select(
+        col("da"),
+        col("db"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"),
+        greatest(length(col("na")), length(col("nb"))).cast("long").as("max_len"))
+      .filter(col("dist") * 5 <= col("max_len"))
+      .orderBy(col("dist"), col("da"), col("db"))
+  }
+
+  private val qEditDistanceSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |norm AS (SELECT doc_id, array_to_string(t, ' ') AS nt FROM tk)
+       |SELECT da, db,
+       |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS dist,
+       |  CAST(greatest(len(na.nt), len(nb.nt)) AS BIGINT) AS max_len
+       |FROM pairs
+       |JOIN norm na ON da = na.doc_id
+       |JOIN norm nb ON db = nb.doc_id
+       |WHERE 5 * levenshtein(na.nt, nb.nt) <= greatest(len(na.nt), len(nb.nt))
+       |ORDER BY dist, da, db""".stripMargin
+  }
+
   /** End-to-end dedup APPLICATION: return the corpus with near-duplicates
     * removed (greedy: a doc is dropped if it is the higher id of any pair
     * with Jaccard ≥ 0.6 over capped trigram shingles, or a non-minimal
@@ -494,6 +553,7 @@ object Dedup {
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
+    Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),

@@ -250,7 +250,7 @@ object Relational {
     * sensitive (TIMESTAMP_NS range-frame evaluation differs across DuckDB
     * releases) and cost round 4 its only window-frame red; the
     * all-integer form has no unit, precision, or float dependence left.
-    * RelationalSpec asserts the INTERVAL form is row-identical in Spark,
+    * ExtrasSpec asserts the INTERVAL form is row-identical in Spark,
     * so the timestamp-frame coverage claim stays test-backed. */
   def qWindowRange(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("graft_wr_events")
@@ -266,7 +266,7 @@ object Relational {
 
   /** The INTERVAL-over-TIMESTAMP spelling of [[qWindowRange]]'s frame —
     * kept as the coverage artifact for timestamp RANGE frames and proven
-    * row-identical to the integer form by RelationalSpec. Not
+    * row-identical to the integer form by ExtrasSpec. Not
     * oracle-compared (see the portability note above). */
   def qWindowRangeInterval(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("graft_wri_events")
@@ -510,7 +510,7 @@ object Relational {
 
   /** HyperLogLog approximate distinct (sketch aggregation at scale —
     * merges across partitions without holding the key set). Sketch values
-    * are engine-specific → no SQL oracle; RelationalSpec bounds the error
+    * are engine-specific → no SQL oracle; ExtrasSpec bounds the error
     * against the exact count. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -1360,6 +1360,37 @@ object Relational {
       |  json_extract(props, '$.k')::BIGINT * 2 AS k_doubled
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** TPC-H Q6-style forecast revenue: a single-table filter + global
+    * aggregate — the pure pushdown showcase (every predicate reaches the
+    * parquet scan; the agg is a two-phase partial/final sum over whatever
+    * survives). The discount band is compared in exact integer percent
+    * (BETWEEN 5 AND 7 over the scaled column ≡ [0.05, 0.07] — a raw
+    * double BETWEEN risks ulp luck at the band edges), and revenue is
+    * emitted as BIGINT cents·percent. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val discC = asScaled(col("l_discount"), 2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(discC.between(5, 7) && col("l_quantity") < 24)
+      .agg(
+        sum((asScaled(col("l_extendedprice"), 2) * discC).cast("decimal(38,0)"))
+          .cast("long").as("revenue_scaled"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q6Sql = {
+    val discC = asScaledSql("l_discount", 2)
+    s"""SELECT CAST(sum(${asScaledSql("l_extendedprice", 2)} * $discC) AS BIGINT)
+       |    AS revenue_scaled,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND $discC BETWEEN 5 AND 7
+       |  AND l_quantity < 24""".stripMargin
+  }
+
   /** TPC-H Q9-style product-type profit rollup, adapted to this schema
     * (no partsupp table — the part's retail price stands in for supply
     * cost): per supplier-nation, per order-year profit over the parts
@@ -1398,6 +1429,39 @@ object Relational {
        |GROUP BY n_name, year(o_orderdate)
        |ORDER BY n_name, o_year DESC""".stripMargin
   }
+
+  /** TPC-H Q11-style important-parts screen, adapted (no partsupp table —
+    * line revenue stands in for stock value): per part supplied from one
+    * nation, total value in exact cents, keeping parts whose value exceeds
+    * 1/1000 of the nation's total. The HAVING-vs-uncorrelated-scalar shape
+    * is the point: Catalyst executes the total ONCE as a subquery over the
+    * same aggregate (not per-group), and the comparison
+    * `value·1000 > total` is integer-exact on both engines. At 100 TB the
+    * aggregate shuffles once on partkey and the scalar total is a one-row
+    * broadcast into the filter. */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q11_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q11_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q11_nation")
+    s.sql(q11Text("graft_q11_lineitem", "graft_q11_supplier", "graft_q11_nation"))
+  }
+
+  /** Identical text on both engines — only the table names differ. */
+  private def q11Text(lineitem: String, supplier: String, nation: String) =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(${asScaledSql("l_extendedprice", 2)}) AS BIGINT) AS value_scaled
+       |  FROM $lineitem
+       |  JOIN $supplier ON l_suppkey = s_suppkey
+       |  JOIN $nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_7'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, value_scaled
+       |FROM v
+       |WHERE value_scaled * 1000 > (SELECT CAST(sum(value_scaled) AS BIGINT) FROM v)
+       |ORDER BY value_scaled DESC, l_partkey""".stripMargin
+
+  private val q11Sql = q11Text("lineitem", "supplier", "nation")
 
   /** TPC-H Q12-style two-way conditional counts, adapted (no l_shipmode
     * column — l_returnflag is the grouping dimension): per flag, how many
@@ -1561,7 +1625,9 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1Pricing, Some(q1Sql)),
+    Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
     Q("q9_profit_rollup", q9ProfitRollup, Some(q9Sql)),
+    Q("q11_important_parts", q11ImportantParts, Some(q11Sql)),
     Q("q12_priority_shipping", q12PriorityShipping, Some(q12Sql)),
     Q("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     Q("q16_supplier_counts", q16SupplierCounts, Some(q16Sql)),

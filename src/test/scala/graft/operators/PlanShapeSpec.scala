@@ -200,6 +200,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q20: nested correlated IN decorrelates to joins — no per-row subquery execution") {
+    val p = plan(Relational.q20PartSuppliers(spark, sfDir))
+    // outer IN → semi join; the two correlated scalar subqueries on
+    // (partkey, suppkey) → grouped aggregate(s) joined back
+    assert(p.contains("LeftSemi"), s"outer IN did not become a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decorrelation fell back to a nested loop / cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"correlated aggregates not planned as grouped aggregates:\n$p")
+  }
+
+  test("q16: NOT IN plans as a null-aware anti join, distinct count as two-phase expand") {
+    val p = plan(Relational.q16SupplierCounts(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"NOT IN did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q16:\n$p")
+  }
+
+  test("q11: HAVING-vs-total plans the scalar total as ONE subquery, not per-group") {
+    val p = plan(Relational.q11ImportantParts(spark, sfDir))
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"scalar total not planned as a subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scalar comparison fell back to a nested loop / cartesian:\n$p")
+    assert(p.contains("partial_sum"), s"per-part aggregate not two-phase:\n$p")
+  }
+
+  test("edit-distance dedup scores only blocked candidates — no cartesian, text joined post-blocking") {
+    val p = plan(Dedup.qEditDistance(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance near-dup fell back to all-pairs:\n$p")
+    // the candidate generator is the shingle equi-self-join + count >= 2
+    assert(p.contains("partial_count") || p.contains("count(1)"),
+      s"candidate co-occurrence count not aggregated:\n$p")
+  }
+
   test("partitioned-directory layout prunes non-matching partitions at plan time") {
     // The "at 100 TB these tables would be partitioned directories"
     // claim (Tables.scala) as a plan property: lineitem written

@@ -12,6 +12,11 @@ import org.apache.spark.sql.types._
   */
 class SketchSpec extends SparkSpec {
 
+  /** The recall tests measure against the REAL corpus one SF above the
+    * suite default — sf0.001's ~50 docs hold too few true near-dup pairs
+    * for a meaningful denominator. */
+  private val recallSfDir = "/root/testdata/sf0.01"
+
   private val vocab = Seq(
     "spark", "query", "table", "scan", "join", "filter", "group", "sort",
     "merge", "hash", "window", "batch", "stream", "vector", "column", "row")
@@ -88,7 +93,7 @@ class SketchSpec extends SparkSpec {
     // collides with prob 1-(1-j^4)^16 > 0.9999 — measured recall is 1.0;
     // the floor leaves room for an adversarial pair near the bar.
     import org.apache.spark.sql.functions._
-    val d = "/root/testdata/sf0.01"
+    val d = recallSfDir
     val lsh = Dedup.qMinHashLsh(spark, d).select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ss = Dedup.shingleSets(graft.Tables.documents(spark, d)).cache()
@@ -113,7 +118,7 @@ class SketchSpec extends SparkSpec {
     // vectors INTO the real corpus: the banding must find them against the
     // full background. Per-pair miss prob at cos 0.997 with 4 bands x 8
     // hyperplanes is ~1e-3; >= 27/30 found leaves 3-sigma headroom.
-    val d = "/root/testdata/sf0.01"
+    val d = recallSfDir
     val real = graft.Tables.embeddings(spark, d)
     val rnd = new scala.util.Random(29)
     val picked = real.collect().sortBy(_.getLong(0)).grouped(16).map(_.head).take(30).toSeq

@@ -315,8 +315,10 @@ class EventStreamsSpec extends SparkSpec {
     }
     // Phase 1: user 1's session closes pre-restart (watermark pushed past
     // its deadline by user 99's event); user 99's session stays OPEN.
+    // (both files land in ONE batch — the timeout actually fires in the
+    // post-watermark no-data micro-batch, on by default)
     writeEvents((1L, 0L, 1L, 1.0), (2L, 10L, 1L, 2.0), (3L, 120L, 99L, 5.0))
-    writeEvents((4L, 121L, 99L, 1.0)) // separate file → follow-up batch fires the timeout
+    writeEvents((4L, 121L, 99L, 1.0))
     runOnce()
     // Phase 2 (restart): event 5 falls within user 99's gap → must merge
     // into the RECOVERED session; user 98's later events push the
