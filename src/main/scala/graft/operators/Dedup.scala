@@ -235,6 +235,98 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.6 pair
+    * graph (the same edges as [[qDedupApply]]), via iterative min-label
+    * propagation — each round every vertex takes the min label among
+    * itself and its neighbors, a single shuffle join on vertex id, until
+    * a fixpoint. Converges in O(component diameter) rounds; near-dup
+    * components are dense (dup groups approach cliques), so the diameter
+    * is tiny and the simple propagation beats the O(log n) star
+    * contractions' extra passes here. `localCheckpoint` truncates the
+    * plan each round (the classic iterative-algorithm lineage blowup —
+    * on a real cluster this would be `checkpoint` to durable storage so
+    * recomputation-on-failure doesn't replay every round); the
+    * convergence test is a `count`, never a collect. Pairwise dedup
+    * over-drops transitively-linked chains one edge at a time; the
+    * cluster view is what lets a pipeline keep exactly one canonical doc
+    * per component (cluster_id = min doc_id). All-integer output. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
+      .select("da", "db")
+    // undirected: propagate both ways; materialized once, read every round
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nb_min"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+    }
+    val clusterSizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(clusterSizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** DuckDB twin: reachability via a recursive CTE (every label a vertex
+    * can reach; component id = min) — a different algorithm arriving at
+    * the same fixpoint, which is exactly what makes it a good oracle. */
+  private val qDedupClustersSql = {
+    val t = TextOps.tokensSql
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+       |bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |walk AS (
+       |  SELECT src AS id, src AS label FROM bi
+       |  UNION
+       |  SELECT bi.dst AS id, walk.label AS label FROM walk JOIN bi ON bi.src = walk.id),
+       |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
+       |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   /** The CAPSTONE composition — the one call a training-data pipeline
     * actually makes: exact dedup + near dedup + benchmark-contamination
     * screen + quality floor, returning the admitted corpus. Each stage is
@@ -554,6 +646,7 @@ object Dedup {
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
+    Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data-mixing operators over `documents`.
+  *
+  * Training corpora are MIXTURES: each source gets a target weight, and the
+  * mixture must be reproducible run-to-run, survive corpus appends without
+  * reshuffling anyone else's membership, and be recomputable from the key
+  * alone (so sample membership can be joined against any other table
+  * without persisting a membership list). RNG-based sampling
+  * (`df.sample`) has none of those properties — partition-order dependent,
+  * unstable under appends. The standard fix is HASH sampling: admit a row
+  * iff a fingerprint of its key falls under a threshold.
+  *
+  * The admission key here is the first byte of md5(doc_id), uniform over
+  * 0..255, compared as a two-hex-char prefix — portable to any engine that
+  * has md5 of a string (the oracle compares the same prefix in DuckDB).
+  * At 100 TB both ops are pure narrow scans: no shuffle, no state, no
+  * coordination; the mixture is enforced row-locally. (The final orderBy
+  * is presentation-only for the oracle diff.)
+  */
+object Sampling {
+
+  /** Two-hex-char admission key: uniform over 256 buckets, stable in the
+    * doc_id. Thresholds are spelled as hex-prefix literals ('40' admits
+    * 64/256 = 25 %). */
+  private def admitKey(id: Column): Column = substring(md5(id.cast("string")), 1, 2)
+  private def admitKeySql(id: String): String = s"substr(md5(CAST($id AS VARCHAR)), 1, 2)"
+
+  /** Per-source mixture weights: low-rate sources src0-4 at 32/256
+    * (12.5 %), mid sources src5-9 at 128/256 (50 %), everything else at
+    * 192/256 (75 %). */
+  private val lowSources = (0 to 4).map(i => s"src$i")
+  private val midSources = (5 to 9).map(i => s"src$i")
+
+  private def threshold(source: Column): Column =
+    when(source.isin(lowSources.map(_.asInstanceOf[Any]): _*), lit("20"))
+      .when(source.isin(midSources.map(_.asInstanceOf[Any]): _*), lit("80"))
+      .otherwise(lit("c0"))
+
+  private def thresholdSql(source: String): String = {
+    def inList(ws: Seq[String]) = ws.mkString("('", "', '", "')")
+    s"CASE WHEN $source IN ${inList(lowSources)} THEN '20' " +
+      s"WHEN $source IN ${inList(midSources)} THEN '80' ELSE 'c0' END"
+  }
+
+  /** Weighted mixture sampling: the admitted corpus under the per-source
+    * weights above. Emits the admission key so the oracle pins the
+    * mechanism, not just the survivor set. */
+  def qSampleMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), admitKey(col("doc_id")).as("admit_key"))
+      .filter(col("admit_key") < threshold(col("source")))
+      .orderBy("doc_id")
+
+  private val qSampleMixSql =
+    s"""SELECT doc_id, source, ${admitKeySql("doc_id")} AS admit_key
+       |FROM documents
+       |WHERE ${admitKeySql("doc_id")} < ${thresholdSql("source")}
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/validation/test split: disjoint hash ranges
+    * (val < 0x0d ≈ 5 %, test < 0x1a ≈ 5 %, train the rest), rolled up to
+    * per-source counts — the output proves the split partitions every
+    * source completely (n_train + n_val + n_test = n_total) with no
+    * assignment ever depending on any other row. */
+  def qSampleSplit(s: SparkSession, d: String): DataFrame = {
+    val k = admitKey(col("doc_id"))
+    val split = when(k < "0d", lit("val")).when(k < "1a", lit("test")).otherwise(lit("train"))
+    Tables.documents(s, d)
+      .select(col("source"), split.as("split"))
+      .groupBy("source")
+      .agg(
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"),
+        count(lit(1)).as("n_total"))
+      .orderBy("source")
+  }
+
+  private val qSampleSplitSql = {
+    val k = admitKeySql("doc_id")
+    s"""SELECT source,
+       |  count(*) FILTER (WHERE k >= '1a') AS n_train,
+       |  count(*) FILTER (WHERE k < '0d') AS n_val,
+       |  count(*) FILTER (WHERE k >= '0d' AND k < '1a') AS n_test,
+       |  count(*) AS n_total
+       |FROM (SELECT source, $k AS k FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)))
+}

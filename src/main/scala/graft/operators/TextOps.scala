@@ -230,11 +230,78 @@ object TextOps {
       |  md5(regexp_replace(lower(text), '[\t\n\v\f\r ]+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // PII patterns, written to the common subset of Java regex (Spark) and
+  // RE2 (DuckDB): character classes, bounded repetition and \b behave
+  // identically in both. Lookarounds/backreferences (Java-only) are
+  // deliberately avoided.
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The identical-on-both-engines PII-bearing derivation (see
+    * [[qPiiRedact]]); exposed so specs can rescan redacted output. */
+  private[operators] def piiDerived: Column = concat(
+    col("text"),
+    when(
+      col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+      .otherwise(lit("")),
+    when(
+      col("doc_id") % 2 === 0,
+      concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      .otherwise(lit("")))
+
+  /** PII redaction: find-and-mask emails and IPv4s, emitting match counts
+    * plus an md5 fingerprint of the redacted text (full-text equality
+    * proof without shipping the text through the gate). The synthetic
+    * corpus contains no PII, so both engines first derive an identical
+    * PII-bearing text (an email appended when doc_id % 3 = 0, an IP when
+    * doc_id % 2 = 0) — docs matching neither also prove the patterns
+    * don't false-positive on clean text. One narrow scan, no shuffle; at
+    * 100 TB this is the same embarrassingly-parallel shape as the other
+    * text ops. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), piiDerived.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), ipRe, "<IP>").as("r"))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_ips"),
+        length(col("r")).cast("long").as("redacted_len"),
+        md5(col("r")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val qPiiRedactSql =
+    s"""SELECT doc_id, n_emails, n_ips,
+       |  length(r)::BIGINT AS redacted_len, md5(r) AS redacted_fp
+       |FROM (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(t, '$ipRe'))::BIGINT AS n_ips,
+       |    regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+       |                   '$ipRe', '<IP>', 'g') AS r
+       |  FROM (
+       |    SELECT doc_id, text
+       |      || CASE WHEN doc_id % 3 = 0
+       |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |           ELSE '' END
+       |      || CASE WHEN doc_id % 2 = 0
+       |           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |           ELSE '' END AS t
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
     Q("q_lang_id", qLangId, Some(qLangIdSql)),
     Q("q_quality_score", qQuality, Some(qQualitySql)),
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
-    Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)))
+    Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
+    Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)))
 }

@@ -149,4 +149,74 @@ class ExtrasSpec extends SparkSpec {
     assert(integer === interval)
     assert(integer.nonEmpty)
   }
+
+  test("dedup clusters equal an independent union-find over the pair edges") {
+    // The distributed label propagation vs a classic in-JVM union-find on
+    // the SAME edge set (from the oracle-green Jaccard pair query at the
+    // apply threshold) — two different algorithms must reach the same
+    // components. sf0.01: the smaller corpus has no qualifying pairs.
+    val d = "/root/testdata/sf0.01"
+    val got = Dedup.qDedupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val edges = Dedup.qNgramJaccard(spark, d).collect()
+      .filter(_.getDouble(3) >= 0.6).map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture drift: no Jaccard >= 0.6 pairs at sf0.01")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.map(v => v -> find(v)).groupBy(_._2)
+    val expectedRows = expected.flatMap { case (root, vs) =>
+      vs.map { case (v, _) => (v, root, vs.size.toLong) }
+    }.toSet
+    assert(got.toSet === expectedRows)
+    // and at least one component must be a transitive chain or larger —
+    // the thing pairwise dedup alone cannot represent
+    assert(got.exists(_._3 >= 3), "no multi-hop component; clusters add nothing over pairs")
+  }
+
+  test("hash sampling matches an independent JVM md5 admission check") {
+    // Membership must be a pure function of doc_id — recompute the
+    // admission byte with java.security.MessageDigest and compare the
+    // full admitted set (threshold per source as in the operator).
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    def admitKey(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    }
+    def threshold(src: String): String = {
+      val n = src.stripPrefix("src").toInt
+      if (n <= 4) "20" else if (n <= 9) "80" else "c0"
+    }
+    val expected = docs.collect {
+      case (id, src) if admitKey(id) < threshold(src) => (id, src)
+    }.toSet
+    val got = Sampling.qSampleMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length, "sampling admitted nothing or everything")
+  }
+
+  test("PII redaction is idempotent: a second pass finds zero matches") {
+    // The replacement tokens must not themselves re-match either pattern
+    // (e.g. an IP-like fragment surviving inside a longer run).
+    val firstPass = TextOps.qPiiRedact(spark, sfDir).collect()
+    assert(firstPass.exists(_.getLong(1) > 0) && firstPass.exists(_.getLong(2) > 0))
+    // rebuild the redacted text exactly as the operator does and rescan
+    val leftovers = graft.Tables.documents(spark, sfDir)
+      .select(regexp_replace(
+        regexp_replace(TextOps.piiDerived, TextOps.emailRe, "<EMAIL>"),
+        TextOps.ipRe, "<IP>").as("r"))
+      .select(sum(regexp_count(col("r"), lit(TextOps.emailRe)) +
+        regexp_count(col("r"), lit(TextOps.ipRe))))
+      .collect()(0).getLong(0)
+    assert(leftovers === 0L)
+  }
 }
