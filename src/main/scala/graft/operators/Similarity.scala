@@ -289,10 +289,139 @@ object Similarity {
     }
   }
 
+  private val PqSubspaces = 8
+  private val PqSubDim = Dim / PqSubspaces
+  private val PqCodes = 32
+  private val PqIters = 3
+  private val PqShortlist = 50
+
+  /** L2-nearest code id under a codebook: rank by 2·⟨sv,c⟩ − ‖c‖² (the
+    * ‖sv‖² term is constant per row), ties to the lower code id — the
+    * same struct-max idiom as [[nearestCell]]. */
+  private def nearestCode(cb: Array[(Int, Seq[Double])], sv: Column): Column = {
+    val scored = cb.map { case (cid, cv) =>
+      val cc = cv.map(x => x * x).sum
+      struct(
+        (graft.functions.NativeExprs.dotProd(sv, typedlit(cv)) * 2 - lit(cc)).as("s"),
+        lit(-cid).as("negid"))
+    }
+    -array_max(array(scored.toSeq: _*)).getField("negid")
+  }
+
+  /** v / ‖v‖ as array<double> — PQ approximates INNER PRODUCTS, so the
+    * vectors are L2-normalized first to make approximate-dot ≡
+    * approximate-cosine. */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(graft.functions.NativeExprs.dotProd(v, v))
+    transform(v, x => x / n)
+  }
+
+  /** Per-subspace PQ codebooks via seeded distributed Lloyd's on the
+    * SUBVECTORS: all 8 subspaces train in the same pass (one scan per
+    * iteration over the exploded (vec_id, m, sv) table); only the
+    * 8×16×8-double codebook matrix is ever collected. Init = the
+    * subvectors of the k lowest vec_ids; empty cells keep their previous
+    * centroid. */
+  private def pqCodebooks(e: DataFrame): Map[Int, Array[(Int, Seq[Double])]] = {
+    val subs = e
+      .select(col("vec_id"), normalized(col("v")).as("vn"))
+      .select(
+        col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(m =>
+          slice(col("vn"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .toDF("vec_id", "m", "sv")
+      .cache()
+    var books: Map[Int, Array[(Int, Seq[Double])]] = subs
+      .filter(col("vec_id") < PqCodes)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
+      .groupBy(_._1)
+      .map { case (m, rows) =>
+        m -> rows.sortBy(_._2).map { case (_, cid, cv) => (cid, cv) }
+      }
+    for (_ <- 1 to PqIters) {
+      val assign = (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, m) =>
+        when(col("m") === m, nearestCode(books(m), col("sv"))).otherwise(acc)
+      }
+      val means = subs
+        .withColumn("code", assign)
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy("m", "code", "pos")
+        .agg(avg("col").as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((m, code), rows) =>
+          (m, code) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.map { case (m, cb) =>
+        m -> cb.map { case (cid, old) => (cid, means.getOrElse((m, cid), old)) }
+      }
+    }
+    subs.unpersist()
+    books
+  }
+
+  /** Product-quantization ANN — the memory-bound 100 TB path. Vectors
+    * compress 32×: 64 floats → 8 one-byte codes (per-subspace L2-nearest
+    * codebook entry), so the first-pass scan touches only the code table,
+    * never the vectors. The query precomputes an 8×32 lookup table of
+    * subvector dots driver-side; the asymmetric-distance score is then 8
+    * array lookups + adds per row. Top-[[PqShortlist]] by approximate dot
+    * (TakeOrderedAndProject — no global sort), then ONLY the shortlist
+    * joins back to real vectors for exact cosine re-rank to top-10: the
+    * production IVF-PQ tail. Codebooks and LUT are driver-bounded
+    * (8×32×8 + 8×32 doubles) regardless of corpus size. k-means-fit codes
+    * aren't SQL-expressible → no DuckDB oracle; SketchSpec asserts
+    * recall@10 against the brute-force baseline on the real corpus. */
+  def qSimPq(s: SparkSession, d: String): DataFrame = {
+    // cached: PqIters+2 full reads (codebook fit scans + encode scan +
+    // re-rank join); harness clearCache()s per query
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
+    e.filter(col("vec_id") === 0).collect().headOption match {
+      case None => emptyTopK(e)
+      case Some(qrow) =>
+        val qraw = qrow.getSeq[Float](1).map(_.toDouble)
+        val qnorm = math.sqrt(qraw.map(x => x * x).sum)
+        val qn = qraw.map(_ / qnorm)
+        val books = pqCodebooks(e)
+        // LUT: lut(m)(code) = ⟨q_m, c_{m,code}⟩
+        val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { m =>
+          val qm = qn.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          books(m).sortBy(_._1).map { case (_, cv) =>
+            qm.zip(cv).map { case (a, b) => a * b }.sum
+          }.toSeq
+        }
+        val lutLit = typedlit(lut)
+        val codes = array((0 until PqSubspaces).map(m =>
+          nearestCode(books(m), slice(normalized(col("v")), m * PqSubDim + 1, PqSubDim))): _*)
+        val approx = aggregate(
+          sequence(lit(0), lit(PqSubspaces - 1)),
+          lit(0.0),
+          (acc, i) =>
+            acc + element_at(
+              element_at(lutLit, (i + 1).cast("int")),
+              (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
+        val shortlist = e
+          .filter(col("vec_id") =!= 0)
+          .withColumn("codes", codes)
+          .select(col("vec_id"), approx.as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(PqShortlist)
+        shortlist
+          .join(e, "vec_id")
+          .select(
+            col("vec_id"),
+            pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qraw)), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
-    Q("q_sim_ivf_kmeans", qIvfKmeans, None))
+    Q("q_sim_ivf_kmeans", qIvfKmeans, None),
+    Q("q_sim_pq", qSimPq, None))
 }

@@ -296,6 +296,47 @@ object TextOps {
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF keyword extraction: top-5 terms per document by scaled
+    * integer tf-idf. The score is `tf · N · 10⁶ // df` — numerator and
+    * divisor exact integers, ranked on the integral quotient, so the
+    * ranking has no float in it anywhere (ln-based idf would hang the
+    * ordering on libm ulps). At 100 TB: tf is one shuffle on
+    * (doc, term), df re-aggregates the already-(doc,term)-distinct tf
+    * table (hot terms contribute ≤ one row per doc, never per
+    * occurrence), the corpus size joins in as a broadcast single row,
+    * and the per-doc top-5 is a window rank on the doc key. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("term"))
+    val tf = tk.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfT, "term")
+      .crossJoin(n)
+      .withColumn("score", expr("tf * n_docs * 1000000 div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
+  private val qTfidfSql =
+    s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df, tf * n_docs * 1000000 // df AS score
+       |  FROM tf JOIN df USING (term), n)
+       |SELECT doc_id, term, tf, df, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY doc_id, score DESC, term""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
@@ -303,5 +344,6 @@ object TextOps {
     Q("q_quality_score", qQuality, Some(qQualitySql)),
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
-    Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)))
+    Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
+    Q("q_tfidf", qTfidf, Some(qTfidfSql)))
 }

@@ -197,4 +197,17 @@ class SketchSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall@10 = $recall; exact=$exact approx=$approx")
   }
+
+  test("PQ ANN achieves recall@10 >= 0.9 vs the brute-force baseline on the REAL corpus") {
+    // sf0.01 (500 vectors): the ADC shortlist is 50 = 10% of the corpus,
+    // so recall is earned by the code quality, not by the shortlist
+    // swallowing everything. The exact re-rank tail means a miss can only
+    // come from a true neighbor falling outside the ADC top-50.
+    val d = recallSfDir
+    val exact = Similarity.qTopKExact(spark, d).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.qSimPq(spark, d).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    assert(recall >= 0.9, s"recall@10 = $recall; exact=$exact approx=$approx")
+  }
 }
