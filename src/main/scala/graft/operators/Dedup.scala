@@ -38,13 +38,82 @@ object Dedup {
     md5(graft.functions.NativeExprs.normalizeWs(text))
 
   /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
-  private def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
+  private[operators] def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
     val sh = Tables.documents(s, d)
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
     sh.join(rare.select("sh"), "sh")
   }
+
+  /** Shared candidate machinery over the capped-shingle inverted index:
+    * `capped` (cached — every caller reads it at least twice; the
+    * harness clearCache()s per query), per-doc shingle-set `sizes`, and
+    * candidate `pairs` (da < db, shared-shingle count `inter` ≥
+    * minInter). ONE definition for all five shingle-blocked dedups, so a
+    * maxDF or threshold change cannot silently fork one query's
+    * candidate set. */
+  private def shinglePairs(
+      s: SparkSession,
+      d: String,
+      minInter: Int): (DataFrame, DataFrame, DataFrame) = {
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minInter)
+    (capped, sizes, pairs)
+  }
+
+  /** pairs ⋈ sizes on both endpoints (adds na, nb). */
+  private def withEndpointSizes(pairs: DataFrame, sizes: DataFrame): DataFrame =
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+
+  /** The near-dup threshold shared by apply/pipeline/clusters. */
+  private[operators] val NearDupBar = 0.6
+
+  /** The near-dup EDGE set (da, db): exact Jaccard ≥ [[NearDupBar]] over
+    * capped shingle sets — the single edge definition behind
+    * [[qDedupApply]], [[qPipelineClean]] and [[qDedupClusters]]. */
+  private[operators] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val (_, sizes, pairs) = shinglePairs(s, d, minInter = 1)
+    withEndpointSizes(pairs, sizes)
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+      .select("da", "db")
+  }
+
+  /** DuckDB twin of [[shinglePairs]]: the tk/tri/capped/sizes/pairs CTE
+    * list every shingle-blocked oracle starts WITH. */
+  private def shinglePairsSqlCtes(minInter: Int): String = {
+    val t = TextOps.tokensSql
+    val having = if (minInter > 1) s" HAVING count(*) >= $minInter" else ""
+    s"""tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |capped AS (
+       |  SELECT * FROM tri
+       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2$having)""".stripMargin
+  }
+
+  /** The near_drops CTE (docs that are the higher id of any edge) —
+    * twin of `nearDupEdges(...).select(db)`. */
+  private def nearDropsSqlCte: String =
+    s"""near_drops AS (
+       |  SELECT DISTINCT db AS doc_id FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar)""".stripMargin
 
   /** Exact dedup: group by the first-5-token normalization key; one
     * representative (min doc_id) per group. Pure hash aggregation — the
@@ -69,20 +138,8 @@ object Dedup {
     * index (co-occurrence ≥ 2), exact Jaccard over the capped shingle sets.
     * Jaccard is a ratio of integers — bit-identical across engines. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // cached: read three ways (sizes + both sides of the self-join);
-    // Bench/Verify clearCache() after each query, so this cannot leak.
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val pairs = a
-      .join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= 2)
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+    val (_, sizes, pairs) = shinglePairs(s, d, minInter = 2)
+    withEndpointSizes(pairs, sizes)
       .select(
         col("da"),
         col("db"),
@@ -93,21 +150,7 @@ object Dedup {
   }
 
   private val qNgramJaccardSql = {
-    val t = TextOps.tokensSql
-    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
-       |capped AS (
-       |  SELECT * FROM tri
-       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+    s"""WITH ${shinglePairsSqlCtes(minInter = 2)}
        |SELECT da, db, inter,
        |  floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
        |FROM pairs
@@ -126,13 +169,8 @@ object Dedup {
     * `5·dist ≤ max_len`, all-integer output (distance, length), so the
     * driver hash has no float to diverge on. */
   def qEditDistance(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedShingles(s, d, maxDF = 20)
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= 2)
-      .select("da", "db")
+    val (_, _, rawPairs) = shinglePairs(s, d, minInter = 2)
+    val pairs = rawPairs.select("da", "db")
     // normalized text joined in AFTER candidate generation: the wide text
     // column never rides the candidate-pair shuffle
     val norm = Tables.documents(s, d)
@@ -150,20 +188,7 @@ object Dedup {
   }
 
   private val qEditDistanceSql = {
-    val t = TextOps.tokensSql
-    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
-       |capped AS (
-       |  SELECT * FROM tri
-       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db
-       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+    s"""WITH ${shinglePairsSqlCtes(minInter = 2)},
        |norm AS (SELECT doc_id, array_to_string(t, ' ') AS nt FROM tk)
        |SELECT da, db,
        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS dist,
@@ -181,18 +206,7 @@ object Dedup {
     * member of an exact-fingerprint group). This is the operator a
     * pipeline actually runs; the pair queries above are its diagnostics. */
   def qDedupApply(s: SparkSession, d: String): DataFrame = {
-    // cached: read twice (sizes + the self-join); the harness (Bench/
-    // Verify) clears the cache after each query completes.
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
-    val nearDrops = pairs.select(col("db").as("doc_id")).distinct()
+    val nearDrops = nearDupEdges(s, d).select(col("db").as("doc_id")).distinct()
     val exactDrops = Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("f"))
       .withColumn("keep", min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
@@ -205,25 +219,8 @@ object Dedup {
   }
 
   private val qDedupApplySql = {
-    val t = TextOps.tokensSql
-    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
-       |capped AS (
-       |  SELECT * FROM tri
-       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |near_drops AS (
-       |  SELECT DISTINCT db AS doc_id FROM pairs
-       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+    s"""WITH ${shinglePairsSqlCtes(minInter = 1)},
+       |$nearDropsSqlCte,
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (
@@ -251,16 +248,7 @@ object Dedup {
     * cluster view is what lets a pipeline keep exactly one canonical doc
     * per component (cluster_id = min doc_id). All-integer output. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
-      .select("da", "db")
+    val pairs = nearDupEdges(s, d)
     // undirected: propagate both ways; materialized once, read every round
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
@@ -298,25 +286,11 @@ object Dedup {
     * can reach; component id = min) — a different algorithm arriving at
     * the same fixpoint, which is exactly what makes it a good oracle. */
   private val qDedupClustersSql = {
-    val t = TextOps.tokensSql
-    s"""WITH RECURSIVE tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
-       |capped AS (
-       |  SELECT * FROM tri
-       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+    s"""WITH RECURSIVE ${shinglePairsSqlCtes(minInter = 1)},
        |edges AS (
        |  SELECT da AS src, db AS dst FROM pairs
        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
        |bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
        |walk AS (
        |  SELECT src AS id, src AS label FROM bi
@@ -339,17 +313,8 @@ object Dedup {
   def qPipelineClean(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PortableRound.pround
     val docs = Tables.documents(s, d)
-    // near-dup drops (capped shingle join, Jaccard ≥ 0.6 — as qDedupApply)
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val nearDrops = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.6)
-      .select(col("db").as("doc_id"))
+    // near-dup drops (the shared nearDupEdges definition — as qDedupApply)
+    val nearDrops = nearDupEdges(s, d).select(col("db").as("doc_id"))
     // exact drops (fingerprint groups — keep min doc_id)
     val exactDrops = docs
       .select(col("doc_id"), fingerprint(col("text")).as("f"))
@@ -395,24 +360,8 @@ object Dedup {
         s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
         "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
       4)
-    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
-       |capped AS (
-       |  SELECT * FROM tri
-       |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |near_drops AS (
-       |  SELECT DISTINCT db AS doc_id FROM pairs
-       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-       |  WHERE inter / (sa.n + sb.n - inter) >= 0.6),
+    s"""WITH ${shinglePairsSqlCtes(minInter = 1)},
+       |$nearDropsSqlCte,
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (

@@ -1361,17 +1361,22 @@ object Relational {
       |FROM events ORDER BY event_id""".stripMargin
 
   /** TPC-H Q6-style forecast revenue: a single-table filter + global
-    * aggregate — the pure pushdown showcase (every predicate reaches the
-    * parquet scan; the agg is a two-phase partial/final sum over whatever
-    * survives). The discount band is compared in exact integer percent
-    * (BETWEEN 5 AND 7 over the scaled column ≡ [0.05, 0.07] — a raw
-    * double BETWEEN risks ulp luck at the band edges), and revenue is
-    * emitted as BIGINT cents·percent. */
+    * aggregate — the pushdown showcase. The exact discount band compares
+    * integer percent (BETWEEN 5 AND 7 over the scaled column ≡
+    * [0.05, 0.07] — a raw double BETWEEN risks ulp luck at the band
+    * edges), but a predicate on `floor(x·100+0.5)` is an expression
+    * parquet cannot push — so a CONSERVATIVE raw-column envelope
+    * (l_discount ∈ [0.04, 0.08] ⊇ the exact band) rides alongside it:
+    * the envelope reaches `PushedFilters` and skips row groups at the
+    * scan, the exact integer band decides post-scan (plan-guarded in
+    * PlanShapeSpec). Shipdate and quantity predicates push as-is.
+    * Revenue is emitted as BIGINT cents·percent. */
   def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
     val discC = asScaled(col("l_discount"), 2)
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.04, 0.08)) // scan-pushable envelope
       .filter(discC.between(5, 7) && col("l_quantity") < 24)
       .agg(
         sum((asScaled(col("l_extendedprice"), 2) * discC).cast("decimal(38,0)"))
@@ -1387,6 +1392,7 @@ object Relational {
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.04 AND 0.08
        |  AND $discC BETWEEN 5 AND 7
        |  AND l_quantity < 24""".stripMargin
   }

@@ -319,8 +319,11 @@ object Similarity {
   /** Per-subspace PQ codebooks via seeded distributed Lloyd's on the
     * SUBVECTORS: all 8 subspaces train in the same pass (one scan per
     * iteration over the exploded (vec_id, m, sv) table); only the
-    * 8×16×8-double codebook matrix is ever collected. Init = the
-    * subvectors of the k lowest vec_ids; empty cells keep their previous
+    * 8×32×8-double codebook matrix is ever collected. Init = the
+    * subvectors of the vec_id < k seed rows, RE-INDEXED to dense code
+    * ids 0..k−1 — code ids must be positional because the ADC lookup
+    * table is read by position; raw vec_ids would misalign it the
+    * moment the seed range has a hole. Empty cells keep their previous
     * centroid. */
   private def pqCodebooks(e: DataFrame): Map[Int, Array[(Int, Seq[Double])]] = {
     val subs = e
@@ -334,10 +337,10 @@ object Similarity {
     var books: Map[Int, Array[(Int, Seq[Double])]] = subs
       .filter(col("vec_id") < PqCodes)
       .collect()
-      .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
+      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
       .groupBy(_._1)
       .map { case (m, rows) =>
-        m -> rows.sortBy(_._2).map { case (_, cid, cv) => (cid, cv) }
+        m -> rows.sortBy(_._2).zipWithIndex.map { case ((_, _, cv), i) => (i, cv) }
       }
     for (_ <- 1 to PqIters) {
       val assign = (0 until PqSubspaces).foldLeft(lit(-1)) { (acc, m) =>
@@ -392,8 +395,9 @@ object Similarity {
           }.toSeq
         }
         val lutLit = typedlit(lut)
+        // vn hoisted once: 8 slices of one normalization, not 8 normalizations
         val codes = array((0 until PqSubspaces).map(m =>
-          nearestCode(books(m), slice(normalized(col("v")), m * PqSubDim + 1, PqSubDim))): _*)
+          nearestCode(books(m), slice(col("vn"), m * PqSubDim + 1, PqSubDim))): _*)
         val approx = aggregate(
           sequence(lit(0), lit(PqSubspaces - 1)),
           lit(0.0),
@@ -403,6 +407,7 @@ object Similarity {
               (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
         val shortlist = e
           .filter(col("vec_id") =!= 0)
+          .withColumn("vn", normalized(col("v")))
           .withColumn("codes", codes)
           .select(col("vec_id"), approx.as("adc"))
           .orderBy(col("adc").desc, col("vec_id"))

@@ -159,8 +159,21 @@ class ExtrasSpec extends SparkSpec {
     val got = Dedup.qDedupClusters(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty)
-    val edges = Dedup.qNgramJaccard(spark, d).collect()
-      .filter(_.getDouble(3) >= 0.6).map(r => (r.getLong(0), r.getLong(1)))
+    // independent edge set: collect the capped shingles and evaluate the
+    // operator's OWN edge predicate (unrounded double ratio >= 0.6, no
+    // co-occurrence floor, no limit) in plain JVM code — deliberately NOT
+    // qNgramJaccard, whose inter>=2 floor, 6-decimal rounding and LIMIT 50
+    // define a different pair set
+    val byDoc = Dedup.cappedShingles(spark, d, maxDF = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+      .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val ids = byDoc.keys.toSeq.sorted
+    val edges = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      inter = (byDoc(a) & byDoc(b)).size
+      if inter > 0 && inter.toDouble / (byDoc(a).size + byDoc(b).size - inter) >= 0.6
+    } yield (a, b)
     assert(edges.nonEmpty, "fixture drift: no Jaccard >= 0.6 pairs at sf0.01")
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

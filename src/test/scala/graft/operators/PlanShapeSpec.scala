@@ -200,6 +200,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q6: envelope predicates reach the parquet scan; exact integer band post-scan") {
+    val p = plan(Relational.q6ForecastRevenue(spark, sfDir))
+    // the raw-column predicates (shipdate band, discount ENVELOPE,
+    // quantity cap) must all appear in PushedFilters — the derived
+    // floor(x*100+0.5) band cannot push, which is exactly why the
+    // envelope exists
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters[^\\]]*l_discount.*"),
+      s"discount envelope not pushed to scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters[^\\]]*l_shipdate.*"),
+      s"shipdate band not pushed to scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters[^\\]]*l_quantity.*"),
+      s"quantity cap not pushed to scan:\n$p")
+    assert(p.contains("partial_sum"), s"global agg not two-phase:\n$p")
+  }
+
   test("q20: nested correlated IN decorrelates to joins — no per-row subquery execution") {
     val p = plan(Relational.q20PartSuppliers(spark, sfDir))
     // outer IN → semi join; the two correlated scalar subqueries on
