@@ -45,6 +45,8 @@ object NativeExprs {
   def minHashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
   def normalizeWs(text: Column): Column = c(NormalizeWs(e(text)))
+  def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
+    c(PqNearestCode(e(sv), codebook))
 
   /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
   @inline private[functions] def isWs(ch: Char): Boolean =
@@ -520,4 +522,67 @@ case class NormalizeWs(child: Expression) extends UnaryExpression with ExpectsIn
   override protected def withNewChildInternal(newChild: Expression): NormalizeWs =
     copy(child = newChild)
   override def prettyName: String = "graft_normalize_ws"
+}
+
+/** PQ code assignment: index of the L2-nearest codebook entry for a
+  * subvector, ranked by 2·⟨sv,c⟩ − ‖c‖² (the ‖sv‖² term is constant per
+  * row), ties to the LOWER index. The codebook rides along as ONE
+  * reference object — the alternative, a literal when/struct chain over
+  * k codes, inlines k·subdim expression subtrees and blows generated
+  * methods past the JVM's 64 KB limit at k = 32 (measured: whole-stage
+  * codegen aborts with "Code grows beyond 64 KB" and the scan falls back
+  * to interpreted projection). Null elements contribute 0 to the dot —
+  * the PQ inputs are normalized vectors that cannot contain nulls. */
+case class PqNearestCode(child: Expression, codebook: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_nearest_code expects array<float|double>, got $other")
+    }
+
+  private val subDim = if (codebook.isEmpty) 0 else codebook.head.length
+  @transient private lazy val flat: Array[Double] = codebook.flatten.toArray
+  @transient private lazy val norms: Array[Double] =
+    codebook.map(cv => cv.map(x => x * x).sum).toArray
+
+  def kernel(sv: ArrayData): Int = {
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(subDim, sv.numElements())
+    var best = Double.NegativeInfinity
+    var bestC = -1
+    var ci = 0
+    while (ci < norms.length) {
+      var dot = 0.0
+      var j = 0
+      val base = ci * subDim
+      while (j < n) {
+        if (!sv.isNullAt(j)) dot += flat(base + j) * VecCodegen.elemEval(sv, j, et)
+        j += 1
+      }
+      val score = 2 * dot - norms(ci)
+      if (score > best) { best = score; bestC = ci }
+      ci += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("pqCodeExpr", this, classOf[PqNearestCode].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(newChild: Expression): PqNearestCode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_nearest_code"
 }

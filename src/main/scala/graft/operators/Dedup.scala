@@ -160,16 +160,19 @@ object Dedup {
   }
 
   /** Edit-distance near-dup: Levenshtein over whitespace-normalized text,
-    * but ONLY on candidate pairs from the shingle inverted index (≥ 2
-    * shared rare trigrams) — never all-pairs. Levenshtein is O(len²) per
-    * pair, so at 100 TB the blocking does all the work: candidates stay
-    * linear in corpus size (maxDF caps per-shingle fan-out) and the
-    * quadratic cost is paid only on them. A pair qualifies when the edit
-    * distance is ≤ 20 % of the longer text — compared as
-    * `5·dist ≤ max_len`, all-integer output (distance, length), so the
-    * driver hash has no float to diverge on. */
+    * but ONLY on candidate pairs from the shingle inverted index (≥ 4
+    * shared rare trigrams — a pair inside the 20 % edit band of any
+    * non-trivial doc shares far more) — never all-pairs. Levenshtein is
+    * O(len²) per pair, so the blocking must do ALL the work: candidates
+    * stay linear in corpus size (maxDF caps per-shingle fan-out), and a
+    * zero-cost EXACT prefilter (dist ≥ |len(a)−len(b)|, so a pair failing
+    * `5·|Δlen| ≤ max_len` can never qualify) drops survivors before the
+    * quadratic scorer runs. A pair qualifies when the edit distance is
+    * ≤ 20 % of the longer text — compared as `5·dist ≤ max_len`,
+    * all-integer output (distance, length), so the driver hash has no
+    * float to diverge on. */
   def qEditDistance(s: SparkSession, d: String): DataFrame = {
-    val (_, _, rawPairs) = shinglePairs(s, d, minInter = 2)
+    val (_, _, rawPairs) = shinglePairs(s, d, minInter = 4)
     val pairs = rawPairs.select("da", "db")
     // normalized text joined in AFTER candidate generation: the wide text
     // column never rides the candidate-pair shuffle
@@ -178,6 +181,9 @@ object Dedup {
     pairs
       .join(norm.select(col("doc_id").as("da"), col("nt").as("na")), "da")
       .join(norm.select(col("doc_id").as("db"), col("nt").as("nb")), "db")
+      .filter(
+        abs(length(col("na")) - length(col("nb"))) * 5 <=
+          greatest(length(col("na")), length(col("nb"))))
       .select(
         col("da"),
         col("db"),
@@ -188,7 +194,7 @@ object Dedup {
   }
 
   private val qEditDistanceSql = {
-    s"""WITH ${shinglePairsSqlCtes(minInter = 2)},
+    s"""WITH ${shinglePairsSqlCtes(minInter = 4)},
        |norm AS (SELECT doc_id, array_to_string(t, ' ') AS nt FROM tk)
        |SELECT da, db,
        |  CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS dist,
@@ -196,7 +202,8 @@ object Dedup {
        |FROM pairs
        |JOIN norm na ON da = na.doc_id
        |JOIN norm nb ON db = nb.doc_id
-       |WHERE 5 * levenshtein(na.nt, nb.nt) <= greatest(len(na.nt), len(nb.nt))
+       |WHERE 5 * abs(len(na.nt) - len(nb.nt)) <= greatest(len(na.nt), len(nb.nt))
+       |  AND 5 * levenshtein(na.nt, nb.nt) <= greatest(len(na.nt), len(nb.nt))
        |ORDER BY dist, da, db""".stripMargin
   }
 
@@ -299,6 +306,54 @@ object Dedup {
        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
+  /** SUB-document (line/span-level) dedup stats — the C4/RefinedWeb-style
+    * pass that catches boilerplate (headers, navigation, license blocks)
+    * document-level dedup can't see. "Lines" here are consecutive
+    * NON-OVERLAPPING 10-token spans of the normalized token stream (the
+    * synthetic corpus has no sentence punctuation to split on; on real
+    * web text the span extractor would be a split on terminal
+    * punctuation, with everything downstream unchanged). Each span is
+    * md5-fingerprinted — the shuffle key stays fixed-width no matter how
+    * long the span — counted across the WHOLE corpus, and rolled up per
+    * document as how many of its spans are globally duplicated.
+    * All-integer output. At 100 TB: one shuffle on the span fingerprint
+    * for the counts, one join back on the same key, one shuffle on
+    * doc_id for the rollup. */
+  def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      // guard: Spark's sequence(0, -1) yields a DESCENDING sequence, so
+      // a 0-token doc must be dropped before the span index is built
+      .filter(size(col("tk")) >= 1)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, (size(tk)+9) div 10 - 1)," +
+            " i -> concat_ws(' ', slice(tk, i*10+1, 10)))")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("f"))
+    val counts = lines.groupBy("f").agg(count(lit(1)).as("cnt"))
+    lines
+      .join(counts, "f")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("cnt") > 1, 1)).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val qLineDedupSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |lines AS (
+       |  SELECT doc_id, md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' ')) AS f
+       |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+9)//10)) AS i FROM tk)),
+       |counts AS (SELECT f, count(*) AS cnt FROM lines GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  count(*) FILTER (WHERE cnt > 1) AS n_dup_spans
+       |FROM lines JOIN counts USING (f)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The CAPSTONE composition — the one call a training-data pipeline
@@ -596,6 +651,7 @@ object Dedup {
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),

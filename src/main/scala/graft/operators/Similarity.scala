@@ -296,17 +296,15 @@ object Similarity {
   private val PqShortlist = 50
 
   /** L2-nearest code id under a codebook: rank by 2·⟨sv,c⟩ − ‖c‖² (the
-    * ‖sv‖² term is constant per row), ties to the lower code id — the
-    * same struct-max idiom as [[nearestCell]]. */
-  private def nearestCode(cb: Array[(Int, Seq[Double])], sv: Column): Column = {
-    val scored = cb.map { case (cid, cv) =>
-      val cc = cv.map(x => x * x).sum
-      struct(
-        (graft.functions.NativeExprs.dotProd(sv, typedlit(cv)) * 2 - lit(cc)).as("s"),
-        lit(-cid).as("negid"))
-    }
-    -array_max(array(scored.toSeq: _*)).getField("negid")
-  }
+    * ‖sv‖² term is constant per row), ties to the lower code id. Code ids
+    * are dense positions 0..k−1, so the native kernel's argmax index IS
+    * the code id. A struct-max chain like [[nearestCell]]'s would inline
+    * k·subdim subtrees here and blow generated methods past the JVM 64 KB
+    * limit at k = 32 (whole-stage codegen aborts, the scan goes
+    * interpreted) — hence the reference-object kernel
+    * ([[graft.functions.PqNearestCode]]). */
+  private def nearestCode(cb: Array[(Int, Seq[Double])], sv: Column): Column =
+    graft.functions.NativeExprs.pqNearestCode(sv, cb.sortBy(_._1).map(_._2).toSeq)
 
   /** v / ‖v‖ as array<double> — PQ approximates INNER PRODUCTS, so the
     * vectors are L2-normalized first to make approximate-dot ≡
