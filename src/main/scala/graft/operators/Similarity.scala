@@ -382,41 +382,91 @@ object Similarity {
       case None => emptyTopK(e)
       case Some(qrow) =>
         val qraw = qrow.getSeq[Float](1).map(_.toDouble)
-        val qnorm = math.sqrt(qraw.map(x => x * x).sum)
-        val qn = qraw.map(_ / qnorm)
-        val books = pqCodebooks(e)
-        // LUT: lut(m)(code) = ⟨q_m, c_{m,code}⟩
-        val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { m =>
-          val qm = qn.slice(m * PqSubDim, (m + 1) * PqSubDim)
-          books(m).sortBy(_._1).map { case (_, cv) =>
-            qm.zip(cv).map { case (a, b) => a * b }.sum
-          }.toSeq
-        }
-        val lutLit = typedlit(lut)
-        // vn hoisted once: 8 slices of one normalization, not 8 normalizations
-        val codes = array((0 until PqSubspaces).map(m =>
-          nearestCode(books(m), slice(col("vn"), m * PqSubDim + 1, PqSubDim))): _*)
-        val approx = aggregate(
-          sequence(lit(0), lit(PqSubspaces - 1)),
-          lit(0.0),
-          (acc, i) =>
-            acc + element_at(
-              element_at(lutLit, (i + 1).cast("int")),
-              (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
-        val shortlist = e
+        adcRerank(e, e.filter(col("vec_id") =!= 0), qraw, pqCodebooks(e))
+    }
+  }
+
+  /** ADC shortlist + exact re-rank tail shared by the PQ variants: encode
+    * `cand` rows to their per-subspace codes, score via the query's
+    * precomputed 8×[[PqCodes]] lookup table (8 array reads + adds per
+    * row), keep the top-[[PqShortlist]] by approximate dot
+    * (TakeOrderedAndProject — no global sort), then join ONLY the
+    * shortlist back to real vectors for the exact cosine top-10. */
+  private def adcRerank(
+      e: DataFrame,
+      cand: DataFrame,
+      qraw: Seq[Double],
+      books: Map[Int, Array[(Int, Seq[Double])]]): DataFrame = {
+    val qnorm = math.sqrt(qraw.map(x => x * x).sum)
+    val qn = qraw.map(_ / qnorm)
+    // LUT: lut(m)(code) = ⟨q_m, c_{m,code}⟩
+    val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { m =>
+      val qm = qn.slice(m * PqSubDim, (m + 1) * PqSubDim)
+      books(m).sortBy(_._1).map { case (_, cv) =>
+        qm.zip(cv).map { case (a, b) => a * b }.sum
+      }.toSeq
+    }
+    val lutLit = typedlit(lut)
+    // vn hoisted once: 8 slices of one normalization, not 8 normalizations
+    val codes = array((0 until PqSubspaces).map(m =>
+      nearestCode(books(m), slice(col("vn"), m * PqSubDim + 1, PqSubDim))): _*)
+    val approx = aggregate(
+      sequence(lit(0), lit(PqSubspaces - 1)),
+      lit(0.0),
+      (acc, i) =>
+        acc + element_at(
+          element_at(lutLit, (i + 1).cast("int")),
+          (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
+    val shortlist = cand
+      .withColumn("vn", normalized(col("v")))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), approx.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(PqShortlist)
+    shortlist
+      .join(e, "vec_id")
+      .select(
+        col("vec_id"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qraw)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val IvfPqProbes = 4
+
+  /** IVF-PQ composite — the full production ANN stack at 100 TB. The IVF
+    * coarse quantizer prunes the scan to the query's [[IvfPqProbes]]
+    * nearest cells (~nprobe/nlist of the corpus; partition-prunable when
+    * the index is written bucketed by cell), the PQ code table then gives
+    * a memory-bound ADC shortlist WITHIN those cells (the first pass
+    * touches 8 one-byte codes per candidate, never the 64-float vectors),
+    * and only the shortlist reads real vectors for the exact top-10
+    * re-rank. Composes the two proven stages — [[qIvf]]'s deterministic
+    * cells and [[qSimPq]]'s seeded-Lloyd codebooks — with no new moving
+    * parts. k-means codes aren't SQL-expressible → no DuckDB oracle;
+    * SketchSpec asserts a recall@10 floor vs the brute-force baseline on
+    * the real corpus. */
+  def qSimIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
+    val cents: Array[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < IvfCells)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    e.filter(col("vec_id") === 0).collect().headOption match {
+      case None => emptyTopK(e)
+      case Some(qrow) =>
+        val qraw = qrow.getSeq[Float](1).map(_.toDouble)
+        val probes = cents
+          .map { case (cid, cv) => (cid, cosScala(qraw, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(IvfPqProbes)
+          .map(_._1)
+        val cand = e
           .filter(col("vec_id") =!= 0)
-          .withColumn("vn", normalized(col("v")))
-          .withColumn("codes", codes)
-          .select(col("vec_id"), approx.as("adc"))
-          .orderBy(col("adc").desc, col("vec_id"))
-          .limit(PqShortlist)
-        shortlist
-          .join(e, "vec_id")
-          .select(
-            col("vec_id"),
-            pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qraw)), 6).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id"))
-          .limit(10)
+          .withColumn("cell", nearestCell(cents, col("v")))
+          .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
+        adcRerank(e, cand, qraw, pqCodebooks(e))
     }
   }
 
@@ -426,5 +476,6 @@ object Similarity {
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
-    Q("q_sim_pq", qSimPq, None))
+    Q("q_sim_pq", qSimPq, None),
+    Q("q_sim_ivfpq", qSimIvfPq, None))
 }

@@ -337,6 +337,74 @@ object TextOps {
        |WHERE rk <= 5
        |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  /** Distributed BPE-style pair counting — the inner statistic of one
+    * byte-pair-encoding tokenizer-training merge round: count adjacent
+    * token pairs corpus-wide and keep the most frequent. Shape-identical
+    * to wordcount (explode → map-side partial counts → shuffle on the
+    * pair), so at 100 TB it is one combiner-backed shuffle per merge
+    * round; the top-30 head is TakeOrderedAndProject, never a global
+    * sort. Pair construction is a single `transform(sequence(...))` over
+    * the shared tokenizer — no UDF, stays in whole-stage codegen. */
+  def qBpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(graft.functions.NativeExprs.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+
+  private val qBpePairsSql =
+    s"""WITH tk AS (SELECT $tokensSql AS toks FROM documents),
+       |pairs AS (
+       |  SELECT toks[i] || ' ' || toks[i+1] AS pair
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+       |  WHERE len(toks) >= 2)
+       |SELECT pair, count(*)::BIGINT AS cnt
+       |FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
+  /** Per-document bigram novelty: how many of a document's distinct
+    * bigrams appear in NO other document — the memorization/duplication
+    * risk signal (a doc whose bigrams are all corpus-common is boilerplate;
+    * one that is mostly novel is unique content). Cross-document by
+    * construction: distinct (doc, bigram) pairs in one shuffle, global
+    * bigram doc-frequency via a combiner-backed groupBy (map-side partial
+    * counts — immune to hot-bigram skew), then a bigram-keyed join back
+    * (AQE splits any residual skewed partition) and a per-doc rollup.
+    * Every output column is an exact integer count. */
+  def qBigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("bigram"))
+      .distinct()
+    val df = bg.groupBy("bigram").agg(count(lit(1)).as("ndocs"))
+    bg.join(df, "bigram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("ndocs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("doc_id")
+  }
+
+  private val qBigramNoveltySql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bg AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+       |  WHERE len(toks) >= 2),
+       |df AS (SELECT bigram, count(*)::BIGINT AS ndocs FROM bg GROUP BY 1)
+       |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       |  CAST(sum(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |FROM bg b JOIN df USING (bigram)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
@@ -345,5 +413,7 @@ object TextOps {
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
-    Q("q_tfidf", qTfidf, Some(qTfidfSql)))
+    Q("q_tfidf", qTfidf, Some(qTfidfSql)),
+    Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
+    Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)))
 }

@@ -217,6 +217,40 @@ class ExtrasSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < docs.length, "sampling admitted nothing or everything")
   }
 
+  test("BPE pair counts match an independent in-JVM adjacent-pair count") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val toks = t.toLowerCase.split("[\\s]+").filter(_.nonEmpty)
+      toks.iterator.zip(toks.iterator.drop(1)).foreach { case (a, b) =>
+        val p = s"$a $b"; counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    val got = TextOps.qBpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("bigram novelty matches an independent doc-frequency computation") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) =>
+      val toks = t.toLowerCase.split("[\\s]+").filter(_.nonEmpty)
+      id -> toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }.filter(_._2.nonEmpty)
+    val df = perDoc.flatMap(_._2).groupBy(identity).map { case (b, xs) => b -> xs.length }
+    val want = perDoc.map { case (id, bs) =>
+      (id, bs.size.toLong, bs.count(df(_) == 1).toLong)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.qBigramNovelty(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.map(_._3).sum > 0, "no novel bigrams anywhere — vacuous fixture")
+  }
+
   test("PII redaction is idempotent: a second pass finds zero matches") {
     // The replacement tokens must not themselves re-match either pattern
     // (e.g. an IP-like fragment surviving inside a longer run).

@@ -210,4 +210,18 @@ class SketchSpec extends SparkSpec {
     info(s"PQ recall@10 = $recall")
     assert(recall >= 0.9, s"recall@10 = $recall; exact=$exact approx=$approx")
   }
+
+  test("IVF-PQ composite achieves recall@10 >= 0.8 vs brute force on the REAL corpus") {
+    // Two approximations stack: the 4/16-cell IVF probe can drop a true
+    // neighbor that lives in an unprobed cell, and the ADC shortlist can
+    // drop one inside a probed cell — so the floor is 0.8 rather than the
+    // single-stage variants' 0.9. A miss below that means a stage
+    // regressed, not that the composition is inherently lossier.
+    val d = recallSfDir
+    val exact = Similarity.qTopKExact(spark, d).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.qSimIvfPq(spark, d).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"IVF-PQ recall@10 = $recall")
+    assert(recall >= 0.8, s"recall@10 = $recall; exact=$exact approx=$approx")
+  }
 }
