@@ -88,9 +88,10 @@ object Dedup {
 
   /** DuckDB twin of [[shinglePairs]]: the tk/tri/capped/sizes/pairs CTE
     * list every shingle-blocked oracle starts WITH. */
-  private def shinglePairsSqlCtes(minInter: Int): String = {
+  /** The tk/tri/capped/sizes CTE prefix (the shingle inverted index) —
+    * shared by [[shinglePairsSqlCtes]] and the incremental oracle. */
+  private def shingleIndexSqlCtes: String = {
     val t = TextOps.tokensSql
-    val having = if (minInter > 1) s" HAVING count(*) >= $minInter" else ""
     s"""tk AS (SELECT doc_id, $t AS t FROM documents),
        |tri AS (
        |  SELECT doc_id, unnest(list_distinct(
@@ -100,7 +101,12 @@ object Dedup {
        |capped AS (
        |  SELECT * FROM tri
        |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id)""".stripMargin
+  }
+
+  private def shinglePairsSqlCtes(minInter: Int): String = {
+    val having = if (minInter > 1) s" HAVING count(*) >= $minInter" else ""
+    s"""$shingleIndexSqlCtes,
        |pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -238,6 +244,73 @@ object Dedup {
        |                     UNION SELECT doc_id FROM exact_drops)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Marks the 20% "new batch" slice (deterministic, SF-stable). */
+  private def isNewBatch(c: Column): Column = c % 5 === 4
+
+  /** Incremental batch admission — the daily-crawl refresh shape: dedup a
+    * NEW batch (doc_id ≡ 4 mod 5, a deterministic 20% slice) against the
+    * EXISTING corpus (the other 80%) without re-deduping the corpus
+    * itself. A new doc is dropped if it exact-matches a corpus
+    * fingerprint or is a near-dup (capped-shingle Jaccard ≥
+    * [[NearDupBar]]) of any corpus doc; intra-batch duplicates are NOT
+    * dropped here — that is the normal pipeline's job on the batch alone.
+    * At 100 TB the corpus-side shingle index and fingerprint set are
+    * precomputed once and stored bucketed by key, so the daily cost is
+    * proportional to the BATCH: the candidate join probes the index with
+    * batch shingles only, and the same maxDF cap keeps hot shingles from
+    * fanning out. Same edge definition as [[qDedupApply]] — one admission
+    * bar across batch and incremental modes. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.filter(!isNewBatch(col("doc_id"))).as("a")
+      .join(capped.filter(isNewBatch(col("doc_id"))).as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val nearDrops = withEndpointSizes(pairs, sizes)
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+      .select(col("db").as("doc_id"))
+      .distinct()
+    val corpusFp = Tables.documents(s, d)
+      .filter(!isNewBatch(col("doc_id")))
+      .select(fingerprint(col("text")).as("f"))
+      .distinct()
+    val newDocs = Tables.documents(s, d).filter(isNewBatch(col("doc_id")))
+    val exactDrops = newDocs
+      .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      .join(corpusFp, "f")
+      .select("doc_id")
+    newDocs
+      .join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val qDedupIncrementalSql =
+    s"""WITH $shingleIndexSqlCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh
+       |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+       |  GROUP BY 1, 2),
+       |near_drops AS (
+       |  SELECT DISTINCT db AS doc_id FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |corpus_fp AS (
+       |  SELECT DISTINCT md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g')) AS f
+       |  FROM documents WHERE doc_id % 5 <> 4),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g')) AS f
+       |    FROM documents WHERE doc_id % 5 = 4) nb
+       |  JOIN corpus_fp USING (f))
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 5 = 4
+       |  AND doc_id NOT IN (SELECT doc_id FROM near_drops
+       |                     UNION SELECT doc_id FROM exact_drops)
+       |ORDER BY doc_id""".stripMargin
 
   /** Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.6 pair
     * graph (the same edges as [[qDedupApply]]), via iterative min-label
@@ -652,6 +725,7 @@ object Dedup {
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
+    Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),

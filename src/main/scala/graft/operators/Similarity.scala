@@ -470,6 +470,31 @@ object Similarity {
     }
   }
 
+  /** Per-label mean embedding — the "embedding pooling" aggregation of a
+    * training pipeline (class centroids / prototype vectors, the batch
+    * form of what IVF's k-means update step computes). posexplode
+    * flattens to (label, pos, value); a combiner-backed groupBy(label,
+    * pos) then averages, so the shuffle carries only nlabels×dim partial
+    * (sum, count) pairs regardless of corpus size. The compared column is
+    * micro-scaled BIGINT (⌊μ·10⁶+0.5⌋) — no raw double rides the hash. */
+  def qEmbedCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        floor(avg(col("col").cast("double")) * 1e6 + 0.5).cast("long").as("mu_micro"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("mu_micro"), col("n"))
+      .orderBy("label", "pos")
+
+  private val qEmbedCentroidsSql =
+    """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+      |  CAST(floor(avg(embedding[i]::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mu_micro,
+      |  count(*)::BIGINT AS n
+      |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+      |GROUP BY label, i
+      |ORDER BY label, pos""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
@@ -477,5 +502,6 @@ object Similarity {
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
     Q("q_sim_pq", qSimPq, None),
-    Q("q_sim_ivfpq", qSimIvfPq, None))
+    Q("q_sim_ivfpq", qSimIvfPq, None),
+    Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)))
 }

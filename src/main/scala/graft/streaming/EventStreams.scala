@@ -205,7 +205,25 @@ object EventStreams {
     * Spark derives state-eviction watermarks for BOTH join state stores —
     * without the time bound, stream-stream join state grows forever. The
     * join shuffles both streams on user_id; state is sharded with them. */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinWith(views, purchases, "inner")
+
+  /** Left-outer twin of [[viewPurchaseJoin]]: every view appears, with
+    * null purchase columns when no purchase followed within the hour —
+    * the "abandoned view" attribution stream. Outer stream-stream joins
+    * make the watermark + time bound mandatory rather than just
+    * state-hygiene: a view can only be emitted as UNMATCHED once the
+    * purchase-side watermark has passed v_ts + 1h (before that a match
+    * could still arrive), so null rows trail the watermark by design and
+    * every emission is final — no retraction, state evicted as in the
+    * inner form. */
+  def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame =
+    viewPurchaseJoinWith(views, purchases, "left_outer")
+
+  private def viewPurchaseJoinWith(
+      views: DataFrame,
+      purchases: DataFrame,
+      joinType: String): DataFrame = {
     val v = views
       .select(
         col("user_id").as("v_user"),
@@ -223,7 +241,8 @@ object EventStreams {
         p,
         col("v_user") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(
         col("v_user").as("user_id"),
         col("view_id"),

@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine:\n$p")
   }
 
+  test("BPE pair counting combines map-side and takes top-k without a global sort") {
+    val p = plan(TextOps.qBpePairs(spark, sfDir))
+    assert(p.contains("partial_count"), s"no map-side combine on the pair:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 became a global sort:\n$p")
+  }
+
+  test("embedding centroids aggregate with map-side partial sums") {
+    // The shuffle must carry nlabels×dim partials, not raw vector values.
+    val p = plan(Similarity.qEmbedCentroids(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial_avg"),
+      s"no partial aggregation before the shuffle:\n$p")
+  }
+
   test("q2: correlated scalar subquery is decorrelated into an aggregate + join") {
     val df = Relational.q2MinCost(spark, sfDir)
     val p = plan(df)

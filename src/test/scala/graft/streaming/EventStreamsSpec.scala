@@ -146,6 +146,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views as null once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val joined = EventStreams.viewPurchaseJoinOuter(
+      views.toDF().toDF(cols: _*),
+      purchases.toDF().toDF(cols: _*))
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("vp_outer_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      views.addData(
+        (1L, t2(0), 1L, "view", 0.0), //  user 1: purchase follows → matched
+        (2L, t2(5), 2L, "view", 0.0)) // user 2: no purchase in window → null row
+      purchases.addData((10L, t2(30), 1L, "purchase", 9.99))
+      query.processAllAvailable()
+      // The unmatched view can't be final yet: a purchase for user 2 could
+      // still arrive. Only matched rows are in the sink at this point.
+      val early = spark.table("vp_outer_test").collect()
+        .filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      assert(early === Set.empty[Long], s"null rows emitted before watermark: $early")
+      // Advance both watermarks far past v_ts + 1h → view 2 is provably
+      // unmatched and must emit with null purchase columns.
+      views.addData((3L, t2(600), 3L, "view", 0.0))
+      purchases.addData((11L, t2(600), 3L, "purchase", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("vp_outer_test").collect()
+      val matched = rows.filter(!_.isNullAt(2)).map(r => (r.getLong(1), r.getLong(2))).toSet
+      val unmatchedViews = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      assert(matched.contains((1L, 10L)), s"matched pair missing: $matched")
+      assert(unmatchedViews === Set(2L),
+        s"expected exactly view 2 as the unmatched null row; got $unmatchedViews")
+    } finally query.stop()
+  }
+
   test("checkpointed dedup recovers state across a restart, sink stays exactly-once") {
     // The reference's whole fault-tolerance story is "re-execution must not
     // duplicate output" (first-writer-wins commit). The streaming
