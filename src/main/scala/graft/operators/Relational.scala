@@ -433,6 +433,68 @@ object Relational {
        |FROM events
        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Time-series gap fill (resample): zero-fill every missing hour
+    * between each event type's first and last active hour — the
+    * regularization step before any windowed feature computation (a
+    * rolling mean over a grid with silently missing slots is wrong).
+    * The dense grid is generated per GROUP from its own bounds
+    * (`sequence` + explode — rows ∝ types × hours, independent of event
+    * volume), then the observed counts left-join back on (type, hour).
+    * At 100 TB the counts aggregate does all the heavy lifting with
+    * map-side combine; the grid side stays tiny and broadcastable. */
+  def qResampleHourly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly
+      .groupBy("event_type")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    grid
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qResampleHourlySql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type AS et, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT et, unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP, INTERVAL 1 HOUR)) AS ghr
+      |  FROM b)
+      |SELECT g.et AS event_type, strftime(g.ghr, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(h.n, 0)::BIGINT AS n
+      |FROM grid g LEFT JOIN h ON g.et = h.event_type AND g.ghr = h.hr::TIMESTAMP
+      |ORDER BY event_type, hour""".stripMargin
+
+  /** Global total-order sort — the terasort shape. `orderBy` with no
+    * partition key compiles to RangePartitioning: Spark SAMPLES the sort
+    * key to pick balanced range boundaries, shuffles once, and sorts
+    * within partitions — the output is globally ordered with no
+    * single-node sort anywhere (the 100 TB failure mode this guards
+    * against is a `coalesce(1).sortWithinPartitions` style plan).
+    * Ordering itself is asserted in ExtrasSpec (the driver's hash is
+    * order-insensitive by design); PlanShapeSpec pins RangePartitioning. */
+  def qGlobalSort(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy("ts", "event_id")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("user_id"),
+        col("event_type"))
+
+  private val qGlobalSortSql =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type
+      |FROM events ORDER BY ts, event_id""".stripMargin
+
   /** Sessionization: 30-minute-gap sessions via lag + windowed running
     * count — the batch expression of session windows. */
   def qSessionize(s: SparkSession, d: String): DataFrame = {
@@ -1665,6 +1727,8 @@ object Relational {
     Q("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
     Q("q_nation_stats", qNationStats, Some(qNationStatsSql)),
     Q("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
+    Q("q_resample_hourly", qResampleHourly, Some(qResampleHourlySql)),
+    Q("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),

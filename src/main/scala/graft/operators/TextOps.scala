@@ -157,6 +157,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The pround-4 quality-score SQL expression — ONE definition shared by
+    * q_quality and q_quality_gate so the gate can't drift from the score. */
+  private def qualityScoreSql: String = {
+    import graft.functions.PortableRound.{proundSql => pr}
+    val t = tokensSql
+    val stop = sqlList(stopwords)
+    pr(
+      s"least(len($t) / 100.0, 1.0) * 0.5 " +
+        s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
+        "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
+      4)
+  }
+
   private val qQualitySql = {
     import graft.functions.PortableRound.{proundSql => pr}
     val t = tokensSql
@@ -167,11 +180,7 @@ object TextOps {
        |  ${pr(s"list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)", 4)} AS avg_token_len,
        |  ${pr(s"len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t)", 4)} AS stopword_ratio,
        |  ${pr("length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)", 4)} AS alnum_ratio,
-       |  ${pr(
-          s"least(len($t) / 100.0, 1.0) * 0.5 " +
-            s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
-            "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
-          4)} AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -405,6 +414,41 @@ object TextOps {
        |FROM bg b JOIN df USING (bigram)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Language-stratified quality gate: keep the TOP HALF of each
+    * language's quality ranking — the per-stratum filter a mixture
+    * pipeline runs so a low-resource language isn't wiped out by a
+    * corpus-global threshold tuned on the dominant language. Rank and
+    * cutoff are exact integer logic (row_number ≤ ⌈n_lang/2⌉ with a full
+    * (score, doc_id) tiebreak), so admission is deterministic; the score
+    * itself is the shared q_quality definition. One shuffle on lang for
+    * the two window functions; at 100 TB the exact rank would be swapped
+    * for the approx-percentile cutoff — same shape, no new machinery. */
+  def qQualityGate(s: SparkSession, d: String): DataFrame = {
+    val q = qQuality(s, d).select(col("doc_id"), col("quality_score"))
+    val lang = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val counts = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    q.join(lang, "doc_id")
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("nl", count(lit(1)).over(counts))
+      .filter(expr("rn <= (nl + 1) div 2"))
+      .select("doc_id", "lang", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val qQualityGateSql =
+    s"""WITH q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM documents),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS nl
+       |  FROM q)
+       |SELECT doc_id, lang, quality_score FROM r
+       |WHERE rn <= (nl + 1) // 2
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
@@ -415,5 +459,6 @@ object TextOps {
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
-    Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)))
+    Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
+    Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)))
 }

@@ -251,6 +251,32 @@ class ExtrasSpec extends SparkSpec {
     assert(want.map(_._3).sum > 0, "no novel bigrams anywhere — vacuous fixture")
   }
 
+  test("global sort output is totally ordered across partition boundaries") {
+    // The oracle hash is order-insensitive, so the ordering guarantee —
+    // the entire point of the operator — is asserted here on the collected
+    // rows (collect preserves partition order, partitions are ranges).
+    val rows = Relational.qGlobalSort(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(rows.length > 1)
+    assert(rows.sameElements(rows.sorted), "collected rows are not globally sorted")
+  }
+
+  test("resampled hourly grid is dense: one row per hour per type, gaps zero-filled") {
+    val rows = Relational.qResampleHourly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (et, rs) =>
+      val hours = rs.map(_._2).sorted
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      val first = java.time.LocalDateTime.parse(hours.head, fmt)
+      val last = java.time.LocalDateTime.parse(hours.last, fmt)
+      val expected = java.time.Duration.between(first, last).toHours + 1
+      assert(rs.length.toLong === expected,
+        s"$et: ${rs.length} grid rows but ${expected} hours between bounds")
+    }
+    assert(rows.exists(_._3 == 0L), "no zero-filled gap anywhere — vacuous fixture")
+  }
+
   test("PII redaction is idempotent: a second pass finds zero matches") {
     // The replacement tokens must not themselves re-match either pattern
     // (e.g. an IP-like fragment surviving inside a longer run).

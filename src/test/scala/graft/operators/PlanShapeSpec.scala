@@ -86,6 +86,13 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial aggregation before the shuffle:\n$p")
   }
 
+  test("global sort range-partitions on sampled boundaries, never a single partition") {
+    val p = plan(Relational.qGlobalSort(spark, sfDir))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"global sort is not range-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"), s"sort collapsed to one partition:\n$p")
+  }
+
   test("q2: correlated scalar subquery is decorrelated into an aggregate + join") {
     val df = Relational.q2MinCost(spark, sfDir)
     val p = plan(df)
