@@ -49,6 +49,23 @@ object EventStreams {
         col("sum_value"))
   }
 
+  /** Streaming sketch aggregation: approximate distinct users per hourly
+    * window (HLL++ via approx_count_distinct). The sketch is the whole
+    * point at scale — exact windowed distinct holds every user id seen in
+    * every open window in state, while the HLL state per (window, type)
+    * is a fixed few KB regardless of cardinality. Same watermark/append
+    * semantics as [[hourlyCounts]]; the spec cross-checks the estimate
+    * against the exact per-window distinct on the test stream. */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"),
+        col("approx_users"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   final case class SessionAgg(
       user_id: Long, session_start: java.sql.Timestamp, n_events: Long, session_value: Double)

@@ -37,6 +37,32 @@ class FormatsSpec extends SparkSpec {
     assert(pruned.count() === expected)
   }
 
+  test("output file-count governance: repartition and maxRecordsPerFile bound the files") {
+    // The 100 TB small-files problem in both directions: too MANY files
+    // (every task writes a sliver — metadata pressure on the next reader)
+    // and too FEW (one giant file caps downstream parallelism).
+    // repartition(k) pins the file count; maxRecordsPerFile splits any
+    // oversized task output. Both must preserve content exactly.
+    val base = Files.createTempDirectory("graft-compact-")
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+    li.repartition(2).write.parquet(s"$base/compact")
+    assert(parquetFiles(s"$base/compact").length === 2,
+      "compaction to 2 files did not produce exactly 2 files")
+
+    li.repartition(1)
+      .write.option("maxRecordsPerFile", (n / 4).toString)
+      .parquet(s"$base/split")
+    assert(parquetFiles(s"$base/split").length >= 4,
+      "maxRecordsPerFile did not split the oversized single-task output")
+
+    assert(spark.read.parquet(s"$base/compact").count() === n)
+    assert(spark.read.parquet(s"$base/split").count() === n)
+  }
+
   test("engine text sink output is re-readable as a text source (chaining)") {
     // Reference chains batches by feeding one batch's dest dir to the next
     // (directory in/out contract) — prove the same works here.

@@ -36,6 +36,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hourlyUniques HLL sketch matches exact distinct users on the test stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = hourlyUniques(df).writeStream
+      .format("memory")
+      .queryName("uniques_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // 3 distinct users (one repeated) in hour 0, 1 in hour 1; HLL++ at
+      // default rsd is exact at this cardinality, so equality, not a band
+      source.addData(
+        (1L, ts(5), 1L, "click", 0.0),
+        (2L, ts(10), 2L, "click", 0.0),
+        (3L, ts(15), 1L, "click", 0.0),
+        (4L, ts(20), 3L, "click", 0.0),
+        (5L, ts(65), 7L, "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("uniques_test").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set((0L, "click", 3L), (60L, "click", 1L)))
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events parquet equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
