@@ -92,7 +92,104 @@ object Sampling {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  private val TokenBudget = 800L
+
+  /** Per-source token-budget cut: admit each source's documents in
+    * deterministic hash order until the source's running token total
+    * reaches [[TokenBudget]] — how a mixture recipe caps a source's
+    * contribution in TOKENS (what the model actually trains on) rather
+    * than documents. Hash order makes the kept prefix an unbiased,
+    * append-stable sample of the source; the running sum is one window
+    * per source partition (at 100 TB each source's window shards by the
+    * partition key — no global ordering anywhere). All-integer output. */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("admit_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        admitKey(col("doc_id")).as("admit_key"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val qTokenBudgetSql = {
+    val t = graft.operators.TextOps.tokensSql
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${admitKeySql("doc_id")} AS admit_key,
+       |    len($t)::BIGINT AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY admit_key, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val PackCap = 512L
+
+  /** Contiguous sequence packing: concatenate each source's documents in
+    * doc_id order and cut the stream into fixed-[[PackCap]]-token
+    * training sequences; a document belongs to the bin where its first
+    * token lands (bin = floor(tokens-before / cap)), so bins can overrun
+    * the cap by at most one document's tail — the standard greedy packing
+    * approximation, computed as pure window arithmetic with no state.
+    * Output is per-bin occupancy (doc count, token sum, doc-id range) —
+    * the padding-efficiency report a packing job emits. Packing is per
+    * source partition; nothing global. */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PackCap"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tok_sum"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  private val qPackSequencesSql = {
+    val t = graft.operators.TextOps.tokensSql
+    s"""WITH t AS (
+       |  SELECT doc_id, source, len($t)::BIGINT AS n_tokens FROM documents),
+       |c AS (
+       |  SELECT *, CAST(sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT source, (cum - n_tokens) // $PackCap AS bin,
+       |  count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY source, bin""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
-    Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)))
+    Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)),
+    Q("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
+    Q("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)))
 }

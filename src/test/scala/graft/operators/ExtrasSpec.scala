@@ -277,6 +277,33 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.exists(_._3 == 0L), "no zero-filled gap anywhere — vacuous fixture")
   }
 
+  test("token-budget cut keeps a prefix: cum_tokens is the running sum and never exceeds the budget") {
+    val rows = Sampling.qTokenBudget(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 800L), "a row exceeds the token budget")
+  }
+
+  test("sequence packing bins are contiguous per source and only the last may be under-full") {
+    val packed = Sampling.qPackSequences(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.map(identity),
+        s"$src: bin ids not contiguous from 0: ${ids.toSeq}")
+      // every bin except the last must have reached the cap boundary:
+      // its token sum plus nothing can leave a gap ≥ the next doc —
+      // equivalently cumulative fill through bin i is ≥ (i+1)*cap for
+      // all but the final bin
+      val byBin = bins.sortBy(_._2).map(_._4)
+      val cums = byBin.scanLeft(0L)(_ + _).drop(1)
+      cums.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        assert(c >= (i + 1) * 512L, s"$src: bin $i closed under-full at $c tokens")
+      }
+    }
+  }
+
   test("PII redaction is idempotent: a second pass finds zero matches") {
     // The replacement tokens must not themselves re-match either pattern
     // (e.g. an IP-like fragment surviving inside a longer run).
