@@ -474,6 +474,52 @@ object Relational {
       |FROM grid g LEFT JOIN h ON g.et = h.event_type AND g.ghr = h.hr::TIMESTAMP
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Hourly anomaly detection: hours whose event count deviates from the
+    * type's mean by more than 2 sample standard deviations — the volume
+    * monitor a pipeline runs over its own ingest. Computed over the DENSE
+    * grid ([[qResampleHourly]]'s zero-filled hours — a silent outage hour
+    * must be able to flag as anomalous). The 2σ test is evaluated as the
+    * cross-multiplied EXACT INTEGER predicate
+    * (n·c − Σ)²·(c−1) > 4·c·(c·Σ₂ − Σ²) — no division, no sqrt, no
+    * doubles anywhere, so both engines decide boundary rows identically.
+    * (At count magnitudes where (n·c)² nears 2⁶³ the moments move to
+    * DECIMAL(38) like the other exact-moment queries.) Moments are one
+    * combiner-backed groupBy per type; the grid side joins back small. */
+  def qAnomalyHours(s: SparkSession, d: String): DataFrame = {
+    val grid = qResampleHourly(s, d)
+    val stats = grid
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("c"),
+        sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    grid
+      .join(stats, "event_type")
+      .filter(expr("(n * c - s1) * (n * c - s1) * (c - 1) > 4 * c * (c * s2 - s1 * s1)"))
+      .select("event_type", "hour", "n")
+      .orderBy("event_type", "hour")
+  }
+
+  private val qAnomalyHoursSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type AS et, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT et, unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP, INTERVAL 1 HOUR)) AS ghr
+      |  FROM b),
+      |g AS (
+      |  SELECT gg.et AS event_type, strftime(gg.ghr, '%Y-%m-%d %H:%M:%S') AS hour,
+      |    COALESCE(h.n, 0)::BIGINT AS n
+      |  FROM grid gg LEFT JOIN h ON gg.et = h.event_type AND gg.ghr = h.hr::TIMESTAMP),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS c, CAST(sum(n) AS BIGINT) AS s1,
+      |    CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM g GROUP BY 1)
+      |SELECT g.event_type, g.hour, g.n FROM g JOIN st USING (event_type)
+      |WHERE (n * c - s1) * (n * c - s1) * (c - 1) > 4 * c * (c * s2 - s1 * s1)
+      |ORDER BY event_type, hour""".stripMargin
+
   /** Global total-order sort — the terasort shape. `orderBy` with no
     * partition key compiles to RangePartitioning: Spark SAMPLES the sort
     * key to pick balanced range boundaries, shuffles once, and sorts
@@ -1728,6 +1774,7 @@ object Relational {
     Q("q_nation_stats", qNationStats, Some(qNationStatsSql)),
     Q("q_events_hourly", qEventsHourly, Some(qEventsHourlySql)),
     Q("q_resample_hourly", qResampleHourly, Some(qResampleHourlySql)),
+    Q("q_anomaly_hours", qAnomalyHours, Some(qAnomalyHoursSql)),
     Q("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
