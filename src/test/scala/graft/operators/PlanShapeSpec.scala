@@ -79,6 +79,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-30 became a global sort:\n$p")
   }
 
+  test("bigram novelty reuses the distinct (doc,bigram) exchange — one scan, not two") {
+    // bg feeds both the per-doc rollup and the doc-frequency branch; the
+    // tokenize+explode+distinct work must run once, with the second
+    // branch reading the shuffle output (ReusedExchange). Two FileScans
+    // of documents would mean the reuse broke.
+    val df = TextOps.qBigramNovelty(spark, sfDir)
+    df.collect() // finalize AQE so reuse is visible in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"distinct exchange not reused:\n$p")
+  }
+
   test("embedding centroids aggregate with map-side partial sums") {
     // The shuffle must carry nlabels×dim partials, not raw vector values.
     val p = plan(Similarity.qEmbedCentroids(spark, sfDir))
