@@ -66,6 +66,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installOptimizations(spark)
     // Capture QueryExecutions so shuffle-byte metrics can be read after the
     // run. Some queries run intermediate driver actions inside q.run (a
     // temp-sink write, a centroid collect) — each fires its own listener

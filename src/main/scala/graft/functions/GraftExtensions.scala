@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the Scala DSL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, arity, builder) =>
       ext.injectFunction(
         (
@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             builder(exprs)
           }))
     }
+    ext.injectOptimizerRule(_ => TokenCountEnvelope)
+  }
 }
 
 object GraftFunctions {
@@ -55,4 +57,13 @@ object GraftFunctions {
           builder(exprs)
         })
     }
+
+  /** Live-session twin of the extensions path's `injectOptimizerRule` —
+    * idempotent (the rule itself is a no-op once its envelope exists,
+    * and double-registration is avoided). */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(TokenCountEnvelope))
+      spark.experimental.extraOptimizations = cur :+ TokenCountEnvelope
+  }
 }
