@@ -48,6 +48,63 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("BPE pair counts are exactly linear under 10x replicated documents") {
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-bpe-").toString
+    // distinct doc_ids per replica (the pair statistic ignores doc_id, but
+    // keep the table well-formed)
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val base = TextOps.qBpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val scaled = TextOps.qBpePairs(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ×rep preserves both every count and the (cnt desc, pair) order, so
+    // the top-30 must be the same pairs in the same positions
+    assert(scaled === base.map { case (p, c) => (p, c * rep) })
+  }
+
+  test("sequence packing totals are exactly linear under 10x replicated documents") {
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-pack-").toString
+    // replica k appends AFTER the original in doc_id order → each source's
+    // token stream is rep concatenated copies; totals must scale exactly
+    // and the bin count per source is ceil(rep·T_s / cap), computable from
+    // the 1x totals
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cap = 512L
+    // independent expectation: per-source doc token lengths in doc_id
+    // order, concatenated rep times; a bin exists iff some doc STARTS in
+    // it (bin = floor(tokens-before / cap))
+    val baseLens = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.sortBy(_._2).map(_._3) }
+    val expected = baseLens.map { case (src, lens) =>
+      val stream = Seq.fill(rep)(lens).flatten
+      val starts = stream.scanLeft(0L)(_ + _).dropRight(1)
+      src -> (stream.sum, starts.map(_ / cap).distinct.length.toLong)
+    }
+    val scaled = Sampling.qPackSequences(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    val scaledTok = scaled.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val scaledBins = scaled.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    expected.foreach { case (src, (tokTotal, bins)) =>
+      assert(scaledTok(src) === tokTotal, s"$src token total not linear")
+      assert(scaledBins(src) === bins, s"$src bin count disagrees with recomputation")
+    }
+  }
+
   test("wordcount counts are exactly linear under 10x replicated documents") {
     val rep = 10
     val tmp = Files.createTempDirectory("graft-scale-doc-").toString
