@@ -8,13 +8,12 @@ import org.apache.spark.sql.types.IntegerType
 /** Derived-predicate optimizer rule: a top-level filter conjunct
   * `size(graft_tokens(t)) >= k` (k ≥ 1) implies `length(t) >= 2k−1` —
   * k non-empty tokens need k non-whitespace chars separated by at least
-  * k−1 whitespace chars. The token-count predicate itself can never reach
-  * the parquet scan (no column statistics exist for an expression over
-  * `text`), but the implied RAW-COLUMN length envelope can: parquet
-  * row-group min/max stats on `text` length do not exist either, but the
-  * predicate becomes a cheap scan-level `DataFilter` evaluated before the
-  * tokenizer runs — short documents are rejected by one `length()` call
-  * instead of a full tokenize+count. Every shingle-blocked dedup query
+  * k−1 whitespace chars. The derived envelope is PREPENDED to the
+  * condition — `And` short-circuits left to right in both interpreted
+  * and generated code, so a short document is rejected by one `length()`
+  * call before the tokenizer ever runs (appending it instead would be
+  * functionally inert: the expensive size(tokens()) conjunct would still
+  * evaluate first on every row). Every shingle-blocked dedup query
   * (`size(tokens(text)) >= 3`) hits this shape.
   *
   * Strictly a CONSERVATIVE necessary condition (the exact token-count
@@ -51,6 +50,6 @@ object TokenCountEnvelope extends Rule[LogicalPlan] {
         .filterNot(e => existing.exists(_.semanticEquals(e)))
         .distinct
       if (derived.isEmpty) f
-      else Filter(derived.foldLeft(cond)(And), child)
+      else Filter(And(derived.reduce(And), cond), child)
   }
 }

@@ -86,8 +86,6 @@ object Dedup {
       .select("da", "db")
   }
 
-  /** DuckDB twin of [[shinglePairs]]: the tk/tri/capped/sizes/pairs CTE
-    * list every shingle-blocked oracle starts WITH. */
   /** The tk/tri/capped/sizes CTE prefix (the shingle inverted index) —
     * shared by [[shinglePairsSqlCtes]] and the incremental oracle. */
   private def shingleIndexSqlCtes: String = {
@@ -237,7 +235,7 @@ object Dedup {
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (
-       |      PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g'))) AS keep
+       |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
        |    FROM documents) WHERE doc_id <> keep)
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
@@ -299,11 +297,11 @@ object Dedup {
        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
        |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
        |corpus_fp AS (
-       |  SELECT DISTINCT md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g')) AS f
+       |  SELECT DISTINCT ${TextOps.fingerprintSql} AS f
        |  FROM documents WHERE doc_id % 5 <> 4),
        |exact_drops AS (
        |  SELECT doc_id FROM (
-       |    SELECT doc_id, md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g')) AS f
+       |    SELECT doc_id, ${TextOps.fingerprintSql} AS f
        |    FROM documents WHERE doc_id % 5 = 4) nb
        |  JOIN corpus_fp USING (f))
        |SELECT doc_id, lang, source, n_chars FROM documents
@@ -493,7 +491,7 @@ object Dedup {
        |exact_drops AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (
-       |      PARTITION BY md5(regexp_replace(lower(text), '[\\t\\n\\v\\f\\r ]+', ' ', 'g'))) AS keep
+       |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
        |    FROM documents) WHERE doc_id <> keep),
        |contaminated AS (
        |  SELECT DISTINCT doc_id FROM tri

@@ -185,6 +185,22 @@ object Similarity {
       e: DataFrame,
       cents: Array[(Int, Seq[Double])],
       qvec: Seq[Double],
+      nProbes: Int): DataFrame =
+    probedCandidates(e, cents, qvec, nProbes)
+      .select(
+        col("vec_id"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+
+  /** Probe selection + cell assignment shared by the exact-rerank tail
+    * ([[probeAndRerank]]) and the ADC tail ([[qSimIvfPq]]) — one
+    * definition so probe tie-breaking and assignment cannot drift
+    * between the IVF variants. */
+  private def probedCandidates(
+      e: DataFrame,
+      cents: Array[(Int, Seq[Double])],
+      qvec: Seq[Double],
       nProbes: Int): DataFrame = {
     val probes = cents
       .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
@@ -194,11 +210,6 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .withColumn("cell", nearestCell(cents, col("v")))
       .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
-      .select(
-        col("vec_id"),
-        pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
   }
 
   /** Empty top-k result (query vector absent from the corpus) — degrade
@@ -453,20 +464,12 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
-    e.filter(col("vec_id") === 0).collect().headOption match {
+    // vec 0 satisfies vec_id < IvfCells — reuse the centroid pull instead
+    // of a second full-scan collect (same pattern as qIvf)
+    cents.find(_._1 == 0).map(_._2) match {
       case None => emptyTopK(e)
-      case Some(qrow) =>
-        val qraw = qrow.getSeq[Float](1).map(_.toDouble)
-        val probes = cents
-          .map { case (cid, cv) => (cid, cosScala(qraw, cv)) }
-          .sortBy { case (cid, cos) => (-cos, cid) }
-          .take(IvfPqProbes)
-          .map(_._1)
-        val cand = e
-          .filter(col("vec_id") =!= 0)
-          .withColumn("cell", nearestCell(cents, col("v")))
-          .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
-        adcRerank(e, cand, qraw, pqCodebooks(e))
+      case Some(qraw) =>
+        adcRerank(e, probedCandidates(e, cents, qraw, IvfPqProbes), qraw, pqCodebooks(e))
     }
   }
 

@@ -29,6 +29,13 @@ object TextOps {
   val tokensSql =
     "list_filter(string_split_regex(lower(text), '[\\t\\n\\v\\f\\r ]+'), x -> x <> '')"
 
+  /** DuckDB twin of [[graft.operators.Dedup.fingerprint]] (md5 over
+    * whitespace-normalized lowercased text) — ONE definition shared by
+    * every oracle that fingerprints; same spelled-out whitespace class
+    * as the tokenizer above. */
+  val fingerprintSql: String =
+    """md5(regexp_replace(lower(text), '[\t\n\v\f\r ]+', ' ', 'g'))"""
+
   /** Shared with [[Dedup.qPipelineClean]]'s quality floor. */
   private[operators] val stopwordList =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
@@ -235,9 +242,9 @@ object TextOps {
       .orderBy("doc_id")
 
   private val qFingerprintSql =
-    """SELECT doc_id,
-      |  md5(regexp_replace(lower(text), '[\t\n\v\f\r ]+', ' ', 'g')) AS fingerprint
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  $fingerprintSql AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // PII patterns, written to the common subset of Java regex (Spark) and
   // RE2 (DuckDB): character classes, bounded repetition and \b behave

@@ -15,6 +15,7 @@ object PlanDump {
       .config(Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.installOptimizations(spark)
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE

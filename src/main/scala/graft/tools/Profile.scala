@@ -16,6 +16,7 @@ object Profile {
       .config(Tables.NanosAsLong, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installOptimizations(spark)
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val names = if (args.nonEmpty) args.toSeq else Seq("q_quality_score")
     for (name <- names; attempt <- 1 to 3) {

@@ -10,13 +10,20 @@ class TokenCountEnvelopeSpec extends SparkSpec {
 
   private def tokens = graft.functions.NativeExprs.tokens(col("text"))
 
-  test("size(tokens(text)) >= 3 derives a pushed length(text) >= 5 scan filter") {
+  test("size(tokens(text)) >= 3 derives length(text) >= 5, evaluated BEFORE the tokenizer") {
     val df = graft.Tables.documents(spark, sfDir)
       .filter(size(tokens) >= 3)
       .select("doc_id")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("length(text") && p.contains(">= 5"),
       s"derived length envelope missing from plan:\n$p")
+    // And short-circuits left to right: the cheap length() check must be
+    // the LEFT conjunct or the rule is functionally inert (the expensive
+    // tokenize+count would still run on every row)
+    val lenIdx = p.indexOf("length(text")
+    val sizeIdx = p.indexOf("size(graft_tokens")
+    assert(lenIdx >= 0 && sizeIdx >= 0 && lenIdx < sizeIdx,
+      s"envelope not evaluated before the token count:\n$p")
   }
 
   test("a token-count predicate under OR derives nothing (soundness guard)") {
