@@ -498,6 +498,43 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, pos""".stripMargin
 
+  /** Hybrid retrieval: TF-IDF keyword blocking + embedding cosine
+    * re-rank — the two-stage search-stack shape (sparse recall, dense
+    * precision). Stage 1 probes the per-doc top-5 TF-IDF keyword table
+    * ([[TextOps.qTfidf]] — one shared definition) with the query doc's
+    * keywords (a broadcast handful of terms) and takes the DISTINCT
+    * matching docs: candidate volume is bounded by the keyword posting
+    * lists, never the corpus. Stage 2 joins ONLY the candidates to their
+    * embeddings (doc_id = vec_id alignment in the test data) and
+    * exact-cosine re-ranks against the query vector. At 100 TB the
+    * keyword table is a prebuilt inverted index bucketed by term and the
+    * wide vector column is read only for stage-2 candidates. */
+  def qHybridSearch(s: SparkSession, d: String): DataFrame = {
+    val kw = TextOps.qTfidf(s, d).select(col("doc_id"), col("term"))
+    val probe = broadcast(kw.filter(col("doc_id") === 0).select("term"))
+    val cands = kw.filter(col("doc_id") =!= 0).join(probe, "term").select("doc_id").distinct()
+    val e = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+    val qv = broadcast(e.filter(col("doc_id") === 0).select(col("v").as("qv")))
+    cands
+      .join(e, "doc_id")
+      .crossJoin(qv)
+      .select(
+        col("doc_id"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val qHybridSearchSql =
+    s"""WITH kw AS (${TextOps.qTfidfSql}),
+       |probe AS (SELECT term FROM kw WHERE doc_id = 0),
+       |cands AS (SELECT DISTINCT k.doc_id FROM kw k JOIN probe USING (term) WHERE k.doc_id <> 0),
+       |e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE doc_id = 0)
+       |SELECT c.doc_id, floor(list_cosine_similarity(e.v, q.qv) * 1000000 + 0.5) / 1000000.0 AS cos
+       |FROM cands c JOIN e USING (doc_id), q
+       |ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
@@ -506,5 +543,6 @@ object Similarity {
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
     Q("q_sim_pq", qSimPq, None),
     Q("q_sim_ivfpq", qSimIvfPq, None),
-    Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)))
+    Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)),
+    Q("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql)))
 }

@@ -339,7 +339,7 @@ object TextOps {
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 
-  private val qTfidfSql =
+  private[operators] val qTfidfSql =
     s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -456,6 +456,69 @@ object TextOps {
        |WHERE rn <= (nl + 1) // 2
        |ORDER BY doc_id""".stripMargin
 
+  private val Bm25Terms = Seq("spark", "table", "query")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 ranked retrieval for a fixed 3-term query — the classic
+    * keyword-relevance scorer (Lucene-form idf, k1=1.2, b=0.75). Term
+    * frequencies are a narrow per-doc projection (one `filter` HOF per
+    * query term over the shared tokenizer), document frequencies a
+    * |query|-row aggregate, corpus stats a broadcast single row — so at
+    * 100 TB scoring is one scan + a 3-row broadcast join; the top-20 head
+    * is TakeOrderedAndProject. The length norm is the rational
+    * dl·N/Σdl (no precomputed avgdl double); the one transcendental
+    * (ln in idf) is pround-4'd like the other continuous outputs. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("t"))
+    val lens = tk.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val st = broadcast(lens.agg(count(lit(1)).as("n"), sum("dl").as("sumlen")))
+    val tf = tk
+      .select(col("doc_id"), explode(typedlit(Bm25Terms)).as("term"), col("t"))
+      .select(
+        col("doc_id"),
+        col("term"),
+        size(filter(col("t"), x => x === col("term"))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(lens, "doc_id")
+      .crossJoin(st)
+      .groupBy("doc_id")
+      .agg(sum(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * lit(Bm25K1 + 1) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl") * col("n") / col("sumlen")))).as("raw"))
+      .select(col("doc_id"), pround(col("raw"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val qBm25Sql = {
+    val termList = Bm25Terms.mkString("['", "','", "']")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk),
+       |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumlen FROM lens),
+       |terms AS (SELECT unnest($termList) AS term),
+       |tf AS (
+       |  SELECT doc_id, term, len(list_filter(t, x -> x = term))::BIGINT AS tf
+       |  FROM tk, terms),
+       |df AS (SELECT term, count(*) FILTER (WHERE tf > 0)::BIGINT AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |        * tf.tf * ${Bm25K1 + 1} / (tf.tf + $Bm25K1 *
+       |          (${1 - Bm25B} + $Bm25B * lens.dl * st.n / st.sumlen))) AS raw
+       |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), st
+       |  WHERE tf.tf > 0
+       |  GROUP BY 1)
+       |SELECT doc_id, floor(raw * 10000 + 0.5) / 10000.0 AS bm25
+       |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
@@ -467,5 +530,6 @@ object TextOps {
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
-    Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)))
+    Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
+    Q("q_bm25", qBm25, Some(qBm25Sql)))
 }

@@ -304,6 +304,46 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("BM25 matches an independent in-JVM scorer") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val terms = Seq("spark", "table", "query")
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("[\\s]+").filter(_.nonEmpty)
+    }
+    val n = toks.length.toLong
+    val sumLen = toks.map(_._2.length.toLong).sum
+    val df = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    val want = toks.flatMap { case (id, tk) =>
+      val dl = tk.length.toLong
+      val raw = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) 0.0
+        else math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / sumLen.toDouble))
+      }.sum
+      if (raw > 0) Some((id, math.floor(raw * 10000 + 0.5) / 10000.0)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = TextOps.qBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want.toSeq)
+  }
+
+  test("hybrid search candidates share a query keyword; cosines are descending") {
+    val kw = TextOps.qTfidf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val queryTerms = kw.filter(_._1 == 0L).map(_._2).toSet
+    assert(queryTerms.nonEmpty, "query doc has no keywords — vacuous")
+    val blocked = kw.filter { case (id, t) => id != 0L && queryTerms(t) }.map(_._1).toSet
+    val got = Similarity.qHybridSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (id, _) => blocked(id) },
+      s"hybrid returned a doc outside the keyword block: ${got.toSeq}")
+    assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)), "cosines not descending")
+  }
+
   test("PII redaction is idempotent: a second pass finds zero matches") {
     // The replacement tokens must not themselves re-match either pattern
     // (e.g. an IP-like fragment surviving inside a longer run).
