@@ -1390,6 +1390,55 @@ object Relational {
     * One shuffle on custkey + partition-local sort serves all four
     * functions (a single Window node). percent_rank's (rank−1)/(n−1)
     * division is the same double on both engines — no rounding needed. */
+  /** Distribution & positional window functions — the matrix rows the
+    * other window queries don't cover: dense_rank and cume_dist over a
+    * TIE-BEARING key (date only — rank functions depend on key values,
+    * not intra-peer row order, so ties stay deterministic), and
+    * first/last/nth_value over explicit ROWS frames with a full
+    * (date, orderkey) tiebreak — positional functions over the default
+    * RANGE frame would be peer-order-dependent and engine-divergent.
+    * Money rides as exact cents. One shuffle on custkey, all five
+    * functions in two Window nodes over the same partitioning. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    val wTies = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val wRows = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        asScaled(col("o_totalprice"), 2).as("price_cents"))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        dense_rank().over(wTies).as("drank"),
+        cume_dist().over(wTies).as("cdist"),
+        first("price_cents").over(wRows).as("first_cents"),
+        last("price_cents").over(wAll).as("last_cents"),
+        nth_value(col("price_cents"), 2).over(wRows).as("second_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowDistSql = {
+    val c = asScaledSql("o_totalprice", 2)
+    s"""SELECT o_custkey, o_orderkey,
+       |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drank,
+       |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS cdist,
+       |  first_value($c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
+       |  last_value($c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents,
+       |  nth_value($c, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cents
+       |FROM orders
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
   def qWindowNav(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     Tables.orders(s, d)
@@ -1757,6 +1806,7 @@ object Relational {
     Q("q8_market_share", q8MarketShare, Some(q8Sql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Q("q_window_nav", qWindowNav, Some(qWindowNavSql)),
+    Q("q_window_dist", qWindowDist, Some(qWindowDistSql)),
     Q("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     Q("q_array_funcs", qArrayFuncs, Some(qArrayFuncsSql)),
     Q("q_map_funcs", qMapFuncs, Some(qMapFuncsSql)),
