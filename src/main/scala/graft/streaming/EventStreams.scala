@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -181,6 +181,44 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", graft.Tables.nanosToTs("ts")) // shared batch/stream conversion
     hourlyCounts(raw)
+  }
+
+  /** Trending terms via the foreachBatch escape hatch: windowed word
+    * counts aggregate incrementally, and each trigger's emission is
+    * re-ranked to a per-window top-k by ordinary BATCH code inside
+    * foreachBatch — the standard pattern for logic Structured
+    * Streaming's incremental model can't express in-stream (global
+    * ranking is not an incrementalizable aggregate; a rank emitted in
+    * append mode could be invalidated by the next batch).
+    *
+    * COMPLETE output mode is load-bearing for rank correctness: update
+    * mode hands foreachBatch only the CHANGED (window, term) rows, and a
+    * rank over a partial table is not the window's true top-k. Complete
+    * mode re-emits the full aggregate each trigger, so the batch-side
+    * rank is globally correct — at the cost of state covering the whole
+    * window horizon (fine for a bounded trending horizon; the unbounded
+    * path is update mode + an external upsert store ranked at read
+    * time). `sink` receives (window_start, term, cnt, rk ≤ k); the
+    * latest emission per window is authoritative. The ranking input is
+    * the aggregated (window, term) table, never raw events. */
+  def trendingTerms(
+      docs: DataFrame,
+      k: Int,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = docs
+      .select(col("ts"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("term"))
+      .groupBy(window(col("ts"), "1 hour"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("term"), col("cnt"))
+    counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start")
+          .orderBy(col("cnt").desc, col("term"))
+        sink(batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= k))
+      }
+      .start()
   }
 
   /** Streaming exact dedup: one document per content fingerprint — the

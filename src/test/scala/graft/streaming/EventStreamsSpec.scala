@@ -63,6 +63,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch trending terms ranks each window's words across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    // collect every emission; the LATEST rank per window is authoritative
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val query = EventStreams.trendingTerms(docs, k = 2, batch =>
+      emissions.synchronized {
+        emissions ++= batch.collect().map(r =>
+          (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getInt(3)))
+      })
+    try {
+      source.addData((1L, ts(5), "alpha alpha beta"), (2L, ts(10), "alpha gamma"))
+      query.processAllAvailable()
+      // second batch shifts the ranking: beta overtakes alpha in hour 0
+      source.addData((3L, ts(20), "beta beta beta gamma"))
+      query.processAllAvailable()
+      val latest = emissions.synchronized {
+        emissions.groupBy(e => (e._1, e._2)).map { case (_, es) => es.last }
+      }
+      val hour0 = latest.filter(_._1 == 0L).map(e => (e._2, e._3, e._4)).toSet
+      // final counts in hour 0: alpha=3, beta=4, gamma=2 → top-2 = beta(1), alpha(2)
+      assert(hour0 === Set(("beta", 4L, 1), ("alpha", 3L, 2)),
+        s"unexpected final top-2 for hour 0: $hour0 (all: $emissions)")
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events parquet equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
