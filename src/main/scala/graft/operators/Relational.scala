@@ -520,6 +520,33 @@ object Relational {
       |WHERE (n * c - s1) * (n * c - s1) * (c - 1) > 4 * c * (c * s2 - s1 * s1)
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Null-ordering portability: aggregate over a NULL-bearing derived
+    * group key (open orders → NULL) with explicit NULLS LAST. The engines
+    * DISAGREE by default — Spark sorts ASC NULLS FIRST, DuckDB ASC NULLS
+    * LAST — so any query that lets a nullable key reach an ORDER BY
+    * unannotated hash-diverges; this query pins the discipline: every
+    * nullable sort key carries an explicit null ordering on BOTH sides.
+    * Also exercises null-group aggregation semantics (GROUP BY collects
+    * NULLs into one group in both engines) with exact-cents sums. */
+  def qNullOrder(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("closed_status"),
+        asScaled(col("o_totalprice"), 2).as("cents"))
+      .groupBy("closed_status")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .orderBy(col("closed_status").asc_nulls_last)
+
+  private val qNullOrderSql = {
+    val c = asScaledSql("o_totalprice", 2)
+    s"""SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS closed_status,
+       |  count(*) AS n, CAST(sum($c) AS BIGINT) AS total_cents
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY closed_status ASC NULLS LAST""".stripMargin
+  }
+
   /** Global total-order sort — the terasort shape. `orderBy` with no
     * partition key compiles to RangePartitioning: Spark SAMPLES the sort
     * key to pick balanced range boundaries, shuffles once, and sorts
@@ -1826,6 +1853,7 @@ object Relational {
     Q("q_resample_hourly", qResampleHourly, Some(qResampleHourlySql)),
     Q("q_anomaly_hours", qAnomalyHours, Some(qAnomalyHoursSql)),
     Q("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
+    Q("q_null_order", qNullOrder, Some(qNullOrderSql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),
