@@ -1412,11 +1412,6 @@ object Relational {
       |ORDER BY g_rf, g_ls, l_returnflag NULLS LAST,
       |         l_linestatus NULLS LAST""".stripMargin
 
-  /** Navigation window functions: lag/lead (NULL at partition edges),
-    * ntile quartiles and percent_rank over each customer's order history.
-    * One shuffle on custkey + partition-local sort serves all four
-    * functions (a single Window node). percent_rank's (rank−1)/(n−1)
-    * division is the same double on both engines — no rounding needed. */
   /** Distribution & positional window functions — the matrix rows the
     * other window queries don't cover: dense_rank and cume_dist over a
     * TIE-BEARING key (date only — rank functions depend on key values,
@@ -1466,6 +1461,11 @@ object Relational {
        |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  /** Navigation window functions: lag/lead (NULL at partition edges),
+    * ntile quartiles and percent_rank over each customer's order history.
+    * One shuffle on custkey + partition-local sort serves all four
+    * functions (a single Window node). percent_rank's (rank−1)/(n−1)
+    * division is the same double on both engines — no rounding needed. */
   def qWindowNav(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     Tables.orders(s, d)

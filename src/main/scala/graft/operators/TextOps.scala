@@ -461,30 +461,36 @@ object TextOps {
   private val Bm25B = 0.75
 
   /** BM25 ranked retrieval for a fixed 3-term query — the classic
-    * keyword-relevance scorer (Lucene-form idf, k1=1.2, b=0.75). Term
-    * frequencies are a narrow per-doc projection (one `filter` HOF per
-    * query term over the shared tokenizer), document frequencies a
-    * |query|-row aggregate, corpus stats a broadcast single row — so at
-    * 100 TB scoring is one scan + a 3-row broadcast join; the top-20 head
-    * is TakeOrderedAndProject. The length norm is the rational
-    * dl·N/Σdl (no precomputed avgdl double); the one transcendental
-    * (ln in idf) is pround-4'd like the other continuous outputs. */
+    * keyword-relevance scorer (Lucene-form idf, k1=1.2, b=0.75). The
+    * per-doc (term, tf, dl) rows come from ONE projection over the
+    * shared tokenizer (doc length rides with the tf rows — no doc-keyed
+    * join anywhere); document frequencies are a |query|-row broadcast
+    * aggregate and corpus stats a broadcast single row, so at 100 TB
+    * scoring is two scans (score projection + 1-row stats aggregate)
+    * joined only through broadcast — the top-20 head is
+    * TakeOrderedAndProject. The length norm is the rational dl·N/Σdl
+    * (no precomputed avgdl double); the one transcendental (ln in idf)
+    * is pround-4'd like the other continuous outputs. */
   def qBm25(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PortableRound.pround
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("t"))
-    val lens = tk.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val st = broadcast(lens.agg(count(lit(1)).as("n"), sum("dl").as("sumlen")))
+    val st = broadcast(
+      tk.agg(count(lit(1)).as("n"), sum(size(col("t")).cast("long")).as("sumlen")))
     val tf = tk
-      .select(col("doc_id"), explode(typedlit(Bm25Terms)).as("term"), col("t"))
       .select(
         col("doc_id"),
+        size(col("t")).cast("long").as("dl"),
+        explode(typedlit(Bm25Terms)).as("term"),
+        col("t"))
+      .select(
+        col("doc_id"),
+        col("dl"),
         col("term"),
         size(filter(col("t"), x => x === col("term"))).cast("long").as("tf"))
       .filter(col("tf") > 0)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfT), "term")
-      .join(lens, "doc_id")
       .crossJoin(st)
       .groupBy("doc_id")
       .agg(sum(

@@ -68,26 +68,34 @@ class EventStreamsSpec extends SparkSpec {
     import spark.implicits._
     val source = MemoryStream[(Long, Timestamp, String)]
     val docs = source.toDF().toDF("doc_id", "ts", "text")
-    // collect every emission; the LATEST rank per window is authoritative
-    val emissions = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    // collect batches separately; the contract is that the LATEST
+    // emission replaces each window's whole top-k (latest-per-(window,
+    // term) would wrongly keep a term that dropped out of the top-k)
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long, Int)]]
     val query = EventStreams.trendingTerms(docs, k = 2, batch =>
-      emissions.synchronized {
-        emissions ++= batch.collect().map(r =>
+      batches.synchronized {
+        batches += batch.collect().toSeq.map(r =>
           (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getInt(3)))
       })
     try {
-      source.addData((1L, ts(5), "alpha alpha beta"), (2L, ts(10), "alpha gamma"))
+      source.addData((1L, ts(5), "alpha alpha beta gamma"), (2L, ts(10), "alpha gamma"))
       query.processAllAvailable()
-      // second batch shifts the ranking: beta overtakes alpha in hour 0
-      source.addData((3L, ts(20), "beta beta beta gamma"))
+      // second batch reshuffles hour 0: beta overtakes alpha, gamma
+      // (rank 2 in batch 1) drops out of the top-2 entirely
+      source.addData((3L, ts(20), "beta beta beta beta"))
       query.processAllAvailable()
-      val latest = emissions.synchronized {
-        emissions.groupBy(e => (e._1, e._2)).map { case (_, es) => es.last }
+      val perWindowLatest = batches.synchronized {
+        val all = batches.toSeq
+        all.flatMap(_.map(_._1)).distinct.map { wdw =>
+          wdw -> all.filter(_.exists(_._1 == wdw)).last.filter(_._1 == wdw)
+        }.toMap
       }
-      val hour0 = latest.filter(_._1 == 0L).map(e => (e._2, e._3, e._4)).toSet
-      // final counts in hour 0: alpha=3, beta=4, gamma=2 → top-2 = beta(1), alpha(2)
-      assert(hour0 === Set(("beta", 4L, 1), ("alpha", 3L, 2)),
-        s"unexpected final top-2 for hour 0: $hour0 (all: $emissions)")
+      val hour0 = perWindowLatest(0L).map(e => (e._2, e._3, e._4)).toSet
+      // final counts in hour 0: alpha=3, beta=5, gamma=2 → top-2 = beta(1), alpha(2);
+      // gamma must NOT survive from batch 1
+      assert(hour0 === Set(("beta", 5L, 1), ("alpha", 3L, 2)),
+        s"unexpected final top-2 for hour 0: $hour0 (batches: $batches)")
     } finally query.stop()
   }
 
