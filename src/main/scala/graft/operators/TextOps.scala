@@ -525,6 +525,80 @@ object TextOps {
        |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  private val PrMinEdgeFreq = 40
+  private val PrIters = 5
+
+  /** PageRank over the word-adjacency graph — iterative distributed graph
+    * analytics beyond [[Dedup.qDedupClusters]]'s connected components.
+    * The graph: words linked when they appear ADJACENT ≥ [[PrMinEdgeFreq]]
+    * times corpus-wide (undirected → both directions materialized, so
+    * every node receives mass and no dangling-node special case exists).
+    *
+    * The rank arithmetic is INTEGER-EXACT by construction: ranks live in
+    * micro-units (start 10⁶), each node distributes `r div deg` to its
+    * neighbors, and damping 0.85 is `(85·Σ) div 100` — floor division at
+    * every step, so both engines compute bit-identical BIGINTs and the
+    * oracle is a DuckDB RECURSIVE CTE, not a float-tolerance spec. (The
+    * small rank mass lost to flooring is deliberate: portability over
+    * normalization.) Spark-side the loop is [[qDedupClusters]]'s shape —
+    * edges/degrees materialized once (localCheckpoint), one combiner-
+    * backed join+aggregate shuffle per iteration, O(iters) rounds — the
+    * production PR shape at any scale. */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(graft.functions.NativeExprs.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = tk.select(
+      explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS wa, t[i+1] AS wb))"))
+        .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val und = bg
+      .filter(col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("src"), greatest(col("wa"), col("wb")).as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= PrMinEdgeFreq)
+      .select("src", "dst")
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r")).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      r = edges
+        .join(r, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("sh"))
+        .select(col("dst").as("node"), expr("150000 + (85 * sh) div 100").as("r"))
+        .localCheckpoint()
+    }
+    r.orderBy(col("r").desc, col("node"))
+  }
+
+  private val qPagerankSql =
+    s"""WITH RECURSIVE
+       |tk AS (SELECT $tokensSql AS t FROM documents),
+       |bg AS (
+       |  SELECT t[i] AS wa, t[i+1] AS wb
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+       |  WHERE len(t) >= 2),
+       |und AS (
+       |  SELECT least(wa, wb) AS src, greatest(wa, wb) AS dst
+       |  FROM bg WHERE wa <> wb
+       |  GROUP BY 1, 2 HAVING count(*) >= $PrMinEdgeFreq),
+       |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |pr(it, node, r) AS (
+       |  SELECT 0, src, 1000000::BIGINT FROM deg
+       |  UNION ALL
+       |  SELECT it + 1, e.dst, 150000 + (85 * sum(p.r // d.deg)) // 100
+       |  FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = p.node
+       |  WHERE it < $PrIters GROUP BY it, e.dst)
+       |SELECT node, r FROM pr WHERE it = $PrIters
+       |ORDER BY r DESC, node""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
@@ -537,5 +611,6 @@ object TextOps {
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
-    Q("q_bm25", qBm25, Some(qBm25Sql)))
+    Q("q_bm25", qBm25, Some(qBm25Sql)),
+    Q("q_pagerank", qPagerank, Some(qPagerankSql)))
 }

@@ -360,6 +360,39 @@ class ExtrasSpec extends SparkSpec {
     assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)), "cosines not descending")
   }
 
+  test("integer PageRank matches an exact in-JVM recomputation") {
+    // integer arithmetic end to end → the recomputation must match
+    // EXACTLY, not within a tolerance
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val tk = t.toLowerCase(java.util.Locale.ROOT).split("[\\s]+").filter(_.nonEmpty)
+      tk.iterator.zip(tk.iterator.drop(1)).foreach { case (a, b) =>
+        if (a != b) {
+          val k = if (a < b) (a, b) else (b, a)
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val und = pairCounts.filter(_._2 >= 40).keys.toSeq
+    val edges = und ++ und.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    var r: Map[String, Long] = deg.map { case (n, _) => n -> 1000000L }.toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + r(src) / deg(src)
+      }
+      r = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }.toMap
+    }
+    val want = r.toSeq.sortBy { case (n, v) => (-v, n) }
+    val got = TextOps.qPagerank(spark, sfDir).collect()
+      .map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.map(_._2).distinct.length >= 2, "all ranks equal — vacuous graph")
+  }
+
   test("PII redaction is idempotent: a second pass finds zero matches") {
     // The replacement tokens must not themselves re-match either pattern
     // (e.g. an IP-like fragment surviving inside a longer run).
