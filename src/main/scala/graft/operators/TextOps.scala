@@ -544,7 +544,10 @@ object TextOps {
     * edges/degrees materialized once (localCheckpoint), one combiner-
     * backed join+aggregate shuffle per iteration, O(iters) rounds — the
     * production PR shape at any scale. */
-  def qPagerank(s: SparkSession, d: String): DataFrame = {
+  /** The word-adjacency graph: undirected (src < dst) edges between
+    * words appearing adjacent ≥ [[PrMinEdgeFreq]] times corpus-wide.
+    * ONE definition shared by [[qPagerank]] and [[qTriangles]]. */
+  private def adjacencyEdges(s: SparkSession, d: String): DataFrame = {
     val tk = Tables.documents(s, d)
       .select(graft.functions.NativeExprs.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -552,13 +555,29 @@ object TextOps {
       explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS wa, t[i+1] AS wb))"))
         .as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
-    val und = bg
+    bg
       .filter(col("wa") =!= col("wb"))
       .select(least(col("wa"), col("wb")).as("src"), greatest(col("wa"), col("wb")).as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= PrMinEdgeFreq)
       .select("src", "dst")
+  }
+
+  /** DuckDB twin of [[adjacencyEdges]] (tk/bg/und CTE prefix). */
+  private def adjacencySqlCtes: String =
+    s"""tk AS (SELECT $tokensSql AS t FROM documents),
+       |bg AS (
+       |  SELECT t[i] AS wa, t[i+1] AS wb
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+       |  WHERE len(t) >= 2),
+       |und AS (
+       |  SELECT least(wa, wb) AS src, greatest(wa, wb) AS dst
+       |  FROM bg WHERE wa <> wb
+       |  GROUP BY 1, 2 HAVING count(*) >= $PrMinEdgeFreq)""".stripMargin
+
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val und = adjacencyEdges(s, d)
     val edges = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -579,15 +598,7 @@ object TextOps {
 
   private val qPagerankSql =
     s"""WITH RECURSIVE
-       |tk AS (SELECT $tokensSql AS t FROM documents),
-       |bg AS (
-       |  SELECT t[i] AS wa, t[i+1] AS wb
-       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
-       |  WHERE len(t) >= 2),
-       |und AS (
-       |  SELECT least(wa, wb) AS src, greatest(wa, wb) AS dst
-       |  FROM bg WHERE wa <> wb
-       |  GROUP BY 1, 2 HAVING count(*) >= $PrMinEdgeFreq),
+       |$adjacencySqlCtes,
        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        |pr(it, node, r) AS (
@@ -598,6 +609,41 @@ object TextOps {
        |  WHERE it < $PrIters GROUP BY it, e.dst)
        |SELECT node, r FROM pr WHERE it = $PrIters
        |ORDER BY r DESC, node""".stripMargin
+
+  /** Per-node triangle counts over the word-adjacency graph — the classic
+    * clustering-coefficient building block. Each triangle is enumerated
+    * EXACTLY ONCE via the ordered-endpoint construction: edges carry
+    * src < dst, the two-hop chain forces a < b < c, and the closing edge
+    * (a, c) is probed by join — candidate volume is Σ deg², never n³.
+    * At 100 TB the standard skew defense is to orient edges from low- to
+    * high-degree endpoint before chaining (bounds the hub fan-out); the
+    * maxDF-style edge-frequency floor already caps degree here. Pure
+    * integer counts → exact oracle. */
+  def qTriangles(s: SparkSession, d: String): DataFrame = {
+    // cached: read three times by the triple self-join; harness
+    // clearCache()s per query
+    val und = adjacencyEdges(s, d).cache()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(
+        und.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  private val qTrianglesSql =
+    s"""WITH $adjacencySqlCtes,
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+       |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
+       |SELECT node, count(*) AS n_triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
@@ -612,5 +658,6 @@ object TextOps {
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
     Q("q_bm25", qBm25, Some(qBm25Sql)),
-    Q("q_pagerank", qPagerank, Some(qPagerankSql)))
+    Q("q_pagerank", qPagerank, Some(qPagerankSql)),
+    Q("q_triangles", qTriangles, Some(qTrianglesSql)))
 }
