@@ -615,10 +615,14 @@ object TextOps {
     * EXACTLY ONCE via the ordered-endpoint construction: edges carry
     * src < dst, the two-hop chain forces a < b < c, and the closing edge
     * (a, c) is probed by join — candidate volume is Σ deg², never n³.
-    * At 100 TB the standard skew defense is to orient edges from low- to
-    * high-degree endpoint before chaining (bounds the hub fan-out); the
-    * maxDF-style edge-frequency floor already caps degree here. Pure
-    * integer counts → exact oracle. */
+    * NOTE the per-pair frequency floor bounds the EDGE set, not a hub
+    * word's distinct-neighbor count — on an open vocabulary a stopword
+    * hub keeps full degree, so the 100 TB form MUST first orient edges
+    * from low- to high-degree endpoint (then every chain fans out from
+    * the lower-degree side, bounding candidates by Σ min-deg·deg — the
+    * standard defense, not applied here because the test graph's
+    * vocabulary is inherently tiny). Pure integer counts → exact
+    * oracle. */
   def qTriangles(s: SparkSession, d: String): DataFrame = {
     // cached: read three times by the triple self-join; harness
     // clearCache()s per query

@@ -338,12 +338,17 @@ class ExtrasSpec extends SparkSpec {
       assert(want.contains(id), s"doc $id not scored by the oracle")
       assert(math.abs(s - want(id)) <= 1e-4 + 1e-9, s"doc $id: $s vs raw ${want(id)}")
     }
+    assert(want.nonEmpty, "no document matches any query term — vacuous fixture")
     // the returned set must be the oracle's top-20 up to rounding ties at
     // the cutoff: every returned score >= the oracle's 20th-best - 1e-4
     val cutoff = want.values.toSeq.sortBy(-_).take(got.length).last
     got.foreach { case (id, s) =>
       assert(s >= cutoff - 1e-4, s"doc $id score $s below the top-20 cutoff $cutoff")
     }
+    // the ORDER BY contract (score desc, doc_id asc) — deterministic on
+    // the engine's own rounded output, so no float-order flake window
+    val ordKeys = got.map { case (id, s) => (-s, id) }
+    assert(ordKeys.sameElements(ordKeys.sorted), s"output not ordered: ${got.toSeq}")
   }
 
   test("hybrid search candidates share a query keyword; cosines are descending") {
@@ -358,6 +363,36 @@ class ExtrasSpec extends SparkSpec {
     assert(got.forall { case (id, _) => blocked(id) },
       s"hybrid returned a doc outside the keyword block: ${got.toSeq}")
     assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)), "cosines not descending")
+  }
+
+  test("triangle counts match an exact in-JVM enumeration") {
+    // independent recomputation — the DuckDB oracle is a structural twin
+    // of the same joins, so a shared construction error would pass it
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val tk = t.toLowerCase(java.util.Locale.ROOT).split("[\\s]+").filter(_.nonEmpty)
+      tk.iterator.zip(tk.iterator.drop(1)).foreach { case (x, y) =>
+        if (x != y) {
+          val k = if (x < y) (x, y) else (y, x)
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val und = pairCounts.filter(_._2 >= 40).keys.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    // brute-force a<b<c enumeration, independent of the join construction
+    for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1L)
+    val want = counts.toSeq.sortBy(_._1)
+    val got = TextOps.qTriangles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(want.nonEmpty, "no triangles anywhere — vacuous graph")
   }
 
   test("integer PageRank matches an exact in-JVM recomputation") {
