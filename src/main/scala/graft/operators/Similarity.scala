@@ -510,7 +510,12 @@ object Similarity {
     * keyword table is a prebuilt inverted index bucketed by term and the
     * wide vector column is read only for stage-2 candidates. */
   def qHybridSearch(s: SparkSession, d: String): DataFrame = {
-    val kw = TextOps.qTfidf(s, d).select(col("doc_id"), col("term"))
+    // cached: the keyword table feeds both the probe (doc 0) and the
+    // candidate branch, whose plans diverge after filter pushdown so
+    // Catalyst cannot ReuseExchange them — without the cache the whole
+    // TF-IDF subtree (two shuffles) computes twice. Harness clearCache()s
+    // per query.
+    val kw = TextOps.qTfidf(s, d).select(col("doc_id"), col("term")).cache()
     val probe = broadcast(kw.filter(col("doc_id") === 0).select("term"))
     val cands = kw.filter(col("doc_id") =!= 0).join(probe, "term").select("doc_id").distinct()
     val e = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("embedding").as("v"))
