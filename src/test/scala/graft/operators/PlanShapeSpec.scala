@@ -90,6 +90,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"distinct exchange not reused:\n$p")
   }
 
+  test("incremental dedup joins only through hash/broadcast — no nested-loop anywhere") {
+    val df = Dedup.qDedupIncremental(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in incremental dedup:\n$p")
+  }
+
+  test("bm25 top-20 plans as TakeOrderedAndProject over broadcast-joined stats") {
+    val p = plan(TextOps.qBm25(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 top-20 became a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/stats join not broadcast:\n$p")
+  }
+
   test("embedding centroids aggregate with map-side partial sums") {
     // The shuffle must carry nlabels×dim partials, not raw vector values.
     val p = plan(Similarity.qEmbedCentroids(spark, sfDir))
