@@ -1,119 +1,190 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: treat media as opaque BINARY columns with
-  * typed metadata, processed batch-wise in executor-side partitions.
+/** Multimodal-column plumbing: media as opaque BINARY columns with typed
+  * metadata, processed batch-wise in executor-side partitions.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`FakeCodec`) — but everything Spark
-  * cares about is real and tested: the binary column schema, the
-  * mapPartitions batch shape (stream over rows, no per-row setup cost —
-  * exactly where a real decoder would amortize model/codec init), the typed
-  * output Encoder, and the pushdown-friendly projection that ships ONLY the
-  * blob + id into the "decoder".
+  * The media payloads are REAL PNGs: each document yields a small grayscale
+  * image whose pixel values follow a deterministic integer formula of
+  * `(x, y, doc_id)` (see [[PngCodec.pixel]]), encoded with the JDK's
+  * `javax.imageio` PNG writer. Every query then decodes the compressed
+  * bytes back through `ImageIO.read` — a genuine codec round-trip (IHDR
+  * parse, IDAT inflate) — and all asserted outputs (dimensions, pixel
+  * sums, histograms, resized checksums) are computed from the DECODED
+  * raster. Because PNG is lossless, the DuckDB oracle can replay the pixel
+  * formula and hash-match the decoded results end-to-end.
   *
-  * At 100 TB the same plan holds: the blob column stays out of every
-  * operator except the decode projection; metadata ops run on pruned
-  * columns. The `documents.text` bytes stand in for media payloads.
+  * At 100 TB the plan shape is what matters: the blob column is projected
+  * into exactly one mapPartitions decode stage per query (streaming
+  * iterator, constant memory, per-partition codec amortization — where a
+  * real deployment initializes its JNI decoder / vision encoder once);
+  * blobs never cross a shuffle, and everything downstream runs on pruned
+  * scalar columns.
   */
 object Multimodal {
 
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
-  final case class Frame(doc_id: Long, frame_idx: Long, sample_value: Long)
+  /** Real PNG encode/decode via the JDK-only `javax.imageio` (no external
+    * deps, works offline). Thread-safe: `ImageIO.read`/`write` construct a
+    * fresh reader/writer per call; the disk cache is disabled so blobs stay
+    * memory-only. */
+  object PngCodec {
+    ImageIO.setUseCache(false)
 
-  /** STUB decoder: derives fake media properties deterministically from the
-    * payload bytes. A real deployment swaps this object for JNI/codec calls
-    * — the surrounding Spark plumbing is unchanged. */
-  object FakeCodec {
-    def probe(id: Long, bytes: Array[Byte]): MediaMeta = {
-      val n = bytes.length.toLong
-      // n_frames reports what sampleFrames actually emits — min(4, n), so
-      // metadata and frame output agree even on tiny payloads
-      MediaMeta(id, n, width = n % 640 + 1, height = n % 480 + 1, n_frames = math.min(4L, n))
-    }
-    /** "Frame sampling": pick n_frames evenly spaced payload bytes. */
-    def sampleFrames(id: Long, bytes: Array[Byte], nFrames: Int): Iterator[Frame] = {
-      val n = bytes.length
-      val stride = math.max(1, n / nFrames)
-      Iterator.tabulate(math.min(nFrames, n)) { f =>
-        Frame(id, f.toLong, (bytes(f * stride) & 0xff).toLong)
+    /** Deterministic grayscale value at (x, y) for document `id` — the
+      * ground truth both the Spark fixture and the DuckDB oracle compute. */
+    def pixel(x: Int, y: Int, id: Long): Int =
+      ((x * 7L + y * 13L + id * 31L) % 256L).toInt
+
+    def width(id: Long): Int  = (id % 48 + 32).toInt // 32..79
+    def height(id: Long): Int = (id % 32 + 24).toInt // 24..55
+
+    /** Encode document `id`'s image as a real compressed PNG byte blob. */
+    def encode(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(x, y, id)); x += 1 }
+        y += 1
       }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode a PNG blob back to its raster. */
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode blob as an image")
+      img
     }
   }
 
-  /** Blob + id projection — the ONLY place the binary column is read. */
-  private def blobs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("blob"))
+  /** The media "table": one real PNG blob per document. Generated from
+    * `doc_id` alone (the generator is the fixture — at 100 TB this is a
+    * parquet table of ingested media bytes; the downstream decode plan is
+    * identical either way). Only `doc_id` is scanned from parquet. */
+  private def blobs(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => (id, PngCodec.encode(id))))
+      .toDF("doc_id", "blob")
+  }
 
-  /** Metadata extraction over the binary column via mapPartitions (batch
-    * shape: one iterator per partition, streaming, constant memory). */
+  final case class MediaMeta(doc_id: Long, width: Long, height: Long, n_pixels: Long, pixel_sum: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, sample_value: Long)
+  final case class MediaFeature(
+      doc_id: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long)
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long, resized_sum: Long)
+
+  /** Metadata extraction: decode each PNG, report REAL dimensions from the
+    * decoded header plus a full-raster pixel sum (proves the IDAT bytes
+    * were actually inflated, not just the header peeked). */
   def qMediaMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     blobs(s, d)
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows => rows.map { case (id, bytes) => FakeCodec.probe(id, bytes) } }
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          MediaMeta(id, w.toLong, h.toLong, w.toLong * h, sum)
+        }
+      }
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Oracle: the stub's outputs are pure functions of payload length, so
-    * DuckDB reproduces them from octet_length — the decode is fake but the
-    * check is real end-to-end through the binary plumbing. */
+  /** Oracle replays the pixel formula (PNG is lossless, so decoded samples
+    * equal the authored values). Max dims are 79×55 → bounded unnest. */
   private val qMediaMetaSql =
-    """SELECT doc_id,
-      |  octet_length(encode(text))::BIGINT AS n_bytes,
-      |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
-      |  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
-      |  least(4, octet_length(encode(text)))::BIGINT AS n_frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS width, (doc_id % 32 + 24)::BIGINT AS height
+      |  FROM documents)
+      |SELECT d.doc_id, d.width, d.height, (d.width * d.height)::BIGINT AS n_pixels,
+      |       sum((xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256)::BIGINT AS pixel_sum
+      |FROM dims d, (SELECT unnest(range(80)) AS x) xs, (SELECT unnest(range(56)) AS y) ys
+      |WHERE xs.x < d.width AND ys.y < d.height
+      |GROUP BY d.doc_id, d.width, d.height
+      |ORDER BY d.doc_id""".stripMargin
 
-  /** Frame sampling: flatMap-shaped decode (0..n rows out per blob). */
+  /** Frame sampling: flatMap-shaped decode — 4 evenly spaced probe pixels
+    * along the image diagonal (the no-video-codec stand-in for keyframe
+    * extraction; same 0..n-rows-out-per-blob plan a real sampler has). */
   def qFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     blobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, bytes) => FakeCodec.sampleFrames(id, bytes, nFrames = 4) }
+        rows.flatMap { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          Iterator.tabulate(4) { f =>
+            val x = f * (w - 1) / 3
+            val y = f * (h - 1) / 3
+            Frame(id, f.toLong, raster.getSample(x, y, 0).toLong)
+          }
+        }
       }
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** ASCII payloads ⇒ byte samples equal character codes; DuckDB mirrors
-    * the stride arithmetic. */
   private val qFrameSampleSql =
-    """SELECT doc_id, f::BIGINT AS frame_idx,
-      |  ascii(substr(text, (f * greatest(octet_length(encode(text)) // 4, 1) + 1)::INT, 1))::BIGINT
-      |    AS sample_value
-      |FROM documents, (SELECT unnest(range(4)) AS f)
-      |WHERE f < octet_length(encode(text))
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS w, (doc_id % 32 + 24)::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, fs.f::BIGINT AS frame_idx,
+      |       ((((fs.f * (w - 1)) // 3) * 7 + ((fs.f * (h - 1)) // 3) * 13 + doc_id * 31) % 256)::BIGINT
+      |         AS sample_value
+      |FROM dims, (SELECT unnest(range(4)) AS f) fs
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  final case class MediaFeature(
-      doc_id: Long,
-      h0: Double, h1: Double, h2: Double, h3: Double,
-      h4: Double, h5: Double, h6: Double, h7: Double)
-  final case class ResizedMeta(doc_id: Long, width: Long, height: Long, out_w: Long, out_h: Long)
-
-  /** Feature extraction over the binary column: an 8-bin byte histogram as
-    * the stand-in "embedding" (a real pipeline would run a vision encoder
-    * here — same mapPartitions batch shape). Bins are emitted as scalar
-    * columns h0..h7 so both the driver's row-sort check and a plain SQL
-    * oracle work; downstream vector consumers can re-pack with
-    * `array(col("h0"), ..., col("h7"))`. Deterministic; validated by
-    * ExtrasSpec against an independent computation AND the DuckDB oracle. */
+  /** Feature extraction: an 8-bin histogram over the DECODED raster as the
+    * stand-in "embedding" (a real pipeline runs a vision encoder in this
+    * exact mapPartitions slot). Bins are scalar columns h0..h7 so both the
+    * driver's hash compare and a plain SQL oracle work; downstream vector
+    * consumers re-pack with `array(col("h0"), ..., col("h7"))`. Also
+    * validated by ExtrasSpec against a formula-direct computation that
+    * never touches the codec. */
   def qFeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     blobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val hist = new Array[Double](8)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) % 8) += 1.0; i += 1 }
+          val img = PngCodec.decode(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { hist(raster.getSample(x, y, 0) % 8) += 1L; x += 1 }
+            y += 1
+          }
           MediaFeature(id, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
         }
       }
@@ -121,39 +192,49 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** ASCII payloads ⇒ byte values equal character codes; DuckDB counts
-    * characters per `ascii(ch) % 8` bin by unnesting one position index per
-    * byte. (documents.text is never empty in the generated data — min
-    * octet length 44 across the sf0.001/0.01/0.1 dirs — so the unnest
-    * can't drop a doc.) */
   private val qFeatureExtractSql =
-    """SELECT doc_id,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 0 THEN 1 END)::DOUBLE AS h0,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 1 THEN 1 END)::DOUBLE AS h1,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 2 THEN 1 END)::DOUBLE AS h2,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 3 THEN 1 END)::DOUBLE AS h3,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 4 THEN 1 END)::DOUBLE AS h4,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 5 THEN 1 END)::DOUBLE AS h5,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 6 THEN 1 END)::DOUBLE AS h6,
-      |  count(CASE WHEN ascii(substr(text, i::INT, 1)) % 8 = 7 THEN 1 END)::DOUBLE AS h7
-      |FROM (SELECT doc_id, text,
-      |        unnest(range(1, octet_length(encode(text)) + 1)) AS i
-      |      FROM documents)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS width, (doc_id % 32 + 24)::BIGINT AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, (xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256 AS v
+      |  FROM dims d, (SELECT unnest(range(80)) AS x) xs, (SELECT unnest(range(56)) AS y) ys
+      |  WHERE xs.x < d.width AND ys.y < d.height)
+      |SELECT doc_id,
+      |  count(CASE WHEN v % 8 = 0 THEN 1 END)::BIGINT AS h0,
+      |  count(CASE WHEN v % 8 = 1 THEN 1 END)::BIGINT AS h1,
+      |  count(CASE WHEN v % 8 = 2 THEN 1 END)::BIGINT AS h2,
+      |  count(CASE WHEN v % 8 = 3 THEN 1 END)::BIGINT AS h3,
+      |  count(CASE WHEN v % 8 = 4 THEN 1 END)::BIGINT AS h4,
+      |  count(CASE WHEN v % 8 = 5 THEN 1 END)::BIGINT AS h5,
+      |  count(CASE WHEN v % 8 = 6 THEN 1 END)::BIGINT AS h6,
+      |  count(CASE WHEN v % 8 = 7 THEN 1 END)::BIGINT AS h7
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Resize stub: target box 224×224, aspect preserved (integer math only
-    * so the DuckDB oracle replays it exactly). The real decoder swap-in
-    * changes FakeCodec, not this plan. */
+  /** Resize: decode, then nearest-neighbor downscale into a 48×48 box with
+    * aspect preserved (integer source mapping `src = i*in/out` so the
+    * DuckDB oracle replays it exactly). The resample reads every real
+    * decoded pixel it maps — asserted via the resized-raster checksum. */
   def qResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     blobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val m = FakeCodec.probe(id, bytes)
-          // fit into 224x224 preserving aspect: scale = 224/max(w,h)
-          val mx = math.max(m.width, m.height)
-          ResizedMeta(id, m.width, m.height, m.width * 224 / mx, m.height * 224 / mx)
+          val img = PngCodec.decode(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val mx = math.max(w, h)
+          val outW = w * 48 / mx
+          val outH = h * 48 / mx
+          var sum = 0L
+          var j = 0
+          while (j < outH) {
+            var i = 0
+            while (i < outW) { sum += raster.getSample(i * w / outW, j * h / outH, 0); i += 1 }
+            j += 1
+          }
+          ResizedMeta(id, w.toLong, h.toLong, outW.toLong, outH.toLong, sum)
         }
       }
       .toDF()
@@ -161,16 +242,22 @@ object Multimodal {
   }
 
   private val qResizeSql =
-    """SELECT doc_id,
-      |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
-      |  (octet_length(encode(text)) % 480 + 1)::BIGINT AS height,
-      |  ((octet_length(encode(text)) % 640 + 1) * 224
-      |    // greatest(octet_length(encode(text)) % 640 + 1,
-      |               octet_length(encode(text)) % 480 + 1))::BIGINT AS out_w,
-      |  ((octet_length(encode(text)) % 480 + 1) * 224
-      |    // greatest(octet_length(encode(text)) % 640 + 1,
-      |               octet_length(encode(text)) % 480 + 1))::BIGINT AS out_h
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS width, (doc_id % 32 + 24)::BIGINT AS height
+      |  FROM documents),
+      |od AS (
+      |  SELECT doc_id, width, height,
+      |         (width * 48 // greatest(width, height)) AS out_w,
+      |         (height * 48 // greatest(width, height)) AS out_h
+      |  FROM dims)
+      |SELECT o.doc_id, o.width, o.height, o.out_w::BIGINT AS out_w, o.out_h::BIGINT AS out_h,
+      |       sum((((ix.i * o.width) // o.out_w) * 7
+      |            + ((jx.j * o.height) // o.out_h) * 13
+      |            + o.doc_id * 31) % 256)::BIGINT AS resized_sum
+      |FROM od o, (SELECT unnest(range(48)) AS i) ix, (SELECT unnest(range(48)) AS j) jx
+      |WHERE ix.i < o.out_w AND jx.j < o.out_h
+      |GROUP BY o.doc_id, o.width, o.height, o.out_w, o.out_h
+      |ORDER BY o.doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),

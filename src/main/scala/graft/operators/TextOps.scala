@@ -610,29 +610,58 @@ object TextOps {
        |SELECT node, r FROM pr WHERE it = $PrIters
        |ORDER BY r DESC, node""".stripMargin
 
+  /** Direct each undirected (src < dst) edge from its lower-(degree, name)
+    * endpoint to the higher — the standard degree orientation. Output rows
+    * are (u, v, vdeg) with rank(u) < rank(v) under the total order
+    * (degree, name); `vdeg` rides along so wedge enumeration can order a
+    * node's out-neighbors without re-joining the degree table. */
+  private[operators] def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und.select(col("src").as("n"))
+      .unionAll(und.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val srcFirst = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    und
+      .join(deg.select(col("n").as("src"), col("dg").as("sdeg")), "src")
+      .join(deg.select(col("n").as("dst"), col("dg").as("ddeg")), "dst")
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
+        when(srcFirst, col("ddeg")).otherwise(col("sdeg")).as("vdeg"))
+  }
+
+  /** Wedge candidates (a, b, c): pairs of a node's out-neighbors under the
+    * degree orientation, ordered rank(b) < rank(c). Candidate volume is
+    * Σ_u C(outdeg(u), 2) with outdeg ≤ O(√m) — a stopword hub contributes
+    * ZERO wedges because all its edges point INTO it. */
+  private[operators] def orientedWedges(dir: DataFrame): DataFrame =
+    dir.as("d1").join(
+        dir.as("d2"),
+        col("d1.u") === col("d2.u") &&
+          (col("d1.vdeg") < col("d2.vdeg") ||
+            (col("d1.vdeg") === col("d2.vdeg") && col("d1.v") < col("d2.v"))))
+      .select(col("d1.u").as("a"), col("d1.v").as("b"), col("d2.v").as("c"))
+
   /** Per-node triangle counts over the word-adjacency graph — the classic
-    * clustering-coefficient building block. Each triangle is enumerated
-    * EXACTLY ONCE via the ordered-endpoint construction: edges carry
-    * src < dst, the two-hop chain forces a < b < c, and the closing edge
-    * (a, c) is probed by join — candidate volume is Σ deg², never n³.
-    * NOTE the per-pair frequency floor bounds the EDGE set, not a hub
-    * word's distinct-neighbor count — on an open vocabulary a stopword
-    * hub keeps full degree, so the 100 TB form MUST first orient edges
-    * from low- to high-degree endpoint (then every chain fans out from
-    * the lower-degree side, bounding candidates by Σ min-deg·deg — the
-    * standard defense, not applied here because the test graph's
-    * vocabulary is inherently tiny). Pure integer counts → exact
-    * oracle. */
+    * clustering-coefficient building block, via DEGREE-ORIENTED
+    * enumeration: each undirected edge is directed from its lower-degree
+    * endpoint ([[orientByDegree]]), wedges fan out only over a node's
+    * out-neighbors ([[orientedWedges]]), and the closing edge is probed
+    * with a semi join. Every triangle {x,y,z} (ranks r_x<r_y<r_z) appears
+    * exactly once as the wedge (x,y,z) closed by y→z. Candidate volume is
+    * Σ C(outdeg,2) with outdeg ≤ O(√m) — immune to the stopword-hub
+    * Σ deg² blowup an open vocabulary has at 100 TB (a hub's edges all
+    * point into it, so it centers no wedges). Pure integer counts → exact
+    * oracle; the oracle enumerates under lexical order and must produce
+    * the identical row set. */
   def qTriangles(s: SparkSession, d: String): DataFrame = {
-    // cached: read three times by the triple self-join; harness
-    // clearCache()s per query
-    val und = adjacencyEdges(s, d).cache()
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(
-        und.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // cached: read three times (both wedge sides + closing probe);
+    // harness clearCache()s per query
+    val dir = orientByDegree(adjacencyEdges(s, d)).cache()
+    val tri = orientedWedges(dir).join(
+      dir.select(col("u"), col("v")),
+      col("b") === col("u") && col("c") === col("v"),
+      "leftsemi")
     tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node")

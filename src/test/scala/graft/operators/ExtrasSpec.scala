@@ -102,9 +102,9 @@ class ExtrasSpec extends SparkSpec {
     assert(sig != 0L)
   }
 
-  test("documents.text is pure ASCII (assumption the media oracles rely on)") {
-    // qFeatureExtract's and qFrameSampleSql's DuckDB oracles equate
-    // character positions (substr/ascii) with byte values — valid only
+  test("documents.text is pure ASCII (assumption text-op oracles rely on)") {
+    // Several DuckDB oracles equate character positions/lengths with byte
+    // values (fingerprint, token counts, quality scores) — valid only
     // while the generated text is ASCII. If the generator ever emits
     // multi-byte characters this must fail loudly here, not silently
     // diverge in the driver's hash compare.
@@ -114,15 +114,54 @@ class ExtrasSpec extends SparkSpec {
     assert(nonAscii === 0L, s"$nonAscii documents contain non-ASCII text")
   }
 
-  test("media feature extraction matches an independent byte-histogram computation") {
+  test("media blobs are real PNGs and the codec round-trip is lossless") {
+    // Encode → decode outside Spark: magic bytes, header dims, and every
+    // raster sample must equal the authored formula. This is the codec
+    // ground truth the oracle-hash checks build on.
+    val ids = Seq(0L, 17L, 123L, 499L)
+    ids.foreach { id =>
+      val png = Multimodal.PngCodec.encode(id)
+      val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      assert(png.take(8).sameElements(magic), s"doc $id: not a PNG blob")
+      val img = Multimodal.PngCodec.decode(png)
+      assert(img.getWidth === Multimodal.PngCodec.width(id))
+      assert(img.getHeight === Multimodal.PngCodec.height(id))
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(raster.getSample(x, y, 0) === Multimodal.PngCodec.pixel(x, y, id),
+          s"doc $id pixel ($x,$y) corrupted by codec round-trip")
+    }
+  }
+
+  test("media feature extraction matches a formula-direct histogram that never touches the codec") {
+    // The query path goes formula → PNG encode → ImageIO decode → histogram;
+    // this check recomputes the histogram straight from the formula. Any
+    // codec-introduced corruption diverges the two.
     val got = Multimodal.qFeatureExtract(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
-    val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    texts.foreach { case (id, text) =>
-      val hist = new Array[Double](8)
-      text.getBytes("UTF-8").foreach(b => hist((b & 0xff) % 8) += 1.0)
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val hist = new Array[Long](8)
+      for (y <- 0 until Multimodal.PngCodec.height(id); x <- 0 until Multimodal.PngCodec.width(id))
+        hist(Multimodal.PngCodec.pixel(x, y, id) % 8) += 1L
       assert(got(id) === hist.toVector, s"doc $id histogram mismatch")
+    }
+  }
+
+  test("media resize reports aspect-fit dimensions and a formula-verified checksum") {
+    val got = Multimodal.qResize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    got.foreach { case (id, (w, h, outW, outH, sum)) =>
+      val mx = math.max(w, h)
+      assert(outW === w * 48 / mx, s"doc $id out_w")
+      assert(outH === h * 48 / mx, s"doc $id out_h")
+      assert(math.max(outW, outH) === 48L, s"doc $id: max dim must hit the box")
+      var expect = 0L
+      for (j <- 0 until outH.toInt; i <- 0 until outW.toInt)
+        expect += Multimodal.PngCodec.pixel((i * w / outW).toInt, (j * h / outH).toInt, id)
+      assert(sum === expect, s"doc $id resized checksum")
     }
   }
 
@@ -393,6 +432,28 @@ class ExtrasSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"got=$got want=$want")
     assert(want.nonEmpty, "no triangles anywhere — vacuous graph")
+  }
+
+  test("degree orientation bounds wedge candidates on a hub graph") {
+    // One hot node ("hub") with 200 spokes plus a single spoke-spoke edge
+    // (the lone triangle). Naive wedge enumeration centers C(200,2)=19900
+    // candidates at the hub; under degree orientation every hub edge
+    // points INTO the hub (spokes have degree ≤ 2), so the hub centers
+    // zero wedges and exactly ONE candidate exists in the whole graph —
+    // the Σ deg² stopword-hub blowup the 100 TB graph would otherwise hit.
+    import spark.implicits._
+    val spokes = (1 to 200).map(i => f"s$i%03d")
+    val und = (spokes.map(sp => ("hub", sp)) :+ ("s001", "s002"))
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .toDF("src", "dst")
+    val dir = TextOps.orientByDegree(und)
+    // orientation total: every edge directed exactly once
+    assert(dir.count() === 201L)
+    // hub centers no wedges; the only candidate is s001 -> (s002, hub)
+    val wedges = TextOps.orientedWedges(dir)
+    assert(wedges.count() === 1L, "hub graph must yield exactly one wedge candidate")
+    val w = wedges.collect().head
+    assert((w.getString(0), w.getString(1), w.getString(2)) === (("s001", "s002", "hub")))
   }
 
   test("integer PageRank matches an exact in-JVM recomputation") {
