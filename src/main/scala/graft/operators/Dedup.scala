@@ -246,6 +246,45 @@ object Dedup {
   /** Marks the 20% "new batch" slice (deterministic, SF-stable). */
   private def isNewBatch(c: Column): Column = c % 5 === 4
 
+  /** maxDF stop-shingle cap shared by the incremental index + probe. */
+  private val IncMaxDF = 20
+
+  /** Build-once corpus-side index for incremental admission, persisted as
+    * bucketed managed tables ([[graft.sources.Warehouse]]): the shingle
+    * inverted index (`sh`-bucketed, corpus DF ≤ [[IncMaxDF]]), the full
+    * per-shingle corpus DF stats, per-doc capped set sizes, and the
+    * distinct fingerprint set (`f`-bucketed). Runs ONLY on a catalog miss
+    * — this is the nightly index job; the daily probe never recomputes
+    * any of it. Returns the four table names (sh, df, sizes, fp). */
+  private[operators] def ensureIncrementalIndex(
+      s: SparkSession, d: String): (String, String, String, String) = {
+    import graft.sources.Warehouse
+    val shT = Warehouse.tableName("graft_inc_sh", d)
+    val dfT = Warehouse.tableName("graft_inc_df", d)
+    val szT = Warehouse.tableName("graft_inc_sz", d)
+    val fpT = Warehouse.tableName("graft_inc_fp", d)
+    lazy val corpusSh = Tables.documents(s, d)
+      .filter(!isNewBatch(col("doc_id")))
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    Warehouse.ensure(s, dfT, "sh") {
+      corpusSh.groupBy("sh").agg(count(lit(1)).as("df_c"))
+    }
+    Warehouse.ensure(s, shT, "sh") {
+      corpusSh.join(s.table(dfT).filter(col("df_c") <= IncMaxDF).select("sh"), "sh")
+    }
+    Warehouse.ensure(s, szT, "doc_id") {
+      s.table(shT).groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    }
+    Warehouse.ensure(s, fpT, "f") {
+      Tables.documents(s, d)
+        .filter(!isNewBatch(col("doc_id")))
+        .select(fingerprint(col("text")).as("f"))
+        .distinct()
+    }
+    (shT, dfT, szT, fpT)
+  }
+
   /** Incremental batch admission — the daily-crawl refresh shape: dedup a
     * NEW batch (doc_id ≡ 4 mod 5, a deterministic 20% slice) against the
     * EXISTING corpus (the other 80%) without re-deduping the corpus
@@ -253,31 +292,61 @@ object Dedup {
     * fingerprint or is a near-dup (capped-shingle Jaccard ≥
     * [[NearDupBar]]) of any corpus doc; intra-batch duplicates are NOT
     * dropped here — that is the normal pipeline's job on the batch alone.
-    * At 100 TB the corpus-side shingle index and fingerprint set are
-    * precomputed once and stored bucketed by key, so the daily cost is
-    * proportional to the BATCH: the candidate join probes the index with
-    * batch shingles only, and the same maxDF cap keeps hot shingles from
-    * fanning out. Same edge definition as [[qDedupApply]] — one admission
-    * bar across batch and incremental modes. */
+    *
+    * The corpus side is a PRE-BUILT stored index
+    * ([[ensureIncrementalIndex]]): the probe never re-tokenizes or
+    * re-shingles the corpus, and every probe-time aggregate is keyed by
+    * batch shingles — daily compute is proportional to the BATCH, with
+    * corpus cost reduced to the bucketed index scan. The maxDF cap is
+    * defined over corpus+batch df exactly like the one-shot pipeline
+    * (`df_total = df_c + df_b ≤` [[IncMaxDF]]): stored corpus DF stats
+    * are combined with batch DF at probe time, and corpus-doc set sizes
+    * are adjusted by the (batch-vocabulary-bounded) knocked-out shingle
+    * counts — so admission decisions are IDENTICAL to recomputing from
+    * scratch. Same edge definition as [[qDedupApply]] — one admission bar
+    * across batch and incremental modes. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = capped.filter(!isNewBatch(col("doc_id"))).as("a")
-      .join(capped.filter(isNewBatch(col("doc_id"))).as("b"), col("a.sh") === col("b.sh"))
+    val (shT, dfT, szT, fpT) = ensureIncrementalIndex(s, d)
+    val idx = s.table(shT)
+    // batch-side shingles: the only tokenization this query runs
+    val batchSh = Tables.documents(s, d)
+      .filter(isNewBatch(col("doc_id")))
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .cache()
+    val dfB = batchSh.groupBy("sh").agg(count(lit(1)).as("df_b"))
+    // per batch-relevant shingle: stored corpus DF + batch DF (batch-vocab-sized)
+    val shStatus = dfB
+      .join(s.table(dfT), Seq("sh"), "left")
+      .select(
+        col("sh"),
+        coalesce(col("df_c"), lit(0L)).as("df_c"),
+        (coalesce(col("df_c"), lit(0L)) + col("df_b")).as("df_t"))
+      .cache()
+    val okSh = shStatus.filter(col("df_t") <= IncMaxDF).select("sh")
+    val cappedBatch = batchSh.join(okSh, "sh")
+    val nbSizes = cappedBatch.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    // shingles the batch pushed over the cap: subtract from stored sizes
+    val knockSh = shStatus
+      .filter(col("df_t") > IncMaxDF && col("df_c") <= IncMaxDF)
+      .select("sh")
+    val knocks = idx.join(knockSh, "sh").groupBy("doc_id").agg(count(lit(1)).as("kn"))
+    val pairs = idx.as("a")
+      .join(cappedBatch.as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    val nearDrops = withEndpointSizes(pairs, sizes)
+    val nearDrops = pairs
+      .join(s.table(szT).select(col("doc_id").as("da"), col("n_c")), "da")
+      .join(knocks.select(col("doc_id").as("da"), col("kn")), Seq("da"), "left")
+      .join(nbSizes.select(col("doc_id").as("db"), col("nb")), "db")
+      .withColumn("na", col("n_c") - coalesce(col("kn"), lit(0L)))
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
       .select(col("db").as("doc_id"))
-      .distinct()
-    val corpusFp = Tables.documents(s, d)
-      .filter(!isNewBatch(col("doc_id")))
-      .select(fingerprint(col("text")).as("f"))
       .distinct()
     val newDocs = Tables.documents(s, d).filter(isNewBatch(col("doc_id")))
     val exactDrops = newDocs
       .select(col("doc_id"), fingerprint(col("text")).as("f"))
-      .join(corpusFp, "f")
+      .join(s.table(fpT), "f")
       .select("doc_id")
     newDocs
       .join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
@@ -325,7 +394,10 @@ object Dedup {
     * over-drops transitively-linked chains one edge at a time; the
     * cluster view is what lets a pipeline keep exactly one canonical doc
     * per component (cluster_id = min doc_id). All-integer output. */
-  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+  /** Converged CC labels (id, label) over the near-dup edge graph — the
+    * min-label-propagation fixpoint shared by [[qDedupClusters]] and
+    * [[qDedupApplyCc]]. Label converges to min(doc_id) of the component. */
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = nearDupEdges(s, d)
     // undirected: propagate both ways; materialized once, read every round
     val edges = pairs
@@ -353,12 +425,67 @@ object Dedup {
         .count()
       labels = next
     }
+    labels
+  }
+
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabels(s, d)
     val clusterSizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels
       .join(clusterSizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** Cluster-canonical dedup APPLICATION: keep exactly ONE doc — the
+    * minimum id — per near-dup connected component, plus the exact-dedup
+    * keep-min rule. Fixes [[qDedupApply]]'s documented over-drop: the
+    * greedy per-edge rule drops every non-source member of a
+    * transitively-linked chain, while the component view keeps one
+    * canonical doc per CLUSTER (a doc is dropped iff its converged CC
+    * label differs from its own id). Same cost shape as
+    * [[qDedupClusters]] — the CC fixpoint plus one anti join. */
+  def qDedupApplyCc(s: SparkSession, d: String): DataFrame = {
+    val nearDrops = ccLabels(s, d)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val exactDrops = Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      .withColumn(
+        "keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    Tables.documents(s, d)
+      .join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Twin of [[qDedupApplyCc]]: the recursive-CTE reachability CC (a
+    * different algorithm than label propagation) drives the keep rule. */
+  private val qDedupApplyCcSql =
+    s"""WITH RECURSIVE ${shinglePairsSqlCtes(minInter = 1)},
+       |cc_edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |bi AS (SELECT src, dst FROM cc_edges UNION ALL SELECT dst, src FROM cc_edges),
+       |walk AS (
+       |  SELECT src AS id, src AS label FROM bi
+       |  UNION
+       |  SELECT bi.dst AS id, walk.label AS label FROM walk JOIN bi ON bi.src = walk.id),
+       |near_drops_cc AS (
+       |  SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> min(label)),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (
+       |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
+       |    FROM documents) WHERE doc_id <> keep)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops_cc
+       |                     UNION SELECT doc_id FROM exact_drops)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin: reachability via a recursive CTE (every label a vertex
     * can reach; component id = min) — a different algorithm arriving at
@@ -718,6 +845,7 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
+    Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),

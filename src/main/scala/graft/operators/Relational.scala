@@ -482,9 +482,13 @@ object Relational {
     * cross-multiplied EXACT INTEGER predicate
     * (n·c − Σ)²·(c−1) > 4·c·(c·Σ₂ − Σ²) — no division, no sqrt, no
     * doubles anywhere, so both engines decide boundary rows identically.
-    * (At count magnitudes where (n·c)² nears 2⁶³ the moments move to
-    * DECIMAL(38) like the other exact-moment queries.) Moments are one
-    * combiner-backed groupBy per type; the grid side joins back small. */
+    * The moment terms are widened to DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) BEFORE multiplying: at large counts the cubic product
+    * exceeds 2⁶³, and Spark's default non-ANSI BIGINT arithmetic would
+    * silently wrap — flipping anomaly decisions instead of erroring.
+    * 38 digits bounds (n·c)²·c at n,c ≤ ~10⁹ — beyond any per-hour count.
+    * Moments are one combiner-backed groupBy per type; the grid side
+    * joins back small. */
   def qAnomalyHours(s: SparkSession, d: String): DataFrame = {
     val grid = qResampleHourly(s, d)
     val stats = grid
@@ -495,7 +499,9 @@ object Relational {
         sum(col("n") * col("n")).as("s2"))
     grid
       .join(stats, "event_type")
-      .filter(expr("(n * c - s1) * (n * c - s1) * (c - 1) > 4 * c * (c * s2 - s1 * s1)"))
+      .filter(expr(
+        "(CAST(n AS DECIMAL(38,0)) * c - s1) * (CAST(n AS DECIMAL(38,0)) * c - s1) * (c - 1)" +
+          " > 4 * CAST(c AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"))
       .select("event_type", "hour", "n")
       .orderBy("event_type", "hour")
   }
@@ -517,7 +523,8 @@ object Relational {
       |    CAST(sum(n * n) AS BIGINT) AS s2
       |  FROM g GROUP BY 1)
       |SELECT g.event_type, g.hour, g.n FROM g JOIN st USING (event_type)
-      |WHERE (n * c - s1) * (n * c - s1) * (c - 1) > 4 * c * (c * s2 - s1 * s1)
+      |WHERE (n::HUGEINT * c - s1) * (n::HUGEINT * c - s1) * (c - 1)
+      |  > 4 * c::HUGEINT * (c::HUGEINT * s2 - s1::HUGEINT * s1)
       |ORDER BY event_type, hour""".stripMargin
 
   /** Null-ordering portability: aggregate over a NULL-bearing derived
@@ -1439,7 +1446,10 @@ object Relational {
         col("o_custkey"),
         col("o_orderkey"),
         dense_rank().over(wTies).as("drank"),
-        cume_dist().over(wTies).as("cdist"),
+        // pround per repo convention: no raw double rides the hashed
+        // comparison surface, even when both engines' IEEE division of
+        // small integers happens to agree
+        pround(cume_dist().over(wTies), 6).as("cdist"),
         first("price_cents").over(wRows).as("first_cents"),
         last("price_cents").over(wAll).as("last_cents"),
         nth_value(col("price_cents"), 2).over(wRows).as("second_cents"))
@@ -1450,7 +1460,8 @@ object Relational {
     val c = asScaledSql("o_totalprice", 2)
     s"""SELECT o_custkey, o_orderkey,
        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drank,
-       |  cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS cdist,
+       |  floor(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) * 1000000 + 0.5)
+       |    / 1000000.0 AS cdist,
        |  first_value($c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
        |  last_value($c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

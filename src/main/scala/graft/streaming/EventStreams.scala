@@ -195,12 +195,15 @@ object EventStreams {
     * mode hands foreachBatch only the CHANGED (window, term) rows, and a
     * rank over a partial table is not the window's true top-k. Complete
     * mode re-emits the full aggregate each trigger, so the batch-side
-    * rank is globally correct — at the cost of state covering the whole
-    * window horizon (fine for a bounded trending horizon; the unbounded
-    * path is update mode + an external upsert store ranked at read
-    * time). `sink` receives (window_start, term, cnt, rk ≤ k); the
-    * latest emission per window is authoritative. The ranking input is
-    * the aggregated (window, term) table, never raw events. */
+    * rank is globally correct — at the cost of state covering EVERY
+    * window ever seen: complete mode never evicts a group, so this form
+    * is for BOUNDED streams only (a backfill replay, a fixed campaign
+    * horizon); nothing in the query bounds it by construction. The
+    * unbounded-safe path is [[trendingTermsUpdate]] — update mode with a
+    * watermark (bounded state) feeding an external upsert store ranked
+    * at read time. `sink` receives (window_start, term, cnt, rk ≤ k);
+    * the latest emission per window is authoritative. The ranking input
+    * is the aggregated (window, term) table, never raw events. */
   def trendingTerms(
       docs: DataFrame,
       k: Int,
@@ -218,6 +221,33 @@ object EventStreams {
           .orderBy(col("cnt").desc, col("term"))
         sink(batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= k))
       }
+      .start()
+  }
+
+  /** The unbounded-stream form of [[trendingTerms]]: UPDATE output mode
+    * with a watermark, so Spark's aggregation state is bounded BY
+    * CONSTRUCTION — a window's groups are evicted once the watermark
+    * passes its end plus the delay. Each trigger emits only the CHANGED
+    * (window_start, term, cnt) rows; `upsert` merges them into an
+    * external keyed store (the standard serving pattern — Redis/RocksDB
+    * in production, a map in tests), which ranks per window at READ
+    * time. Ranking cannot live in-stream here precisely because updates
+    * are partial — that is the complete-mode trade this variant
+    * reverses: bounded state + late-data cutoff, rank computed where the
+    * full per-window table lives. */
+  def trendingTermsUpdate(
+      docs: DataFrame,
+      watermarkDelay: String,
+      upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = docs
+      .select(col("ts"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("term"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("term"), col("cnt"))
+    counts.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], _: Long) => upsert(batch) }
       .start()
   }
 

@@ -97,6 +97,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in incremental dedup:\n$p")
   }
 
+  test("incremental dedup probes the STORED corpus index — no corpus recompute in the plan") {
+    // the daily-cost-∝-batch claim as a plan property: the corpus-side
+    // shingle index / DF stats / sizes / fingerprints must arrive from the
+    // persisted bucketed tables, and every documents.parquet scan in the
+    // plan is a batch-side one (batch shingles, batch fingerprints, final
+    // output join) — a corpus-side re-tokenization would add scans here.
+    val df = Dedup.qDedupIncremental(spark, sfDir)
+    val p = plan(df)
+    for (t <- Seq("graft_inc_sh", "graft_inc_df", "graft_inc_sz", "graft_inc_fp"))
+      assert(p.contains(t), s"stored index table $t not in plan:\n$p")
+    // cached subtrees reprint per reference, so count scan QUALITY not
+    // quantity: every documents scan must be batch-filtered (% 5 = 4);
+    // a corpus-side scan would carry the negation or no slice filter
+    val docScanLines = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScanLines.nonEmpty, s"no documents scan at all?\n$p")
+    docScanLines.foreach { l =>
+      assert(l.contains("% 5) = 4"), s"corpus-side (unsliced) documents scan in probe plan:\n$l")
+      assert(!l.contains("NOT ("), s"corpus-side documents scan in probe plan:\n$l")
+    }
+  }
+
+  test("hybrid search scans the stored keyword index and never re-derives it from documents") {
+    val df = Similarity.qHybridSearch(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_kw"), s"stored keyword table not in plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"hybrid search re-derived the keyword table from documents:\n$p")
+  }
+
   test("bm25 top-20 plans as TakeOrderedAndProject over broadcast-joined stats") {
     val p = plan(TextOps.qBm25(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"bm25 top-20 became a global sort:\n$p")

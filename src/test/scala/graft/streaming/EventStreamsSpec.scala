@@ -99,6 +99,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("update-mode trending terms: external store ranks correctly from partial updates") {
+    // the unbounded-stream variant: watermarked update mode emits only
+    // CHANGED (window, term) rows; an external keyed store merges them and
+    // ranks at read time — the final ranking must equal the complete-mode
+    // (full recompute) answer even though no single emission held the
+    // whole table
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val store = scala.collection.mutable.Map.empty[(Long, String), Long]
+    val query = EventStreams.trendingTermsUpdate(docs, "2 hours", batch =>
+      store.synchronized {
+        batch.collect().foreach { r =>
+          store((r.getTimestamp(0).getTime / 60000, r.getString(1))) = r.getLong(2)
+        }
+      })
+    try {
+      source.addData((1L, ts(5), "alpha alpha beta gamma"), (2L, ts(10), "alpha gamma"))
+      query.processAllAvailable()
+      source.addData((3L, ts(20), "beta beta beta beta"))
+      query.processAllAvailable()
+      val hour0 = store.synchronized {
+        store.toSeq.collect { case ((0L, term), cnt) => (term, cnt) }
+      }
+      // read-time rank over the merged store: beta=5, alpha=3, gamma=2
+      val top2 = hour0.sortBy { case (term, cnt) => (-cnt, term) }.take(2)
+      assert(top2 === Seq(("beta", 5L), ("alpha", 3L)), s"store ranked wrong: $hour0")
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events parquet equals the batch aggregate") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
@@ -127,6 +158,79 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(streamed === batch)
     } finally query.stop()
+  }
+
+  test("AvailableNow catch-up: backlog to completion, then incremental resume from the checkpoint") {
+    // the restart shape a real ingestion pipeline runs: process the whole
+    // backlog with Trigger.AvailableNow (the query TERMINATES when caught
+    // up), verify equality with the batch aggregate, then land new files
+    // and resume from the SAME checkpoint — only the new data is
+    // processed, and its windows match the batch aggregate of the new
+    // slice alone.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-catchup-src-")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-catchup-ckpt-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events1.parquet"))
+    // foreachBatch sink (memory sink refuses checkpoint recovery): merge
+    // update-mode emissions per run, keyed by (hour, type) — the latest
+    // emission per key is authoritative
+    def runToCompletion(): Set[(String, String, Long, Double)] = {
+      val acc = scala.collection.mutable.Map.empty[(String, String), (Long, Double)]
+      val q = EventStreams.hourlyFromDirectory(spark, dir.toString)
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch
+            .select(
+              date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"), col("sum_value"))
+            .collect()
+          acc.synchronized {
+            rows.foreach(r =>
+              acc((r.getString(0), r.getString(1))) = (r.getLong(2), r.getDouble(3)))
+          }
+        }
+        .start()
+      assert(q.awaitTermination(180000), "AvailableNow query did not self-terminate")
+      acc.synchronized {
+        acc.toSeq.map { case ((h, t), (n, v)) => (h, t, n, v) }.toSet
+      }
+    }
+    val backlog = runToCompletion()
+    val batch = graft.operators.Relational.qEventsHourly(spark, sfDir)
+      .select("hour", "event_type", "n", "sum_value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(backlog === batch, "backlog catch-up diverged from the batch aggregate")
+    // new arrivals: the same events shifted +30 days (raw nanos BIGINT),
+    // strictly later than the checkpointed watermark so nothing is "late"
+    val shiftNanos = 30L * 86400L * 1000000000L
+    val shifted = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts") + lit(shiftNanos))
+    shifted.coalesce(1).write.mode("append").parquet(dir.toString)
+    // the resumed query's emissions are ONLY the new windows (update mode:
+    // backlog windows received no new rows) — equal to the batch aggregate
+    // of the shifted slice computed independently
+    val resumed = runToCompletion()
+    val expectShifted = {
+      import graft.functions.PortableRound.asScaled
+      shifted
+        .withColumn("ts", graft.Tables.nanosToTs("ts"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), (sum(asScaled(col("value"), 2)) / lit(100.0)).as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    assert(resumed.nonEmpty, "resume processed nothing")
+    assert(resumed === expectShifted, "incremental resume diverged from the new-slice batch aggregate")
   }
 
   test("streaming dedup keeps only the first document per fingerprint") {
