@@ -174,9 +174,18 @@ object Bench {
       .map(n => line(byCost.take(n), byCost.length - n))
       .find(_.length <= lineBudget)
       .getOrElse(line(Seq.empty, byCost.length))
+    // Per-query [min, median]: the min is the plan's floor (a host stall
+    // can only inflate), so min ≪ median flags a noisy attempt column
+    // without anyone needing a quiet re-run to separate plan cost from
+    // host noise.
+    val stats = results
+      .collect { case (k, Some(med), ts) =>
+        jstr(k) + ":[" + num(ts.min) + "," + num(med) + "]"
+      }
+      .mkString("{", ",", "}")
     // Two lines, diagnostics FIRST and the driver-parsed summary LAST.
     println(
-      s"""{"detail":"bench_diagnostics","attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors_full":${errors
+      s"""{"detail":"bench_diagnostics","min_median":$stats,"attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors_full":${errors
           .map { case (k, v) => jstr(k) + ":" + jstr(v) }
           .mkString("{", ",", "}")}}""")
     println(kept)

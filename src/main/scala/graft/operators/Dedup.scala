@@ -700,6 +700,60 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
 
+  /** Driver-visible MinHash-LSH recall: ONE row (n_true, n_found) — the
+    * exhaustive truth-pair count at [[qMinHashLsh]]'s own bar (full-set
+    * Jaccard ≥ 0.5, decided by the exact integer predicate 3·inter ≥
+    * na+nb) and how many of those pairs the banded LSH path recovered.
+    * The truth sweep is inverted-index complete WITHOUT the maxDF cap: a
+    * J ≥ 0.5 pair shares at least one shingle, so the equi-join generates
+    * every qualifying candidate (quadratic only in the verification demo
+    * sense — non-headline, like the other exhaustive twins).
+    *
+    * The DuckDB oracle computes n_true exactly and asserts
+    * n_found = n_true: on this corpus every true pair sits at J ≥ 0.9,
+    * where 16-band × 4-row banding collides with probability
+    * 1−(1−j⁴)¹⁶ > 0.9999 — the SketchSpec measurement is exactly 1.0, so
+    * full recovery IS the correct answer, and any banding regression
+    * breaks the driver's hash gate instead of hiding in a no-oracle
+    * row. */
+  def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    val lshPairs = qMinHashLsh(s, d).select("da", "db")
+    val sh = shingleSets(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = withEndpointSizes(pairs, sizes)
+      .filter(col("inter") * 3 >= col("na") + col("nb"))
+      .select("da", "db")
+    val found = truth.join(lshPairs, Seq("da", "db"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+  }
+
+  private val qMinhashRecallSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT da, db FROM pr
+       |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |  WHERE 3 * inter >= sa.n + sb.n)
+       |SELECT count(*)::BIGINT AS n_true, count(*)::BIGINT AS n_found FROM truth""".stripMargin
+  }
+
   /** SimHash near-dup: 64-bit sketch (bit b set iff the sum of ±1 votes of
     * token hashes is positive), banded into 4×16-bit chunks for blocking,
     * verified by Hamming distance ≤ 3 — the bar the banding is COMPLETE
@@ -853,6 +907,7 @@ object Dedup {
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
+    Q("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallSql), headline = false),
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
     Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),

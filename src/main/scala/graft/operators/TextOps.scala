@@ -526,7 +526,11 @@ object TextOps {
   }
 
   private val PrMinEdgeFreq = 40
-  private val PrIters = 5
+  /** Convergence: stop once NO node's rank moved by more than this many
+    * micro-units in an iteration (integer L∞/L1-per-node delta). */
+  private[operators] val PrTolMicro = 25000L
+  /** Hard cap — the divergence backstop both engines share. */
+  private[operators] val PrMaxIters = 40
 
   /** PageRank over the word-adjacency graph — iterative distributed graph
     * analytics beyond [[Dedup.qDedupClusters]]'s connected components.
@@ -542,8 +546,14 @@ object TextOps {
     * small rank mass lost to flooring is deliberate: portability over
     * normalization.) Spark-side the loop is [[qDedupClusters]]'s shape —
     * edges/degrees materialized once (localCheckpoint), one combiner-
-    * backed join+aggregate shuffle per iteration, O(iters) rounds — the
-    * production PR shape at any scale. */
+    * backed join+aggregate shuffle per iteration — and runs TO
+    * CONVERGENCE: it stops at the first iteration where no node moved by
+    * more than [[PrTolMicro]] micro-units (a count-based test — filter +
+    * count, never a collect), with [[PrMaxIters]] as the backstop. The
+    * oracle replays the identical stopping rule over the recursive
+    * iteration table, so both engines select the same iteration. Hub
+    * skew on the per-iteration join is AQE's skew-split job — pinned by
+    * the PlanShapeSpec hub-graph test over [[prStep]]. */
   /** The word-adjacency graph: undirected (src < dst) edges between
     * words appearing adjacent ≥ [[PrMinEdgeFreq]] times corpus-wide.
     * ONE definition shared by [[qPagerank]] and [[qTriangles]]. */
@@ -576,6 +586,29 @@ object TextOps {
        |  FROM bg WHERE wa <> wb
        |  GROUP BY 1, 2 HAVING count(*) >= $PrMinEdgeFreq)""".stripMargin
 
+  /** ONE PageRank iteration. The two node-keyed tables (ranks, degrees)
+    * combine FIRST into per-node shares, leaving a single edges join —
+    * deliberately: a chained (edges⋈r)⋈deg keeps the middle join inside
+    * the parent's required partitioning, which disqualifies it from
+    * AQE's skew-split. The node-sized shares table is MATERIALIZED
+    * (localCheckpoint — it is one row per node, and this also truncates
+    * the iteration lineage) so the big edges join sees shuffle stages on
+    * both sides with only a partial aggregate above — exactly the shape
+    * AQE can split when a stopword hub concentrates one src key (pinned
+    * by the PlanShapeSpec hub-graph test). Factored out so that spec
+    * drives the exact production iteration. */
+  private[operators] def prStep(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
+    val shares = r
+      .join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), expr("r div deg").as("share"))
+      .localCheckpoint()
+    edges
+      .join(shares, col("src") === col("node"))
+      .groupBy("dst")
+      .agg(sum("share").as("sh"))
+      .select(col("dst").as("node"), expr("150000 + (85 * sh) div 100").as("r"))
+  }
+
   def qPagerank(s: SparkSession, d: String): DataFrame = {
     val und = adjacencyEdges(s, d)
     val edges = und
@@ -583,15 +616,16 @@ object TextOps {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r")).localCheckpoint()
-    for (_ <- 1 to PrIters) {
-      r = edges
-        .join(r, col("src") === col("node"))
-        .join(deg, "src")
-        .select(col("dst"), expr("r div deg").as("share"))
-        .groupBy("dst")
-        .agg(sum("share").as("sh"))
-        .select(col("dst").as("node"), expr("150000 + (85 * sh) div 100").as("r"))
-        .localCheckpoint()
+    var it = 0
+    var moved = 1L
+    while (moved > 0 && it < PrMaxIters) {
+      val next = prStep(edges, deg, r).localCheckpoint()
+      moved = next
+        .join(r.withColumnRenamed("r", "prev"), "node")
+        .filter(abs(col("r") - col("prev")) > PrTolMicro)
+        .count()
+      r = next
+      it += 1
     }
     r.orderBy(col("r").desc, col("node"))
   }
@@ -606,8 +640,13 @@ object TextOps {
        |  UNION ALL
        |  SELECT it + 1, e.dst, 150000 + (85 * sum(p.r // d.deg)) // 100
        |  FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = p.node
-       |  WHERE it < $PrIters GROUP BY it, e.dst)
-       |SELECT node, r FROM pr WHERE it = $PrIters
+       |  WHERE it < $PrMaxIters GROUP BY it, e.dst),
+       |md AS (
+       |  SELECT a.it AS it, max(abs(a.r - b.r)) AS m
+       |  FROM pr a JOIN pr b ON b.node = a.node AND b.it = a.it - 1
+       |  GROUP BY a.it),
+       |conv AS (SELECT coalesce(min(it), $PrMaxIters) AS cit FROM md WHERE m <= $PrTolMicro)
+       |SELECT node, r FROM pr WHERE it = (SELECT cit FROM conv)
        |ORDER BY r DESC, node""".stripMargin
 
   /** Direct each undirected (src < dst) edge from its lower-(degree, name)

@@ -475,13 +475,21 @@ class ExtrasSpec extends SparkSpec {
     val edges = und ++ und.map { case (a, b) => (b, a) }
     val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
     var r: Map[String, Long] = deg.map { case (n, _) => n -> 1000000L }.toMap
-    for (_ <- 1 to 5) {
+    // the same convergence rule as the query: first iteration where no
+    // node moved by more than PrTolMicro, capped at PrMaxIters
+    var it = 0
+    var moved = true
+    while (moved && it < TextOps.PrMaxIters) {
       val in = scala.collection.mutable.Map.empty[String, Long]
       edges.foreach { case (src, dst) =>
         in(dst) = in.getOrElse(dst, 0L) + r(src) / deg(src)
       }
-      r = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }.toMap
+      val next = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }.toMap
+      moved = next.exists { case (n, v) => math.abs(v - r(n)) > TextOps.PrTolMicro }
+      r = next
+      it += 1
     }
+    assert(it < TextOps.PrMaxIters, s"PageRank hit the iteration cap ($it) without converging")
     val want = r.toSeq.sortBy { case (n, v) => (-v, n) }
     val got = TextOps.qPagerank(spark, sfDir).collect()
       .map(row => (row.getString(0), row.getLong(1))).toSeq

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Physical-plan regression guards: the scale claims in README are plan
   * properties, so pin them — a refactor that silently un-pushes a filter,
@@ -240,6 +240,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(joined.collect().length === 198000 + 10) // hot key 7 + ids ≡ 0 (mod 100) < 1000
     val p = joined.queryExecution.executedPlan.toString
     assert(p.contains("skew=true"), s"AQE did not flag the skewed join:\n$p")
+  }
+
+  test("pagerank's per-iteration join splits a hub-skewed partition under AQE") {
+    // the open-vocabulary hazard: a stopword hub concentrates one join key.
+    // Drive the EXACT production iteration shape (TextOps.prStep) on a
+    // synthetic hub graph with the 100 TB behavior simulated by shrunken
+    // skew thresholds — AQE must split the hot partition, not spill on it.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // ~200k edges, 99% sourced at hub node 7
+    val edges = s2.range(200000).select(
+      when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("src"),
+      (col("id") % 997).as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val r = deg.select(col("src").as("node"), lit(1000000L).as("r")).localCheckpoint()
+    val step = TextOps.prStep(edges, deg, r)
+    assert(step.collect().nonEmpty)
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"AQE did not split the hub partition in the PR join:\n$p")
   }
 
   test("bucketed tables co-locate a fact join with no shuffle exchange") {
