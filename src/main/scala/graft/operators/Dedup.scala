@@ -796,6 +796,38 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Driver-visible SimHash banding COMPLETENESS gate: one row with the
+    * verdict that the banded candidate set contains EVERY brute-force
+    * all-pairs Hamming ≤ 3 pair. The ≤3-bit bar is exactly what 4×16-bit
+    * banding is complete for by pigeonhole (≤3 differing bits cannot
+    * touch all four bands) — a mathematical guarantee, not a
+    * probabilistic floor, so the verdict is deterministic TRUE unless
+    * the banding or sketch kernel regresses, and the oracle asserts it.
+    * (The pair COUNT is hash-dependent and stays in the specs; the
+    * brute-force sweep is the non-headline verification demo.) */
+  def qSimhashComplete(s: SparkSession, d: String): DataFrame = {
+    val sketches = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.NativeExprs.simHash64(toks(col("text"))).as("simhash"))
+      .cache()
+    val brute = sketches.as("a")
+      .join(sketches.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn(
+        "hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val banded = qSimHash(s, d).select("da", "db")
+    val missed = brute.join(banded, Seq("da", "db"), "left_anti")
+    // n_pairs is sketch-(hash-)dependent, so only the verdict column is
+    // oracle-comparable — the pair count stays in the specs
+    missed.agg((count(lit(1)) === 0).as("banding_complete"))
+  }
+
+  private val qSimhashCompleteSql =
+    "SELECT TRUE AS banding_complete"
+
   /** Benchmark-contamination check: flag corpus documents that share ANY
     * trigram shingle with a probe set (here: the two lowest-id documents,
     * a deterministic stand-in for a benchmark/eval suite). The probe
@@ -909,6 +941,7 @@ object Dedup {
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallSql), headline = false),
     Q("q_dedup_simhash", qSimHash, None),
+    Q("q_simhash_complete", qSimhashComplete, Some(qSimhashCompleteSql), headline = false),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
     Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
     Q("q_contamination", qContamination, Some(qContaminationSql)),

@@ -69,17 +69,23 @@ object Multimodal {
     }
   }
 
-  /** The media "table": one real PNG blob per document. Generated from
-    * `doc_id` alone (the generator is the fixture — at 100 TB this is a
-    * parquet table of ingested media bytes; the downstream decode plan is
-    * identical either way). Only `doc_id` is scanned from parquet. */
-  private def blobs(s: SparkSession, d: String) = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(ids => ids.map(id => (id, PngCodec.encode(id))))
-      .toDF("doc_id", "blob")
+  /** The media "table": one real PNG blob per document, generated from
+    * `doc_id` alone and PERSISTED build-once as a managed table
+    * ([[graft.sources.Warehouse]]) — exactly how a production pipeline
+    * holds media: a stored table of ingested bytes, not something
+    * re-derived per query. Queries only SCAN the blob column; the
+    * decode-side plan is identical either way. */
+  private def blobs(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.sources.Warehouse.tableName("graft_media_png", d)
+    graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(ids => ids.map(id => (id, PngCodec.encode(id))))
+        .toDF("doc_id", "blob")
+    }
+    s.table(tbl)
   }
 
   final case class MediaMeta(doc_id: Long, width: Long, height: Long, n_pixels: Long, pixel_sum: Long)
@@ -259,9 +265,132 @@ object Multimodal {
       |GROUP BY o.doc_id, o.width, o.height, o.out_w, o.out_h
       |ORDER BY o.doc_id""".stripMargin
 
+  /** Real WAV encode/decode via JDK-only `javax.sound.sampled` (pure
+    * file-format conversion — no audio hardware involved). 8-bit unsigned
+    * PCM mono: lossless in WAV, so the DuckDB oracle replays the sample
+    * formula exactly like the PNG path replays pixels. */
+  object WavCodec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRate = 8000
+
+    /** Deterministic unsigned 8-bit sample `i` for document `id`. */
+    def sample(i: Int, id: Long): Int = ((i * 11L + id * 17L) % 256L).toInt
+
+    def nSamples(id: Long): Int = (id % 400 + 100).toInt // 100..499
+
+    private def fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, SampleRate.toFloat, 8, 1, 1, SampleRate.toFloat, false)
+
+    /** Encode document `id`'s clip as a real RIFF/WAVE byte blob. */
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val raw = Array.tabulate(n)(i => sample(i, id).toByte)
+      val out = new ByteArrayOutputStream()
+      val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, n.toLong)
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV blob: (sampleRateHz, unsigned samples). */
+    def decode(bytes: Array[Byte]): (Int, Array[Int]) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val rate = ais.getFormat.getSampleRate.toInt
+      val buf = ais.readAllBytes()
+      (rate, buf.map(_ & 0xff))
+    }
+  }
+
+  /** The audio "table" — same persisted build-once shape as [[blobs]]. */
+  private def audioBlobs(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.sources.Warehouse.tableName("graft_media_wav", d)
+    graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(ids => ids.map(id => (id, WavCodec.encode(id))))
+        .toDF("doc_id", "blob")
+    }
+    s.table(tbl)
+  }
+
+  final case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long, amp_sum: Long)
+  final case class AudioFeature(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)
+
+  /** Audio metadata: decode each WAV, report the REAL sample rate and
+    * frame count from the RIFF header plus a full-stream amplitude sum
+    * (proves the PCM data was actually read, not just the header). */
+  def qAudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, samples) = WavCodec.decode(bytes)
+          AudioMeta(
+            id, rate.toLong, samples.length.toLong,
+            samples.length.toLong * 1000L / rate, samples.map(_.toLong).sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val qAudioMetaSql =
+    s"""WITH dims AS (SELECT doc_id, (doc_id % 400 + 100)::BIGINT AS n FROM documents)
+       |SELECT d.doc_id, ${WavCodec.SampleRate}::BIGINT AS sample_rate, d.n AS n_samples,
+       |       (d.n * 1000 // ${WavCodec.SampleRate})::BIGINT AS duration_ms,
+       |       sum((i.i * 11 + d.doc_id * 17) % 256)::BIGINT AS amp_sum
+       |FROM dims d, (SELECT unnest(range(500)) AS i) i
+       |WHERE i.i < d.n
+       |GROUP BY d.doc_id, d.n
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Audio feature extraction: per-quartile energy (Σ |s−128| over four
+    * equal integer-boundary chunks of the decoded stream) — the windowed-
+    * energy shape of a real audio featurizer, over real decoded PCM. */
+  def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (_, samples) = WavCodec.decode(bytes)
+          val n = samples.length
+          val e = new Array[Long](4)
+          var i = 0
+          while (i < n) {
+            // chunk q covers [q*n/4, (q+1)*n/4) — i*4/n lands i in it
+            e(i * 4 / n) += math.abs(samples(i) - 128).toLong
+            i += 1
+          }
+          AudioFeature(id, e(0), e(1), e(2), e(3))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val qAudioFeaturesSql =
+    """WITH dims AS (SELECT doc_id, (doc_id % 400 + 100)::BIGINT AS n FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, (i.i * 4 // d.n) AS q,
+      |         abs((i.i * 11 + d.doc_id * 17) % 256 - 128) AS a
+      |  FROM dims d, (SELECT unnest(range(500)) AS i) i
+      |  WHERE i.i < d.n)
+      |SELECT doc_id,
+      |  sum(CASE WHEN q = 0 THEN a ELSE 0 END)::BIGINT AS e0,
+      |  sum(CASE WHEN q = 1 THEN a ELSE 0 END)::BIGINT AS e1,
+      |  sum(CASE WHEN q = 2 THEN a ELSE 0 END)::BIGINT AS e2,
+      |  sum(CASE WHEN q = 3 THEN a ELSE 0 END)::BIGINT AS e3
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
     Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
     Q("q_media_features", qFeatureExtract, Some(qFeatureExtractSql)),
-    Q("q_media_resize", qResize, Some(qResizeSql)))
+    Q("q_media_resize", qResize, Some(qResizeSql)),
+    Q("q_audio_meta", qAudioMeta, Some(qAudioMetaSql)),
+    Q("q_audio_features", qAudioFeatures, Some(qAudioFeaturesSql)))
 }

@@ -1007,6 +1007,57 @@ object Relational {
         col("n"))
       .orderBy("l_returnflag")
 
+  /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
+    * plus a within-5% flag over the rsd=0.02 estimate. HLL register
+    * merge is a bitwise max — order-independent — so the flag is
+    * deterministic under any partitioning, and the oracle asserts the
+    * bound HOLDS: a sketch regression now fails the hash gate instead of
+    * hiding in the no-oracle q_approx_distinct row. Integer inequality
+    * (|approx−exact|·20 ≤ exact ⟺ within 5%) — no float on the hash. */
+  def qApproxDistinctCheck(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(
+        col("l_returnflag"),
+        col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) * 20 <= col("exact_orders")).as("within_5pct"))
+      .orderBy("l_returnflag")
+
+  private val qApproxDistinctCheckSql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** The GK-sketch twin of [[qApproxDistinctCheck]]: exact p50/p90 plus a
+    * within-1-quantity-unit flag over the accuracy-1000 estimate. The GK
+    * guarantee bounds rank error at n/1000 ≈ 0.05 quantity units on this
+    * uniform 1..50 distribution — 20× headroom under the 1-unit flag, so
+    * the flag is deterministic under any partition merge order. */
+  def qApproxPercentilesCheck(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("ap"))
+      .select(
+        col("l_returnflag"),
+        col("p50_qty"),
+        col("p90_qty"),
+        (abs(element_at(col("ap"), 1) - col("p50_qty")) <= 1.0 &&
+          abs(element_at(col("ap"), 2) - col("p90_qty")) <= 1.0).as("within_1_qty"))
+      .orderBy("l_returnflag")
+
+  private val qApproxPercentilesCheckSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  TRUE AS within_1_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Top-3 orders per customer via the bounded-heap [[graft.functions.TopKAgg]]
     * aggregation — identical result set to q_window_top_orders but the
     * shuffle carries ≤ k rows per key per partition instead of every order
@@ -1869,6 +1920,8 @@ object Relational {
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
+    Q("q_approx_distinct_check", qApproxDistinctCheck, Some(qApproxDistinctCheckSql)),
+    Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),

@@ -133,6 +133,35 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("audio blobs are real WAVs and the PCM round-trip is lossless") {
+    val ids = Seq(0L, 42L, 321L)
+    ids.foreach { id =>
+      val wav = Multimodal.WavCodec.encode(id)
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF", s"doc $id: not a RIFF blob")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE", s"doc $id: not a WAVE blob")
+      val (rate, samples) = Multimodal.WavCodec.decode(wav)
+      assert(rate === Multimodal.WavCodec.SampleRate)
+      assert(samples.length === Multimodal.WavCodec.nSamples(id))
+      samples.zipWithIndex.foreach { case (v, i) =>
+        assert(v === Multimodal.WavCodec.sample(i, id), s"doc $id sample $i corrupted")
+      }
+    }
+  }
+
+  test("audio quartile energies match a formula-direct computation that never touches the codec") {
+    val got = Multimodal.qAudioFeatures(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toVector).toMap
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val n = Multimodal.WavCodec.nSamples(id)
+      val e = new Array[Long](4)
+      for (i <- 0 until n)
+        e(i * 4 / n) += math.abs(Multimodal.WavCodec.sample(i, id) - 128).toLong
+      assert(got(id) === e.toVector, s"doc $id energies mismatch")
+    }
+  }
+
   test("media feature extraction matches a formula-direct histogram that never touches the codec") {
     // The query path goes formula → PNG encode → ImageIO decode → histogram;
     // this check recomputes the histogram straight from the formula. Any
