@@ -29,6 +29,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a raw double accumulator would be merge-order-dependent). */
 final case class SessionState(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
 
+/** Keyed state for [[EventStreams.userProfiles]] (top-level for the
+  * product encoder, like [[SessionState]]). Exact-cents total for the
+  * same merge-order-independence reason. */
+final case class ProfileState(nEvents: Long, totalCents: Long, lastMs: Long)
+
+/** The running per-user activity profile [[EventStreams.userProfiles]]
+  * emits on every update — the online-feature-store row shape. */
+final case class UserProfile(
+    user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)
+
 object EventStreams {
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
@@ -146,6 +156,56 @@ object EventStreams {
             out.iterator
           }
       }
+  }
+
+  /** Per-user running activity profile via `transformWithState` — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState (typed
+    * state handles, composable state variables, built-in per-key state
+    * TTL instead of hand-rolled timeout bookkeeping). One ValueState per
+    * user holds (n_events, exact-cents total, last-seen); every
+    * micro-batch emits the updated profile row — the online feature
+    * store shape. With a TTL set, state is bounded by it: a user idle
+    * past the TTL is evicted by the state store itself, no timer code —
+    * note TTL requires `TimeMode.ProcessingTime`, under which the query
+    * SELF-TRIGGERS batches to service evictions (so `processAllAvailable`
+    * never idles; drive it with a real trigger, e.g. AvailableNow).
+    * `ttl = None` runs in `TimeMode.None` — data-driven batches only,
+    * state bounded by user cardinality. Requires the RocksDB state store
+    * provider (transformWithState's backing store; callers set
+    * `spark.sql.streaming.stateStore.providerClass`). At scale, state
+    * shards by user over the shuffle exactly like [[sessionize]]. */
+  def userProfiles(
+      events: Dataset[Event],
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(24))): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    class UserProfileProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserProfile] {
+      @transient private var profile: ValueState[ProfileState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        profile = getHandle.getValueState[ProfileState](
+          "profile",
+          org.apache.spark.sql.Encoders.product[ProfileState],
+          ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+      override def handleInputRows(
+          userId: Long,
+          rows: Iterator[Event],
+          timerValues: TimerValues): Iterator[UserProfile] = {
+        def cents(v: Double) = math.floor(v * 100 + 0.5).toLong // ≡ asScaled(v, 2)
+        var st = if (profile.exists()) profile.get() else ProfileState(0L, 0L, 0L)
+        rows.foreach { e =>
+          st = ProfileState(
+            st.nEvents + 1, st.totalCents + cents(e.value), math.max(st.lastMs, e.ts.getTime))
+        }
+        profile.update(st)
+        Iterator.single(
+          UserProfile(userId, st.nEvents, st.totalCents / 100.0, new java.sql.Timestamp(st.lastMs)))
+      }
+    }
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor, timeMode, OutputMode.Update())
   }
 
   /** Built-in session-window sessionization — the declarative twin of

@@ -396,6 +396,72 @@ class EventStreamsSpec extends SparkSpec {
       s"state recovery or sink exactly-once broken: got $kept")
   }
 
+  test("transformWithState user profiles accumulate across micro-batches") {
+    // the arbitrary-state-v2 path: a ValueState per user (with TTL config)
+    // must carry the running profile across batches — batch 2's emission
+    // reflects batch 1's events, and the latest row per user equals the
+    // batch-computed totals
+    val s2 = spark.newSession()
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = s2.sqlContext
+    import s2.implicits._
+    val source = MemoryStream[Event]
+    // ttl=None → TimeMode.None: batches fire on data only, so
+    // processAllAvailable idles between batches (with a TTL the query
+    // self-triggers to service evictions — covered by the next test)
+    val query = EventStreams.userProfiles(source.toDS(), ttl = None).writeStream
+      .format("memory")
+      .queryName("profile_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      source.addData(Event(1L, ts(5), 10L, 1.50), Event(2L, ts(6), 10L, 2.25), Event(3L, ts(7), 20L, 4.00))
+      query.processAllAvailable()
+      source.addData(Event(4L, ts(30), 10L, 0.25))
+      query.processAllAvailable()
+      val latest = s2.table("profile_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3).getTime / 60000))
+        .groupBy(_._1)
+        .map { case (u, rows) => u -> rows.maxBy(_._2) } // latest = highest n_events
+      assert(latest(10L) === ((10L, 3L, 4.0, 30L)), s"user 10 profile wrong: ${latest(10L)}")
+      assert(latest(20L) === ((20L, 1L, 4.0, 7L)), s"user 20 profile wrong: ${latest(20L)}")
+    } finally query.stop()
+  }
+
+  test("transformWithState TTL mode emits profiles (self-triggering query)") {
+    // the production configuration (state TTL ⇒ TimeMode.ProcessingTime):
+    // the query self-triggers micro-batches to service evictions, so it
+    // never idles — poll for the data batch's emission, then stop.
+    val s2 = spark.newSession()
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sql = s2.sqlContext
+    import s2.implicits._
+    val source = MemoryStream[Event]
+    source.addData(Event(1L, ts(5), 10L, 1.00), Event(2L, ts(6), 10L, 2.00))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = EventStreams
+      .userProfiles(source.toDS(), ttl = Some(java.time.Duration.ofHours(1)))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.UserProfile], _: Long) =>
+        got.synchronized {
+          got ++= batch.collect().map(p => (p.user_id, p.n_events, p.total_value))
+        }
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (got.synchronized(got.isEmpty) && System.nanoTime() < deadline) Thread.sleep(200)
+      val latest = got.synchronized(got.toSeq).groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(latest.get(10L).contains((10L, 2L, 3.0)), s"TTL-mode profile wrong: $latest")
+    } finally query.stop()
+  }
+
   test("sessionize emits a session once the inactivity gap elapses") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
