@@ -67,6 +67,81 @@ object Multimodal {
       require(img != null, "ImageIO could not decode blob as an image")
       img
     }
+
+    /** Frame `f` of document `id`'s "video": same dimensions as the
+      * still image, pixel formula shifted per frame. */
+    def encodeFrame(id: Long, f: Int): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((x * 7L + y * 13L + id * 31L + f * 97L) % 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** A minimal real video CONTAINER: magic "GMV1", big-endian int32 frame
+    * count, then per frame an int32 byte length followed by a genuine PNG
+    * payload. The point is the processing shape of video at scale: a
+    * demux step parses the header and frame directory, and SELECTIVE
+    * decode reads only the sampled frames — unsampled frame bytes are
+    * skipped arithmetically, never inflated. (A production deployment
+    * swaps the PNG payloads and this demuxer for a real codec's
+    * keyframe-seek; every Spark-side property is identical.) */
+  object VideoContainer {
+    def nFrames(id: Long): Int = (id % 6 + 2).toInt // 2..7
+
+    def encode(id: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeBytes("GMV1")
+      val n = nFrames(id)
+      dos.writeInt(n)
+      var f = 0
+      while (f < n) {
+        val png = PngCodec.encodeFrame(id, f)
+        dos.writeInt(png.length)
+        dos.write(png)
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Demux: (frameCount, per-frame (offset, length)) without touching
+      * any frame payload. */
+    def demux(bytes: Array[Byte]): (Int, Array[(Int, Int)]) = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GMV1", "not a GMV1 container")
+      val n = in.readInt()
+      val dir = new Array[(Int, Int)](n)
+      var off = 8
+      var f = 0
+      while (f < n) {
+        val len = in.readInt()
+        dir(f) = (off + 4, len)
+        in.skipBytes(len)
+        off += 4 + len
+        f += 1
+      }
+      (n, dir)
+    }
+
+    /** Decode ONLY frame `f` (selective decode via the directory). */
+    def decodeFrame(bytes: Array[Byte], dir: Array[(Int, Int)], f: Int): BufferedImage = {
+      val (off, len) = dir(f)
+      PngCodec.decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    }
   }
 
   /** The media "table": one real PNG blob per document, generated from
@@ -135,22 +210,77 @@ object Multimodal {
       |GROUP BY d.doc_id, d.width, d.height
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Frame sampling: flatMap-shaped decode — 4 evenly spaced probe pixels
-    * along the image diagonal (the no-video-codec stand-in for keyframe
-    * extraction; same 0..n-rows-out-per-blob plan a real sampler has). */
+  /** The video "table" — [[VideoContainer]] blobs, persisted build-once
+    * like [[blobs]]. */
+  private def videoBlobs(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.sources.Warehouse.tableName("graft_media_gmv", d)
+    graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(ids => ids.map(id => (id, VideoContainer.encode(id))))
+        .toDF("doc_id", "blob")
+    }
+    s.table(tbl)
+  }
+
+  final case class VideoMeta(doc_id: Long, n_frames: Long, width: Long, height: Long, f0_sum: Long)
+
+  /** Video metadata: demux the container (header + frame directory, no
+    * payload decode), then decode ONLY frame 0 for a content checksum —
+    * the metadata-pass shape that must not pay full-decode cost. */
+  def qVideoMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, dir) = VideoContainer.demux(bytes)
+          val img = VideoContainer.decodeFrame(bytes, dir, 0)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          VideoMeta(id, n.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val qVideoMetaSql =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS width, (doc_id % 32 + 24)::BIGINT AS height,
+      |         (doc_id % 6 + 2)::BIGINT AS n FROM documents)
+      |SELECT d.doc_id, d.n AS n_frames, d.width, d.height,
+      |       sum((xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256)::BIGINT AS f0_sum
+      |FROM dims d, (SELECT unnest(range(80)) AS x) xs, (SELECT unnest(range(56)) AS y) ys
+      |WHERE xs.x < d.width AND ys.y < d.height
+      |GROUP BY d.doc_id, d.n, d.width, d.height
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Frame sampling over the video container: demux, pick ≤4 evenly
+    * spaced frame indices, and SELECTIVELY decode only those — unsampled
+    * frames are skipped via the directory, never inflated (the keyframe-
+    * seek shape; at 100 TB sampling 4 of 10⁴ frames must cost 4 decodes,
+    * not 10⁴). Emits each sampled frame's decoded center pixel. */
   def qFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    blobs(s, d)
+    videoBlobs(s, d)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val img = PngCodec.decode(bytes)
-          val w = img.getWidth; val h = img.getHeight
-          val raster = img.getRaster
-          Iterator.tabulate(4) { f =>
-            val x = f * (w - 1) / 3
-            val y = f * (h - 1) / 3
-            Frame(id, f.toLong, raster.getSample(x, y, 0).toLong)
+          val (n, dir) = VideoContainer.demux(bytes)
+          val idxs = (0 until 4).map(k => k * (n - 1) / 3).distinct
+          idxs.iterator.map { fi =>
+            val img = VideoContainer.decodeFrame(bytes, dir, fi)
+            val v = img.getRaster.getSample(img.getWidth / 2, img.getHeight / 2, 0)
+            Frame(id, fi.toLong, v.toLong)
           }
         }
       }
@@ -160,13 +290,15 @@ object Multimodal {
 
   private val qFrameSampleSql =
     """WITH dims AS (
-      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS w, (doc_id % 32 + 24)::BIGINT AS h
-      |  FROM documents)
-      |SELECT doc_id, fs.f::BIGINT AS frame_idx,
-      |       ((((fs.f * (w - 1)) // 3) * 7 + ((fs.f * (h - 1)) // 3) * 13 + doc_id * 31) % 256)::BIGINT
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS w, (doc_id % 32 + 24)::BIGINT AS h,
+      |         (doc_id % 6 + 2)::BIGINT AS n FROM documents),
+      |sampled AS (
+      |  SELECT DISTINCT doc_id, w, h, ((ks.k * (n - 1)) // 3)::BIGINT AS frame_idx
+      |  FROM dims, (SELECT unnest(range(4)) AS k) ks)
+      |SELECT doc_id, frame_idx,
+      |       (((w // 2) * 7 + (h // 2) * 13 + doc_id * 31 + frame_idx * 97) % 256)::BIGINT
       |         AS sample_value
-      |FROM dims, (SELECT unnest(range(4)) AS f) fs
-      |ORDER BY doc_id, frame_idx""".stripMargin
+      |FROM sampled ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Feature extraction: an 8-bin histogram over the DECODED raster as the
     * stand-in "embedding" (a real pipeline runs a vision encoder in this
@@ -388,6 +520,7 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
+    Q("q_video_meta", qVideoMeta, Some(qVideoMetaSql)),
     Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
     Q("q_media_features", qFeatureExtract, Some(qFeatureExtractSql)),
     Q("q_media_resize", qResize, Some(qResizeSql)),

@@ -133,6 +133,45 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("video container demux is exact and every frame decodes to its formula") {
+    val ids = Seq(0L, 5L, 123L)
+    ids.foreach { id =>
+      val blob = Multimodal.VideoContainer.encode(id)
+      val (n, dir) = Multimodal.VideoContainer.demux(blob)
+      assert(n === Multimodal.VideoContainer.nFrames(id))
+      for (f <- 0 until n) {
+        val img = Multimodal.VideoContainer.decodeFrame(blob, dir, f)
+        assert(img.getWidth === Multimodal.PngCodec.width(id))
+        assert(img.getHeight === Multimodal.PngCodec.height(id))
+        val raster = img.getRaster
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert(raster.getSample(x, y, 0) ===
+            ((x * 7L + y * 13L + id * 31L + f * 97L) % 256L).toInt,
+            s"doc $id frame $f pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("frame sampling decodes ONLY sampled frames (corrupted unsampled payload is never read)") {
+    // id 5 → 7 frames, sampled indices {0,2,4,6}: corrupt frame 1's PNG
+    // payload in place — demux (header arithmetic) and the sampled
+    // decodes must be untouched, proving the skip is real, while decoding
+    // the corrupted frame itself must fail
+    val id = 5L
+    val blob = Multimodal.VideoContainer.encode(id)
+    val (n, dir) = Multimodal.VideoContainer.demux(blob)
+    assert(n === 7)
+    val (off1, len1) = dir(1)
+    for (i <- off1 until (off1 + len1)) blob(i) = 0x5a.toByte
+    val sampled = (0 until 4).map(k => k * (n - 1) / 3).distinct
+    assert(sampled === Seq(0, 2, 4, 6))
+    sampled.foreach { f =>
+      val img = Multimodal.VideoContainer.decodeFrame(blob, dir, f)
+      assert(img.getRaster.getSample(0, 0, 0) === ((id * 31L + f * 97L) % 256L).toInt)
+    }
+    intercept[Exception](Multimodal.VideoContainer.decodeFrame(blob, dir, 1))
+  }
+
   test("audio blobs are real WAVs and the PCM round-trip is lossless") {
     val ids = Seq(0L, 42L, 321L)
     ids.foreach { id =>
