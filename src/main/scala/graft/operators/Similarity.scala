@@ -174,10 +174,16 @@ object Similarity {
     * k-means fit, so the whole index is a pure function of the data and the
     * DuckDB oracle replays it exactly — the plumbing (cell assignment as a
     * narrow projection, candidate pruning to probed cells ≈ nprobe/nlist of
-    * the corpus, exact re-rank) is precisely the production IVF shape. At
-    * 100 TB: centroids broadcast (≤64k rows), assignment is one scan, and
-    * the probe reads only matching cells (partition-prunable if the index
-    * is written bucketed by cell). */
+    * the corpus, exact re-rank) is precisely the production IVF shape.
+    * [[qIvf]] takes it all the way: the assignment table (vec_id, cell,
+    * vector) is BUILT ONCE and stored partitioned by cell
+    * ([[graft.sources.Warehouse.ensurePartitioned]] — one directory per
+    * cell, the FAISS inverted-list layout), and the probe's
+    * `cell IN (...)` filter prunes the scan to the probed cells'
+    * DIRECTORIES at plan time — the search reads nprobe/nlist of the
+    * stored index, plan-guarded via PartitionFilters. At 100 TB:
+    * centroids broadcast (≤64k rows), the index job is one scan, and
+    * daily search cost is probe-bounded. */
   /** Shared IVF probe tail: pick the query's nProbes nearest cells, assign
     * every vector to its cell, exact-rerank only the probed cells. One
     * definition — the sampled and k-means variants must not drift. */
@@ -227,7 +233,27 @@ object Similarity {
     // vec 0 satisfies vec_id < IvfCells — reuse the centroid pull instead
     // of a second full-scan collect; absent query vector → empty result
     cents.find(_._1 == 0).map(_._2) match {
-      case Some(qvec) => probeAndRerank(e, cents, qvec, IvfProbes)
+      case Some(qvec) =>
+        // build-once stored index: assignment is a pure function of the
+        // data (sampled centroids), so the stored table is identical to
+        // recomputing — and the probe below reads only its probed
+        // buckets
+        val tbl = graft.sources.Warehouse.tableName("graft_ivf", d)
+        graft.sources.Warehouse.ensurePartitioned(s, tbl, "cell") {
+          e.withColumn("cell", nearestCell(cents, col("v")))
+        }
+        val probes = cents
+          .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) }
+          .take(IvfProbes)
+          .map(_._1)
+        s.table(tbl)
+          .filter(col("vec_id") =!= 0 && col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
+          .select(
+            col("vec_id"),
+            pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
       case None => emptyTopK(e)
     }
   }

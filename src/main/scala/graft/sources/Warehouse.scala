@@ -24,17 +24,33 @@ object Warehouse {
     f.delete()
   }
 
-  /** Create `name` as a bucketed managed table if this JVM's catalog does
-    * not have it yet; `build` runs only on a miss. */
-  def ensure(s: SparkSession, name: String, bucketCol: String, nBuckets: Int = 8)(
-      build: => DataFrame): Unit = synchronized {
-    if (s.catalog.tableExists(name)) return
+  private def clearLeftover(s: SparkSession, name: String): Unit = {
     // a previous JVM's files without catalog metadata would wedge
     // saveAsTable on "location already exists"
     val warehouse = new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     val leftover = new java.io.File(warehouse, name)
     if (leftover.exists()) rm(leftover)
+  }
+
+  /** Create `name` as a bucketed managed table if this JVM's catalog does
+    * not have it yet; `build` runs only on a miss. */
+  def ensure(s: SparkSession, name: String, bucketCol: String, nBuckets: Int = 8)(
+      build: => DataFrame): Unit = synchronized {
+    if (s.catalog.tableExists(name)) return
+    clearLeftover(s, name)
     build.write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
+  }
+
+  /** Create `name` as a DIRECTORY-PARTITIONED managed table (one
+    * directory per `partitionCol` value) if missing. The right layout
+    * when probes filter on the column directly: `col IN (...)` prunes at
+    * plan time as a PartitionFilter — unlike bucket pruning, which Spark
+    * silently disables when no operator exploits the bucketing. */
+  def ensurePartitioned(s: SparkSession, name: String, partitionCol: String)(
+      build: => DataFrame): Unit = synchronized {
+    if (s.catalog.tableExists(name)) return
+    clearLeftover(s, name)
+    build.write.partitionBy(partitionCol).saveAsTable(name)
   }
 }

@@ -120,6 +120,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe prunes the stored index scan to the probed cells' directories") {
+    // the FAISS-style build/search split as a plan property: search must
+    // read nprobe/nlist of the stored cell-partitioned index, not all of
+    // it — the cell IN (...) filter must be a plan-time PartitionFilter
+    // (directory pruning), never a post-scan row filter
+    val df = Similarity.qIvf(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_ivf"), s"stored IVF index not in plan:\n$p")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*IN.*"),
+      s"probe cells not pruned as partitions:\n$p")
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(cell.*"),
+      s"cell filter degraded to a data filter:\n$p")
+  }
+
   test("hybrid search scans the stored keyword index and never re-derives it from documents") {
     val df = Similarity.qHybridSearch(spark, sfDir)
     val p = plan(df)
