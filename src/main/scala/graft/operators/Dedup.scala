@@ -700,6 +700,67 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin candidate rule):
+    * thresholded Jaccard pairs with candidates generated from each doc's
+    * PREFIX — its ⌊(1−t)·n⌋+1 globally RAREST shingles under the total
+    * order (df, sh) — instead of the full inverted index. Any pair with
+    * J ≥ t must share a prefix shingle (if the prefixes were disjoint,
+    * the overlap is confined to the ⌈t·n⌉-sized suffixes, forcing
+    * J < t), so the candidate set is exact, and it is much smaller than
+    * the full-index join's: prefixes are short AND skewed toward rare
+    * shingles with tiny posting lists. Candidates are then verified with
+    * the exact capped-set Jaccard — same threshold and shingle
+    * definition as [[nearDupEdges]], so the oracle is the existing
+    * inverted-index CTE machinery: two different candidate generators
+    * must produce the identical pair set. The spec additionally pins
+    * candidates(prefix) < candidates(full index). */
+  def qPrefixJaccard(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = prefixShingles(capped, dfs)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(capped.select(col("doc_id").as("da"), col("sh")), "da")
+      .join(capped.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    withEndpointSizes(inter, sizes)
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+      .select(
+        col("da"),
+        col("db"),
+        pround(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** Per-doc prefix rows under the global rarity order: rank shingles by
+    * (df, sh) ascending within each doc, keep rank ≤ n − ⌈t·n⌉ + 1. */
+  private[operators] def prefixShingles(capped: DataFrame, dfs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    capped
+      .join(dfs, "sh")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // ⌈0.6n⌉ = (3n+4) div 5 in exact integer arithmetic
+      .filter(col("rk") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
+      .select("doc_id", "sh")
+  }
+
+  private val qPrefixJaccardSql =
+    s"""WITH ${shinglePairsSqlCtes(minInter = 1)}
+       |SELECT da, db,
+       |  floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar
+       |ORDER BY da, db""".stripMargin
+
   /** Driver-visible MinHash-LSH recall: ONE row (n_true, n_found) — the
     * exhaustive truth-pair count at [[qMinHashLsh]]'s own bar (full-set
     * Jaccard ≥ 0.5, decided by the exact integer predicate 3·inter ≥
@@ -934,6 +995,7 @@ object Dedup {
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
+    Q("q_dedup_prefix_jaccard", qPrefixJaccard, Some(qPrefixJaccardSql)),
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),

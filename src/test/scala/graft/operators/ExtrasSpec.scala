@@ -502,6 +502,29 @@ class ExtrasSpec extends SparkSpec {
     assert(want.nonEmpty, "no triangles anywhere — vacuous graph")
   }
 
+  test("prefix filtering shrinks the candidate set and loses no qualifying pair") {
+    // sf0.01 (the suite default corpus has no qualifying pairs): the
+    // PPJoin result must equal the full-inverted-index edge set exactly,
+    // while generating strictly fewer candidate pairs
+    val d = "/root/testdata/sf0.01"
+    val got = Dedup.qPrefixJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.nearDupEdges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, s"prefix join diverged: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty, "no qualifying pairs — vacuous equality")
+    // candidate volumes: prefix self-join vs full-index self-join
+    val capped = Dedup.cappedShingles(spark, d, maxDF = 20).cache()
+    val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = Dedup.prefixShingles(capped, dfs)
+    def pairCount(rows: org.apache.spark.sql.DataFrame): Long = rows.as("a")
+      .join(rows.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val (pc, fc) = (pairCount(prefix), pairCount(capped))
+    capped.unpersist()
+    assert(pc < fc, s"prefix candidates ($pc) not smaller than full-index candidates ($fc)")
+  }
+
   test("degree orientation bounds wedge candidates on a hub graph") {
     // One hot node ("hub") with 200 spokes plus a single spoke-spoke edge
     // (the lone triangle). Naive wedge enumeration centers C(200,2)=19900
