@@ -1007,6 +1007,50 @@ object Relational {
         col("n"))
       .orderBy("l_returnflag")
 
+  /** Ordered-pattern funnel (the MATCH_RECOGNIZE capability class, in
+    * composable aggregate form): per user, the first `view`, the first
+    * `click` STRICTLY AFTER that view, and the first `purchase` strictly
+    * after that click — one row of stage counts. Each stage is a
+    * conditional-min aggregate keyed by user joined back to events; all
+    * three aggregations share the user_id partitioning, so the chain
+    * costs one logical shuffle at scale. Exact integer outputs over
+    * micros-truncated event times (the shared nanos→micros rule). */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val s2 = e
+      .join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t2"))
+    val s3 = e
+      .join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  private val qFunnelSql =
+    """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM e GROUP BY 1 HAVING t1 IS NOT NULL),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_viewed,
+      |       (SELECT count(*) FROM s2)::BIGINT AS n_clicked_after,
+      |       (SELECT count(*) FROM s3)::BIGINT AS n_purchased_after""".stripMargin
+
   /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
     * plus a within-5% flag over the rsd=0.02 estimate. HLL register
     * merge is a bitwise max — order-independent — so the flag is
@@ -1921,6 +1965,7 @@ object Relational {
     Q("q_cube", qCube, Some(qCubeSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
     Q("q_approx_distinct_check", qApproxDistinctCheck, Some(qApproxDistinctCheckSql)),
+    Q("q_funnel", qFunnel, Some(qFunnelSql)),
     Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
