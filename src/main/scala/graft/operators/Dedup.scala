@@ -708,7 +708,11 @@ object Dedup {
     * the overlap is confined to the ⌈t·n⌉-sized suffixes, forcing
     * J < t), so the candidate set is exact, and it is much smaller than
     * the full-index join's: prefixes are short AND skewed toward rare
-    * shingles with tiny posting lists. Candidates are then verified with
+    * shingles with tiny posting lists (measured at sf0.1: 298k candidate
+    * pairs vs 1.12M from the full capped index — 3.8×; the win grows
+    * wherever the df cap must be loosened, since prefix rarity bounds
+    * hot-shingle fan-out that an uncapped index can't). Candidates are
+    * then verified with
     * the exact capped-set Jaccard — same threshold and shingle
     * definition as [[nearDupEdges]], so the oracle is the existing
     * inverted-index CTE machinery: two different candidate generators
@@ -722,13 +726,16 @@ object Dedup {
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val inter = cand
-      .join(capped.select(col("doc_id").as("da"), col("sh")), "da")
-      .join(capped.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("inter"))
-    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    withEndpointSizes(inter, sizes)
+    // verification joins each candidate to its two capped shingle SETS —
+    // one row per candidate with a codegen'd intersect, not a 3-way
+    // row-explode join (the same verify shape as qMinHashLsh)
+    val sets = capped
+      .groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
       .select(
         col("da"),
