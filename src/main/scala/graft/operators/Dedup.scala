@@ -73,8 +73,12 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
 
-  /** The near-dup threshold shared by apply/pipeline/clusters. */
-  private[operators] val NearDupBar = 0.6
+  /** The near-dup threshold shared by apply/pipeline/clusters — kept as
+    * an exact rational (Num/Den) so integer-arithmetic derivations (the
+    * PPJoin prefix length) stay in lockstep with the double bar. */
+  private[operators] val NearDupNum = 3
+  private[operators] val NearDupDen = 5
+  private[operators] val NearDupBar = NearDupNum.toDouble / NearDupDen
 
   /** The near-dup EDGE set (da, db): exact Jaccard ≥ [[NearDupBar]] over
     * capped shingle sets — the single edge definition behind
@@ -263,25 +267,31 @@ object Dedup {
     val dfT = Warehouse.tableName("graft_inc_df", d)
     val szT = Warehouse.tableName("graft_inc_sz", d)
     val fpT = Warehouse.tableName("graft_inc_fp", d)
-    lazy val corpusSh = Tables.documents(s, d)
+    // cached for the build phase: the dfT and shT builds otherwise each
+    // re-run the full corpus tokenize+shingle+explode (the dominant cost
+    // of the nightly index job); a no-build call never materializes it
+    val corpusSh = Tables.documents(s, d)
       .filter(!isNewBatch(col("doc_id")))
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    Warehouse.ensure(s, dfT, "sh") {
-      corpusSh.groupBy("sh").agg(count(lit(1)).as("df_c"))
-    }
-    Warehouse.ensure(s, shT, "sh") {
-      corpusSh.join(s.table(dfT).filter(col("df_c") <= IncMaxDF).select("sh"), "sh")
-    }
-    Warehouse.ensure(s, szT, "doc_id") {
-      s.table(shT).groupBy("doc_id").agg(count(lit(1)).as("n_c"))
-    }
-    Warehouse.ensure(s, fpT, "f") {
-      Tables.documents(s, d)
-        .filter(!isNewBatch(col("doc_id")))
-        .select(fingerprint(col("text")).as("f"))
-        .distinct()
-    }
+      .cache()
+    try {
+      Warehouse.ensure(s, dfT, "sh") {
+        corpusSh.groupBy("sh").agg(count(lit(1)).as("df_c"))
+      }
+      Warehouse.ensure(s, shT, "sh") {
+        corpusSh.join(s.table(dfT).filter(col("df_c") <= IncMaxDF).select("sh"), "sh")
+      }
+      Warehouse.ensure(s, szT, "doc_id") {
+        s.table(shT).groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+      }
+      Warehouse.ensure(s, fpT, "f") {
+        Tables.documents(s, d)
+          .filter(!isNewBatch(col("doc_id")))
+          .select(fingerprint(col("text")).as("f"))
+          .distinct()
+      }
+    } finally corpusSh.unpersist()
     (shT, dfT, szT, fpT)
   }
 
@@ -753,8 +763,11 @@ object Dedup {
       .join(dfs, "sh")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      // ⌈0.6n⌉ = (3n+4) div 5 in exact integer arithmetic
-      .filter(col("rk") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
+      // ⌈t·n⌉ = (n·num + den−1) div den in exact integer arithmetic,
+      // derived from the SAME rational as NearDupBar — the prefix length
+      // cannot drift from the admission bar
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $NearDupNum + ${NearDupDen - 1}) div $NearDupDen") + 1)
       .select("doc_id", "sh")
   }
 

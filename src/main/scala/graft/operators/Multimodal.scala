@@ -37,29 +37,20 @@ object Multimodal {
   object PngCodec {
     ImageIO.setUseCache(false)
 
-    /** Deterministic grayscale value at (x, y) for document `id` — the
-      * ground truth both the Spark fixture and the DuckDB oracle compute. */
-    def pixel(x: Int, y: Int, id: Long): Int =
-      ((x * 7L + y * 13L + id * 31L) % 256L).toInt
+    /** THE deterministic grayscale formula — one definition for still
+      * images (frame 0) and video frames, which every DuckDB oracle
+      * replays; a second copy could silently drift from the oracles. */
+    def framePixel(x: Int, y: Int, id: Long, f: Int): Int =
+      ((x * 7L + y * 13L + id * 31L + f * 97L) % 256L).toInt
+
+    /** Still-image value at (x, y) for document `id` (≡ frame 0). */
+    def pixel(x: Int, y: Int, id: Long): Int = framePixel(x, y, id, 0)
 
     def width(id: Long): Int  = (id % 48 + 32).toInt // 32..79
     def height(id: Long): Int = (id % 32 + 24).toInt // 24..55
 
     /** Encode document `id`'s image as a real compressed PNG byte blob. */
-    def encode(id: Long): Array[Byte] = {
-      val w = width(id); val h = height(id)
-      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { raster.setSample(x, y, 0, pixel(x, y, id)); x += 1 }
-        y += 1
-      }
-      val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
+    def encode(id: Long): Array[Byte] = encodeFrame(id, 0)
 
     /** Decode a PNG blob back to its raster. */
     def decode(bytes: Array[Byte]): BufferedImage = {
@@ -69,7 +60,7 @@ object Multimodal {
     }
 
     /** Frame `f` of document `id`'s "video": same dimensions as the
-      * still image, pixel formula shifted per frame. */
+      * still image, [[framePixel]] shifted per frame. */
     def encodeFrame(id: Long, f: Int): Array[Byte] = {
       val w = width(id); val h = height(id)
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -77,10 +68,7 @@ object Multimodal {
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, ((x * 7L + y * 13L + id * 31L + f * 97L) % 256L).toInt)
-          x += 1
-        }
+        while (x < w) { raster.setSample(x, y, 0, framePixel(x, y, id, f)); x += 1 }
         y += 1
       }
       val out = new ByteArrayOutputStream()
@@ -144,24 +132,29 @@ object Multimodal {
     }
   }
 
-  /** The media "table": one real PNG blob per document, generated from
+  /** A media "table": one real blob per document, generated from
     * `doc_id` alone and PERSISTED build-once as a managed table
     * ([[graft.sources.Warehouse]]) — exactly how a production pipeline
     * holds media: a stored table of ingested bytes, not something
     * re-derived per query. Queries only SCAN the blob column; the
-    * decode-side plan is identical either way. */
-  private def blobs(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.sources.Warehouse.tableName("graft_media_png", d)
+    * decode-side plan is identical either way. One definition for the
+    * PNG/WAV/GMV tables, which differ only in prefix and encoder. */
+  private def mediaTable(s: SparkSession, d: String, prefix: String)(
+      encode: Long => Array[Byte]): DataFrame = {
+    val tbl = graft.sources.Warehouse.tableName(prefix, d)
     graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"))
         .as[Long]
-        .mapPartitions(ids => ids.map(id => (id, PngCodec.encode(id))))
+        .mapPartitions(ids => ids.map(id => (id, encode(id))))
         .toDF("doc_id", "blob")
     }
     s.table(tbl)
   }
+
+  private def blobs(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d, "graft_media_png")(PngCodec.encode)
 
   final case class MediaMeta(doc_id: Long, width: Long, height: Long, n_pixels: Long, pixel_sum: Long)
   final case class Frame(doc_id: Long, frame_idx: Long, sample_value: Long)
@@ -210,20 +203,8 @@ object Multimodal {
       |GROUP BY d.doc_id, d.width, d.height
       |ORDER BY d.doc_id""".stripMargin
 
-  /** The video "table" — [[VideoContainer]] blobs, persisted build-once
-    * like [[blobs]]. */
-  private def videoBlobs(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.sources.Warehouse.tableName("graft_media_gmv", d)
-    graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
-      import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"))
-        .as[Long]
-        .mapPartitions(ids => ids.map(id => (id, VideoContainer.encode(id))))
-        .toDF("doc_id", "blob")
-    }
-    s.table(tbl)
-  }
+  private def videoBlobs(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d, "graft_media_gmv")(VideoContainer.encode)
 
   final case class VideoMeta(doc_id: Long, n_frames: Long, width: Long, height: Long, f0_sum: Long)
 
@@ -433,19 +414,8 @@ object Multimodal {
     }
   }
 
-  /** The audio "table" — same persisted build-once shape as [[blobs]]. */
-  private def audioBlobs(s: SparkSession, d: String): DataFrame = {
-    val tbl = graft.sources.Warehouse.tableName("graft_media_wav", d)
-    graft.sources.Warehouse.ensure(s, tbl, "doc_id") {
-      import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"))
-        .as[Long]
-        .mapPartitions(ids => ids.map(id => (id, WavCodec.encode(id))))
-        .toDF("doc_id", "blob")
-    }
-    s.table(tbl)
-  }
+  private def audioBlobs(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d, "graft_media_wav")(WavCodec.encode)
 
   final case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long, duration_ms: Long, amp_sum: Long)
   final case class AudioFeature(doc_id: Long, e0: Long, e1: Long, e2: Long, e3: Long)

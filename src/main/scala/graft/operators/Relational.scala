@@ -486,9 +486,13 @@ object Relational {
     * (DuckDB) BEFORE multiplying: at large counts the cubic product
     * exceeds 2⁶³, and Spark's default non-ANSI BIGINT arithmetic would
     * silently wrap — flipping anomaly decisions instead of erroring.
-    * 38 digits bounds (n·c)²·c at n,c ≤ ~10⁹ — beyond any per-hour count.
-    * Moments are one combiner-backed groupBy per type; the grid side
-    * joins back small. */
+    * The 38-digit headroom bounds the cubic (n·c)²·c, i.e. requires
+    * n·c ≲ 3·10¹⁶ — e.g. 10⁹ events/hour over a decade of hours (10⁵)
+    * is 10¹⁴, three orders inside the bound; past it Spark's non-ANSI
+    * decimal yields NULL (row silently dropped) while DuckDB's HUGEINT
+    * errors, so a deployment at truly astronomical volumes must bucket
+    * counts first. Moments are one combiner-backed groupBy per type;
+    * the grid side joins back small. */
   def qAnomalyHours(s: SparkSession, d: String): DataFrame = {
     val grid = qResampleHourly(s, d)
     val stats = grid
@@ -1084,21 +1088,23 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
         expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("ap"))
       .select(
         col("l_returnflag"),
-        col("p50_qty"),
-        col("p90_qty"),
-        (abs(element_at(col("ap"), 1) - col("p50_qty")) <= 1.0 &&
-          abs(element_at(col("ap"), 2) - col("p90_qty")) <= 1.0).as("within_1_qty"))
+        // pround per repo convention: the interpolated order statistic is
+        // an IEEE double on both engines — no raw double rides the hash
+        pround(col("p50"), 6).as("p50_qty"),
+        pround(col("p90"), 6).as("p90_qty"),
+        (abs(element_at(col("ap"), 1) - col("p50")) <= 1.0 &&
+          abs(element_at(col("ap"), 2) - col("p90")) <= 1.0).as("within_1_qty"))
       .orderBy("l_returnflag")
 
   private val qApproxPercentilesCheckSql =
     """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) / 1000000.0 AS p50_qty,
+      |  floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) / 1000000.0 AS p90_qty,
       |  TRUE AS within_1_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

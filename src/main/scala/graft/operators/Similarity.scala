@@ -192,7 +192,24 @@ object Similarity {
       cents: Array[(Int, Seq[Double])],
       qvec: Seq[Double],
       nProbes: Int): DataFrame =
-    probedCandidates(e, cents, qvec, nProbes)
+    rerankExact(probedCandidates(e, cents, qvec, nProbes), qvec)
+
+  /** The query's nProbes nearest cells under the shared (-cos, cid)
+    * tie-break — ONE definition for the inline and stored-index probes. */
+  private def probeCells(
+      cents: Array[(Int, Seq[Double])],
+      qvec: Seq[Double],
+      nProbes: Int): Seq[Int] =
+    cents
+      .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }
+      .take(nProbes)
+      .map(_._1)
+      .toSeq
+
+  /** Exact-cosine top-10 tail shared by every IVF probe variant. */
+  private def rerankExact(cands: DataFrame, qvec: Seq[Double]): DataFrame =
+    cands
       .select(
         col("vec_id"),
         pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
@@ -208,11 +225,7 @@ object Similarity {
       cents: Array[(Int, Seq[Double])],
       qvec: Seq[Double],
       nProbes: Int): DataFrame = {
-    val probes = cents
-      .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
-      .sortBy { case (cid, cos) => (-cos, cid) }
-      .take(nProbes)
-      .map(_._1)
+    val probes = probeCells(cents, qvec, nProbes)
     e.filter(col("vec_id") =!= 0)
       .withColumn("cell", nearestCell(cents, col("v")))
       .filter(col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
@@ -242,18 +255,12 @@ object Similarity {
         graft.sources.Warehouse.ensurePartitioned(s, tbl, "cell") {
           e.withColumn("cell", nearestCell(cents, col("v")))
         }
-        val probes = cents
-          .map { case (cid, cv) => (cid, cosScala(qvec, cv)) }
-          .sortBy { case (cid, cos) => (-cos, cid) }
-          .take(IvfProbes)
-          .map(_._1)
-        s.table(tbl)
-          .filter(col("vec_id") =!= 0 && col("cell").isin(probes.map(_.asInstanceOf[Any]): _*))
-          .select(
-            col("vec_id"),
-            pround(graft.functions.NativeExprs.cosineSim(col("v"), typedlit(qvec)), 6).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id"))
-          .limit(10)
+        val probes = probeCells(cents, qvec, IvfProbes)
+        rerankExact(
+          s.table(tbl)
+            .filter(col("vec_id") =!= 0 &&
+              col("cell").isin(probes.map(_.asInstanceOf[Any]): _*)),
+          qvec)
       case None => emptyTopK(e)
     }
   }
