@@ -28,10 +28,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-/plane-dependent sketches
     * (q_dedup_minhash_lsh, q_dedup_simhash, q_dedup_embedding_lsh,
-    * q_sim_ann_lsh, q_sim_bucketed_pairs) and the k-means-fit index
-    * (q_sim_ivf_kmeans) → driver records a rows-only check; their
-    * correctness oracle is the planted-ground-truth / recall ScalaTest
-    * specs in SketchSpec. */
+    * q_sim_ann_lsh, q_sim_bucketed_pairs), the k-means/PQ-fit indexes
+    * (q_sim_ivf_kmeans, q_sim_pq, q_sim_ivfpq) and the raw approx
+    * sketches (q_approx_distinct, q_approx_percentiles) → driver records
+    * a rows-only check; their correctness oracles are the
+    * planted-ground-truth / recall ScalaTest specs in SketchSpec PLUS
+    * the oracle-gated companion rows (q_minhash_recall,
+    * q_simhash_complete, q_approx_distinct_check,
+    * q_approx_percentiles_check) that turn each no-oracle claim the
+    * driver CAN check into a hash-compared row. */
   def oracleSql: Map[String, String] =
     all.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
 
