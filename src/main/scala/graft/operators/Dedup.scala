@@ -564,6 +564,110 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Sliding-window size (tokens) for cross-document exact-substring
+    * detection — the "duplicated 50-gram" of Lee et al. scaled to this
+    * corpus's short synthetic docs. Shared by the Spark query and the
+    * DuckDB oracle twin through [[qDedupSubstringsSql]]. */
+  private val SubK = 8
+
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): every OVERLAPPING
+    * [[SubK]]-token window is md5-fingerprinted; a window whose
+    * fingerprint occurs in ≥ 2 DISTINCT documents is a duplicated
+    * window (within-doc self-repetition is q_repetition's job, not
+    * this one's). Per document, duplicated window positions are merged
+    * into MAXIMAL spans by interval union — consecutive positions with
+    * gap ≤ SubK-1 cover overlapping token ranges, so a merged run
+    * [p1..p2] covers exactly p2-p1+SubK tokens — and rolled up to
+    * all-integer stats. This is the sliding-window complement of
+    * q_dedup_lines' non-overlapping fixed spans: it catches duplicated
+    * passages at ANY offset, not just block-aligned ones.
+    *
+    * At 100 TB: one shuffle on the fixed-width window fingerprint for
+    * the distinct-doc counts (partial-aggregated), one semi join back
+    * on the same key, one doc_id-partitioned window pass for the
+    * interval merge — everything linear in corpus size, no candidate
+    * pairs ever enumerated. The removal policy (which occurrence to
+    * keep) is a downstream choice; this operator computes the spans. */
+  def qDedupSubstrings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubK
+    val docs = Tables.documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) >= k)
+    // (doc_id, pos, wh): 1-based window start -> md5 of the k-token window
+    val wins = docs
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(tk) - ${k - 1})," +
+            s" i -> struct(i AS pos, md5(concat_ws(' ', slice(tk, i, $k))) AS wh))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    val dupW = wins
+      .groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("wh")
+    val dpos = wins.join(dupW, Seq("wh"), "left_semi").select("doc_id", "pos")
+    // interval merge: new span when the gap to the previous duplicated
+    // position exceeds k-1 (windows no longer share a token)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dpos
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k - 1, 1).otherwise(0))
+      .withColumn(
+        "grp",
+        sum("brk").over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("p1"), max("pos").as("p2"))
+      .select(col("doc_id"), (col("p2") - col("p1") + k).cast("long").as("span_tokens"))
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    docs
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - (k - 1)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .select("doc_id", "n_tokens", "n_windows", "n_spans", "dup_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val qDedupSubstringsSql = {
+    val t = TextOps.tokensSql
+    val k = SubK
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |docs AS (SELECT doc_id, t FROM tk WHERE len(t) >= $k),
+       |win AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(list_slice(t, i, i + ${k - 1}), ' ')) AS wh
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i FROM docs)),
+       |dup AS (SELECT wh FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |dpos AS (SELECT doc_id, pos FROM win WHERE wh IN (SELECT wh FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > ${k - 1} THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dpos)),
+       |spans AS (
+       |  SELECT doc_id, max(pos) - min(pos) + $k AS span_tokens
+       |  FROM isl GROUP BY doc_id, grp),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.t)::BIGINT AS n_tokens,
+       |  (len(d.t) - ${k - 1})::BIGINT AS n_windows,
+       |  coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
+       |FROM docs d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** The CAPSTONE composition — the one call a training-data pipeline
     * actually makes: exact dedup + near dedup + benchmark-contamination
     * screen + quality floor, returning the admitted corpus. Each stage is
@@ -1019,6 +1123,7 @@ object Dedup {
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
+    Q("q_dedup_substrings", qDedupSubstrings, Some(qDedupSubstringsSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallSql), headline = false),

@@ -301,6 +301,45 @@ class ExtrasSpec extends SparkSpec {
     assert(got.exists(_._3 >= 3), "no multi-hop component; clusters add nothing over pairs")
   }
 
+  test("substring dedup finds planted shared passages as interval-merged maximal spans") {
+    // Planted corpus with disjoint per-doc alphabets so the ONLY shared
+    // 8-grams are the ones planted. A/B share one 12-token passage at
+    // DIFFERENT offsets (one merged span of exactly 12 tokens — the
+    // sliding-window property q_dedup_lines' block-aligned spans miss);
+    // C/D share two separated 8-token runs (two spans, no false merge);
+    // E shares only a 7-token run with A — one token short of the window,
+    // must stay span-free.
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    def toks(p: String, n: Int): Seq[String] = Seq.tabulate(n)(i => s"$p${i + 1}")
+    val shared12 = toks("s", 12)
+    val run1 = toks("x", 8)
+    val run2 = toks("y", 8)
+    val a = toks("a", 10) ++ shared12 ++ toks("a", 30).drop(22)     // passage at pos 11
+    val b = toks("b", 4) ++ shared12 ++ toks("b", 30).drop(16)      // passage at pos 5
+    val c = toks("c", 4) ++ run1 ++ toks("c", 14).drop(4) ++ run2   // runs at pos 5, 23
+    val dd = toks("d", 2) ++ run1 ++ toks("d", 12).drop(2) ++ run2 ++ toks("d", 14).drop(12)
+    val e = toks("e", 23) ++ shared12.take(7)                       // 7 < k: no window
+    val rows = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> dd, 5L -> e).map { case (id, t) =>
+      Row(id, t.mkString(" "), "en", "planted", t.mkString(" ").length.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr-").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Dedup.qDedupSubstrings(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((30L, 23L, 1L, 12L)))
+    assert(got(2L) === ((30L, 23L, 1L, 12L)))
+    assert(got(3L) === ((30L, 23L, 2L, 16L)))
+    assert(got(4L) === ((30L, 23L, 2L, 16L)))
+    assert(got(5L) === ((30L, 23L, 0L, 0L)))
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the

@@ -90,6 +90,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"distinct exchange not reused:\n$p")
   }
 
+  test("substring dedup blocks through the window fingerprint — no pair enumeration") {
+    // the Lee-et-al pass must stay linear: dup detection is an aggregate
+    // on the fixed-width window hash plus a semi join back on the same
+    // key — never a doc-pair join
+    val df = Dedup.qDedupSubstrings(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in substring dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in substring dedup:\n$p")
+    assert(p.contains("LeftSemi"), s"window-hash semi join missing:\n$p")
+  }
+
   test("incremental dedup joins only through hash/broadcast — no nested-loop anywhere") {
     val df = Dedup.qDedupIncremental(spark, sfDir)
     val p = plan(df)
