@@ -33,12 +33,19 @@ object Warehouse {
     if (leftover.exists()) rm(leftover)
   }
 
+  /** Shared miss-path for every ensure variant: existence check, stale
+    * leftover-directory cleanup, then the caller's write (which must end
+    * in `saveAsTable(name)`). */
+  def ensureVia(s: SparkSession, name: String)(write: => Unit): Unit = synchronized {
+    if (s.catalog.tableExists(name)) return
+    clearLeftover(s, name)
+    write
+  }
+
   /** Create `name` as a bucketed managed table if this JVM's catalog does
     * not have it yet; `build` runs only on a miss. */
   def ensure(s: SparkSession, name: String, bucketCol: String, nBuckets: Int = 8)(
-      build: => DataFrame): Unit = synchronized {
-    if (s.catalog.tableExists(name)) return
-    clearLeftover(s, name)
+      build: => DataFrame): Unit = ensureVia(s, name) {
     build.write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
   }
 
@@ -48,9 +55,7 @@ object Warehouse {
     * plan time as a PartitionFilter — unlike bucket pruning, which Spark
     * silently disables when no operator exploits the bucketing. */
   def ensurePartitioned(s: SparkSession, name: String, partitionCol: String)(
-      build: => DataFrame): Unit = synchronized {
-    if (s.catalog.tableExists(name)) return
-    clearLeftover(s, name)
+      build: => DataFrame): Unit = ensureVia(s, name) {
     build.write.partitionBy(partitionCol).saveAsTable(name)
   }
 }

@@ -340,6 +340,32 @@ class ExtrasSpec extends SparkSpec {
     assert(got(5L) === ((30L, 23L, 0L, 0L)))
   }
 
+  test("compaction collapses the fragmented file count under the governance knob") {
+    // q_compacted's oracle proves row fidelity; this proves the point of
+    // the rewrite — 64 ingest fragments become the range-partitioned
+    // bounded layout (2 range partitions, each under maxRecordsPerFile)
+    val d = "/root/testdata/sf0.001"
+    val fragT = Maintenance.ensureFragmented(spark, d)
+    val compT = Maintenance.ensureCompacted(spark, d)
+    def nFiles(t: String): Int = {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      loc.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(nFiles(fragT) === 64)
+    assert(nFiles(compT) <= 2, s"compacted layout still fragmented: ${nFiles(compT)} files")
+    // and the compacted files are doc_id-sorted (range-prunable): the
+    // table read back in file order is locally sorted within partitions
+    val perFile = spark.table(compT)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .collect().groupBy(_.getString(1))
+    perFile.foreach { case (f, rows) =>
+      val ids = rows.map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"file $f not doc_id-sorted")
+    }
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the

@@ -101,6 +101,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"window-hash semi join missing:\n$p")
   }
 
+  test("incremental stats read the STORED partials — the only documents scan is batch-sliced") {
+    // daily cost ∝ batch, as a plan property: corpus-side states come
+    // from the persisted partials table; a full-recompute plan would
+    // carry an unsliced documents scan
+    val df = Maintenance.qStatsIncremental(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_stats_part"), s"stored partials not in plan:\n$p")
+    val docScanLines = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScanLines.nonEmpty, s"no batch-side documents scan?\n$p")
+    docScanLines.foreach { l =>
+      assert(l.contains("% 5) = 4"), s"corpus-side (unsliced) documents scan:\n$l")
+    }
+  }
+
   test("incremental dedup joins only through hash/broadcast — no nested-loop anywhere") {
     val df = Dedup.qDedupIncremental(spark, sfDir)
     val p = plan(df)
