@@ -240,6 +240,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(degradedRows === broadcastRows, "join strategy changed the results")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join, results unchanged") {
+    // the 100 TB scan guard: when a selective dimension side can't be
+    // broadcast, the optimizer should still push a runtime bloom filter
+    // of its join keys into the fact scan so most of the 100 TB never
+    // reaches the shuffle. Thresholds are production-sized (10 GB scan
+    // floor), so fire it here by lowering them in a scratch session —
+    // at real scale the defaults fire on their own.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    def q(s: org.apache.spark.sql.SparkSession): DataFrame =
+      Tables.lineitem(s, sfDir)
+        .join(
+          Tables.orders(s, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    val p = q(s2).queryExecution.optimizedPlan.toString
+    assert(p.contains("bloom_filter_agg"),
+      s"no bloom filter built from the dimension keys:\n$p")
+    assert(p.contains("might_contain"),
+      s"bloom probe not applied to the fact side:\n$p")
+    assert(q(s2).collect().map(_.toString).toSeq ===
+      q(spark).collect().map(_.toString).toSeq,
+      "runtime filter changed the results")
+  }
+
   test("lateral top-1 subquery decorrelates to WindowGroupLimit, not a nested loop") {
     val p = plan(Relational.qLateralTopOrder(spark, sfDir))
     // the correlated LIMIT 1 must become a per-key group-limit (with a
