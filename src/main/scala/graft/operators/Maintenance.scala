@@ -137,7 +137,44 @@ object Maintenance {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Morton (z-order) value of two keys' low 16 bits, as ONE formula
+    * string instantiated for both engines — Spark spells integer
+    * division `div`, DuckDB spells it `//`; everything else (`%`, `*`,
+    * `+`) is shared, so the oracle literally runs the same arithmetic.
+    * Bit i of x lands at output bit 2i+1, bit i of y at 2i:
+    * interleaved keys close in BOTH dimensions get close z-values,
+    * which is what makes a z-sorted layout prunable for 2-D box
+    * predicates. Bits above 15 are ignored (the div/mod terms never
+    * read them) — at 100 TB you first quantile-bucket each dimension
+    * into 2^16 ranks, then z-order the ranks. */
+  private[operators] def zFormula(x: String, y: String, div: String): String =
+    (0 until 16).map { i =>
+      s"(($x $div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($y $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order clustering key over (l_partkey, l_suppkey) — the layout
+    * rewrite that makes 2-D box scans skip files by footer min/max
+    * (measured in ExtrasSpec: the same box query intersects a fraction
+    * of the z-sorted files vs ALL orderkey-sorted ones). The query
+    * surfaces the z-value itself plus the top of the z-sorted order so
+    * the oracle pins the full clustering arithmetic end-to-end. */
+  def qZorderCluster(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        expr(zFormula("l_partkey", "l_suppkey", "div")).as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(20000)
+
+  private val qZorderClusterSql =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${zFormula("l_partkey", "l_suppkey", "//")} AS zval
+       |FROM lineitem
+       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 20000""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),
-    Q("q_compacted", qCompacted, Some(qCompactedSql)))
+    Q("q_compacted", qCompacted, Some(qCompactedSql)),
+    Q("q_zorder_cluster", qZorderCluster, Some(qZorderClusterSql)))
 }

@@ -366,6 +366,57 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout concentrates a 2-D box into few files; natural layout spreads it") {
+    // The point of z-clustering, measured: write lineitem 8-ways ranged
+    // by l_orderkey (natural ingest order) vs ranged by the z-value of
+    // (l_partkey, l_suppkey), then evaluate the footer-pruning decision
+    // a scan would make for a small 2-D box — a file can be skipped iff
+    // the box misses its [min,max] envelope on both columns. Natural
+    // layout: part/supp keys are uncorrelated with orderkey, every file
+    // envelope covers the whole domain, nothing skips. Z-layout: the box
+    // maps to a contiguous z-range, few files intersect.
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    val d = "/root/testdata/sf0.01"
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("zval", expr(Maintenance.zFormula("l_partkey", "l_suppkey", "div")))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    li.repartitionByRange(8, col("l_orderkey")).write.parquet(s"$base/natural")
+    li.repartitionByRange(8, col("zval")).write.parquet(s"$base/zorder")
+    // box: bottom-left 1/8 x 1/8 corner of the (partkey, suppkey) domain
+    val (pLo, pHi, sLo, sHi) = (1L, 250L, 1L, 12L)
+    def filesIntersecting(dir: String): (Long, Long) = {
+      val env = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(
+          smin("l_partkey").as("p0"), smax("l_partkey").as("p1"),
+          smin("l_suppkey").as("s0"), smax("l_suppkey").as("s1"))
+      val hit = env.filter(
+        col("p1") >= pLo && col("p0") <= pHi && col("s1") >= sLo && col("s0") <= sHi)
+      (env.count(), hit.count())
+    }
+    val (nNat, hitNat) = filesIntersecting(s"$base/natural")
+    val (nZ, hitZ) = filesIntersecting(s"$base/zorder")
+    assert(nNat === 8L && nZ === 8L)
+    assert(hitNat === 8L, s"expected the natural layout to prune nothing, pruned ${8 - hitNat}")
+    assert(hitZ <= 2L, s"z-order layout should confine the box to <=2 files, hit $hitZ")
+    // and the box rows themselves live in exactly the intersecting files
+    val rowFiles = spark.read.parquet(s"$base/zorder")
+      .filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .select(input_file_name()).distinct().count()
+    assert(rowFiles <= hitZ)
+  }
+
+  test("z-value formula interleaves bits exactly (corner values pinned)") {
+    val rows = spark.sql(
+      s"""SELECT ${Maintenance.zFormula("x", "y", "div")} AS z
+         |FROM VALUES (0L,0L),(1L,0L),(0L,1L),(3L,0L),(0L,3L),(65535L,65535L),
+         |            (65536L,0L) AS t(x, y)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // bit i of x -> bit 2i+1, bit i of y -> bit 2i; bit 16+ ignored
+    assert(rows === Seq(0L, 2L, 1L, 10L, 5L, 4294967295L, 0L))
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the
