@@ -822,10 +822,12 @@ object Dedup {
     * the overlap is confined to the ⌈t·n⌉-sized suffixes, forcing
     * J < t), so the candidate set is exact, and it is much smaller than
     * the full-index join's: prefixes are short AND skewed toward rare
-    * shingles with tiny posting lists (measured at sf0.1: 298k candidate
-    * pairs vs 1.12M from the full capped index — 3.8×; the win grows
-    * wherever the df cap must be loosened, since prefix rarity bounds
-    * hot-shingle fan-out that an uncapped index can't). Candidates are
+    * shingles with tiny posting lists, and PPJoin's size + positional
+    * filters prune per co-occurrence row before any pair materializes
+    * (measured at sf0.1: 189k candidate pairs after filters vs 1.12M
+    * from the full capped index — 5.9×; the win grows wherever the df
+    * cap must be loosened, since prefix rarity bounds hot-shingle
+    * fan-out that an uncapped index can't). Candidates are
     * then verified with
     * the exact capped-set Jaccard — same threshold and shingle
     * definition as [[nearDupEdges]], so the oracle is the existing
@@ -835,10 +837,32 @@ object Dedup {
   def qPrefixJaccard(s: SparkSession, d: String): DataFrame = {
     val capped = cappedShingles(s, d, maxDF = 20).cache()
     val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = prefixShingles(capped, dfs)
-    val cand = prefix.as("a")
+    // cached: BOTH sides of the self-join read it, and the window stage
+    // (global-rarity ranking) is the expensive part of building it
+    val prefix = prefixShingles(capped, dfs).cache()
+    val cooc = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.rk").as("rka"), col("b.rk").as("rkb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    // PPJoin's two lossless prunes, applied per co-occurrence row BEFORE
+    // the (expensive) set-verify join. Size filter: J ≥ t and
+    // inter ≤ min(na,nb) force min(na,nb)·(num+den) ≥ num·(na+nb).
+    // Positional filter: a true pair's FIRST shared shingle s (which the
+    // prefix lemma guarantees is a cooc row) bounds the overlap by
+    // 1 + min(na−rka, nb−rkb) ≤ min(rka,rkb) + min(na−rka, nb−rkb), so
+    // a pair none of whose rows reach minInter = ⌈num·(na+nb)/(num+den)⌉
+    // cannot qualify — all exact integer arithmetic, same rational as
+    // the admission bar.
+    val minInter = expr(
+      s"($NearDupNum * (na + nb) + ${NearDupNum + NearDupDen - 1}) div ${NearDupNum + NearDupDen}")
+    val cand = cooc
+      .filter(least(col("na"), col("nb")) * (NearDupNum + NearDupDen) >=
+        lit(NearDupNum) * (col("na") + col("nb")))
+      .filter(least(col("rka"), col("rkb")) +
+        least(col("na") - col("rka"), col("nb") - col("rkb")) >= minInter)
+      .select("da", "db")
       .distinct()
     // verification joins each candidate to its two capped shingle SETS —
     // one row per candidate with a codegen'd intersect, not a 3-way
@@ -872,7 +896,7 @@ object Dedup {
       // cannot drift from the admission bar
       .filter(col("rk") <=
         col("n") - expr(s"(n * $NearDupNum + ${NearDupDen - 1}) div $NearDupDen") + 1)
-      .select("doc_id", "sh")
+      .select("doc_id", "sh", "rk", "n")
   }
 
   private val qPrefixJaccardSql =
