@@ -187,8 +187,40 @@ object Sampling {
        |ORDER BY source, bin""".stripMargin
   }
 
+  /** Fixed-SIZE stratified sample: exactly min(25, |stratum|) docs per
+    * source, chosen by ranking the md5 fingerprint — the deterministic
+    * complement of the rate-based ops above (those keep a fixed
+    * FRACTION; eval sets and per-source quotas need a fixed COUNT).
+    * Unlike reservoir sampling this is reproducible run-to-run and
+    * engine-portable; unlike rate sampling, membership may legitimately
+    * shift when a stratum grows (a new doc can out-rank an old member —
+    * inherent to any exact-n sample). At 100 TB the rank-then-filter
+    * compiles to WindowGroupLimit (plan-guarded): each partition keeps
+    * its local top-25 per source BEFORE the shuffle, so the exchange
+    * carries ≤ 25·partitions rows per stratum, not the stratum. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(admitKey(col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 25)
+      .select("source", "rn", "doc_id")
+      .orderBy("source", "rn")
+  }
+
+  private val qSampleStratifiedSql =
+    s"""SELECT source, rn, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${admitKeySql("doc_id")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 25 ORDER BY source, rn""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)),
     Q("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     Q("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)))

@@ -717,8 +717,52 @@ object TextOps {
        |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
        |SELECT node, count(*) AS n_triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Count-min-sketch heavy hitters, gate-checked: the exact top-20
+    * token counts (oracle side) each probed against a corpus-wide CMS
+    * (eps 0.001, confidence 0.99, fixed seed). `overestimate_only` is
+    * the CMS structural guarantee (counters only ever add); `within_eps`
+    * is est ≤ exact + ⌈eps·N⌉ — probabilistic in general but
+    * deterministic for a fixed corpus/seed, the same measured-then-
+    * asserted pattern as q_minhash_recall. The sketch is the 100 TB
+    * path for frequency tracking: fixed ~100 KB of counters, partials
+    * merge by cell-wise ADDITION (commutative — the flags cannot depend
+    * on partition order), and the driver-side probe of 20 words against
+    * a bounded sketch is the legitimate broadcast-small pattern. The
+    * exact counts exist only to CHECK the sketch — at scale they'd be
+    * the expensive side, not the shipped one. */
+  def qCmsCheck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("word"))
+    val exactTop = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+    val totalN = words.count()
+    val skBytes = words
+      .agg(expr("count_min_sketch(word, 0.001D, 0.99D, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val bound = math.ceil(0.001 * totalN).toLong
+    val rows = exactTop.collect().toSeq.map { r =>
+      val (wd, cnt) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(wd)
+      (wd, cnt, est >= cnt, est <= cnt + bound)
+    }
+    rows.toDF("word", "cnt", "overestimate_only", "within_eps")
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  private val qCmsCheckSql =
+    s"""SELECT w AS word, cnt, TRUE AS overestimate_only, TRUE AS within_eps
+       |FROM (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY w ORDER BY cnt DESC, w LIMIT 20)
+       |ORDER BY cnt DESC, word""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
+    Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
     Q("q_lang_id", qLangId, Some(qLangIdSql)),
     Q("q_quality_score", qQuality, Some(qQualitySql)),

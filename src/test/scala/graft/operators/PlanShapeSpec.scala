@@ -240,6 +240,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(degradedRows === broadcastRows, "join strategy changed the results")
   }
 
+  test("stratified fixed-size sample keeps per-partition group limits before the shuffle") {
+    val p = plan(Sampling.qSampleStratified(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"rank<=25 not pushed below the exchange:\n$p")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join, results unchanged") {
     // the 100 TB scan guard: when a selective dimension side can't be
     // broadcast, the optimizer should still push a runtime bloom filter
