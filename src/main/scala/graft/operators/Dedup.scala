@@ -248,7 +248,7 @@ object Dedup {
   }
 
   /** Marks the 20% "new batch" slice (deterministic, SF-stable). */
-  private def isNewBatch(c: Column): Column = c % 5 === 4
+  private[operators] def isNewBatch(c: Column): Column = c % 5 === 4
 
   /** maxDF stop-shingle cap shared by the incremental index + probe. */
   private val IncMaxDF = 20
@@ -592,9 +592,14 @@ object Dedup {
   def qDedupSubstrings(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = SubK
+    // both cached: `docs` feeds the window explode AND the final
+    // per-doc totals; `wins` is read by the dup aggregate and the
+    // semi-join probe — without the cache the tokenize+md5 subtree (the
+    // expensive part) runs 2-3x per execution
     val docs = Tables.documents(s, d)
       .withColumn("tk", toks(col("text")))
       .filter(size(col("tk")) >= k)
+      .cache()
     // (doc_id, pos, wh): 1-based window start -> md5 of the k-token window
     val wins = docs
       .select(
@@ -603,6 +608,7 @@ object Dedup {
           s"transform(sequence(1, size(tk) - ${k - 1})," +
             s" i -> struct(i AS pos, md5(concat_ws(' ', slice(tk, i, $k))) AS wh))")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+      .cache()
     val dupW = wins
       .groupBy("wh")
       .agg(countDistinct("doc_id").as("nd"))

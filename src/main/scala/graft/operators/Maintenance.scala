@@ -28,10 +28,11 @@ object Maintenance {
 
   private def toks(c: Column): Column = graft.functions.NativeExprs.tokens(c)
 
-  /** The corpus/batch slice rule — SHARED with the incremental dedup
-    * (doc_id % 5 == 4 is "today's batch"), so the two incremental
-    * pipelines agree on what "new" means. */
-  private def isNewBatch(c: Column): Column = c % 5 === 4
+  /** The corpus/batch slice rule — THE [[Dedup.isNewBatch]] definition
+    * (doc_id % 5 == 4 is "today's batch"), referenced rather than
+    * re-declared so the two incremental pipelines cannot drift on what
+    * "new" means. */
+  private def isNewBatch(c: Column): Column = Dedup.isNewBatch(c)
 
   /** Per-(source, lang) algebraic partial states over a document slice.
     * Every column is mergeable by sum (n_docs, sum_*) or by min/max —
@@ -173,8 +174,75 @@ object Maintenance {
        |FROM lineitem
        |ORDER BY zval, l_orderkey, l_linenumber LIMIT 20000""".stripMargin
 
+  /** The domain-agnostic z-order variant: continuous/unbounded
+    * dimensions (price, quantity) are first reduced to dense 0..255
+    * RANKS by ntile — the "quantile-bucket each dimension" step
+    * [[zFormula]]'s scaladoc prescribes for keys that don't fit 16
+    * bits — then interleaved. ntile is deterministic here because the
+    * window ORDER BY carries a full tiebreak (value, orderkey,
+    * linenumber), and both engines define ntile identically (first
+    * buckets get the remainder). Emits the top of the z-sorted order
+    * like [[qZorderCluster]]. At 100 TB the two ntile windows are one
+    * pass each over a single global sort key — in practice you'd sample
+    * quantile cut points instead; the rank reduction is the part the
+    * formula needs, not the exact method. */
+  def qZorderRanked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val wq = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (ntile(256).over(wp) - 1).cast("bigint").as("price_rank"),
+        (ntile(256).over(wq) - 1).cast("bigint").as("qty_rank"))
+      .withColumn("zval", expr(zFormula("price_rank", "qty_rank", "div")))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(10000)
+  }
+
+  private val qZorderRankedSql =
+    s"""SELECT l_orderkey, l_linenumber, price_rank, qty_rank,
+       |  ${zFormula("price_rank", "qty_rank", "//")} AS zval
+       |FROM (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ntile(256) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS price_rank,
+       |    ntile(256) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) - 1 AS qty_rank
+       |  FROM lineitem)
+       |ORDER BY zval, l_orderkey, l_linenumber LIMIT 10000""".stripMargin
+
+  /** Anti-entropy table checksum: per doc_id-bucket row count plus the
+    * BIT_XOR of a 56-bit integer digest of each full row. XOR is
+    * commutative, associative and self-inverse, so the aggregate is
+    * independent of partition count, merge order and row order, needs
+    * constant state per bucket, and flips if any single row changes —
+    * the audit primitive for comparing two replicas/snapshots of a
+    * 100 TB table with ONE scan each and 2^k result rows; a mismatched
+    * bucket pinpoints the doc_id slice to resync. The digest rides
+    * conv(hex,16,10) on Spark and '0x'-cast on DuckDB over the SAME
+    * md5 prefix of the SAME '|'-joined row text, so the oracle
+    * recomputes it bit-for-bit. (A SUM digest would order-independently
+    * overflow; XOR cannot.) */
+  def qTableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        (col("doc_id") % 16).as("bucket"),
+        expr("cast(conv(substr(md5(concat_ws('|', doc_id, lang, source, n_chars, text)), 1, 14), 16, 10) as bigint)")
+          .as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy("bucket")
+
+  private val qTableChecksumSql =
+    """SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
+      |  bit_xor(CAST(('0x' || substr(md5(
+      |    doc_id || '|' || lang || '|' || source || '|' || n_chars || '|' || text),
+      |    1, 14)) AS BIGINT)) AS checksum
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),
     Q("q_compacted", qCompacted, Some(qCompactedSql)),
-    Q("q_zorder_cluster", qZorderCluster, Some(qZorderClusterSql)))
+    Q("q_zorder_cluster", qZorderCluster, Some(qZorderClusterSql)),
+    Q("q_zorder_ranked", qZorderRanked, Some(qZorderRankedSql)),
+    Q("q_table_checksum", qTableChecksum, Some(qTableChecksumSql)))
 }

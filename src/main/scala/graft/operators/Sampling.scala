@@ -188,20 +188,23 @@ object Sampling {
   }
 
   /** Fixed-SIZE stratified sample: exactly min(25, |stratum|) docs per
-    * source, chosen by ranking the md5 fingerprint — the deterministic
-    * complement of the rate-based ops above (those keep a fixed
-    * FRACTION; eval sets and per-source quotas need a fixed COUNT).
-    * Unlike reservoir sampling this is reproducible run-to-run and
-    * engine-portable; unlike rate sampling, membership may legitimately
-    * shift when a stratum grows (a new doc can out-rank an old member —
-    * inherent to any exact-n sample). At 100 TB the rank-then-filter
-    * compiles to WindowGroupLimit (plan-guarded): each partition keeps
-    * its local top-25 per source BEFORE the shuffle, so the exchange
-    * carries ≤ 25·partitions rows per stratum, not the stratum. */
+    * source, chosen by ranking the FULL md5 fingerprint (not the 2-char
+    * admission prefix — 256 buckets would collapse the rank into a
+    * doc_id-ordered pick inside the lowest bucket, biasing the sample
+    * toward old ids) — the deterministic complement of the rate-based
+    * ops above (those keep a fixed FRACTION; eval sets and per-source
+    * quotas need a fixed COUNT). Unlike reservoir sampling this is
+    * reproducible run-to-run and engine-portable; unlike rate sampling,
+    * membership may legitimately shift when a stratum grows (a new doc
+    * can out-rank an old member — inherent to any exact-n sample). At
+    * 100 TB the rank-then-filter compiles to WindowGroupLimit
+    * (plan-guarded): each partition keeps its local top-25 per source
+    * BEFORE the shuffle, so the exchange carries ≤ 25·partitions rows
+    * per stratum, not the stratum. */
   def qSampleStratified(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
-      .orderBy(admitKey(col("doc_id")), col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -214,7 +217,7 @@ object Sampling {
     s"""SELECT source, rn, doc_id FROM (
        |  SELECT source, doc_id,
        |    row_number() OVER (PARTITION BY source
-       |      ORDER BY ${admitKeySql("doc_id")}, doc_id) AS rn
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
        |  FROM documents)
        |WHERE rn <= 25 ORDER BY source, rn""".stripMargin
 

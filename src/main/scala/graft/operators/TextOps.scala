@@ -732,14 +732,18 @@ object TextOps {
     * the expensive side, not the shipped one. */
   def qCmsCheck(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // cached: the exact top-k and the count+sketch pass both read it;
+    // count and sketch share ONE aggregation job
     val words = Tables.documents(s, d)
       .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("word"))
+      .cache()
     val exactTop = words.groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(20)
-    val totalN = words.count()
-    val skBytes = words
-      .agg(expr("count_min_sketch(word, 0.001D, 0.99D, 42)"))
-      .head().getAs[Array[Byte]](0)
+    val nAndSketch = words
+      .agg(count(lit(1)), expr("count_min_sketch(word, 0.001D, 0.99D, 42)"))
+      .head()
+    val totalN = nAndSketch.getLong(0)
+    val skBytes = nAndSketch.getAs[Array[Byte]](1)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(skBytes))
     val bound = math.ceil(0.001 * totalN).toLong

@@ -417,6 +417,28 @@ class ExtrasSpec extends SparkSpec {
     assert(rows === Seq(0L, 2L, 1L, 10L, 5L, 4294967295L, 0L))
   }
 
+  test("table checksum flips exactly the touched bucket when one row changes") {
+    // the anti-entropy property the operator exists for: a single-row
+    // corruption must surface in exactly its doc_id bucket, with every
+    // other bucket's (n_rows, checksum) identical
+    import org.apache.spark.sql.SaveMode
+    val d = sfDir
+    val before = Maintenance.qTableChecksum(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chk-").toString
+    graft.Tables.documents(spark, d)
+      .withColumn(
+        "text",
+        when(col("doc_id") === 7L, concat(col("text"), lit(" tampered"))).otherwise(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val after = Maintenance.qTableChecksum(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(before.keySet === after.keySet)
+    val diff = before.keySet.filter(b => before(b) != after(b))
+    assert(diff === Set(7L % 16), s"expected only bucket 7 to differ, got $diff")
+    assert(before(7L)._1 === after(7L)._1, "row count must not change — content did")
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the
