@@ -47,6 +47,7 @@ object NativeExprs {
   def normalizeWs(text: Column): Column = c(NormalizeWs(e(text)))
   def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
     c(PqNearestCode(e(sv), codebook))
+  def int8Quant(v: Column): Column = c(Int8Quant(e(v)))
 
   /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
   @inline private[functions] def isWs(ch: Char): Boolean =
@@ -585,4 +586,75 @@ case class PqNearestCode(child: Expression, codebook: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): PqNearestCode =
     copy(child = newChild)
   override def prettyName: String = "graft_pq_nearest_code"
+}
+
+/** Symmetric per-vector int8 quantization audit in ONE codegen'd pass:
+  * scale m = max|x|, lane codes q_i = ⌊x_i·127/m + 0.5⌋ ∈ [−127, 127],
+  * emitting the integer summary (lane count, Σq, Σ|q|, saturated-lane
+  * count) plus the micro-scaled scale factor — the storage-compression
+  * primitive for embedding columns (4 bytes → 1 byte per lane plus one
+  * scale). Stats, not the code array, ride the driver's hash gate: they
+  * pin every lane's value through exact integer sums while keeping the
+  * compared surface scalar. All arithmetic is double-precision IEEE with
+  * a fixed expression shape ((x·127)/m), so the DuckDB oracle replays it
+  * bit-for-bit. A NULL lane nulls the row (a silently-zeroed lane would
+  * corrupt the audit); m = 0 (zero vector) quantizes to all-zero codes. */
+case class Int8Quant(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_quant expects array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dims", LongType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_l1", LongType, nullable = false),
+    StructField("n_sat", LongType, nullable = false),
+    StructField("m_micro", LongType, nullable = false)))
+
+  def kernel(arr: ArrayData): InternalRow =
+    nullSafeEval(arr).asInstanceOf[InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("int8QuantExpr", this, classOf[Int8Quant].getName)
+      s"""${ev.value} = $ref.kernel($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = elemType
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val a = math.abs(VecCodegen.elemEval(arr, i, et))
+      if (a > m) m = a
+      i += 1
+    }
+    var qSum = 0L; var qL1 = 0L; var nSat = 0L
+    i = 0
+    while (i < n) {
+      val x = VecCodegen.elemEval(arr, i, et)
+      val q = if (m == 0.0) 0L else math.floor(x * 127.0 / m + 0.5).toLong
+      qSum += q
+      qL1 += math.abs(q)
+      if (math.abs(q) == 127L) nSat += 1
+      i += 1
+    }
+    InternalRow(n.toLong, qSum, qL1, nSat, math.floor(m * 1e6 + 0.5).toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quant =
+    copy(child = newChild)
+  override def prettyName: String = "graft_int8_quant"
 }

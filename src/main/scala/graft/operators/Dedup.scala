@@ -1080,6 +1080,129 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokens of a snippet: the doc's first [[SnippetTokens]] tokens. */
+  private val SnippetTokens = 10
+
+  /** Containment bar 4/5 as an exact rational (cf. [[NearDupNum]]). */
+  private[operators] val ContainNum = 4
+  private[operators] val ContainDen = 5
+
+  /** Snippet attribution via ASYMMETRIC n-gram containment — the case
+    * Jaccard-thresholded dedup is structurally blind to: a short text
+    * (quote, excerpt, eval prompt) inside a long document scores
+    * J ≈ |snippet|/|doc| → 0 as the doc grows, while its CONTAINMENT
+    * |A∩B|/|A| stays 1. Each doc's first [[SnippetTokens]] tokens stand
+    * in for the snippet set; a snippet matches every doc holding ≥ 4/5
+    * of its rare shingles (exact integer predicate), so each snippet
+    * recovers its own doc at containment 1 (the spec pins this) plus any
+    * near-dup sharing the opening. The snippet side keeps only shingles
+    * with corpus df ≤ [[IncMaxDF]] — at 100 TB that cap is what bounds
+    * the inverted-index join: every probed posting list has ≤ maxDF
+    * entries, so candidate fan-out is ≤ maxDF per snippet shingle
+    * regardless of corpus size (a stop-shingle probe would touch every
+    * document). The doc side needs no cap — the join only ever reads
+    * posting lists the capped snippet side probes. */
+  def qSnippetContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(size(toks(col("text"))) >= 3)
+    // uncapped doc-side inverted index; cached — df stats AND the
+    // overlap join both read it
+    val tri = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh")).cache()
+    val dfs = tri.groupBy("sh").agg(count(lit(1)).as("df"))
+    val snip = docs.select(
+      col("doc_id").as("snip_id"),
+      explode(shingles(concat_ws(" ", slice(toks(col("text")), 1, SnippetTokens)))).as("sh"))
+    // cached: the size aggregate and the probe join both read it
+    val csnip = snip.join(dfs.filter(col("df") <= IncMaxDF).select("sh"), "sh").cache()
+    val nsz = csnip.groupBy("snip_id").agg(count(lit(1)).as("n_snip"))
+    val ov = csnip
+      .join(tri, "sh")
+      .groupBy("snip_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+    ov.join(nsz, "snip_id")
+      .filter(col("overlap") * ContainDen >= lit(ContainNum) * col("n_snip"))
+      .select(
+        col("snip_id"),
+        col("doc_id"),
+        col("overlap"),
+        col("n_snip"),
+        pround(col("overlap") / col("n_snip"), 6).as("containment"))
+      .orderBy("snip_id", "doc_id")
+  }
+
+  private val qSnippetContainmentSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |dfs AS (SELECT sh, count(*) AS df FROM tri GROUP BY 1),
+       |snip AS (
+       |  SELECT snip_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t10) - 1),
+       |                   i -> t10[i] || ' ' || t10[i+1] || ' ' || t10[i+2]))) AS sh
+       |  FROM (SELECT doc_id AS snip_id, list_slice(t, 1, $SnippetTokens) AS t10
+       |        FROM tk WHERE len(t) >= 3)),
+       |csnip AS (SELECT snip_id, s.sh FROM snip s JOIN dfs USING (sh) WHERE df <= $IncMaxDF),
+       |nsz AS (SELECT snip_id, count(*) AS n_snip FROM csnip GROUP BY 1),
+       |ov AS (
+       |  SELECT c.snip_id, t.doc_id, count(*) AS overlap
+       |  FROM csnip c JOIN tri t USING (sh) GROUP BY 1, 2)
+       |SELECT snip_id, doc_id, overlap::BIGINT AS overlap, n_snip::BIGINT AS n_snip,
+       |  floor(overlap / n_snip * 1000000 + 0.5) / 1000000.0 AS containment
+       |FROM ov JOIN nsz USING (snip_id)
+       |WHERE overlap * $ContainDen >= $ContainNum * n_snip
+       |ORDER BY snip_id, doc_id""".stripMargin
+  }
+
+  /** GPT-3-style fractional decontamination between an eval slice and its
+    * training corpus: an eval doc (the [[isNewBatch]] slice stands in for
+    * the held-out set) is contaminated by a train doc holding ≥ 1/2 of
+    * its capped shingles — the EVAL-side fraction, not Jaccard, because
+    * the question is "how much of the benchmark leaks", not "how similar
+    * are the docs". Strictly stronger evidence than [[qContamination]]'s
+    * any-shared-shingle screen (that flags; this MEASURES per offending
+    * train doc, with exact integers on the decision). Both sides ride
+    * the [[cappedShingles]] index, so posting-list fan-out is bounded by
+    * maxDF exactly as in the incremental dedup — at 100 TB the train
+    * side is the persisted corpus index and the daily cost is ∝ the eval
+    * set. Real deployments use ~13-gram windows where trigrams stand in
+    * at this corpus size; the machinery is n-independent. */
+  def qDecontamFrac(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(s, d, maxDF = IncMaxDF).cache()
+    val ev = capped.filter(isNewBatch(col("doc_id")))
+    val esz = ev.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+      .withColumnRenamed("doc_id", "eval_id")
+    val ov = ev.as("e")
+      .join(capped.filter(not(isNewBatch(col("doc_id")))).as("t"), col("e.sh") === col("t.sh"))
+      .groupBy(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("overlap"))
+    ov.join(esz, "eval_id")
+      .filter(col("overlap") * 2 >= col("n_eval"))
+      .select(
+        col("eval_id"),
+        col("train_id"),
+        col("overlap"),
+        col("n_eval"),
+        pround(col("overlap") / col("n_eval"), 6).as("frac"))
+      .orderBy("eval_id", "train_id")
+  }
+
+  private val qDecontamFracSql =
+    s"""WITH $shingleIndexSqlCtes,
+       |ev AS (SELECT doc_id, sh FROM capped WHERE doc_id % 5 = 4),
+       |esz AS (SELECT doc_id AS eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+       |ov AS (
+       |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, count(*) AS overlap
+       |  FROM ev e JOIN capped t ON e.sh = t.sh AND t.doc_id % 5 <> 4
+       |  GROUP BY 1, 2)
+       |SELECT eval_id, train_id, overlap::BIGINT AS overlap, n_eval::BIGINT AS n_eval,
+       |  floor(overlap / n_eval * 1000000 + 0.5) / 1000000.0 AS frac
+       |FROM ov JOIN esz USING (eval_id)
+       |WHERE overlap * 2 >= n_eval
+       |ORDER BY eval_id, train_id""".stripMargin
+
   /** Embedding near-dup, ORACLE DEMO variant: cosine ≥ 0.3 pairs blocked
     * by the label column — SQL-replayable, so it carries the DuckDB
     * oracle for the scoring arithmetic. NOT the scale path: label
@@ -1162,5 +1285,7 @@ object Dedup {
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
     Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
     Q("q_contamination", qContamination, Some(qContaminationSql)),
+    Q("q_snippet_containment", qSnippetContainment, Some(qSnippetContainmentSql)),
+    Q("q_decontam_frac", qDecontamFrac, Some(qDecontamFracSql)),
     Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)))
 }

@@ -531,6 +531,45 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, pos""".stripMargin
 
+  /** Int8 embedding quantization audit over [[graft.functions.Int8Quant]]:
+    * per vector, the symmetric-quantization integer summary (lane count,
+    * Σq, Σ|q|, saturated lanes) plus the micro-scaled scale factor — the
+    * 4-bytes→1-byte storage compression a 100 TB embedding store runs
+    * before ANN serving. ONE narrow codegen'd scan, no shuffle (the
+    * orderBy is gate-only); the struct's exact integer sums pin every
+    * lane's quantized value without putting a raw double on the hash
+    * surface. The DuckDB oracle replays the same fixed-shape IEEE
+    * arithmetic ((x·127)/m in doubles) lane by lane. */
+  def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), graft.functions.NativeExprs.int8Quant(col("embedding")).as("q"))
+      .select(
+        col("vec_id"),
+        col("q.n_dims").as("n_dims"),
+        col("q.q_sum").as("q_sum"),
+        col("q.q_l1").as("q_l1"),
+        col("q.n_sat").as("n_sat"),
+        col("q.m_micro").as("m_micro"))
+      .orderBy("vec_id")
+
+  private val qEmbedQuantizeSql =
+    """WITH x AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, max(abs(v)) AS m, count(*) AS n_dims FROM x GROUP BY 1),
+      |q AS (
+      |  SELECT x.vec_id,
+      |    CASE WHEN m.m = 0 THEN 0.0 ELSE floor((x.v * 127.0) / m.m + 0.5) END AS qv
+      |  FROM x JOIN m USING (vec_id))
+      |SELECT q.vec_id, m.n_dims::BIGINT AS n_dims,
+      |  sum(qv)::BIGINT AS q_sum,
+      |  sum(abs(qv))::BIGINT AS q_l1,
+      |  count(CASE WHEN abs(qv) = 127 THEN 1 END)::BIGINT AS n_sat,
+      |  CAST(floor(m.m * 1000000 + 0.5) AS BIGINT) AS m_micro
+      |FROM q JOIN m USING (vec_id)
+      |GROUP BY q.vec_id, m.n_dims, m.m
+      |ORDER BY q.vec_id""".stripMargin
+
   /** Hybrid retrieval: TF-IDF keyword blocking + embedding cosine
     * re-rank — the two-stage search-stack shape (sparse recall, dense
     * precision). Stage 1 probes the per-doc top-5 TF-IDF keyword table
@@ -583,5 +622,6 @@ object Similarity {
     Q("q_sim_pq", qSimPq, None),
     Q("q_sim_ivfpq", qSimIvfPq, None),
     Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)),
+    Q("q_embed_quantize", qEmbedQuantize, Some(qEmbedQuantizeSql)),
     Q("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql)))
 }

@@ -110,6 +110,43 @@ class NativeExprsSpec extends SparkSpec {
     assert(math.abs(rows.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("Int8Quant matches the HOF quantization formulation on all embeddings") {
+    val v = col("embedding").cast("array<double>")
+    val m = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val qs = transform(
+      v, x => when(m === lit(0.0), lit(0L)).otherwise(floor(x * lit(127.0) / m + lit(0.5))))
+    val hof = struct(
+      size(v).cast("long").as("n_dims"),
+      aggregate(qs, lit(0L), (a, q) => a + q).as("q_sum"),
+      aggregate(qs, lit(0L), (a, q) => a + abs(q)).as("q_l1"),
+      size(filter(qs, q => abs(q) === lit(127L))).cast("long").as("n_sat"),
+      floor(m * lit(1e6) + lit(0.5)).as("m_micro"))
+    val d = graft.Tables.embeddings(spark, sfDir)
+      .select(NativeExprs.int8Quant(col("embedding")).as("native"), hof.as("hof"))
+    assert(d.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("Int8Quant edge semantics: zero vector, NULL lane, saturation") {
+    val df = spark.sql(
+      "SELECT cast(array(0.0, 0.0) as array<double>) z, " +
+        "cast(array(1.0, null) as array<double>) hasnull, " +
+        "cast(array(2.0, -2.0, 1.0) as array<float>) sat")
+    val out = df.select(
+      NativeExprs.int8Quant(col("z")).as("z"),
+      NativeExprs.int8Quant(col("hasnull")).as("n"),
+      NativeExprs.int8Quant(col("sat")).as("s")).collect().head
+    val z = out.getStruct(0)
+    assert(z.getLong(1) === 0L && z.getLong(2) === 0L && z.getLong(4) === 0L)
+    assert(out.isNullAt(1), "NULL lane must null the audit row, not zero-fill")
+    val sat = out.getStruct(2)
+    // m = 2.0 -> q = (127, -127, 64); floor(1*127/2 + 0.5) = 64
+    assert(sat.getLong(0) === 3L)
+    assert(sat.getLong(1) === 64L)
+    assert(sat.getLong(2) === 318L)
+    assert(sat.getLong(3) === 2L)
+    assert(sat.getLong(4) === 2000000L)
+  }
+
   test("SQL kernels reject wrong-typed arguments at analysis time") {
     GraftFunctions.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException](

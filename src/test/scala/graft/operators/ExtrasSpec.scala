@@ -439,6 +439,57 @@ class ExtrasSpec extends SparkSpec {
     assert(before(7L)._1 === after(7L)._1, "row count must not change — content did")
   }
 
+  test("snippet containment: every snippet recovers its own doc at containment 1.0") {
+    val rows = Dedup.qSnippetContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val self = rows.filter { case (s, d, _, _, _) => s == d }
+    // subset construction: a snippet's shingles are a subset of its own
+    // doc's, so every self pair that appears must sit at exactly 1.0
+    assert(self.nonEmpty)
+    self.foreach { case (s, _, ov, n, c) =>
+      assert(ov == n && c == 1.0, s"self pair of $s below 1.0: $ov/$n")
+    }
+    // the asymmetry witness: cross-doc matches exist (shared openings),
+    // and there must be at least one self pair whose full-doc Jaccard is
+    // BELOW the near-dup bar — containment finds what Jaccard cannot
+    assert(rows.exists { case (s, d, _, _, _) => s != d }, "no cross-doc snippet match")
+    val docSizes = graft.Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.NativeExprs.wordShingles(col("text"), 3)).cast("long").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blind = self.count { case (s, _, _, n, _) =>
+      // J(snippet, doc) <= n_snip / n_doc_shingles < bar while C = 1.0
+      n.toDouble / docSizes(s) < Dedup.NearDupBar
+    }
+    assert(blind > 0, "corpus has no Jaccard-blind containment case")
+  }
+
+  test("fractional decontamination matches an independent in-JVM recomputation") {
+    // reimplement the whole pipeline in plain Scala collections from the
+    // raw texts — tokenizer, distinct trigrams, corpus df cap, slice
+    // rule, eval-side fraction — and require the exact same row set
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity).map { case (s, v) => s -> v.size }
+    val capped = sh.map { case (id, s) => id -> s.filter(df(_) <= 20) }
+    val expected = (for {
+      (e, es) <- capped if e % 5 == 4 && es.nonEmpty
+      (t, ts) <- capped if t % 5 != 4
+      ov = (es & ts).size if ov * 2 >= es.size
+    } yield (e, t, ov.toLong, es.size.toLong)).toSet
+    val got = Dedup.qDecontamFrac(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the
