@@ -407,11 +407,18 @@ object Dedup {
   /** Converged CC labels (id, label) over the near-dup edge graph — the
     * min-label-propagation fixpoint shared by [[qDedupClusters]] and
     * [[qDedupApplyCc]]. Label converges to min(doc_id) of the component. */
-  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = nearDupEdges(s, d)
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccLabelsFrom(nearDupEdges(s, d))
+
+  /** The same fixpoint over an ARBITRARY undirected edge set (da, db) —
+    * [[qSplitLeakageSafe]] feeds it the near-dup ∪ exact-dup union. Only
+    * ids that appear in an edge get a row; singletons coalesce to their
+    * own id at the call site. */
+  private[operators] def ccLabelsFrom(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("da", "db")
     // undirected: propagate both ways; materialized once, read every round
-    val edges = pairs
-      .union(pairs.select(col("db"), col("da")))
+    val edges = p
+      .union(p.select(col("db"), col("da")))
       .toDF("src", "dst")
       .localCheckpoint()
     var labels = edges
@@ -514,6 +521,71 @@ object Dedup {
        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
+  /** Leakage-safe train/val/test split: assign each DUP GROUP — a
+    * connected component of the near-dup ∪ exact-dup relation — to one
+    * split, by hashing the group's canonical id instead of the doc's
+    * own. The per-doc hash split ([[Sampling.qSampleSplit]]) silently
+    * leaks: two near-identical docs land in train and test with
+    * probability 2·p·(1−p) each, and the eval set ends up scoring
+    * memorization. Here every linked doc inherits group_id = min(doc_id)
+    * of its component, and the split decision is a pure function of
+    * group_id — same hash-range rule, same thresholds, but keyed so that
+    * no dup pair can ever straddle splits (the spec asserts this edge by
+    * edge, and that the naive split DOES straddle on this corpus). At
+    * 100 TB the CC fixpoint is the same O(diameter) join+agg loop as
+    * [[qDedupClusters]]; the split itself adds one broadcast-size md5
+    * and a left join of docs against the (tiny) linked-id label table. */
+  def qSplitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactEdges = docs
+      .select(col("doc_id"), fingerprint(col("text")).as("f"))
+      .withColumn(
+        "keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("keep").as("da"), col("doc_id").as("db"))
+    val labels = ccLabelsFrom(nearDupEdges(s, d).union(exactEdges))
+      .withColumnRenamed("id", "doc_id")
+    val k = substring(md5(col("group_id").cast("string")), 1, 2)
+    docs
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
+      .withColumn(
+        "split",
+        when(k < "0d", lit("val")).when(k < "1a", lit("test")).otherwise(lit("train")))
+      .orderBy("doc_id")
+  }
+
+  /** Twin: recursive-CTE reachability CC over the SAME edge union, then
+    * the same hash-range rule on the component minimum. */
+  private val qSplitLeakageSafeSql = {
+    val k = "substr(md5(CAST(group_id AS VARCHAR)), 1, 2)"
+    s"""WITH RECURSIVE ${shinglePairsSqlCtes(minInter = 1)},
+       |near_edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |exact_edges AS (
+       |  SELECT keep AS src, doc_id AS dst FROM (
+       |    SELECT doc_id, min(doc_id) OVER (
+       |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
+       |    FROM documents) WHERE doc_id <> keep),
+       |all_edges AS (SELECT src, dst FROM near_edges UNION SELECT src, dst FROM exact_edges),
+       |bi AS (SELECT src, dst FROM all_edges UNION ALL SELECT dst, src FROM all_edges),
+       |walk AS (
+       |  SELECT src AS id, src AS label FROM bi
+       |  UNION
+       |  SELECT bi.dst AS id, walk.label AS label FROM walk JOIN bi ON bi.src = walk.id),
+       |lab AS (SELECT id AS doc_id, min(label) AS label FROM walk GROUP BY 1)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN $k < '0d' THEN 'val'
+       |       WHEN $k < '1a' THEN 'test' ELSE 'train' END AS split
+       |FROM (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS group_id
+       |      FROM documents d LEFT JOIN lab USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** SUB-document (line/span-level) dedup stats — the C4/RefinedWeb-style
@@ -1270,6 +1342,7 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
+    Q("q_split_leakage_safe", qSplitLeakageSafe, Some(qSplitLeakageSafeSql)),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
     Q("q_dedup_prefix_jaccard", qPrefixJaccard, Some(qPrefixJaccardSql)),

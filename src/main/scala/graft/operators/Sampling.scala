@@ -221,8 +221,53 @@ object Sampling {
        |  FROM documents)
        |WHERE rn <= 25 ORDER BY source, rn""".stripMargin
 
+  /** Temperature-scaled mixture sampling (α = 1/2): per-language
+    * admission rate r_ℓ = √(n_min / n_ℓ), so the expected contribution
+    * of language ℓ is ∝ √(n_min·n_ℓ) — the standard
+    * temperature-flattening of a skewed size distribution (multilingual
+    * training mixes resample with p_ℓ ∝ n_ℓ^α, α < 1, to keep
+    * high-resource languages from drowning out low-resource ones; α =
+    * 1/2 here, and this corpus IS skewed: en carries ~3× the docs of
+    * fr). Unlike [[qSampleMix]]'s hand-set weights, the thresholds are
+    * COMPUTED from the corpus: one count per language (a broadcast-size
+    * dim joined back to the scan), t_ℓ = ⌊256·r_ℓ⌋ compared against the
+    * md5 admission byte, so membership stays a pure function of
+    * (doc_id, language counts) — reproducible, append-stable within a
+    * snapshot, joinable. The arithmetic is portable by construction:
+    * IEEE sqrt is correctly rounded in both engines, one multiply, one
+    * floor — no accumulated float error. The smallest language (r = 1,
+    * t = 256) admits everything via the t ≥ 256 disjunct, keeping the
+    * hex comparison fixed-width. */
+  def qSampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val dims = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .select(
+        col("lang"),
+        col("n_lang"),
+        floor(lit(256.0) * sqrt(col("n_min") / col("n_lang"))).cast("long").as("t"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), admitKey(col("doc_id")).as("admit_key"))
+      .join(broadcast(dims), "lang")
+      .filter(col("t") >= 256 || col("admit_key") < format_string("%02x", col("t")))
+      .select("doc_id", "lang", "admit_key", "n_lang", "t")
+      .orderBy("doc_id")
+  }
+
+  private val qSampleTemperatureSql =
+    s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+       |dims AS (
+       |  SELECT lang, n_lang,
+       |    CAST(floor(256.0 * sqrt(n_lang_min / n_lang)) AS BIGINT) AS t
+       |  FROM counts, (SELECT min(n_lang) AS n_lang_min FROM counts))
+       |SELECT doc_id, lang, ${admitKeySql("doc_id")} AS admit_key, n_lang, t
+       |FROM documents JOIN dims USING (lang)
+       |WHERE t >= 256 OR ${admitKeySql("doc_id")} < printf('%02x', t)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),
     Q("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)),
     Q("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),

@@ -570,6 +570,65 @@ object Similarity {
       |GROUP BY q.vec_id, m.n_dims, m.m
       |ORDER BY q.vec_id""".stripMargin
 
+  /** Embedding OUTLIER pruning: the 3 vectors farthest from their
+    * label's centroid, by exact-integer squared distance in micro units —
+    * the embedding-space analogue of the quality gate (mislabeled /
+    * corrupt / out-of-distribution points sit far from their class
+    * prototype; training mixes drop or down-weight them). Determinism is
+    * by construction, not luck: lanes quantize to micro ints FIRST
+    * (⌊v·10⁶+0.5⌋, the [[qEmbedCentroids]] convention), the centroid is
+    * the floor-divided integer mean (≤ 1 micro off the true mean —
+    * irrelevant at outlier distances, and bit-identical in both
+    * engines since |Σv_micro| < 2⁵³ makes the IEEE division exact-input),
+    * and d² = Σ(v−μ)² stays in BIGINT throughout (per-lane diff ≤ ~4·10⁶
+    * → lane square ≤ ~2·10¹³ → 64-lane sum ≪ 2⁶³ at any corpus size —
+    * the bound is per-VECTOR, so it holds at 100 TB unconditionally).
+    * Plan shape: one posexplode scan, a combiner-backed groupBy for the
+    * nlabels×dim centroid dim (broadcast back), one groupBy(vec) for d²,
+    * and a per-label top-3 window that compiles to WindowGroupLimit. */
+  def qEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("v_micro"))
+    val mu = x
+      .groupBy("label", "pos")
+      .agg(floor(sum("v_micro") / count(lit(1))).cast("long").as("mu_micro"))
+    val diff = col("v_micro") - col("mu_micro")
+    val d2 = x
+      .join(broadcast(mu), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(diff * diff).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label")
+      .orderBy(col("d2").desc, col("vec_id"))
+    d2.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("label", "rnk", "vec_id", "d2")
+      .orderBy("label", "rnk")
+  }
+
+  private val qEmbedOutliersSql =
+    """WITH x AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS pos,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v_micro
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+      |mu AS (
+      |  SELECT label, pos, CAST(floor(sum(v_micro) / count(*)) AS BIGINT) AS mu_micro
+      |  FROM x GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT vec_id, x.label,
+      |    sum((v_micro - mu_micro) * (v_micro - mu_micro))::BIGINT AS d2
+      |  FROM x JOIN mu USING (label, pos) GROUP BY 1, 2)
+      |SELECT label, rnk, vec_id, d2 FROM (
+      |  SELECT label, vec_id, d2,
+      |    CAST(row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM d2)
+      |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+
   /** Hybrid retrieval: TF-IDF keyword blocking + embedding cosine
     * re-rank — the two-stage search-stack shape (sparse recall, dense
     * precision). Stage 1 probes the per-doc top-5 TF-IDF keyword table
@@ -623,5 +682,6 @@ object Similarity {
     Q("q_sim_ivfpq", qSimIvfPq, None),
     Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)),
     Q("q_embed_quantize", qEmbedQuantize, Some(qEmbedQuantizeSql)),
+    Q("q_embed_outliers", qEmbedOutliers, Some(qEmbedOutliersSql)),
     Q("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql)))
 }

@@ -764,8 +764,63 @@ object TextOps {
        |  GROUP BY w ORDER BY cnt DESC, w LIMIT 20)
        |ORDER BY cnt DESC, word""".stripMargin
 
+  /** Corpus DATA CARD: the per-source summary a training run publishes
+    * with its mixture recipe — doc/token/char volumes, language spread,
+    * exact-dup burden (docs minus distinct content fingerprints — the
+    * [[Dedup.fingerprint]] identity, so this row agrees with what the
+    * dedup stage will actually drop), and each source's corpus share in
+    * exact micro units. Every output is an integer; the share divides
+    * two exact counts once, so the floor is bit-stable in both engines.
+    * At 100 TB this is ONE scan: all five aggregates ride the same
+    * groupBy(source) (the two DISTINCTs expand to the standard two-phase
+    * distinct-aggregate plan), and the window total is over the
+    * source-grain aggregate (tens of rows), not the corpus. */
+  def qCorpusReport(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_chars"),
+        graft.functions.NativeExprs
+          .textStats(col("text"), stopwords)
+          .getField("n_tokens")
+          .as("n_toks"),
+        Dedup.fingerprint(col("text")).as("f"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("f").as("n_unique"))
+    per
+      .withColumn("n_exact_dup", col("n_docs") - col("n_unique"))
+      .withColumn(
+        "share_micro",
+        floor(col("n_docs") * 1e6 / sum("n_docs")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+      .orderBy("source")
+  }
+
+  private val qCorpusReportSql =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    count(*) AS n_docs,
+       |    sum(len($tokensSql)) AS n_tokens,
+       |    sum(n_chars) AS n_chars,
+       |    count(DISTINCT lang) AS n_langs,
+       |    count(DISTINCT $fingerprintSql) AS n_unique
+       |  FROM documents GROUP BY 1)
+       |SELECT source, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+       |  n_chars::BIGINT AS n_chars, n_langs::BIGINT AS n_langs,
+       |  n_unique::BIGINT AS n_unique,
+       |  (n_docs - n_unique)::BIGINT AS n_exact_dup,
+       |  CAST(floor(n_docs * 1000000.0 / sum(n_docs) OVER ()) AS BIGINT) AS share_micro
+       |FROM per ORDER BY source""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
+    Q("q_corpus_report", qCorpusReport, Some(qCorpusReportSql)),
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
     Q("q_lang_id", qLangId, Some(qLangIdSql)),

@@ -490,6 +490,107 @@ class ExtrasSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("leakage-safe split: no dup edge straddles splits; the naive split does") {
+    val split = Dedup.qSplitLeakageSafe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = split.map { case (id, _, sp) => id -> sp }.toMap
+    val groupOf = split.map { case (id, g, _) => id -> g }.toMap
+    // reconstruct the edge set the operator unions: near-dup edges plus
+    // exact-fingerprint groups (same definitions the oracles use)
+    val near = Dedup.nearDupEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fps = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val exactEdges = fps.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g => val m = g.map(_._1).min; g.map(_._1).filter(_ != m).map(m -> _) }
+    val edges = near ++ exactEdges
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"edge ($a,$b) straddles ${byDoc(a)}/${byDoc(b)}")
+      assert(groupOf(a) === groupOf(b), s"edge ($a,$b) in different groups")
+    }
+    // the witness that the operator matters: the per-doc hash rule DOES
+    // put at least one linked pair in different splits on this corpus
+    def naive(id: Long): String = {
+      val k = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).head & 0xff
+      if (k < 0x0d) "val" else if (k < 0x1a) "test" else "train"
+    }
+    assert(
+      edges.exists { case (a, b) => naive(a) != naive(b) },
+      "corpus has no leaky pair under the naive split — witness lost")
+    // group_id is the component minimum, so it is a member of the group
+    split.foreach { case (id, g, _) => assert(g <= id) }
+  }
+
+  test("temperature sampling flattens the language distribution deterministically") {
+    val rows = Sampling.qSampleTemperature(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val langTotals = graft.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = langTotals.values.min
+    // thresholds replay the formula exactly
+    rows.foreach { case (_, lang, _, nLang, t) =>
+      assert(nLang === langTotals(lang))
+      assert(t === math.floor(256.0 * math.sqrt(nMin.toDouble / nLang)).toLong)
+    }
+    val admitted = rows.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+    // the smallest language is admitted in full (r = 1)
+    val smallest = langTotals.minBy { case (l, n) => (n, l) }._1
+    assert(admitted(smallest) === langTotals(smallest))
+    // the largest language is actually subsampled, and the admitted
+    // ratio between largest and smallest is flatter than the raw ratio
+    val largest = langTotals.maxBy { case (l, n) => (n, l) }._1
+    assert(admitted(largest) < langTotals(largest))
+    val rawRatio = langTotals(largest).toDouble / langTotals(smallest)
+    val admittedRatio = admitted(largest).toDouble / admitted(smallest)
+    assert(admittedRatio < rawRatio, s"not flattened: $admittedRatio vs $rawRatio")
+  }
+
+  test("embedding outliers match an exact in-JVM integer recomputation") {
+    val embs = graft.Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id").cast("long"),
+        col("label").cast("long"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val micro = embs.map { case (id, l, v) =>
+      (id, l, v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+    }
+    val byLabel = micro.groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (l, vs) =>
+      val dim = vs.head._3.length
+      val mu = Array.tabulate(dim) { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length).toLong
+      }
+      val d2 = vs.map { case (id, _, v) =>
+        (id, v.zip(mu).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      d2.sortBy { case (id, dd) => (-dd, id) }.take(3).zipWithIndex
+        .map { case ((id, dd), i) => (l, (i + 1).toLong, id, dd) }
+    }.toSet
+    val got = Similarity.qEmbedOutliers(spark, sfDir).collect()
+      .map(r => (
+        r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)).toSet
+    assert(got === expected)
+  }
+
+  test("corpus report totals are consistent and shares sum to ~1e6") {
+    val rows = TextOps.qCorpusReport(spark, sfDir).collect()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(6) === r.getLong(1) - r.getLong(5), "n_exact_dup identity")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 5, "n_langs in corpus range")
+    }
+    val shares = rows.map(_.getLong(7)).sum
+    // each share floors, so the sum sits within nsources of 1e6
+    assert(shares > 1000000L - rows.length && shares <= 1000000L)
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the
