@@ -48,6 +48,7 @@ object NativeExprs {
   def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
     c(PqNearestCode(e(sv), codebook))
   def int8Quant(v: Column): Column = c(Int8Quant(e(v)))
+  def gopherRep(text: Column): Column = c(GopherRep(e(text)))
 
   /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
   @inline private[functions] def isWs(ch: Char): Boolean =
@@ -657,4 +658,108 @@ case class Int8Quant(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Int8Quant =
     copy(child = newChild)
   override def prettyName: String = "graft_int8_quant"
+}
+
+/** The Gopher repetition-filter battery (Rae et al. 2021, table A1) in
+  * ONE codegen'd pass: per document, the exact number of token
+  * characters covered by duplicate n-grams for n ∈ {2,3,4} (a token
+  * position counts once no matter how many duplicate windows cover it —
+  * the position-union semantics the published filter uses) plus the
+  * character mass of the most frequent bigram (count × its token chars,
+  * ties broken to the lexicographically smallest gram so the answer is
+  * deterministic). Tokenization is the shared lowercase-\s+ convention
+  * (identical to [[Tokens]]/`tokensSql`), and every output is an exact
+  * integer, so the DuckDB twin replays the definition with window
+  * functions and position sets — no float ever rides the comparison.
+  * Cost is O(doc tokens) time and space per row; nothing leaves the
+  * projection, so the operator scales with the scan. */
+case class GopherRep(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok_chars", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("dup2_chars", LongType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false),
+    StructField("dup4_chars", LongType, nullable = false)))
+
+  def kernel(s: UTF8String): InternalRow = nullSafeEval(s).asInstanceOf[InternalRow]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("gopherRepExpr", this, classOf[GopherRep].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && NativeExprs.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !NativeExprs.isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val m = toks.length
+    var totChars = 0L
+    var j = 0
+    while (j < m) { totChars += toks(j).length; j += 1 }
+
+    def dupChars(n: Int): Long = {
+      if (m < n) return 0L
+      val counts = new java.util.HashMap[String, Int]()
+      val grams = new Array[String](m - n + 1)
+      var k = 0
+      while (k <= m - n) {
+        val sb = new java.lang.StringBuilder(toks(k))
+        var t = 1
+        while (t < n) { sb.append(' ').append(toks(k + t)); t += 1 }
+        val g = sb.toString
+        grams(k) = g
+        counts.merge(g, 1, (a, b) => a + b)
+        k += 1
+      }
+      val covered = new Array[Boolean](m)
+      k = 0
+      while (k <= m - n) {
+        if (counts.get(grams(k)) >= 2) {
+          var t = 0
+          while (t < n) { covered(k + t) = true; t += 1 }
+        }
+        k += 1
+      }
+      var c = 0L
+      k = 0
+      while (k < m) { if (covered(k)) c += toks(k).length; k += 1 }
+      c
+    }
+
+    def top2Chars: Long = {
+      if (m < 2) return 0L
+      val counts = new java.util.HashMap[String, Int]()
+      var k = 0
+      while (k < m - 1) {
+        counts.merge(toks(k) + " " + toks(k + 1), 1, (a, b) => a + b)
+        k += 1
+      }
+      var bestGram: String = null
+      var bestCnt = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val better = e.getValue > bestCnt ||
+          (e.getValue == bestCnt && (bestGram == null || e.getKey.compareTo(bestGram) < 0))
+        if (better) { bestCnt = e.getValue; bestGram = e.getKey }
+      }
+      // token chars of the gram = string length minus the one separator
+      bestCnt.toLong * (bestGram.length - 1)
+    }
+
+    InternalRow(totChars, top2Chars, dupChars(2), dupChars(3), dupChars(4))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherRep =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gopher_rep"
 }

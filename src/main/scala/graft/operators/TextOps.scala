@@ -764,6 +764,123 @@ object TextOps {
        |  GROUP BY w ORDER BY cnt DESC, w LIMIT 20)
        |ORDER BY cnt DESC, word""".stripMargin
 
+  /** The Gopher repetition-filter battery (Rae et al. 2021): per doc,
+    * exact token-character coverage of duplicate n-grams for n ∈ {2,3,4}
+    * (position-union semantics — a token counts once however many
+    * duplicate windows cover it) plus the character mass of the most
+    * frequent bigram. [[qRepetition]]'s distinct-ratio is the quick
+    * screen; THIS is the published battery real pipelines gate on
+    * (boilerplate and template spam show up as high dup-gram coverage
+    * long before the distinct ratio moves). One codegen'd pass via
+    * [[graft.functions.GopherRep]] — O(doc) per row, nothing leaves the
+    * projection — while the DuckDB twin replays the position-set
+    * definition relationally (windows → per-gram counts → covered
+    * position union → char sums), a genuinely different algorithm
+    * arriving at the same exact integers. */
+  def qGopherRep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NativeExprs.gopherRep(col("text")).as("g"))
+      .select(
+        col("doc_id"),
+        col("g.n_tok_chars").as("n_tok_chars"),
+        col("g.top2_chars").as("top2_chars"),
+        col("g.dup2_chars").as("dup2_chars"),
+        col("g.dup3_chars").as("dup3_chars"),
+        col("g.dup4_chars").as("dup4_chars"))
+      .orderBy("doc_id")
+
+  private val qGopherRepSql = {
+    def grams(n: Int) = {
+      val parts = (0 until n).map(o => s"t[i${if (o == 0) "" else s" + $o"}]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, i AS s, $parts AS gram
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - ${n - 1})) AS i) u
+         |  WHERE len(t) >= $n""".stripMargin
+    }
+    def cov(n: Int) = {
+      val offs = (0 until n).mkString("[", ", ", "]")
+      s"""cov$n AS (
+         |  SELECT DISTINCT doc_id, s + o AS p
+         |  FROM (SELECT doc_id, s, gram,
+         |          count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g$n) x,
+         |       LATERAL (SELECT unnest($offs) AS o) u
+         |  WHERE cnt >= 2),
+         |d$n AS (
+         |  SELECT c.doc_id, sum(length(p$n.tok))::BIGINT AS dup${n}_chars
+         |  FROM cov$n c JOIN pos p$n ON p$n.doc_id = c.doc_id AND p$n.i = c.p
+         |  GROUP BY 1)""".stripMargin
+    }
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS n_tok_chars
+       |  FROM tk),
+       |pos AS (
+       |  SELECT doc_id, i, t[i] AS tok
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+       |g2 AS (${grams(2)}),
+       |g3 AS (${grams(3)}),
+       |g4 AS (${grams(4)}),
+       |${cov(2)},
+       |${cov(3)},
+       |${cov(4)},
+       |t2 AS (
+       |  SELECT doc_id, (cnt * (length(gram) - 1))::BIGINT AS top2_chars FROM (
+       |    SELECT doc_id, gram, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY count(*) DESC, gram) AS rn
+       |    FROM g2 GROUP BY doc_id, gram) WHERE rn = 1)
+       |SELECT b.doc_id, b.n_tok_chars,
+       |  coalesce(t2.top2_chars, 0)::BIGINT AS top2_chars,
+       |  coalesce(d2.dup2_chars, 0)::BIGINT AS dup2_chars,
+       |  coalesce(d3.dup3_chars, 0)::BIGINT AS dup3_chars,
+       |  coalesce(d4.dup4_chars, 0)::BIGINT AS dup4_chars
+       |FROM base b
+       |LEFT JOIN t2 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+       |LEFT JOIN d3 USING (doc_id) LEFT JOIN d4 USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** Unigram SURPRISAL quality score — the perplexity-filter shape
+    * (CCNet-style: score each doc by how improbable its tokens are under
+    * a corpus LM; gibberish, OCR noise and random strings score high)
+    * with an engine-portable scoring function: surprisal in WHOLE BITS,
+    * ⌊log₂ N⌋ − ⌊log₂ c⌋, computed as binary digit length
+    * (`length(bin(x)) − 1`) so the score is integer-exact — no libm log
+    * whose last ulp differs across engines ever enters the comparison.
+    * Plan: one explode scan builds the unigram table (vocab-sized),
+    * tokens re-join it on the term key (at 100 TB: a shuffle join on a
+    * key whose cardinality is the VOCABULARY, not the corpus), and the
+    * doc rollup is one combiner-backed groupBy; the corpus total is a
+    * 1-row broadcast. Mean surprisal divides two exact integers once. */
+  def qSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n_corpus"))
+    toks
+      .join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        (length(bin(col("n_corpus"))) - length(bin(col("c")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+      .withColumn(
+        "mean_bits_micro",
+        floor(col("sum_bits") * 1e6 / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val qSurprisalSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+       |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+       |total AS (SELECT sum(c) AS n_corpus FROM freq)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(bits)::BIGINT AS sum_bits,
+       |  CAST(floor(sum(bits) * 1000000.0 / count(*)) AS BIGINT) AS mean_bits_micro
+       |FROM (SELECT doc_id, (length(bin(n_corpus)) - length(bin(c)))::BIGINT AS bits
+       |      FROM toks JOIN freq USING (tok), total)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus DATA CARD: the per-source summary a training run publishes
     * with its mixture recipe — doc/token/char volumes, language spread,
     * exact-dup burden (docs minus distinct content fingerprints — the
@@ -826,6 +943,8 @@ object TextOps {
     Q("q_lang_id", qLangId, Some(qLangIdSql)),
     Q("q_quality_score", qQuality, Some(qQualitySql)),
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
+    Q("q_gopher_rep", qGopherRep, Some(qGopherRepSql)),
+    Q("q_surprisal", qSurprisal, Some(qSurprisalSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),

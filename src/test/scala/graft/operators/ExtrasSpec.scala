@@ -591,6 +591,60 @@ class ExtrasSpec extends SparkSpec {
     assert(shares > 1000000L - rows.length && shares <= 1000000L)
   }
 
+  test("gopher repetition battery matches an independent position-set recomputation") {
+    // different algorithm: regex tokenization, occurrence lists grouped
+    // per gram, covered positions as a Set union — vs the kernel's
+    // boolean-array single pass
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toksOf(t: String): Array[String] =
+      t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    def expected(t: String): (Long, Long, Long, Long, Long) = {
+      val tk = toksOf(t)
+      val tot = tk.map(_.length.toLong).sum
+      def dup(n: Int): Long =
+        if (tk.length < n) 0L
+        else {
+          val occ = tk.sliding(n).zipWithIndex.toSeq
+            .groupBy(_._1.mkString(" ")).values.filter(_.size >= 2)
+          val covered = occ.flatMap(_.flatMap { case (_, i) => i until i + n }).toSet
+          covered.toSeq.map(tk(_).length.toLong).sum
+        }
+      val top2 =
+        if (tk.length < 2) 0L
+        else {
+          val cnts = tk.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity)
+            .map { case (g, v) => g -> v.size }
+          val (g, c) = cnts.minBy { case (g, c) => (-c, g) }
+          c.toLong * (g.length - 1)
+        }
+      (tot, top2, dup(2), dup(3), dup(4))
+    }
+    val got = TextOps.qGopherRep(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === expected(t), s"doc $id")
+    }
+  }
+
+  test("surprisal bits equal digit-length arithmetic on exact corpus counts") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq)
+    val freq = texts.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val n = freq.values.sum
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val got = TextOps.qSurprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.filter(_._2.nonEmpty).foreach { case (id, tk) =>
+      val sumBits = tk.map(t => bits(n) - bits(freq(t))).sum
+      assert(got(id) === ((tk.length.toLong, sumBits)), s"doc $id")
+    }
+  }
+
   test("hash sampling matches an independent JVM md5 admission check") {
     // Membership must be a pure function of doc_id — recompute the
     // admission byte with java.security.MessageDigest and compare the
