@@ -265,8 +265,139 @@ object Sampling {
        |WHERE t >= 256 OR ${admitKeySql("doc_id")} < printf('%02x', t)
        |ORDER BY doc_id""".stripMargin
 
+  private val DsirBuckets = 512L
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio of a TARGET hashed-n-gram model over the
+    * RAW-corpus model, so selection can prefer documents that look like
+    * the target distribution. The published recipe, re-expressed with
+    * this repo's engine-portable arithmetic:
+    *
+    *   - features: unigrams + bigrams of the shared tokenizer, hashed
+    *     into [[DsirBuckets]] buckets via the portable md5-prefix integer
+    *     (same conv/'0x' twin as the table checksum). Hashing makes the
+    *     model size a CONSTANT (B counts), not vocabulary-sized;
+    *   - target model: the `lang = 'en'` slice stands in for the
+    *     held-out target corpus (Wikipedia/books in the paper). NB the
+    *     synthetic corpus draws every language's text from ONE shared
+    *     vocabulary, so on THIS data the lang slices are statistically
+    *     indistinguishable and admission hovers near 50% — the oracle
+    *     pins the arithmetic here, and the DISCRIMINATION claim is
+    *     pinned by the planted two-vocabulary spec in ExtrasSpec, which
+    *     drives [[dsirVotes]] directly;
+    *   - score: a per-gram VOTE — the integer-exact surrogate for the
+    *     paper's summed log-ratio. Each gram instance votes +1 iff its
+    *     bucket's target share beats the corpus-average target share
+    *     (p_tgt(b)/p_raw(b) > N_tgt/N_raw ⟺ c_tgt·N_raw > c_raw·N_tgt,
+    *     cross-multiplied in DECIMAL(38,0) so the products cannot wrap
+    *     at any SF — c·N reaches ~10²⁸ at 100 TB), −1 iff strictly
+    *     below, 0 on ties. Summing signs instead of magnitudes loses
+    *     only the per-gram weighting of the log-ratio; the whole-bit
+    *     ⌊log₂⌋ magnitude (the [[TextOps.qSurprisal]] device) measured
+    *     too coarse here — with target ⊂ raw every per-gram bit-diff is
+    *     ≤ 0 and the constant corpus term only returns ~1 bit, so
+    *     quantization swallowed the entire signal;
+    *   - admission: `score_votes > 0` (a majority of the document's
+    *     features are target-typical) — the deterministic gate standing
+    *     in for the paper's Gumbel resampling draw (which is RNG by
+    *     construction; a hash-seeded Gumbel would just be
+    *     [[qSampleMix]]'s admission key again).
+    *
+    * 100 TB shape: this is fit-then-score. The fit is one explode scan
+    * collapsed to ≤ B rows (combiner-backed count + conditional count —
+    * shuffles B rows per task, nothing more); the score pass re-joins
+    * grams to the B-row stats table — Spark broadcasts it (plan-guarded
+    * in ExtrasSpec), so the scoring join is shuffle-free and the only
+    * wide op is the per-doc rollup. At production scale the fit pass
+    * runs once on a sample and the B counts persist as a tiny artifact;
+    * the score pass is then a single scan over the 100 TB. */
+  def qDsirScore(s: SparkSession, d: String): DataFrame =
+    dsirVotes(Tables.documents(s, d), col("lang") === "en")
+
+  /** The fit-and-vote core of [[qDsirScore]], over ANY corpus carrying
+    * `doc_id`/`text` and any target predicate — factored out so the
+    * planted-vocabulary spec can drive the same plan the corpus query
+    * runs. */
+  private[operators] def dsirVotes(docs: DataFrame, isTarget: Column): DataFrame = {
+    val t = col("t")
+    val bigrams = when(
+      size(t) >= 2,
+      transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs
+      .select(
+        col("doc_id"),
+        isTarget.as("tgt"),
+        graft.functions.NativeExprs.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("tgt"), explode(concat(t, bigrams)).as("g"))
+      .select(
+        col("doc_id"),
+        col("tgt"),
+        (expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)") % DsirBuckets).as("b"))
+    val stats = grams
+      .groupBy("b")
+      .agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("tgt"), 1)).as("c_tgt"))
+    val totals = stats.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lhs = dec(col("c_tgt")) * dec(col("n_raw"))
+    val rhs = dec(col("c_raw")) * dec(col("n_tgt"))
+    grams
+      .join(broadcast(stats), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(lhs > rhs, 1)).as("n_pos"),
+        count(when(lhs < rhs, 1)).as("n_neg"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_pos"),
+        col("n_neg"),
+        (col("n_pos") - col("n_neg")).as("score_votes"))
+      .withColumn("admitted", when(col("score_votes") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val qDsirScoreSql = {
+    val t = graft.operators.TextOps.tokensSql
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang = 'en' AS tgt, $t AS t FROM documents),
+       |uni AS (SELECT doc_id, tgt, unnest(t) AS g FROM tk),
+       |big AS (
+       |  SELECT doc_id, tgt, t[i.i] || ' ' || t[i.i + 1] AS g
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+       |  WHERE len(t) >= 2),
+       |g AS (
+       |  SELECT doc_id, tgt,
+       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |stats AS (
+       |  SELECT b, count(*) AS c_raw, count(*) FILTER (WHERE tgt) AS c_tgt
+       |  FROM g GROUP BY 1),
+       |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM stats),
+       |scored AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    count(*) FILTER (WHERE c_tgt::HUGEINT * n_raw > c_raw::HUGEINT * n_tgt)::BIGINT
+       |      AS n_pos,
+       |    count(*) FILTER (WHERE c_tgt::HUGEINT * n_raw < c_raw::HUGEINT * n_tgt)::BIGINT
+       |      AS n_neg
+       |  FROM g JOIN stats USING (b), tot GROUP BY 1)
+       |SELECT doc_id, n_grams, n_pos, n_neg,
+       |  (n_pos - n_neg)::BIGINT AS score_votes,
+       |  CASE WHEN n_pos > n_neg THEN 1::BIGINT ELSE 0::BIGINT END AS admitted
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_dsir_score", qDsirScore, Some(qDsirScoreSql)),
     Q("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),
     Q("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     Q("q_sample_split", qSampleSplit, Some(qSampleSplitSql)),

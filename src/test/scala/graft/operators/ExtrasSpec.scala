@@ -947,4 +947,30 @@ class ExtrasSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(leftovers === 0L)
   }
+
+  test("DSIR votes separate a planted two-vocabulary corpus") {
+    // The whole point of the importance weight is discrimination, but
+    // the synthetic corpus draws every lang from ONE vocabulary, so the
+    // real-data query can only be pinned for arithmetic (its DuckDB
+    // oracle). The semantic claim needs planted structure: docs written
+    // in vocabulary A vs vocabulary B, target = the A slice — every
+    // A-doc must be admitted, every B-doc rejected. A sign flip or
+    // swapped target/raw counts fails this loudly.
+    import spark.implicits._
+    def doc(id: Long, vocab: Seq[String]): (Long, String, Boolean) = {
+      // deterministic word mix per doc: cycle the vocab from offset id
+      val words = (0 until 40).map(k => vocab(((id + k) % vocab.size).toInt))
+      (id, words.mkString(" "), id < 50)
+    }
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val vocabB = Seq("uno", "dos", "tres", "cuatro", "cinco", "seis")
+    val docs = ((0L until 50L).map(doc(_, vocabA)) ++ (50L until 100L).map(doc(_, vocabB)))
+      .toDF("doc_id", "text", "is_a")
+    val got = Sampling.dsirVotes(docs, col("is_a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    (0L until 100L).foreach { id =>
+      val want = if (id < 50) 1L else 0L
+      assert(got(id) === want, s"doc $id admitted=${got(id)}")
+    }
+  }
 }

@@ -454,4 +454,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("DSIR score pass joins the bucket stats by broadcast — no shuffle join") {
+    // The fit collapses to ≤ B rows, so the score join must broadcast it:
+    // a shuffled stats join would re-shuffle the full gram stream (corpus
+    // scale) to co-locate with a 512-row table.
+    val p = plan(Sampling.qDsirScore(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"gram-side shuffle join appeared:\n$p")
+  }
 }
