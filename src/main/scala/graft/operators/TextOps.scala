@@ -935,8 +935,71 @@ object TextOps {
        |  CAST(floor(n_docs * 1000000.0 / sum(n_docs) OVER ()) AS BIGINT) AS share_micro
        |FROM per ORDER BY source""".stripMargin
 
+  private val ChunkW = 64L // tokens per chunk
+  private val ChunkS = 48L // stride (16-token overlap)
+
+  /** Retrieval-ingestion CHUNKING: cut each document into overlapping
+    * fixed-token windows ([[ChunkW]] tokens, stride [[ChunkS]]) — the
+    * step every embedding/RAG pipeline runs between cleaning and the
+    * encoder, because encoders take bounded windows and retrieval wants
+    * overlap so no answer span straddles a cut. Chunk k covers tokens
+    * [k·S, k·S+W); a chunk exists iff it is the first OR its predecessor
+    * did not already reach the document's end (early stop — no trailing
+    * chunks fully contained in the previous one), which both engines
+    * replay as the closed form K = 1 + ⌈max(n−W,0)/S⌉. Emitted identity
+    * is (doc_id, chunk_idx) plus the md5-prefix integer of the
+    * space-joined chunk text — the stable content key downstream
+    * dedup/indexing joins on; chunk boundaries depend only on the
+    * document itself, so re-chunking an appended corpus never moves an
+    * existing chunk. Plan: one narrow projection + per-row explode, no
+    * shuffle anywhere (the orderBy is presentation-only) — at 100 TB
+    * this is a pure map stage that pipelines into whatever consumes the
+    * chunks. */
+  def qChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val t = col("t")
+    val n = size(t).cast("long")
+    // integer ⌈(n−W)/S⌉ — no float division on the chunk count
+    val m = n - ChunkW + ChunkS - 1
+    val k = (lit(1L) + when(n > ChunkW, ((m - m % ChunkS) / ChunkS).cast("long")).otherwise(0L))
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("t"))
+      .filter(size(t) > 0)
+      .select(col("doc_id"), t, explode(sequence(lit(0L), k - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * ChunkS).as("start_tok"),
+        slice(t, (col("chunk_idx") * ChunkS + 1).cast("int"), lit(ChunkW.toInt)).as("c"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start_tok"),
+        size(col("c")).cast("long").as("n_tok"),
+        expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 14), 16, 10) as bigint)")
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val qChunkWindowsSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |k AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    1 + CASE WHEN len(t) > $ChunkW
+       |      THEN (len(t) - $ChunkW + $ChunkS - 1) // $ChunkS ELSE 0 END AS nk
+       |  FROM tk WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, i.i AS chunk_idx, (i.i * $ChunkS)::BIGINT AS start_tok,
+       |    t[i.i * $ChunkS + 1 : least(i.i * $ChunkS + $ChunkW, n)] AS c
+       |  FROM k, LATERAL (SELECT unnest(generate_series(0, nk - 1)) AS i) i)
+       |SELECT doc_id, chunk_idx, start_tok, len(c)::BIGINT AS n_tok,
+       |  CAST(('0x' || substr(md5(array_to_string(c, ' ')), 1, 14)) AS BIGINT) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
+    Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
     Q("q_corpus_report", qCorpusReport, Some(qCorpusReportSql)),
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),

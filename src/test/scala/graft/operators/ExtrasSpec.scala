@@ -973,4 +973,23 @@ class ExtrasSpec extends SparkSpec {
       assert(got(id) === want, s"doc $id admitted=${got(id)}")
     }
   }
+
+  test("star-contraction CC matches min-label propagation; logarithmic on a path graph") {
+    import spark.implicits._
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same fixpoint on the real near-dup graph — two genuinely different
+    // algorithms agreeing on every (id, label)
+    val pairs = Dedup.nearDupEdges(spark, sfDir)
+    val (star, _) = Dedup.ccLabelsStarFrom(pairs)
+    assert(labelSet(star) === labelSet(Dedup.ccLabelsFrom(pairs)))
+    // the case star contraction exists FOR: a 256-node path (diameter
+    // 255). Min-label walks it one hop per round; the alternating stars
+    // must collapse it in logarithmically few rounds.
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("da", "db")
+    val (starP, rounds) = Dedup.ccLabelsStarFrom(path)
+    val got = labelSet(starP)
+    assert(got === (0L until 256L).map(i => (i, 0L)).toSet)
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 256-path")
+  }
 }
