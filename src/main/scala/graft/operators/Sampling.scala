@@ -319,24 +319,31 @@ object Sampling {
     * `doc_id`/`text` and any target predicate — factored out so the
     * planted-vocabulary spec can drive the same plan the corpus query
     * runs. */
-  private[operators] def dsirVotes(docs: DataFrame, isTarget: Column): DataFrame = {
-    val t = col("t")
-    val bigrams = when(
+  /** Overlapping bigrams of an already-bound tokens column — shared by
+    * the batch scorer and the streaming gate so the feature definition
+    * cannot drift between fit and serve. */
+  private[graft] def dsirBigrams(t: Column): Column =
+    when(
       size(t) >= 2,
       transform(
         sequence(lit(1), size(t) - 1),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
+
+  /** The portable bucket hash of one gram (md5-prefix integer mod B) —
+    * same conv/'0x' twin convention as the table checksum. */
+  private[graft] def dsirBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  private[operators] def dsirVotes(docs: DataFrame, isTarget: Column): DataFrame = {
+    val t = col("t")
     val grams = docs
       .select(
         col("doc_id"),
         isTarget.as("tgt"),
         graft.functions.NativeExprs.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("tgt"), explode(concat(t, bigrams)).as("g"))
-      .select(
-        col("doc_id"),
-        col("tgt"),
-        (expr("cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)") % DsirBuckets).as("b"))
+      .select(col("doc_id"), col("tgt"), explode(concat(t, dsirBigrams(t))).as("g"))
+      .select(col("doc_id"), col("tgt"), dsirBucket(col("g")).as("b"))
     val stats = grams
       .groupBy("b")
       .agg(
@@ -362,6 +369,36 @@ object Sampling {
         (col("n_pos") - col("n_neg")).as("score_votes"))
       .withColumn("admitted", when(col("score_votes") > 0, 1L).otherwise(0L))
       .orderBy("doc_id")
+  }
+
+  /** Fit [[dsirVotes]]' bucket model and collapse it to the per-bucket
+    * vote SIGN — a ≤ B-entry serving artifact. This is the "fit offline,
+    * serve online" split: the signs are everything the scoring rule
+    * needs (the cross-multiplied share comparison is per-bucket, not
+    * per-doc), so a gate can embed them as a literal map in a pure
+    * projection — no join, no shuffle, stream-safe
+    * ([[graft.streaming.StreamingDedup.dsirAdmit]]). The collect is
+    * bounded by construction at B = [[DsirBuckets]] rows. */
+  private[graft] def dsirVoteMap(docs: DataFrame, isTarget: Column): Map[Long, Long] = {
+    val t = col("t")
+    val grams = docs
+      .select(isTarget.as("tgt"), graft.functions.NativeExprs.tokens(col("text")).as("t"))
+      .select(col("tgt"), explode(concat(t, dsirBigrams(t))).as("g"))
+      .select(col("tgt"), dsirBucket(col("g")).as("b"))
+    val stats = grams
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_raw"), count(when(col("tgt"), 1)).as("c_tgt"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    stats
+      .crossJoin(broadcast(stats.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))))
+      .select(
+        col("b"),
+        signum(dec(col("c_tgt")) * dec(col("n_raw")) - dec(col("c_raw")) * dec(col("n_tgt")))
+          .cast("long")
+          .as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
   }
 
   private val qDsirScoreSql = {

@@ -997,9 +997,36 @@ object TextOps {
        |  CAST(('0x' || substr(md5(array_to_string(c, ' ')), 1, 14)) AS BIGINT) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Sequence-LENGTH DISTRIBUTION per source, in log₂ buckets — the
+    * data-card histogram a packing/training job reads before choosing
+    * its context length (what fraction of documents truncate at 512?
+    * how much padding does 4k cost?). Bucket = binary digit length of
+    * the token count (integer-exact, the same `length(bin(x))` device
+    * as [[qSurprisal]] — bucket k holds docs with 2^(k−1) ≤ tokens <
+    * 2^k), with per-bucket doc and token totals. One combiner-backed
+    * groupBy over a narrow scan; the histogram is (sources × ~14
+    * buckets) rows at any corpus size. */
+  def qLengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .groupBy(col("source"), length(bin(col("n"))).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .orderBy("source", "len_bucket")
+
+  private val qLengthHistogramSql =
+    s"""SELECT source, length(bin(n))::BIGINT AS len_bucket,
+       |  count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+       |FROM (SELECT source, len($tokensSql)::BIGINT AS n FROM documents)
+       |WHERE n > 0
+       |GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
+    Q("q_length_histogram", qLengthHistogram, Some(qLengthHistogramSql)),
     Q("q_corpus_report", qCorpusReport, Some(qCorpusReportSql)),
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),

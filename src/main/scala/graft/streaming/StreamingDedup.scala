@@ -87,4 +87,35 @@ object StreamingDedup {
           6).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
   }
+
+  /** Streaming DSIR admission gate — the serve-online half of
+    * [[graft.operators.Sampling.dsirVotes]]. The fitted model arrives as
+    * the ≤ 512-entry bucket→vote-sign map
+    * ([[graft.operators.Sampling.dsirVoteMap]]) and is embedded as a
+    * LITERAL map expression, so scoring a document is one codegen'd
+    * projection: tokens → unigram+bigram grams (the SAME shared feature
+    * builders as the batch fit — drift between fit and serve is a
+    * compile error away, not a silent skew) → bucket hash → map lookup →
+    * integer vote sum. No join, no shuffle, no streaming state: the gate
+    * composes with any downstream stateful stage without spending the
+    * stream's watermark/state budget, and a model refresh is just a new
+    * query with a new literal (the standard blue/green swap for
+    * broadcast-size models). Buckets unseen at fit time vote 0 —
+    * exactly the batch rule's tie case (c_raw = c_tgt = 0). */
+  def dsirAdmit(newDocs: DataFrame, votes: Map[Long, Long]): DataFrame = {
+    import graft.operators.Sampling
+    val t = col("t")
+    newDocs
+      .withColumn("t", graft.functions.NativeExprs.tokens(col("text")))
+      .withColumn(
+        "score_votes",
+        aggregate(
+          transform(
+            concat(t, Sampling.dsirBigrams(t)),
+            g => coalesce(element_at(typedlit(votes), Sampling.dsirBucket(g)), lit(0L))),
+          lit(0L),
+          (acc, v) => acc + v))
+      .filter(col("score_votes") > 0)
+      .drop("t")
+  }
 }

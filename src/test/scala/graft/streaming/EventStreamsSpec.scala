@@ -609,4 +609,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(u99 === Seq((99L, 120L, 3L, 9.0)),
       s"in-flight session not merged across restart: $u99")
   }
+
+  test("streaming DSIR gate admits target-vocabulary docs with a fit-offline vote map") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fit offline on a planted two-vocabulary corpus (target = vocab A)
+    def doc(id: Long, vocab: Seq[String]): (Long, String, Boolean) = {
+      val words = (0 until 40).map(k => vocab(((id + k) % vocab.size).toInt))
+      (id, words.mkString(" "), id < 50)
+    }
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val vocabB = Seq("uno", "dos", "tres", "cuatro", "cinco", "seis")
+    val fitDocs =
+      ((0L until 50L).map(doc(_, vocabA)) ++ (50L until 100L).map(doc(_, vocabB)))
+        .toDF("doc_id", "text", "is_a")
+    val votes = graft.operators.Sampling.dsirVoteMap(fitDocs, col("is_a"))
+    // serve online: stream unseen docs (fresh ids, same vocabularies)
+    val source = MemoryStream[(Long, String)]
+    val stream = source.toDF().toDF("doc_id", "text")
+    val query = StreamingDedup.dsirAdmit(stream, votes).writeStream
+      .format("memory")
+      .queryName("dsir_gate_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val newA = (100L until 110L).map(doc(_, vocabA)).map(d => (d._1, d._2))
+      val newB = (110L until 120L).map(doc(_, vocabB)).map(d => (d._1, d._2))
+      source.addData(newA ++ newB: _*)
+      query.processAllAvailable()
+      val admitted = spark.table("dsir_gate_test").collect().map(_.getLong(0)).toSet
+      assert(admitted === (100L until 110L).toSet,
+        s"gate admitted $admitted — want exactly the vocab-A stream docs")
+      // the stream gate must agree with the batch scorer doc-for-doc
+      val batchDocs = (newA ++ newB).toDF("doc_id", "text")
+      val batchAdmitted = StreamingDedup.dsirAdmit(batchDocs, votes)
+        .collect().map(_.getLong(0)).toSet
+      assert(batchAdmitted === admitted)
+    } finally query.stop()
+  }
 }
