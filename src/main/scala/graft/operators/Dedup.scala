@@ -821,7 +821,12 @@ object Dedup {
     * compares the PORTABLY-ROUNDED score (4 decimals) so an engine-side
     * ulp can never flip an admission decision. One pass of drops, one
     * anti join — at 100 TB every stage keeps its own documented bound. */
-  def qPipelineClean(s: SparkSession, d: String): DataFrame = {
+  /** The four drop sets of the cleaning pipeline — one definition shared
+    * by [[qPipelineClean]] (survivors) and [[qPipelineAudit]] (per-doc
+    * drop reasons), so the audit can never disagree with the clean. */
+  private def pipelineDrops(
+      s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.PortableRound.pround
     val docs = Tables.documents(s, d)
     // near-dup drops (the shared nearDupEdges definition — as qDedupApply)
@@ -855,14 +860,53 @@ object Dedup {
           4))
       .filter(col("score") < 0.35)
       .select("doc_id")
+    (nearDrops, exactDrops, contaminated, lowQuality)
+  }
+
+  def qPipelineClean(s: SparkSession, d: String): DataFrame = {
+    val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
     val drops = nearDrops.union(exactDrops).union(contaminated).union(lowQuality).distinct()
-    docs
+    Tables.documents(s, d)
       .join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
-  private val qPipelineCleanSql = {
+  /** Pipeline DROP AUDIT — the observability twin of [[qPipelineClean]]:
+    * one row per DROPPED document with a 0/1 flag per reason (near-dup,
+    * exact-dup, contamination, quality floor) and the reason count. A
+    * production pipeline publishes this next to its survivor set — "how
+    * much did each gate cost, and whom" is the first question asked of
+    * any cleaning run, and per-doc flags (not just totals) are what lets
+    * an owner appeal a drop. Same stage definitions as the clean (shared
+    * [[pipelineDrops]]), composed with four doc_id-keyed left joins onto
+    * the distinct drop union — co-partitioned on the same key at scale,
+    * so the audit costs the pipeline's stages plus one joined scan. */
+  def qPipelineAudit(s: SparkSession, d: String): DataFrame = {
+    val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
+    def flag(df: DataFrame, name: String) =
+      df.distinct().withColumn(name, lit(1L))
+    val dropped = nearDrops.union(exactDrops).union(contaminated).union(lowQuality).distinct()
+    dropped
+      .join(flag(nearDrops, "near_dup"), Seq("doc_id"), "left")
+      .join(flag(exactDrops, "exact_dup"), Seq("doc_id"), "left")
+      .join(flag(contaminated, "contaminated"), Seq("doc_id"), "left")
+      .join(flag(lowQuality, "low_quality"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        coalesce(col("low_quality"), lit(0L)).as("low_quality"))
+      .withColumn(
+        "n_reasons",
+        col("near_dup") + col("exact_dup") + col("contaminated") + col("low_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** The clean pipeline's full CTE prologue (shingle machinery + the four
+    * drop sets) — one definition shared by the clean and audit oracles. */
+  private def pipelineDropsSqlCtes: String = {
     import graft.functions.PortableRound.{proundSql => pr}
     val t = TextOps.tokensSql
     val stop = "('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'on', 'for')"
@@ -871,7 +915,7 @@ object Dedup {
         s"+ least(len(list_filter($t, x -> x IN $stop))::DOUBLE / len($t) * 5.0, 1.0) * 0.3 " +
         "+ length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text) * 0.2",
       4)
-    s"""WITH ${shinglePairsSqlCtes(minInter = 1)},
+    s"""${shinglePairsSqlCtes(minInter = 1)},
        |$nearDropsSqlCte,
        |exact_drops AS (
        |  SELECT doc_id FROM (
@@ -882,14 +926,38 @@ object Dedup {
        |  SELECT DISTINCT doc_id FROM tri
        |  WHERE doc_id >= 2 AND sh IN (SELECT sh FROM tri WHERE doc_id < 2)),
        |low_quality AS (
-       |  SELECT doc_id FROM documents WHERE $score < 0.35)
+       |  SELECT doc_id FROM documents WHERE $score < 0.35)""".stripMargin
+  }
+
+  private val qPipelineCleanSql =
+    s"""WITH $pipelineDropsSqlCtes
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
        |                     UNION SELECT doc_id FROM exact_drops
        |                     UNION SELECT doc_id FROM contaminated
        |                     UNION SELECT doc_id FROM low_quality)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  private val qPipelineAuditSql =
+    s"""WITH $pipelineDropsSqlCtes,
+       |dropped AS (
+       |  SELECT doc_id FROM near_drops UNION SELECT doc_id FROM exact_drops
+       |  UNION SELECT doc_id FROM contaminated UNION SELECT doc_id FROM low_quality)
+       |SELECT doc_id,
+       |  near_dup, exact_dup, contaminated, low_quality,
+       |  (near_dup + exact_dup + contaminated + low_quality)::BIGINT AS n_reasons
+       |FROM (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id IN (SELECT doc_id FROM near_drops) THEN 1 ELSE 0 END)::BIGINT
+       |      AS near_dup,
+       |    (CASE WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN 1 ELSE 0 END)::BIGINT
+       |      AS exact_dup,
+       |    (CASE WHEN doc_id IN (SELECT doc_id FROM contaminated) THEN 1 ELSE 0 END)::BIGINT
+       |      AS contaminated,
+       |    (CASE WHEN doc_id IN (SELECT doc_id FROM low_quality) THEN 1 ELSE 0 END)::BIGINT
+       |      AS low_quality
+       |  FROM dropped)
+       |ORDER BY doc_id""".stripMargin
 
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
@@ -1426,5 +1494,6 @@ object Dedup {
     Q("q_contamination", qContamination, Some(qContaminationSql)),
     Q("q_snippet_containment", qSnippetContainment, Some(qSnippetContainmentSql)),
     Q("q_decontam_frac", qDecontamFrac, Some(qDecontamFracSql)),
-    Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)))
+    Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)),
+    Q("q_pipeline_audit", qPipelineAudit, Some(qPipelineAuditSql)))
 }

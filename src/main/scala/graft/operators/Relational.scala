@@ -1011,6 +1011,55 @@ object Relational {
         col("n"))
       .orderBy("l_returnflag")
 
+  /** EXACT percentiles via VALUE HISTOGRAM — the scale-safe exact path
+    * between [[qPercentiles]] (Spark's `percentile` materializes every
+    * group's full value list in one aggregation buffer — OOM at 100 TB)
+    * and [[qApproxPercentiles]] (bounded memory, approximate). For
+    * columns of bounded distinct-value count (any fixed-precision
+    * numeric: quantities, cents, ratings), the histogram IS a lossless
+    * summary: groupBy (key, value) counts, one cumulative window per
+    * key over the DISTINCT values, and the discrete rank-⌈p·n⌉ statistic
+    * reads off as the first value whose cumulative count reaches the
+    * rank. Shuffles carry distinct values, not rows; every comparison is
+    * exact integer (`cum·den ≥ n·num` — no float rank arithmetic), and
+    * the emitted percentile is a real data value, so the hashed output
+    * is engine-exact with no rounding convention needed. */
+  def qPercentileHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy("l_returnflag")
+    val hist = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(byFlag.orderBy("l_quantity")))
+      .withColumn("n", sum("cnt").over(byFlag))
+    def rank(num: Int, den: Int) =
+      min(when(col("cum") * den >= col("n") * num, col("l_quantity")))
+    hist
+      .groupBy("l_returnflag")
+      .agg(
+        rank(1, 2).as("p50_qty"),
+        rank(9, 10).as("p90_qty"),
+        rank(99, 100).as("p99_qty"),
+        max("n").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qPercentileHistSql =
+    """WITH hist AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM hist)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum * 2 >= n THEN l_quantity END) AS p50_qty,
+      |  min(CASE WHEN cum * 10 >= n * 9 THEN l_quantity END) AS p90_qty,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN l_quantity END) AS p99_qty,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Ordered-pattern funnel (the MATCH_RECOGNIZE capability class, in
     * composable aggregate form): per user, the first `view`, the first
     * `click` STRICTLY AFTER that view, and the first `purchase` strictly
@@ -1980,6 +2029,7 @@ object Relational {
     Q("q_lateral_top_order", qLateralTopOrder, Some(qLateralSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Q("q_approx_percentiles", qApproxPercentiles, None),
+    Q("q_percentile_hist", qPercentileHist, Some(qPercentileHistSql)),
     Q("q10_returned_items", q10Returns, Some(q10Sql)),
     Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)),
     Q("q14_promo_share", q14PromoShare, Some(q14Sql)),

@@ -344,6 +344,10 @@ object Sampling {
         graft.functions.NativeExprs.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("tgt"), explode(concat(t, dsirBigrams(t))).as("g"))
       .select(col("doc_id"), col("tgt"), dsirBucket(col("g")).as("b"))
+      // BOTH the fit aggregate and the score join read the gram stream;
+      // caching halves the tokenize+md5 work (the query's actual cost).
+      // At 100 TB the fit runs once on a sample and persists instead.
+      .cache()
     val stats = grams
       .groupBy("b")
       .agg(
