@@ -50,6 +50,47 @@ object NativeExprs {
   def int8Quant(v: Column): Column = c(Int8Quant(e(v)))
   def gopherRep(text: Column): Column = c(GopherRep(e(text)))
 
+  /** Unicode CODE POINT count — what DuckDB's `length()` counts. Any
+    * kernel whose character counts ride a hash-compared oracle must use
+    * this, not `String.length` (UTF-16 units), or supplementary-plane
+    * text diverges. */
+  @inline private[functions] def cpLen(s: String): Int =
+    s.codePointCount(0, s.length)
+
+  /** Code-point-order string comparison ≡ UTF-8 byte order ≡ DuckDB's
+    * binary collation. Java's `String.compareTo` is UTF-16 order, which
+    * ranks supplementary characters BELOW U+E000..U+FFFF — a latent
+    * tie-break divergence on astral text. */
+  private[functions] def compareCp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** THE tokenizer (lowercase already applied by the caller): split on
+    * runs of [[isWs]], drop empties — one definition for every kernel
+    * that materializes a token list ([[Tokens]], [[WordShingles]],
+    * [[GopherRep]]). Streaming kernels that fold per-token without
+    * materializing (TextStats, StopwordCounts) keep their in-place scan
+    * loops but MUST match this semantics — isWs is the single source of
+    * truth for the split class. */
+  private[functions] def tokenize(s: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out
+  }
+
   /** Whitespace set of Java regex `\s` — keep identical to split("\\s+"). */
   @inline private[functions] def isWs(ch: Char): Boolean =
     ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
@@ -233,15 +274,7 @@ case class Tokens(child: Expression) extends UnaryExpression with ExpectsInputTy
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && NativeExprs.isWs(s.charAt(i))) i += 1
-      val start = i
-      while (i < n && !NativeExprs.isWs(s.charAt(i))) i += 1
-      if (i > start) out += UTF8String.fromString(s.substring(start, i))
-    }
+    val out = NativeExprs.tokenize(s).map(t => UTF8String.fromString(t): Any)
     new GenericArrayData(out.toArray)
   }
 
@@ -465,15 +498,7 @@ case class WordShingles(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && NativeExprs.isWs(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !NativeExprs.isWs(s.charAt(i))) i += 1
-      if (i > start) toks += s.substring(start, i)
-    }
+    val toks = NativeExprs.tokenize(s)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     var j = 0
     while (j + n <= toks.length) {
@@ -693,18 +718,12 @@ case class GopherRep(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < s.length) {
-      while (i < s.length && NativeExprs.isWs(s.charAt(i))) i += 1
-      val start = i
-      while (i < s.length && !NativeExprs.isWs(s.charAt(i))) i += 1
-      if (i > start) toks += s.substring(start, i)
-    }
+    val toks = NativeExprs.tokenize(s)
     val m = toks.length
+    // all char counts are CODE POINTS (DuckDB length()), not UTF-16 units
     var totChars = 0L
     var j = 0
-    while (j < m) { totChars += toks(j).length; j += 1 }
+    while (j < m) { totChars += NativeExprs.cpLen(toks(j)); j += 1 }
 
     def dupChars(n: Int): Long = {
       if (m < n) return 0L
@@ -731,7 +750,7 @@ case class GopherRep(child: Expression) extends UnaryExpression with ExpectsInpu
       }
       var c = 0L
       k = 0
-      while (k < m) { if (covered(k)) c += toks(k).length; k += 1 }
+      while (k < m) { if (covered(k)) c += NativeExprs.cpLen(toks(k)); k += 1 }
       c
     }
 
@@ -749,11 +768,12 @@ case class GopherRep(child: Expression) extends UnaryExpression with ExpectsInpu
       while (it.hasNext) {
         val e = it.next()
         val better = e.getValue > bestCnt ||
-          (e.getValue == bestCnt && (bestGram == null || e.getKey.compareTo(bestGram) < 0))
+          (e.getValue == bestCnt &&
+            (bestGram == null || NativeExprs.compareCp(e.getKey, bestGram) < 0))
         if (better) { bestCnt = e.getValue; bestGram = e.getKey }
       }
-      // token chars of the gram = string length minus the one separator
-      bestCnt.toLong * (bestGram.length - 1)
+      // token chars of the gram = code points minus the one separator
+      bestCnt.toLong * (NativeExprs.cpLen(bestGram) - 1)
     }
 
     InternalRow(totChars, top2Chars, dupChars(2), dupChars(3), dupChars(4))

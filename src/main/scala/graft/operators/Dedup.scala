@@ -505,10 +505,18 @@ object Dedup {
     }
     // converged stars, canonicalized (a = least): a is the component
     // minimum on every edge
-    val labels = edges.select(col("a").as("id"), col("a").as("label"))
+    val starLabels = edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("a").as("label")))
       .distinct()
-    (labels, rounds)
+    // drop-in parity with ccLabelsFrom: nodes whose only edges were
+    // self-loops lost all edges to the a =!= b filter above but still
+    // deserve a (id, id) row, exactly as min-label propagation gives them
+    val p0 = pairs.toDF("a", "b")
+    val selfOnly = p0.select(col("a").as("id")).union(p0.select(col("b").as("id")))
+      .distinct()
+      .join(starLabels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    (starLabels.union(selfOnly), rounds)
   }
 
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -884,20 +892,24 @@ object Dedup {
     * so the audit costs the pipeline's stages plus one joined scan. */
   def qPipelineAudit(s: SparkSession, d: String): DataFrame = {
     val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
-    def flag(df: DataFrame, name: String) =
-      df.distinct().withColumn(name, lit(1L))
-    val dropped = nearDrops.union(exactDrops).union(contaminated).union(lowQuality).distinct()
-    dropped
-      .join(flag(nearDrops, "near_dup"), Seq("doc_id"), "left")
-      .join(flag(exactDrops, "exact_dup"), Seq("doc_id"), "left")
-      .join(flag(contaminated, "contaminated"), Seq("doc_id"), "left")
-      .join(flag(lowQuality, "low_quality"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("near_dup"), lit(0L)).as("near_dup"),
-        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
-        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
-        coalesce(col("low_quality"), lit(0L)).as("low_quality"))
+    // each drop subtree planned ONCE: tag with one-hot flag columns,
+    // union, and max-reduce per doc — one shuffle, no re-join of the
+    // expensive near-dup/contamination subplans
+    def tag(df: DataFrame, slot: Int) = df.select(
+      col("doc_id") +:
+        Seq("near_dup", "exact_dup", "contaminated", "low_quality").zipWithIndex.map {
+          case (n, i) => lit(if (i == slot) 1L else 0L).as(n)
+        }: _*)
+    tag(nearDrops, 0)
+      .union(tag(exactDrops, 1))
+      .union(tag(contaminated, 2))
+      .union(tag(lowQuality, 3))
+      .groupBy("doc_id")
+      .agg(
+        max("near_dup").as("near_dup"),
+        max("exact_dup").as("exact_dup"),
+        max("contaminated").as("contaminated"),
+        max("low_quality").as("low_quality"))
       .withColumn(
         "n_reasons",
         col("near_dup") + col("exact_dup") + col("contaminated") + col("low_quality"))

@@ -226,18 +226,22 @@ object Maintenance {
     Tables.documents(s, d)
       .select(
         (col("doc_id") % 16).as("bucket"),
-        expr("cast(conv(substr(md5(concat_ws('|', doc_id, lang, source, n_chars, text)), 1, 14), 16, 10) as bigint)")
+        graft.functions.PortableHash
+          .md5PrefixLong(
+            concat_ws("|", col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text")),
+            14)
           .as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
       .orderBy("bucket")
 
-  private val qTableChecksumSql =
-    """SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
-      |  bit_xor(CAST(('0x' || substr(md5(
-      |    doc_id || '|' || lang || '|' || source || '|' || n_chars || '|' || text),
-      |    1, 14)) AS BIGINT)) AS checksum
-      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+  private val qTableChecksumSql = {
+    val digest = graft.functions.PortableHash.md5PrefixLongSql(
+      "doc_id || '|' || lang || '|' || source || '|' || n_chars || '|' || text", 14)
+    s"""SELECT doc_id % 16 AS bucket, count(*) AS n_rows,
+       |  bit_xor($digest) AS checksum
+       |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),

@@ -330,10 +330,10 @@ object Sampling {
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** The portable bucket hash of one gram (md5-prefix integer mod B) —
-    * same conv/'0x' twin convention as the table checksum. */
+  /** The portable bucket hash of one gram (md5-prefix integer mod B —
+    * the shared [[graft.functions.PortableHash]] convention). */
   private[graft] def dsirBucket(g: Column): Column =
-    conv(substring(md5(g), 1, 8), 16, 10).cast("long") % DsirBuckets
+    graft.functions.PortableHash.md5PrefixLong(g, 8) % DsirBuckets
 
   private[operators] def dsirVotes(docs: DataFrame, isTarget: Column): DataFrame = {
     val t = col("t")
@@ -416,7 +416,7 @@ object Sampling {
        |  WHERE len(t) >= 2),
        |g AS (
        |  SELECT doc_id, tgt,
-       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+       |    ${graft.functions.PortableHash.md5PrefixLongSql("g", 8)} % $DsirBuckets AS b
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
        |stats AS (
        |  SELECT b, count(*) AS c_raw, count(*) FILTER (WHERE tgt) AS c_tgt

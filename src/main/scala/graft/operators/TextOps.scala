@@ -855,6 +855,9 @@ object TextOps {
   def qSurprisal(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("tok"))
+      // both the vocab aggregation and the scoring join read this stream;
+      // caching halves the tokenize+explode work (same device as dsirVotes)
+      .cache()
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("n_corpus"))
     toks
@@ -976,7 +979,8 @@ object TextOps {
         col("chunk_idx"),
         col("start_tok"),
         size(col("c")).cast("long").as("n_tok"),
-        expr("cast(conv(substr(md5(array_join(c, ' ')), 1, 14), 16, 10) as bigint)")
+        graft.functions.PortableHash
+          .md5PrefixLong(array_join(col("c"), " "), 14)
           .as("chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
   }
@@ -994,7 +998,7 @@ object TextOps {
        |    t[i.i * $ChunkS + 1 : least(i.i * $ChunkS + $ChunkW, n)] AS c
        |  FROM k, LATERAL (SELECT unnest(generate_series(0, nk - 1)) AS i) i)
        |SELECT doc_id, chunk_idx, start_tok, len(c)::BIGINT AS n_tok,
-       |  CAST(('0x' || substr(md5(array_to_string(c, ' ')), 1, 14)) AS BIGINT) AS chunk_hash
+       |  ${graft.functions.PortableHash.md5PrefixLongSql("array_to_string(c, ' ')", 14)} AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Sequence-LENGTH DISTRIBUTION per source, in log₂ buckets — the

@@ -104,9 +104,12 @@ object StreamingDedup {
     * exactly the batch rule's tie case (c_raw = c_tgt = 0). */
   def dsirAdmit(newDocs: DataFrame, votes: Map[Long, Long]): DataFrame = {
     import graft.operators.Sampling
-    val t = col("t")
+    // reserved temp name — a caller's own "t" column (common timestamp
+    // shorthand) must survive the gate untouched
+    val tmp = "__graft_dsir_toks"
+    val t = col(tmp)
     newDocs
-      .withColumn("t", graft.functions.NativeExprs.tokens(col("text")))
+      .withColumn(tmp, graft.functions.NativeExprs.tokens(col("text")))
       .withColumn(
         "score_votes",
         aggregate(
@@ -116,6 +119,6 @@ object StreamingDedup {
           lit(0L),
           (acc, v) => acc + v))
       .filter(col("score_votes") > 0)
-      .drop("t")
+      .drop(tmp)
   }
 }

@@ -629,6 +629,28 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("gopher battery counts code points, not UTF-16 units") {
+    // '𝕏' (U+1D54F) is two UTF-16 units but ONE code point — DuckDB's
+    // length() counts code points, so the kernel must too, or any
+    // supplementary-plane document breaks the q_gopher_rep oracle.
+    import spark.implicits._
+    val xx = "𝕏𝕏" // two astral chars = 2 code points
+    val text = s"$xx a b $xx a b"
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .select(graft.functions.NativeExprs.gopherRep(col("text")).as("g"))
+      .select("g.*")
+      .collect()(0)
+    // tokens [xx a b xx a b]: 2+1+1+2+1+1 = 8 code points
+    assert(r.getLong(0) === 8L, "n_tok_chars")
+    // every position is covered by a duplicate bigram AND trigram
+    assert(r.getLong(2) === 8L, "dup2_chars")
+    assert(r.getLong(3) === 8L, "dup3_chars")
+    assert(r.getLong(4) === 0L, "dup4_chars")
+    // tie at count 2 between 'a b' and 'xx a'; code-point order picks
+    // 'a b' → 2 occurrences × 2 token code points
+    assert(r.getLong(1) === 4L, "top2_chars")
+  }
+
   test("surprisal bits equal digit-length arithmetic on exact corpus counts") {
     val texts = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
