@@ -105,6 +105,52 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("chunking is content-pure: 10x replicas chunk identically") {
+    // chunk boundaries and hashes depend ONLY on the document text, so a
+    // replica must chunk exactly like its original — the append-stability
+    // claim (re-chunking a grown corpus never moves an existing chunk) as
+    // an executable property
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-chunk-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def rows(d: String) = TextOps.qChunkWindows(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val base = rows(sfDir).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
+    val scaled = rows(tmp)
+    assert(scaled.length === base.values.map(_.size).sum * rep)
+    scaled.groupBy(_._1).foreach { case (id, v) =>
+      assert(v.map(_._2).toSeq.sorted === base(id % 1000000L), s"doc $id chunks moved")
+    }
+  }
+
+  test("DSIR votes are invariant under 10x corpus replication") {
+    // exact replication scales every bucket count and both totals by rep,
+    // so each cross-multiplied share comparison scales by rep² on both
+    // sides — identical votes, identical scores, identical admissions.
+    // Catches any drift toward volume-dependent scoring (absolute-count
+    // thresholds, un-normalized smoothing).
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-dsir-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def rows(d: String) = Sampling.qDsirScore(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val base = rows(sfDir).toMap
+    val scaled = rows(tmp)
+    assert(scaled.length === base.size * rep)
+    scaled.foreach { case (id, v) =>
+      assert(v === base(id % 1000000L), s"doc $id score changed under replication")
+    }
+  }
+
   test("wordcount counts are exactly linear under 10x replicated documents") {
     val rep = 10
     val tmp = Files.createTempDirectory("graft-scale-doc-").toString
