@@ -672,8 +672,78 @@ object Similarity {
        |FROM cands c JOIN e USING (doc_id), q
        |ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
 
+  /** k-NN CLASSIFICATION over the embedding corpus: for each query
+    * vector (a bounded batch — vec_id < 20 here), the majority label of
+    * its 5 nearest labeled neighbors (leave-one-out), with deterministic
+    * ties everywhere: neighbors rank by (pround'd cosine DESC, vec_id)
+    * and the vote by (count DESC, label ASC), so both engines elect the
+    * same label bit-for-bit. This is the eval loop every embedding
+    * pipeline runs over its index ("does neighborhood structure encode
+    * the label?") and the brute-force baseline the ANN paths
+    * (IVF/PQ/LSH) approximate — swap the candidate generator, keep the
+    * vote. Plan: the query batch broadcasts (20 rows), candidates rank
+    * through WindowGroupLimit (per-partition top-5 per query BEFORE the
+    * shuffle), and the vote aggregates ≤ 5·batch rows — per-query cost
+    * is one corpus scan no matter the corpus size, and batch queries
+    * share that scan. */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+    val q = broadcast(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("ql")))
+    val ranked = e
+      .join(q, col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("ql"),
+        col("vec_id"),
+        col("label"),
+        pround(graft.functions.NativeExprs.cosineSim(col("v"), col("qv")), 6).as("cos"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+    ranked
+      .groupBy("qid", "ql", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn(
+        "pr",
+        row_number().over(Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))))
+      .filter(col("pr") === 1)
+      .select(
+        col("qid").as("vec_id"),
+        col("ql").cast("long").as("label_true"),
+        col("label").cast("long").as("label_pred"),
+        col("votes"))
+      .orderBy("vec_id")
+  }
+
+  private val qKnnClassifySql =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (
+      |  SELECT q.qid, q.ql, e.vec_id, e.label,
+      |    floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv) * 1000000 + 0.5)
+      |      / 1000000.0 AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM c),
+      |v AS (
+      |  SELECT qid, ql, label, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT qid, ql, label, votes,
+      |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS pr
+      |  FROM v)
+      |SELECT qid AS vec_id, ql::BIGINT AS label_true, label::BIGINT AS label_pred, votes
+      |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
+    Q("q_knn_classify", qKnnClassify, Some(qKnnClassifySql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),

@@ -455,6 +455,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("kNN classify: query batch broadcasts, neighbor top-5 limited per partition") {
+    val p = plan(Similarity.qKnnClassify(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank<=5 not pushed below the exchange:\n$p")
+  }
+
   test("DSIR score pass joins the bucket stats by broadcast — no shuffle join") {
     // The fit collapses to ≤ B rows, so the score join must broadcast it:
     // a shuffled stats join would re-shuffle the full gram stream (corpus
