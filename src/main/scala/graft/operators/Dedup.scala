@@ -1485,6 +1485,94 @@ object Dedup {
       .orderBy(col("cos").desc, col("va"), col("vb"))
   }
 
+  private val SemMinCells = 16
+  private val SemTargetCell = 512
+  private val SemBar = 0.3
+
+  /** SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, call two documents
+    * semantic duplicates when their cosine similarity inside the SAME
+    * cluster clears the bar, and keep exactly one representative — the
+    * minimum vec_id — per connected component of that within-cluster
+    * duplicate graph. Cross-cluster near-dups are missed BY DESIGN;
+    * that approximation is what bounds the pairwise work: each vector
+    * is compared only against its own cell.
+    *
+    * Scale shape: the cell count ADAPTS to the corpus, k = max(16,
+    * ⌈n/512⌉), so mean cell occupancy stays ~512 and the within-cell
+    * self-join stays linear in n (the count() sizing k is a
+    * metadata-only parquet row count — same device as
+    * [[Similarity.qBucketedPairs]]'s adaptive plane count). Cells here
+    * are the deterministic sampled centroids of [[Similarity.qIvf]]
+    * (vec_id < k, nearest by (cos, -cid) — a pure function of the data,
+    * so the DuckDB twin replays the assignment exactly); a production
+    * run would swap in the k-means fit ([[Similarity.qIvfKmeans]]) with
+    * identical downstream plumbing. Component canonicalization reuses
+    * the [[ccLabelsFrom]] min-label fixpoint — within-cell duplicate
+    * components are dense, so O(diameter) rounds is the right CC
+    * variant. At test SFs k stays 16, so results are SF-stable. */
+  def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val n = e.count()
+    val k = math.max(SemMinCells, ((n + SemTargetCell - 1) / SemTargetCell).toInt)
+    val cents: Array[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    // cached: read by both sides of the edge self-join and the survivor
+    // anti-join; the harness clearCache()s after each query
+    val assigned = e
+      .withColumn("cell", Similarity.nearestCell(cents, col("v")).cast("long"))
+      .cache()
+    val edges = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("da"),
+        col("b.vec_id").as("db"),
+        pround(graft.functions.NativeExprs.cosineSim(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= SemBar)
+      .select("da", "db")
+    val drops = ccLabelsFrom(edges)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("vec_id"))
+    assigned
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Twin: same adaptive k, same (cos DESC, cid) assignment tie-break as
+    * the [[Similarity.qIvf]] oracle, recursive-CTE reachability for the
+    * component minimum (a different CC algorithm than label propagation,
+    * which is what makes it a good oracle). */
+  private val qSemDedupSql =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |kk AS (SELECT greatest($SemMinCells, CAST(ceil(count(*) / $SemTargetCell.0) AS BIGINT)) AS k FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |edges AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE floor(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5) / 1000000.0 >= $SemBar),
+       |bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |walk AS (
+       |  SELECT src AS id, src AS label FROM bi
+       |  UNION
+       |  SELECT bi.dst AS id, walk.label AS label FROM walk JOIN bi ON bi.src = walk.id),
+       |drops AS (SELECT id FROM walk GROUP BY id HAVING id <> min(label))
+       |SELECT vec_id, cell FROM assign
+       |WHERE vec_id NOT IN (SELECT id FROM drops)
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
@@ -1503,6 +1591,7 @@ object Dedup {
     Q("q_simhash_complete", qSimhashComplete, Some(qSimhashCompleteSql), headline = false),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
     Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
+    Q("q_dedup_semantic", qSemDedup, Some(qSemDedupSql)),
     Q("q_contamination", qContamination, Some(qContaminationSql)),
     Q("q_snippet_containment", qSnippetContainment, Some(qSnippetContainmentSql)),
     Q("q_decontam_frac", qDecontamFrac, Some(qDecontamFracSql)),

@@ -158,7 +158,7 @@ object Similarity {
 
   /** Nearest cell = max by (cos, -cid): struct ordering gives the
     * row_number(ORDER BY cos DESC, cid) = 1 tiebreak the oracle uses. */
-  private def nearestCell(cents: Array[(Int, Seq[Double])], v: Column): Column = {
+  private[operators] def nearestCell(cents: Array[(Int, Seq[Double])], v: Column): Column = {
     val scored = cents.map { case (cid, cv) =>
       struct(
         graft.functions.NativeExprs.cosineSim(v, typedlit(cv)).as("cos"),

@@ -382,6 +382,49 @@ object TextOps {
        |SELECT pair, count(*)::BIGINT AS cnt
        |FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  private val OovVocabSize = 16
+
+  /** Per-source vocabulary coverage / OOV-rate data card: fit a top-V
+    * frequency vocabulary on the corpus (count desc, token asc — a total
+    * order, so the cut is deterministic), then score every source by how
+    * much of its token stream falls outside it. The tokenizer-coverage
+    * report a pipeline runs before committing to a vocab size: n_oov /
+    * n_tokens is the UNK rate that vocabulary would produce, n_oov_types
+    * the tail vocabulary it abandons. V is 16 here because the synthetic
+    * corpus has a 31-word vocabulary (a realistic run uses 32k-256k; the
+    * shape is V ≪ distinct types either way). Scale: the vocab fit is one
+    * combiner-backed wordcount + TakeOrderedAndProject head; the scoring
+    * pass joins the token stream against the V-row vocab by BROADCAST
+    * (plan-guarded) — the corpus-scale stream never shuffles. Exact
+    * integers only on the hash surface. */
+  def qOovRate(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(OovVocabSize)
+      .select(col("w"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("iv").isNull, col("w"))).as("n_oov_types"))
+      .orderBy("source")
+  }
+
+  private val qOovRateSql =
+    s"""WITH tok AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+       |    FROM tok GROUP BY w) WHERE rn <= $OovVocabSize)
+       |SELECT source, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  count(DISTINCT CASE WHEN vocab.w IS NULL THEN tok.w END)::BIGINT AS n_oov_types
+       |FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-document bigram novelty: how many of a document's distinct
     * bigrams appear in NO other document — the memorization/duplication
     * risk signal (a doc whose bigrams are all corpus-common is boilerplate;
@@ -1043,6 +1086,7 @@ object TextOps {
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
+    Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
     Q("q_bm25", qBm25, Some(qBm25Sql)),

@@ -1014,4 +1014,53 @@ class ExtrasSpec extends SparkSpec {
     assert(got === (0L until 256L).map(i => (i, 0L)).toSet)
     assert(rounds <= 12, s"star contraction took $rounds rounds on a 256-path")
   }
+
+  test("semantic dedup matches an independent in-JVM union-find recomputation") {
+    // End-to-end different algorithm: brute-force nearest-centroid
+    // assignment + all-pairs within-cell cosine + min-rooted union-find,
+    // vs the query's cell-join edges + min-label CC fixpoint. Mirrors
+    // CosineSim's accumulation order (dot/na/nb in index order, then
+    // dot / (sqrt(na)*sqrt(nb))) so assignment tie-breaks can't drift.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val n = vecs.length
+    val k = math.max(16, ((n + 511) / 512))
+    val cents = vecs.filter(_._1 < k)
+    def cellOf(v: Array[Double]): Long = {
+      var best = -1L; var bestCos = Double.NegativeInfinity
+      for ((cid, cv) <- cents) {
+        val c = cos(cv, v)
+        if (c > bestCos || (c == bestCos && (best < 0 || cid < best))) { bestCos = c; best = cid }
+      }
+      best
+    }
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    // min-rooted union-find: component root = min id, so survivors are
+    // exactly the fixpoints of find
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+    for {
+      i <- vecs.indices; j <- (i + 1) until n
+      if cells(vecs(i)._1) == cells(vecs(j)._1)
+      if math.floor(cos(vecs(i)._2, vecs(j)._2) * 1e6 + 0.5) / 1e6 >= 0.3
+    } {
+      val (ra, rb) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = vecs.map(_._1).filter(id => find(id) == id)
+      .map(id => (id, cells(id))).toSet
+    val gotQ = Dedup.qSemDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotQ === expected,
+      s"semantic dedup diverges: ${gotQ.size} kept vs expected ${expected.size}")
+    // non-vacuous: the corpus must actually contain semantic duplicates
+    assert(expected.size < n, "no within-cell duplicate pairs — test is vacuous")
+  }
 }

@@ -471,4 +471,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"gram-side shuffle join appeared:\n$p")
   }
+
+  test("OOV scoring joins the fitted vocab by broadcast — token stream never shuffles for the join") {
+    val p = plan(TextOps.qOovRate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"token-stream shuffle join appeared:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut became a global sort:\n$p")
+  }
+
+  test("semantic dedup pairs only within a cell — equi-join on cell, no cartesian") {
+    // The SemDeDup scale claim: pairwise work is blocked by the cluster
+    // cell, so the candidate join must key on `cell` (hash or sort-merge
+    // equi-join) and never degenerate to a cartesian / nested-loop over
+    // the corpus.
+    val p = plan(Dedup.qSemDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join appeared:\n$p")
+    assert(p.contains("cell"), s"cell blocking key missing from the plan:\n$p")
+  }
 }
