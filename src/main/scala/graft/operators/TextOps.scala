@@ -353,6 +353,93 @@ object TextOps {
        |WHERE rk <= 5
        |ORDER BY doc_id, score DESC, term""".stripMargin
 
+  private val BpeMerges = 8
+
+  /** SQL-literal escape for a symbol riding inside an expr() string. */
+  private def symLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** One greedy left-to-right merge pass of pair (a,b) over a symbol
+    * array, as a pure HOF fold (no UDF). Correctness of the plain fold:
+    * the merged symbol a||b can never EQUAL a (b is nonempty), so a
+    * just-merged output symbol can't immediately re-match as the left
+    * side of the same pair — the fold is exactly the non-overlapping
+    * left-to-right pass of classic BPE (e.g. [x,x,x] under (x,x) →
+    * [xx,x], never [xxx]). HOFs are CodegenFallback, which is fine HERE:
+    * this runs on the VOCABULARY table (distinct types), never the
+    * corpus token stream. */
+  private def mergePass(symsCol: String, a: String, b: String): Column = {
+    val (la, lb) = (symLit(a), symLit(b))
+    expr(
+      s"""aggregate($symsCol, cast(array() as array<string>), (out, x) ->
+         |  CASE WHEN size(out) > 0 AND element_at(out, size(out)) = $la AND x = $lb
+         |    THEN concat(slice(out, 1, size(out) - 1), array(concat($la, $lb)))
+         |    ELSE concat(out, array(x)) END)""".stripMargin)
+  }
+
+  /** The learned merge table of [[qBpeTrain]] over an arbitrary
+    * (w, freq) vocabulary — factored out so the planted-corpus spec can
+    * drive it directly. Returns (rank, left_sym, right_sym, cnt). */
+  private[operators] def bpeTrainFrom(s: SparkSession, types0: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    // filter the zero-width-split artifacts (Spark split keeps trailing
+    // empty strings at limit -1) — a phantom '' symbol would corrupt
+    // every pair count
+    var types = types0
+      .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = types
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr(
+            "transform(sequence(0, size(syms)-2), i -> struct(syms[i] AS a, syms[i+1] AS b))"))
+            .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        types = types
+          .select(col("freq"), mergePass("syms", a, b).as("syms"))
+          .localCheckpoint() // truncate the per-round lineage
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first R merge rules. The corpus-scale work is exactly ONE
+    * combiner-backed wordcount producing the vocabulary (distinct word,
+    * freq) table; every merge round after that runs on the VOCABULARY —
+    * explode adjacent symbol pairs weighted by freq, combiner-backed
+    * pair count, take the (cnt DESC, pair ASC) argmax (a 1-row collect —
+    * the merge RULE is driver state by definition), rewrite symbol
+    * arrays with [[mergePass]]. At 100 TB that's ~1e7 type rows per
+    * round against ~1e12 corpus tokens — the loop never rescans the
+    * corpus, which is what makes distributed BPE training tractable.
+    * Iterative data-dependent argmax → not SQL-expressible as one query;
+    * correctness is pinned by an independent in-JVM reference
+    * implementation on the real corpus plus a planted-vocabulary spec
+    * with hand-computable merges (ExtrasSpec). */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val types0 = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+    val merges = bpeTrainFrom(s, types0, BpeMerges)
+    import s.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "cnt").orderBy("rank")
+  }
+
   /** Distributed BPE-style pair counting — the inner statistic of one
     * byte-pair-encoding tokenizer-training merge round: count adjacent
     * token pairs corpus-wide and keep the most frequent. Shape-identical
@@ -760,6 +847,71 @@ object TextOps {
        |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
        |SELECT node, count(*) AS n_triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Per-edge neighborhood Jaccard over the word-adjacency graph — the
+    * classic link-prediction / graph-similarity score: for every edge
+    * (a,b), |Γa∩Γb| / |Γa∪Γb| with open neighborhoods, as an exact
+    * integer ppm (inter·10⁶ div (da+db−inter); the denominator is ≥ 2
+    * because both endpoints of an edge have degree ≥ 1). The common-
+    * neighbor count of an EDGE is its per-edge triangle count, so the
+    * enumeration reuses the degree-oriented wedge machinery
+    * ([[orientByDegree]]/[[orientedWedges]]): each triangle surfaces
+    * once, explodes into its three canonical (src<dst) edges, and a
+    * combiner-backed rollup keys by edge — the same Σ C(outdeg,2)
+    * candidate bound as [[qTriangles]], immune to stopword hubs. Edges
+    * closing no triangle stay in the output via a left join (inter=0).
+    * The oracle counts common neighbors by an UNORIENTED 3-way join —
+    * a different enumeration arriving at the same row set. */
+  def qEdgeJaccard(s: SparkSession, d: String): DataFrame = {
+    // cached: und feeds orientation, degrees, and the output left join;
+    // dir feeds both wedge sides + the closing probe
+    val und = adjacencyEdges(s, d).cache()
+    val dir = orientByDegree(und).cache()
+    val tri = orientedWedges(dir).join(
+      dir.select(col("u"), col("v")),
+      col("b") === col("u") && col("c") === col("v"),
+      "leftsemi")
+    val triEdges = tri
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst")),
+        struct(least(col("a"), col("c")).as("src"), greatest(col("a"), col("c")).as("dst")),
+        struct(least(col("b"), col("c")).as("src"), greatest(col("b"), col("c")).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("inter"))
+    val deg = und.select(col("src").as("n"))
+      .unionAll(und.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    und
+      .join(triEdges, Seq("src", "dst"), "left")
+      .join(deg.select(col("n").as("src"), col("dg").as("sdeg")), "src")
+      .join(deg.select(col("n").as("dst"), col("dg").as("ddeg")), "dst")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(
+        col("src"), col("dst"), col("inter"),
+        expr("inter * 1000000 div (sdeg + ddeg - inter)").as("jacc_ppm"))
+      .orderBy(col("jacc_ppm").desc, col("src"), col("dst"))
+  }
+
+  private val qEdgeJaccardSql =
+    s"""WITH $adjacencySqlCtes,
+       |deg AS (SELECT n, count(*) AS dg FROM (
+       |  SELECT src AS n FROM und UNION ALL SELECT dst FROM und) GROUP BY 1),
+       |bi AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |inter AS (
+       |  SELECT u.src, u.dst, count(*) AS inter
+       |  FROM und u
+       |  JOIN bi na ON na.src = u.src
+       |  JOIN bi nb ON nb.src = u.dst AND nb.dst = na.dst
+       |  GROUP BY 1, 2)
+       |SELECT u.src, u.dst, coalesce(i.inter, 0) AS inter,
+       |  coalesce(i.inter, 0) * 1000000 // (da.dg + db.dg - coalesce(i.inter, 0)) AS jacc_ppm
+       |FROM und u
+       |LEFT JOIN inter i ON i.src = u.src AND i.dst = u.dst
+       |JOIN deg da ON da.n = u.src
+       |JOIN deg db ON db.n = u.dst
+       |ORDER BY jacc_ppm DESC, u.src, u.dst""".stripMargin
+
   /** Count-min-sketch heavy hitters, gate-checked: the exact top-20
     * token counts (oracle side) each probed against a corpus-wide CMS
     * (eps 0.001, confidence 0.99, fixed seed). `overestimate_only` is
@@ -1086,10 +1238,12 @@ object TextOps {
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
+    Q("q_bpe_train", qBpeTrain, None),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
     Q("q_bm25", qBm25, Some(qBm25Sql)),
     Q("q_pagerank", qPagerank, Some(qPagerankSql)),
-    Q("q_triangles", qTriangles, Some(qTrianglesSql)))
+    Q("q_triangles", qTriangles, Some(qTrianglesSql)),
+    Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)))
 }

@@ -1015,6 +1015,65 @@ class ExtrasSpec extends SparkSpec {
     assert(rounds <= 12, s"star contraction took $rounds rounds on a 256-path")
   }
 
+  test("BPE training matches hand-computed merges on a planted vocabulary") {
+    import spark.implicits._
+    // The classic worked example: merges + counts are hand-derivable.
+    val planted = Seq(
+      ("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+      .toDF("w", "freq")
+    val got = TextOps.bpeTrainFrom(spark, planted, 8)
+    val expected = Seq(
+      (1L, "u", "g", 20L), (2L, "u", "n", 16L), (3L, "h", "ug", 15L),
+      (4L, "p", "un", 12L), (5L, "hug", "s", 5L), (6L, "p", "ug", 5L),
+      (7L, "b", "un", 4L)) // round 8 finds no pair — early stop
+    assert(got === expected, s"planted merges diverge: $got")
+    // overlap semantics: 'aaaa' has 3 adjacent (a,a) positions; the
+    // greedy non-overlapping pass then tiles it as [aa, aa]
+    val overlap = TextOps.bpeTrainFrom(spark, Seq(("aaaa", 1L)).toDF("w", "freq"), 8)
+    assert(overlap === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
+      s"overlap merges diverge: $overlap")
+  }
+
+  test("BPE training matches an independent in-JVM reference on the real corpus") {
+    // Classic dict-based BPE (mutable pair-count maps + explicit greedy
+    // merge loop) — a different code path end-to-end from the DataFrame
+    // explode/groupBy/HOF-fold implementation.
+    def mergeSyms(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(types: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+      var vocab = types.map { case (w, f) => w.split("").filter(_.nonEmpty).toVector -> f }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var r = 1
+      while (r <= rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) return out.toSeq
+        val ((a, b), c) = counts.minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+        out += ((r.toLong, a, b, c))
+        vocab = vocab.map { case (syms, f) => mergeSyms(syms, a, b) -> f }
+        r += 1
+      }
+      out.toSeq
+    }
+    val types = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextOps.qBpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === refBpe(types, 8), s"real-corpus merges diverge: $got")
+    assert(got.nonEmpty, "no merges learned — test is vacuous")
+  }
+
   test("semantic dedup matches an independent in-JVM union-find recomputation") {
     // End-to-end different algorithm: brute-force nearest-centroid
     // assignment + all-pairs within-cell cosine + min-rooted union-find,
