@@ -440,6 +440,41 @@ object TextOps {
     merges.toDF("rank", "left_sym", "right_sym", "cnt").orderBy("rank")
   }
 
+  /** Apply the [[qBpeTrain]]-learned merges and report per-source
+    * subword FERTILITY (subtokens per word, exact ppm) — the data card
+    * that tells you what a vocabulary actually costs per source before
+    * committing to it. Production shape end-to-end: the merge rules are
+    * learned once ([[bpeTrainFrom]] — vocabulary-table loop, one corpus
+    * scan), each merge is applied to the VOCABULARY's symbol arrays (R
+    * tiny passes over distinct types, never the corpus), and the
+    * resulting word → piece-count map BROADCASTS to the corpus token
+    * stream (plan-guarded) — the 1e12-token stream is scanned once and
+    * never shuffles for the join. Iterative data-dependent merges → no
+    * SQL oracle; ExtrasSpec recomputes the whole pipeline in-JVM
+    * (independent merge/apply code) and checks exact equality. */
+  def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    val types0 = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .cache() // read by the training loop and the apply pass
+    val merges = bpeTrainFrom(s, types0, BpeMerges)
+    var pieces = types0
+      .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("syms"))
+    for ((_, a, b, _) <- merges)
+      pieces = pieces.select(col("w"), mergePass("syms", a, b).as("syms"))
+    val wordPieces = pieces.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .join(broadcast(wordPieces), "w")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subtokens"))
+      .withColumn("fertility_ppm", expr("n_subtokens * 1000000 div n_words"))
+      .orderBy("source")
+  }
+
   /** Distributed BPE-style pair counting — the inner statistic of one
     * byte-pair-encoding tokenizer-training merge round: count adjacent
     * token pairs corpus-wide and keep the most frequent. Shape-identical
@@ -1239,6 +1274,7 @@ object TextOps {
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
     Q("q_bpe_train", qBpeTrain, None),
+    Q("q_bpe_apply", qBpeApply, None),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),

@@ -1074,6 +1074,47 @@ class ExtrasSpec extends SparkSpec {
     assert(got.nonEmpty, "no merges learned — test is vacuous")
   }
 
+  test("BPE apply fertility matches an independent in-JVM train+apply pipeline") {
+    // Recompute the WHOLE pipeline (train merges, tokenize every word,
+    // roll up per source) with plain Scala collections.
+    def mergeSyms(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val tokBySrc = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val types = tokBySrc.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    var vocab = types.map { case (w, f) => w -> (w.split("").filter(_.nonEmpty).toVector, f) }
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((_, (syms, f)) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+        vocab = vocab.map { case (w, (syms, f)) => w -> (mergeSyms(syms, a, b), f) }
+      }
+    }
+    val nSub = vocab.map { case (w, (syms, _)) => w -> syms.length.toLong }
+    val expected = tokBySrc.groupBy(_._1).map { case (src, g) =>
+      val words = g.length.toLong
+      val subs = g.map(t => nSub(t._2)).sum
+      (src, words, subs, subs * 1000000L / words)
+    }.toSet
+    val got = TextOps.qBpeApply(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected, s"fertility diverges: $got")
+    // merges must actually compress: strictly fewer subtokens than chars
+    val chars = tokBySrc.map(_._2.length.toLong).sum
+    assert(got.toSeq.map(_._3).sum < chars, "BPE apply produced no compression — vacuous")
+  }
+
   test("semantic dedup matches an independent in-JVM union-find recomputation") {
     // End-to-end different algorithm: brute-force nearest-centroid
     // assignment + all-pairs within-cell cosine + min-rooted union-find,

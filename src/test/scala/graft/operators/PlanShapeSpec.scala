@@ -480,6 +480,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"vocab cut became a global sort:\n$p")
   }
 
+  test("BPE apply joins the piece-count map by broadcast — corpus stream never shuffles for it") {
+    val p = plan(TextOps.qBpeApply(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"piece map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-stream shuffle join appeared:\n$p")
+  }
+
   test("semantic dedup pairs only within a cell — equi-join on cell, no cartesian") {
     // The SemDeDup scale claim: pairwise work is blocked by the cluster
     // cell, so the candidate join must key on `cell` (hash or sort-merge
