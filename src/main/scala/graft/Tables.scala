@@ -10,11 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned directories instead of single files and the same code holds.
   */
 object Tables {
-  /** Session config required to read the `events` table: its `ts` column is
-    * parquet INT64 TIMESTAMP(NANOS), which Spark rejects natively
-    * ([PARQUET_TYPE_ILLEGAL]). With this flag it reads as LongType
-    * nanoseconds and [[events]] converts to a microsecond timestamp —
-    * the same truncation DuckDB applies when casting TIMESTAMP_NS. */
+  /** Session config required to read OLDER generations of the `events`
+    * table, whose `ts` column was parquet INT64 TIMESTAMP(NANOS) — a type
+    * Spark rejects natively ([PARQUET_TYPE_ILLEGAL]). With this flag that
+    * generation reads as LongType nanoseconds and [[normalizeTs]] converts
+    * to a microsecond timestamp. Current testdata writes TIMESTAMP(MICROS)
+    * directly (the flag is then a no-op), but sessions keep setting it so
+    * either generation of the files loads. */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,22 +29,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** Nanos-long → TimestampType truncated to micros via exact integer
-    * division — THE conversion for the events `ts` column; shared by the
-    * batch loader below and the streaming file source
+  /** Normalize the events `ts` column to session-TZ TimestampType at
+    * microsecond precision, ADAPTIVE to the generation of the parquet —
+    * THE conversion for event time, shared by the batch loader below and
+    * the streaming file source
     * ([[graft.streaming.EventStreams.hourlyFromDirectory]]) so the rule
-    * cannot drift between the two. */
-  def nanosToTs(colName: String): org.apache.spark.sql.Column = {
+    * cannot drift between the two. Generations seen from the driver:
+    *
+    *   - INT64 TIMESTAMP(NANOS): reads as LongType under [[NanosAsLong]];
+    *     converted by exact integer DIV (not `/`: Column./ is DOUBLE
+    *     division, and a double cannot hold epoch nanos ~1.7e18 without
+    *     precision loss) — the same ns→µs truncation DuckDB applies.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+    *     TimestampNTZType; cast to TimestampType is a pure re-tag under
+    *     the UTC session timezone every entry point pins.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer DIV, not `/`: Column./ is DOUBLE division, and a double
-    // cannot hold epoch nanos (~1.7e18) without precision loss
-    expr(s"timestamp_micros($colName DIV 1000L)")
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000L)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
   }
 
-  /** `ts` arrives as raw nanos (see [[NanosAsLong]]); exposed as a proper
-    * TimestampType column (see [[nanosToTs]]). */
+  /** Events with `ts` exposed as a proper TimestampType column (see
+    * [[normalizeTs]] for the per-generation rules). */
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts", nanosToTs("ts"))
+    normalizeTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

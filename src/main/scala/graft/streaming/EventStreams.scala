@@ -234,13 +234,14 @@ object EventStreams {
     * maintain the hourly aggregate — shows the full readStream→writeStream
     * wiring with the events nanosecond-timestamp handling. */
   def hourlyFromDirectory(spark: SparkSession, dir: String): DataFrame = {
+    // streams need a fixed schema up front; peek it from the files already
+    // in the directory (one footer read) so the ts generation — raw nanos
+    // BIGINT vs native TIMESTAMP — is whatever the data actually is
+    val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream
-      .schema(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-          "value DOUBLE, props STRING")
+      .schema(schema)
       .parquet(dir)
-      .withColumn("ts", graft.Tables.nanosToTs("ts")) // shared batch/stream conversion
-    hourlyCounts(raw)
+    hourlyCounts(graft.Tables.normalizeTs(raw)) // shared batch/stream conversion
   }
 
   /** Trending terms via the foreachBatch escape hatch: windowed word

@@ -207,11 +207,16 @@ class EventStreamsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(backlog === batch, "backlog catch-up diverged from the batch aggregate")
-    // new arrivals: the same events shifted +30 days (raw nanos BIGINT),
+    // new arrivals: the same events shifted +30 days (in the file's own ts
+    // representation, so the appended file matches the stream's schema),
     // strictly later than the checkpointed watermark so nothing is "late"
-    val shiftNanos = 30L * 86400L * 1000000000L
-    val shifted = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", col("ts") + lit(shiftNanos))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val shifted = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", col("ts") + lit(30L * 86400L * 1000000000L))
+      case _ =>
+        raw.withColumn("ts", col("ts") + expr("INTERVAL 30 DAY"))
+    }
     shifted.coalesce(1).write.mode("append").parquet(dir.toString)
     // the resumed query's emissions are ONLY the new windows (update mode:
     // backlog windows received no new rows) — equal to the batch aggregate
@@ -219,8 +224,7 @@ class EventStreamsSpec extends SparkSpec {
     val resumed = runToCompletion()
     val expectShifted = {
       import graft.functions.PortableRound.asScaled
-      shifted
-        .withColumn("ts", graft.Tables.nanosToTs("ts"))
+      graft.Tables.normalizeTs(shifted)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), (sum(asScaled(col("value"), 2)) / lit(100.0)).as("sum_value"))
         .select(
