@@ -488,6 +488,165 @@ object Multimodal {
       |  sum(CASE WHEN q = 3 THEN a ELSE 0 END)::BIGINT AS e3
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** 56-bit perceptual difference hash (dHash) of a DECODED raster:
+    * nearest-neighbor downscale to an 8×8 grid with the same integer
+    * source mapping [[qResize]] uses (`src = i*dim/8`), then one bit per
+    * horizontal neighbor comparison (7 per row × 8 rows). 56 bits keep
+    * the value positive in a BIGINT, matching the repo's md5-prefix
+    * digest convention. Structurally identical images (crops/re-encodes
+    * of the same content) agree on almost every bit, which is what makes
+    * Hamming distance over dHash the standard image near-dup key. */
+  def dHash(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var v = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      var i = 0
+      while (i < 7) {
+        val p0 = raster.getSample(i * w / 8, sy, 0)
+        val p1 = raster.getSample((i + 1) * w / 8, sy, 0)
+        if (p1 > p0) v |= 1L << (j * 7 + i)
+        i += 1
+      }
+      j += 1
+    }
+    v
+  }
+
+  /** Perceptual image near-dup: decode each PNG, dHash the raster, then
+    * find all pairs within Hamming ≤ 2 via a 4×14-bit band join — the
+    * Hamming-space LSH that never enumerates all pairs. By pigeonhole,
+    * ≤3 differing bits cannot touch all four bands, so banding is
+    * COMPLETE (not probabilistic) for the ≤2 bar — which is why the
+    * DuckDB oracle can be the brute-force all-pairs join over the
+    * replayed pixel formula and must match row-for-row (the
+    * [[Dedup.qSimhashComplete]] argument, applied to images). At 100 TB
+    * the band join's fanout is bounded by bucket occupancy (~n/2¹⁴ per
+    * band on near-uniform perceptual hashes), and blobs never cross the
+    * shuffle — only (doc_id, dhash) does. */
+  def qImageDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dh = blobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => (id, dHash(PngCodec.decode(bytes))) })
+      .toDF("doc_id", "dhash")
+    val banded = dh.select(
+      col("doc_id"),
+      col("dhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 14) & 16383L AS bkey))"))
+        .as("bb"))
+      .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bkey"))
+    banded.as("x")
+      .join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.dhash").as("ha"),
+        col("y.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val qImageDedupSql =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS w, (doc_id % 32 + 24)::BIGINT AS h
+      |  FROM documents),
+      |dh AS (
+      |  SELECT d.doc_id,
+      |    sum(CASE WHEN ((((i.i + 1) * d.w // 8) * 7 + ((j.j * d.h // 8)) * 13 + d.doc_id * 31) % 256)
+      |               > (((i.i * d.w // 8) * 7 + ((j.j * d.h // 8)) * 13 + d.doc_id * 31) % 256)
+      |             THEN (1::BIGINT << (j.j * 7 + i.i)) ELSE 0 END)::BIGINT AS dhash
+      |  FROM dims d, (SELECT unnest(range(7)) AS i) i, (SELECT unnest(range(8)) AS j) j
+      |  GROUP BY d.doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+      |FROM dh a, dh b
+      |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.dhash, b.dhash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Silence segmentation over real decoded PCM: per-16-sample window
+    * energy (Σ|s−128|), an integer activity threshold, then
+    * gaps-and-islands over the ACTIVE windows (window_idx − row_number
+    * is constant within a contiguous run) to count segments and the
+    * longest run per clip — the media → relational composition a speech
+    * pipeline runs to cut clips at silence boundaries. The decode stage
+    * emits only (doc_id, window_idx, energy); everything after runs on
+    * scalar columns partitioned by doc_id, so at 100 TB the window
+    * functions shuffle integers, never audio bytes. */
+  def qAudioSilence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val win = audioBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (_, samples) = WavCodec.decode(bytes)
+          val nw = (samples.length + 15) / 16
+          (0 until nw).iterator.map { w =>
+            var e = 0L
+            var i = w * 16
+            val end = math.min(i + 16, samples.length)
+            while (i < end) { e += math.abs(samples(i) - 128).toLong; i += 1 }
+            (id, w.toLong, e)
+          }
+        }
+      }
+      .toDF("doc_id", "w", "energy")
+    val active = win.filter(col("energy") > 1024)
+    val grp = active.withColumn(
+      "grp",
+      col("w") - row_number().over(Window.partitionBy("doc_id").orderBy("w")))
+    val runs = grp
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max("run_len").as("max_run"))
+    win
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("energy") > 1024, 1L).otherwise(0L)).as("n_active"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_windows"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
+  private val qAudioSilenceSql =
+    """WITH dims AS (SELECT doc_id, (doc_id % 400 + 100)::BIGINT AS n FROM documents),
+      |win AS (
+      |  SELECT d.doc_id, (i.i // 16) AS w,
+      |         sum(abs((i.i * 11 + d.doc_id * 17) % 256 - 128)) AS energy
+      |  FROM dims d, (SELECT unnest(range(500)) AS i) i
+      |  WHERE i.i < d.n
+      |  GROUP BY d.doc_id, (i.i // 16)),
+      |act AS (
+      |  SELECT doc_id, w, w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      |  FROM win WHERE energy > 1024),
+      |runs0 AS (
+      |  SELECT doc_id, grp, count(*) AS run_len FROM act GROUP BY doc_id, grp),
+      |runs AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_segments, max(run_len)::BIGINT AS max_run
+      |  FROM runs0 GROUP BY doc_id),
+      |tot AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_windows,
+      |         sum(CASE WHEN energy > 1024 THEN 1 ELSE 0 END)::BIGINT AS n_active
+      |  FROM win GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_windows, t.n_active,
+      |       coalesce(r.n_segments, 0)::BIGINT AS n_segments,
+      |       coalesce(r.max_run, 0)::BIGINT AS max_run
+      |FROM tot t LEFT JOIN runs r ON t.doc_id = r.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
     Q("q_video_meta", qVideoMeta, Some(qVideoMetaSql)),
@@ -495,5 +654,7 @@ object Multimodal {
     Q("q_media_features", qFeatureExtract, Some(qFeatureExtractSql)),
     Q("q_media_resize", qResize, Some(qResizeSql)),
     Q("q_audio_meta", qAudioMeta, Some(qAudioMetaSql)),
-    Q("q_audio_features", qAudioFeatures, Some(qAudioFeaturesSql)))
+    Q("q_audio_features", qAudioFeatures, Some(qAudioFeaturesSql)),
+    Q("q_image_dedup", qImageDedup, Some(qImageDedupSql)),
+    Q("q_audio_silence", qAudioSilence, Some(qAudioSilenceSql)))
 }

@@ -248,7 +248,7 @@ class ExtrasSpec extends SparkSpec {
     // q_window_range orders by unix_micros with an integer 3.6e9 bound for
     // oracle portability; the INTERVAL 1 HOUR spelling over the timestamp
     // column must define the same frame (micros truncation is shared by
-    // construction, Tables.nanosToTs).
+    // construction, Tables.normalizeTs).
     val integer = Relational.qWindowRange(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     val interval = Relational.qWindowRangeInterval(spark, sfDir).collect()
@@ -1162,5 +1162,66 @@ class ExtrasSpec extends SparkSpec {
       s"semantic dedup diverges: ${gotQ.size} kept vs expected ${expected.size}")
     // non-vacuous: the corpus must actually contain semantic duplicates
     assert(expected.size < n, "no within-cell duplicate pairs — test is vacuous")
+  }
+
+  test("image dHash banding finds EXACTLY the brute-force Hamming<=2 pairs (formula-direct)") {
+    // In-JVM ground truth computed straight from the pixel FORMULA —
+    // never touching the codec — so a decode bug and a banding bug
+    // cannot cancel out.
+    def dhashOf(id: Long): Long = {
+      val w = (id % 48 + 32).toInt; val h = (id % 32 + 24).toInt
+      var v = 0L
+      for (j <- 0 until 8; i <- 0 until 7) {
+        val sy = j * h / 8
+        val p0 = ((i * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        val p1 = (((i + 1) * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        if (p1 > p0) v |= 1L << (j * 7 + i)
+      }
+      v
+    }
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val hs = ids.map(id => id -> dhashOf(id)).toMap
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if hd <= 2
+    } yield (a, b, hd.toLong)).toSet
+    val got = Multimodal.qImageDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"banded image dedup diverges from brute force: ${got.size} vs ${expected.size} pairs")
+    assert(expected.nonEmpty, "no near-dup image pairs in corpus — test is vacuous")
+  }
+
+  test("audio silence runs match a sequential in-JVM segmenter over the formula") {
+    // Independent algorithm: a single sequential pass with a run-state
+    // machine, vs the query's gaps-and-islands window trick.
+    def rowsOf(id: Long): (Long, Long, Long, Long) = {
+      val n = (id % 400 + 100).toInt
+      val nw = (n + 15) / 16
+      val energies = (0 until nw).map { w =>
+        (w * 16 until math.min(w * 16 + 16, n))
+          .map(i => math.abs((i * 11L + id * 17L) % 256L - 128L)).sum
+      }
+      var nSeg = 0L; var maxRun = 0L; var cur = 0L
+      energies.foreach { e =>
+        if (e > 1024) { if (cur == 0) nSeg += 1; cur += 1; maxRun = math.max(maxRun, cur) }
+        else cur = 0
+      }
+      (nw.toLong, energies.count(_ > 1024).toLong, nSeg, maxRun)
+    }
+    val got = Multimodal.qAudioSilence(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (nw, na, ns, mr) = rowsOf(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((nw, na, ns, mr)),
+        s"doc $id silence segmentation diverges")
+    }
+    // non-vacuous: both active and inactive windows must occur somewhere
+    assert(got.exists(_.getLong(2) > 0) && got.exists(r => r.getLong(2) < r.getLong(1)),
+      "corpus has no energy variation — threshold test is vacuous")
   }
 }
