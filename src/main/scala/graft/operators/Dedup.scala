@@ -1573,6 +1573,41 @@ object Dedup {
        |WHERE vec_id NOT IN (SELECT id FROM drops)
        |ORDER BY vec_id""".stripMargin
 
+  /** Cross-source duplication matrix: near-dup pair counts by unordered
+    * source pair — the data-card view that tells a corpus owner WHICH
+    * ingest feeds duplicate each other (within-source duplication on the
+    * diagonal, cross-feed mirroring off it). Rides THE shared
+    * [[nearDupEdges]] definition, then joins the two endpoints' sources
+    * (a doc_id-keyed projection of documents — at 100 TB the edge set is
+    * orders of magnitude smaller than the corpus, so the two label joins
+    * are edge-sized) and canonicalizes the pair with least/greatest so
+    * (web, wiki) and (wiki, web) land in one cell. */
+  def qCrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    nearDupEdges(s, d)
+      .join(src.toDF("da", "src_a"), "da")
+      .join(src.toDF("db", "src_b"), "db")
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val qCrossSourceDupsSql =
+    s"""WITH ${shinglePairsSqlCtes(1)},
+       |edges AS (
+       |  SELECT da, db FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |lab AS (
+       |  SELECT least(a.source, b.source) AS source_a,
+       |         greatest(a.source, b.source) AS source_b
+       |  FROM edges e JOIN documents a ON e.da = a.doc_id
+       |               JOIN documents b ON e.db = b.doc_id)
+       |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
@@ -1596,5 +1631,6 @@ object Dedup {
     Q("q_snippet_containment", qSnippetContainment, Some(qSnippetContainmentSql)),
     Q("q_decontam_frac", qDecontamFrac, Some(qDecontamFracSql)),
     Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)),
-    Q("q_pipeline_audit", qPipelineAudit, Some(qPipelineAuditSql)))
+    Q("q_pipeline_audit", qPipelineAudit, Some(qPipelineAuditSql)),
+    Q("q_cross_source_dups", qCrossSourceDups, Some(qCrossSourceDupsSql)))
 }

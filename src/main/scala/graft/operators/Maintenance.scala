@@ -243,7 +243,74 @@ object Maintenance {
        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** MERGE INTO-style upsert (SCD type 1): apply a delta batch to the
+    * customer dimension — matched keys take the delta's values, unmatched
+    * delta keys insert, untouched target rows carry over — expressed as
+    * ONE full-outer join on the merge key with coalesce(delta, target)
+    * per column, which is exactly the shuffle MERGE compiles to in
+    * lakehouse engines. The deterministic delta derives from the
+    * dimension itself: keys ≡0 (mod 7) get a 100.00 balance credit
+    * (update arm), keys ≡0 (mod 11) re-land under key+10⁷ in the MERGED
+    * segment (insert arm). At 100 TB the join is one shuffle keyed on
+    * the merge key (or exchange-free on a target bucketed by it), cost
+    * ∝ target ∪ delta — never a second pass; the `op` column is the
+    * merge provenance a writer would use to split copy-unchanged from
+    * rewrite. Money rides exact cents (asScaled) end to end. The oracle
+    * is the independent algebraic form: delta rows plus target rows
+    * anti-joined against the update keys. */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.asScaled
+    val target = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"),
+      asScaled(col("c_acctbal"), 2).as("bal_cents"), col("c_mktsegment"))
+    val updates = target
+      .filter(col("c_custkey") % 7 === 0)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        (col("bal_cents") + 10000L).as("bal_cents"), col("c_mktsegment"))
+    val inserts = target
+      .filter(col("c_custkey") % 11 === 0)
+      .select(
+        (col("c_custkey") + 10000000L).as("c_custkey"), col("c_nationkey"),
+        col("bal_cents"), lit("MERGED").as("c_mktsegment"))
+    val delta = updates.unionByName(inserts)
+    target.as("t")
+      .join(delta.as("u"), Seq("c_custkey"), "full_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("u.c_nationkey"), col("t.c_nationkey")).as("c_nationkey"),
+        coalesce(col("u.bal_cents"), col("t.bal_cents")).as("bal_cents"),
+        coalesce(col("u.c_mktsegment"), col("t.c_mktsegment")).as("c_mktsegment"),
+        when(col("t.c_custkey").isNull, "insert")
+          .when(col("u.c_custkey").isNull, "keep")
+          .otherwise("update").as("op"))
+      .orderBy("c_custkey")
+  }
+
+  private val qMergeUpsertSql = {
+    import graft.functions.PortableRound.{asScaledSql => cents}
+    s"""WITH target AS (
+       |  SELECT c_custkey, c_nationkey, ${cents("c_acctbal", 2)} AS bal_cents, c_mktsegment
+       |  FROM customer),
+       |updates AS (
+       |  SELECT c_custkey, c_nationkey, bal_cents + 10000 AS bal_cents, c_mktsegment
+       |  FROM target WHERE c_custkey % 7 = 0),
+       |inserts AS (
+       |  SELECT c_custkey + 10000000 AS c_custkey, c_nationkey, bal_cents,
+       |         'MERGED' AS c_mktsegment
+       |  FROM target WHERE c_custkey % 11 = 0)
+       |SELECT c_custkey, c_nationkey, bal_cents::BIGINT AS bal_cents, c_mktsegment,
+       |       'update' AS op FROM updates
+       |UNION ALL
+       |SELECT c_custkey, c_nationkey, bal_cents::BIGINT, c_mktsegment, 'insert' FROM inserts
+       |UNION ALL
+       |SELECT t.c_custkey, t.c_nationkey, t.bal_cents::BIGINT, t.c_mktsegment, 'keep'
+       |FROM target t WHERE t.c_custkey % 7 <> 0
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),
     Q("q_compacted", qCompacted, Some(qCompactedSql)),
     Q("q_zorder_cluster", qZorderCluster, Some(qZorderClusterSql)),

@@ -1257,6 +1257,125 @@ object TextOps {
        |WHERE n > 0
        |GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
 
+  /** The standing phrase queries (a deterministic stand-in for a user's
+    * search load): one common 2-gram and one selective 3-gram. */
+  private val Phrases = Seq(Seq("table", "scan"), Seq("data", "table", "scan"))
+
+  /** Exact phrase search over a POSITIONAL inverted index. One scan
+    * derives postings (doc_id, pos, term) for ONLY the phrase terms —
+    * the probe shape of a stored positional index at 100 TB, where just
+    * the query terms' posting lists are ever read — then each phrase
+    * resolves by equi-joining its terms' postings under the offset
+    * arithmetic pos_k = pos_0 − k, so a k-term phrase is k−1 hash joins
+    * keyed on (doc_id, pos) and candidates are bounded by the rarest
+    * term's posting list (at web scale you'd reorder the fold
+    * rarest-first; with two standing phrases the win is negligible).
+    * No document text is rescanned after the postings projection.
+    * Positions are 1-based to match the SQL twin's list indexing. */
+  def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val terms = Phrases.flatten.distinct
+    val postings = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.NativeExprs.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .cache()
+    val perPhrase = Phrases.map { ph =>
+      val p0 = postings.filter(col("term") === ph.head).select("doc_id", "pos")
+      val hits = ph.zipWithIndex.drop(1).foldLeft(p0) { case (acc, (t, k)) =>
+        acc.join(
+          postings.filter(col("term") === t).select(col("doc_id"), (col("pos") - k).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      hits
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_matches"),
+          (min("pos") + 1).cast("long").as("first_pos"))
+        .select(
+          lit(ph.mkString(" ")).as("phrase"), col("doc_id"),
+          col("n_matches"), col("first_pos"))
+    }
+    perPhrase.reduce(_ unionByName _).orderBy("phrase", "doc_id")
+  }
+
+  private val qPhraseSearchSql = {
+    def arm(ph: Seq[String]): String = {
+      val n = ph.length
+      val conds = ph.zipWithIndex
+        .map { case (w, k) => if (k == 0) s"t[i] = '$w'" else s"t[i+$k] = '$w'" }
+        .mkString(" AND ")
+      // i + n - 1 <= len(t)  ⇒  i < len(t) - n + 2 (range is end-exclusive)
+      s"""SELECT '${ph.mkString(" ")}' AS phrase, doc_id,
+         |    list_filter(range(1, len(t) - ${n - 2}), i -> $conds) AS hits FROM tk""".stripMargin
+    }
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |m AS (
+       |${Phrases.map(arm).mkString("\n  UNION ALL\n")})
+       |SELECT phrase, doc_id, len(hits)::BIGINT AS n_matches, hits[1]::BIGINT AS first_pos
+       |FROM m WHERE len(hits) > 0
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
+  private val PmiMinCount = 10
+
+  /** Collocation mining by pointwise mutual information: adjacent-token
+    * bigrams scored by the exact integer ratio 10⁶·N·c(ab) div
+    * (c(a)·c(b)) — a monotone transform of PMI (the log of the same
+    * ratio), so the top-k ORDER is the PMI order with no float on the
+    * hash surface. The product rides DECIMAL(38)/HUGEINT: at corpus
+    * scale 10⁶·N·c(ab) overflows BIGINT long before the ratio does
+    * (N ~ 10¹³ tokens at 100 TB), and a silent wrap would reorder the
+    * ranking rather than error. Plan shape: one token scan feeds both
+    * the unigram and bigram counts; the score join is vocab-sized on
+    * one side and bigram-vocab-sized on the other; the 1-row total
+    * broadcast-crosses; top-30 is TakeOrderedAndProject. */
+  def qPmiPairs(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(graft.functions.NativeExprs.tokens(col("text")).as("t"))
+      .cache()
+    val uni = tk
+      .select(explode(col("t")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c_w"))
+    val tot = tk.select(explode(col("t")).as("w")).agg(count(lit(1)).as("n_tokens"))
+    val bg = tk
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinCount)
+    bg
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_a"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_b"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "pmi_micro",
+        expr("cast(1000000 as decimal(38,0)) * n_tokens * c_ab div (c_a * c_b)"))
+      .select("w1", "w2", "c_ab", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val qPmiPairsSql =
+    s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
+       |un AS (SELECT unnest(t) AS w FROM tk),
+       |uc AS (SELECT w, count(*) AS c_w FROM un GROUP BY w),
+       |tot AS (SELECT count(*) AS n_tokens FROM un),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS p
+       |  FROM tk WHERE len(t) >= 2),
+       |bgc AS (
+       |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab
+       |  FROM bg GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
+       |SELECT b.w1, b.w2, b.c_ab::BIGINT AS c_ab,
+       |  (1000000::HUGEINT * t2.n_tokens * b.c_ab // (ua.c_w * ub.c_w))::BIGINT AS pmi_micro
+       |FROM bgc b JOIN uc ua ON ua.w = b.w1 JOIN uc ub ON ub.w = b.w2, tot t2
+       |ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
@@ -1281,5 +1400,7 @@ object TextOps {
     Q("q_bm25", qBm25, Some(qBm25Sql)),
     Q("q_pagerank", qPagerank, Some(qPagerankSql)),
     Q("q_triangles", qTriangles, Some(qTrianglesSql)),
-    Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)))
+    Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
+    Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
+    Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)))
 }

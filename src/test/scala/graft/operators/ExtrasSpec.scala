@@ -1224,4 +1224,70 @@ class ExtrasSpec extends SparkSpec {
     assert(got.exists(_.getLong(2) > 0) && got.exists(r => r.getLong(2) < r.getLong(1)),
       "corpus has no energy variation — threshold test is vacuous")
   }
+
+  test("phrase search equals a sequential sliding-window scan of the raw text") {
+    // Independent algorithm: no postings, no joins — just each document's
+    // token sequence scanned left to right.
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val phrases = Seq(Seq("table", "scan"), Seq("data", "table", "scan"))
+    val expected = (for {
+      ph <- phrases
+      (id, text) <- docs
+      ws = text.toLowerCase.split("[\\t\\n\\u000B\\f\\r ]+").filter(_.nonEmpty)
+      hits = (0 to ws.length - ph.length).filter(i => ph.indices.forall(k => ws(i + k) == ph(k)))
+      if hits.nonEmpty
+    } yield (ph.mkString(" "), id, hits.size.toLong, hits.head.toLong + 1)).toSet
+    val got = TextOps.qPhraseSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "no phrase matches in corpus — test is vacuous")
+  }
+
+  test("PMI top-30 equals an exact BigInt recomputation, order included") {
+    val docs = graft.Tables.documents(spark, sfDir).select("text").collect().map(_.getString(0))
+    val tokd = docs.map(_.toLowerCase.split("[\\t\\n\\u000B\\f\\r ]+").filter(_.nonEmpty).toSeq)
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    tokd.foreach { ws =>
+      ws.foreach(w => uni(w) += 1)
+      ws.sliding(2).filter(_.size == 2).foreach(p => bg((p(0), p(1))) += 1)
+    }
+    val n = BigInt(uni.values.sum)
+    val expected = bg.toSeq
+      .filter(_._2 >= 10)
+      .map { case ((a, b), cab) =>
+        (a, b, cab, (BigInt(1000000) * n * cab / (BigInt(uni(a)) * uni(b))).toLong)
+      }
+      .sortBy { case (a, b, _, pmi) => (-pmi, a, b) }
+      .take(30)
+    val got = TextOps.qPmiPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    assert(expected.size === 30, "fewer than 30 qualifying bigrams — min-count bar too high")
+  }
+
+  test("merge upsert partitions every key into exactly one op with the right counts") {
+    val rows = Maintenance.qMergeUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    assert(rows.map(_._1).distinct.length === rows.length, "merge emitted a duplicate key")
+    val base = graft.Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0))
+    val byOp = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(byOp("update") === base.count(_ % 7 == 0).toLong)
+    assert(byOp("insert") === base.count(_ % 11 == 0).toLong)
+    assert(byOp("keep") === base.count(_ % 7 != 0).toLong)
+    // inserts land under fresh keys only
+    val keys = rows.map(_._1).toSet
+    assert(base.forall(keys.contains), "merge dropped a target key")
+  }
+
+  test("cross-source dup matrix is canonicalized and accounts for every near-dup edge") {
+    val rows = Dedup.qCrossSourceDups(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no near-dup pairs — matrix test is vacuous")
+    rows.foreach { case (a, b, _) => assert(a <= b, s"uncanonicalized cell ($a, $b)") }
+    assert(rows.map(_._3).sum === Dedup.nearDupEdges(spark, sfDir).count(),
+      "matrix cells do not sum to the near-dup edge count")
+  }
 }
