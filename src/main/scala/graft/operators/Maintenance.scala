@@ -309,8 +309,122 @@ object Maintenance {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  /** The SCD-2 change log: three deterministic delta batches over the
+    * customer dimension (keys ≡0 mod 7/5/3 get balance credits of
+    * 100/200/300 in batches 1/2/3), preceded by the batch-0 initial
+    * load. One definition for the Spark build and (inlined arithmetic)
+    * the SQL twin. */
+  private val Scd2Deltas = Seq((1, 7, 10000L), (2, 5, 20000L), (3, 3, 30000L))
+
+  /** SCD type-2 history build: turn the change log into versioned rows
+    * with [valid_from, valid_to) batch intervals and an is_current flag
+    * — the warehouse-dimension shape MERGE-with-history produces. The
+    * cumulative balance is a running sum over each key's changes
+    * (windowed by batch order), valid_to is the NEXT change's batch
+    * (lead), and the whole build is two window functions over one
+    * shuffle keyed on the dimension key — at 100 TB the change log is
+    * the union of stored batch files and the same plan holds. All
+    * compared columns are exact integers/booleans. */
+  def qScd2History(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.asScaled
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), asScaled(col("c_acctbal"), 2).as("delta_cents"))
+      .withColumn("batch_id", lit(0L))
+    val changes = Scd2Deltas.map { case (b, m, add) =>
+      base
+        .filter(col("c_custkey") % m === 0)
+        .select(col("c_custkey"), lit(add).as("delta_cents"), lit(b.toLong).as("batch_id"))
+    }
+    val log = changes.foldLeft(base)(_ unionByName _)
+    val w = Window.partitionBy("c_custkey").orderBy("batch_id")
+    log
+      .withColumn("bal_cents", sum("delta_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("batch_id", 1).over(w))
+      .select(
+        col("c_custkey"), col("version"),
+        col("batch_id").as("valid_from"),
+        coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
+        col("bal_cents"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("c_custkey", "version")
+  }
+
+  private val qScd2HistorySql = {
+    import graft.functions.PortableRound.{asScaledSql => cents}
+    val arms = Scd2Deltas
+      .map { case (b, m, add) =>
+        s"SELECT c_custkey, $add AS delta_cents, $b AS batch_id FROM customer WHERE c_custkey % $m = 0"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH log AS (
+       |  SELECT c_custkey, ${cents("c_acctbal", 2)} AS delta_cents, 0 AS batch_id FROM customer
+       |  UNION ALL $arms),
+       |hist AS (
+       |  SELECT c_custkey,
+       |    sum(delta_cents) OVER w AS bal_cents,
+       |    row_number() OVER w AS version,
+       |    batch_id AS valid_from,
+       |    lead(batch_id) OVER w AS valid_to
+       |  FROM log
+       |  WINDOW w AS (PARTITION BY c_custkey ORDER BY batch_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT c_custkey, version::BIGINT AS version, valid_from::BIGINT AS valid_from,
+       |  coalesce(valid_to, ${Long.MaxValue})::BIGINT AS valid_to,
+       |  bal_cents::BIGINT AS bal_cents, valid_to IS NULL AS is_current
+       |FROM hist ORDER BY c_custkey, version""".stripMargin
+  }
+
+  /** Referential-integrity audit over the star schema: for each child →
+    * parent foreign key, the child row count, the distinct key count,
+    * and the orphan count (child keys with no parent — LEFT ANTI join).
+    * Each relation costs one shuffle on its key and reduces to a single
+    * row, so the audit of a 100 TB fact table is one pass per FK with
+    * constant output — the nightly conformance job that catches a bad
+    * ingest before queries silently drop rows at join time. */
+  def qFkAudit(s: SparkSession, d: String): DataFrame = {
+    def arm(rel: String, child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("k"))
+      val counts = c.agg(
+        count(lit(1)).as("n_child"),
+        countDistinct(col("k")).as("n_distinct_keys"))
+      val orphans = c
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      counts.crossJoin(orphans).select(
+        lit(rel).as("relation"), col("n_child"), col("n_distinct_keys"), col("n_orphans"))
+    }
+    Seq(
+      arm("customer->nation", Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      arm("lineitem->orders", Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      arm("lineitem->part", Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
+      arm("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      arm("orders->customer", Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
+  private val qFkAuditSql = {
+    def arm(rel: String, child: String, fk: String, parent: String, pk: String): String =
+      s"""SELECT '$rel' AS relation, count(*)::BIGINT AS n_child,
+         |  count(DISTINCT $fk)::BIGINT AS n_distinct_keys,
+         |  count(CASE WHEN $fk NOT IN (SELECT $pk FROM $parent) THEN 1 END)::BIGINT AS n_orphans
+         |FROM $child""".stripMargin
+    Seq(
+      arm("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      arm("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      arm("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      arm("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    Q("q_scd2_history", qScd2History, Some(qScd2HistorySql)),
+    Q("q_fk_audit", qFkAudit, Some(qFkAuditSql)),
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),
     Q("q_compacted", qCompacted, Some(qCompactedSql)),
     Q("q_zorder_cluster", qZorderCluster, Some(qZorderClusterSql)),

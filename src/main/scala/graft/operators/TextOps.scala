@@ -1261,23 +1261,36 @@ object TextOps {
     * search load): one common 2-gram and one selective 3-gram. */
   private val Phrases = Seq(Seq("table", "scan"), Seq("data", "table", "scan"))
 
-  /** Exact phrase search over a POSITIONAL inverted index. One scan
-    * derives postings (doc_id, pos, term) for ONLY the phrase terms —
-    * the probe shape of a stored positional index at 100 TB, where just
-    * the query terms' posting lists are ever read — then each phrase
-    * resolves by equi-joining its terms' postings under the offset
-    * arithmetic pos_k = pos_0 − k, so a k-term phrase is k−1 hash joins
-    * keyed on (doc_id, pos) and candidates are bounded by the rarest
-    * term's posting list (at web scale you'd reorder the fold
-    * rarest-first; with two standing phrases the win is negligible).
-    * No document text is rescanned after the postings projection.
-    * Positions are 1-based to match the SQL twin's list indexing. */
+  /** Build-once PERSISTED positional inverted index: (doc_id, pos, term)
+    * for every token occurrence, stored bucketed+sorted by term — the
+    * nightly index-build half of a search deployment. Term-bucketing is
+    * the layout that survives an open vocabulary (a directory per term
+    * would not); an equality/IN probe on the bucket column lets Spark
+    * prune to the matching buckets. */
+  private[operators] def ensurePostings(s: SparkSession, d: String): String = {
+    val t = graft.sources.Warehouse.tableName("graft_postings", d)
+    graft.sources.Warehouse.ensure(s, t, "term") {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          posexplode(graft.functions.NativeExprs.tokens(col("text"))).as(Seq("pos", "term")))
+    }
+    t
+  }
+
+  /** Exact phrase search probing the STORED positional index
+    * ([[ensurePostings]]): only the phrase terms' posting lists are read
+    * — the corpus text is never rescanned at query time (plan-guarded:
+    * no documents.parquet scan) — then each phrase resolves by
+    * equi-joining its terms' postings under the offset arithmetic
+    * pos_k = pos_0 − k, so a k-term phrase is k−1 hash joins keyed on
+    * (doc_id, pos) and candidates are bounded by the rarest term's
+    * posting list (at web scale you'd reorder the fold rarest-first;
+    * with two standing phrases the win is negligible). Positions are
+    * 1-based to match the SQL twin's list indexing. */
   def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
     val terms = Phrases.flatten.distinct
-    val postings = Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        posexplode(graft.functions.NativeExprs.tokens(col("text"))).as(Seq("pos", "term")))
+    val postings = s.table(ensurePostings(s, d))
       .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
       .cache()
     val perPhrase = Phrases.map { ph =>

@@ -1282,6 +1282,38 @@ class ExtrasSpec extends SparkSpec {
     assert(base.forall(keys.contains), "merge dropped a target key")
   }
 
+  test("SCD-2 history chains intervals correctly and sums credits into the current row") {
+    val rows = Maintenance.qScd2History(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    rows.foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..n, intervals chain, exactly one current row (the last)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, s"key $key: interval gap between v${a._2} and v${b._2}")
+        case _           =>
+      }
+      assert(sorted.count(_._6) === 1 && sorted.last._6, s"key $key: current-row flag wrong")
+      assert(sorted.last._4 === Long.MaxValue)
+      // the current balance carries every applicable credit
+      val credits = Seq((7, 10000L), (5, 20000L), (3, 30000L))
+        .collect { case (m, add) if key % m == 0 => add }.sum
+      assert(sorted.last._5 - sorted.head._5 === credits, s"key $key: credits not accumulated")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("FK audit: star schema is referentially intact and counts are coherent") {
+    val rows = Maintenance.qFkAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 5)
+    rows.foreach { case (rel, nChild, nDistinct, nOrphans) =>
+      assert(nOrphans === 0L, s"$rel has orphans")
+      assert(nDistinct <= nChild && nDistinct > 0, s"$rel count coherence")
+    }
+  }
+
   test("cross-source dup matrix is canonicalized and accounts for every near-dup edge") {
     val rows = Dedup.qCrossSourceDups(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

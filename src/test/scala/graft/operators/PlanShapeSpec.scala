@@ -169,6 +169,14 @@ class PlanShapeSpec extends SparkSpec {
       s"hybrid search re-derived the keyword table from documents:\n$p")
   }
 
+  test("phrase search probes the stored positional index and never rescans the text") {
+    val df = TextOps.qPhraseSearch(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_postings"), s"stored positional index not in plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"phrase search re-derived postings from documents at query time:\n$p")
+  }
+
   test("bm25 top-20 plans as TakeOrderedAndProject over broadcast-joined stats") {
     val p = plan(TextOps.qBm25(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"bm25 top-20 became a global sort:\n$p")
