@@ -515,6 +515,15 @@ object Multimodal {
     v
   }
 
+  /** The 4×14-bit Hamming-LSH banding of a 56-bit dHash — ONE definition
+    * shared by the batch near-dup sweep ([[qImageDedup]]) and the
+    * streaming admission gate
+    * ([[graft.streaming.StreamingDedup.dhashAgainstCorpus]]), so the two
+    * paths cannot drift on band layout. Expects a `dhash` column in
+    * scope; yields struct rows (band, bkey). */
+  private[graft] val DHashBandsExpr =
+    "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 14) & 16383L AS bkey))"
+
   /** Perceptual image near-dup: decode each PNG, dHash the raster, then
     * find all pairs within Hamming ≤ 2 via a 4×14-bit band join — the
     * Hamming-space LSH that never enumerates all pairs. By pigeonhole,
@@ -535,9 +544,7 @@ object Multimodal {
     val banded = dh.select(
       col("doc_id"),
       col("dhash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(dhash, b * 14) & 16383L AS bkey))"))
-        .as("bb"))
+      explode(expr(DHashBandsExpr)).as("bb"))
       .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bkey"))
     banded.as("x")
       .join(banded.as("y"), Seq("band", "bkey"))

@@ -1330,6 +1330,50 @@ object TextOps {
        |ORDER BY phrase, doc_id""".stripMargin
   }
 
+  /** Zipf coverage curve: the top-50 terms by corpus frequency with each
+    * rank's CUMULATIVE token coverage in exact ppm — the data card that
+    * answers "how many vocabulary entries cover X% of the corpus"
+    * (tokenizer sizing, stopword-list audits). Scale shape: the full
+    * vocabulary reduces map-side to (term, count), the top-50 head is a
+    * TakeOrderedAndProject (never a global sort), and ONLY those ≤50
+    * rows enter the single-partition running-sum window — the
+    * all-of-vocab cumsum a naive global window would do never happens.
+    * The corpus total rides a broadcast 1-row cross join. */
+  def qZipfCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val top = counts.orderBy(col("cnt").desc, col("w")).limit(50)
+    val tot = counts.agg(sum("cnt").as("n_tokens"))
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .withColumn("cum_tokens", sum("cnt").over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("rank"), col("w"), col("cnt"), col("cum_tokens"),
+        expr("cum_tokens * 1000000L div n_tokens").as("cov_ppm"))
+      .orderBy("rank")
+  }
+
+  private val qZipfCoverageSql =
+    s"""WITH un AS (SELECT unnest($tokensSql) AS w FROM documents),
+       |uc AS (SELECT w, count(*) AS cnt FROM un GROUP BY w),
+       |top AS (SELECT w, cnt FROM uc ORDER BY cnt DESC, w LIMIT 50),
+       |tot AS (SELECT count(*) AS n_tokens FROM un)
+       |SELECT row_number() OVER o AS rank, w, cnt::BIGINT AS cnt,
+       |  (sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |    AS cum_tokens,
+       |  ((sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |    * 1000000 // n_tokens)::BIGINT AS cov_ppm
+       |FROM top, tot
+       |WINDOW o AS (ORDER BY cnt DESC, w)
+       |ORDER BY rank""".stripMargin
+
   private val PmiMinCount = 10
 
   /** Collocation mining by pointwise mutual information: adjacent-token
@@ -1415,5 +1459,6 @@ object TextOps {
     Q("q_triangles", qTriangles, Some(qTrianglesSql)),
     Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
-    Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)))
+    Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
+    Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)))
 }

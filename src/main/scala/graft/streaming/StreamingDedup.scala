@@ -121,4 +121,68 @@ object StreamingDedup {
       .filter(col("score_votes") > 0)
       .drop(tmp)
   }
+
+  /** Streaming perceptual-image admission: flag arriving image blobs
+    * within Hamming ≤ `maxHamming` of ANY corpus image — the multimodal
+    * ingest gate ("have we already got this picture?"), composing the
+    * batch dHash machinery ([[graft.operators.Multimodal.qImageDedup]])
+    * with the same stream-static join shape as
+    * [[minhashAgainstCorpus]]:
+    *
+    *   - corpus side (static, cached once): decode → dHash → 4×14-bit
+    *     band rows (THE shared [[graft.operators.Multimodal.DHashBandsExpr]]
+    *     banding), plus the id→dhash table for verification. Blobs are
+    *     read once at index build; only 16-byte hash rows live in the
+    *     cache.
+    *   - stream side: per micro-batch decode → dHash in one
+    *     mapPartitions (constant memory), band explode as a pure
+    *     projection — stream blobs never cross a shuffle and never
+    *     enter state.
+    *   - stream-static join on (band, bkey), pair-dedup FIRST
+    *     (dropDuplicatesWithinWatermark, watermark-bounded state), then
+    *     ONE exact bit_count verify per pair. Banding is
+    *     pigeonhole-complete for maxHamming ≤ 3, so the gate's recall
+    *     vs a brute-force corpus sweep is exactly 1 by construction.
+    *
+    * @param newImages streaming (img_id, ts, blob)
+    * @param corpusBlobs static (doc_id, blob) — e.g. the stored media table
+    */
+  def dhashAgainstCorpus(
+      newImages: DataFrame,
+      corpusBlobs: DataFrame,
+      maxHamming: Int = 2,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.Multimodal
+    val s = newImages.sparkSession
+    import s.implicits._
+    val corpusHashes = corpusBlobs
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, b) =>
+        (id, Multimodal.dHash(Multimodal.PngCodec.decode(b)))
+      })
+      .toDF("corpus_id", "dhash")
+      .cache()
+    val corpusBands = corpusHashes
+      .select(
+        col("corpus_id"), col("dhash").as("corpus_dhash"),
+        explode(expr(Multimodal.DHashBandsExpr)).as("bb"))
+      .select(col("corpus_id"), col("corpus_dhash"), col("bb.band"), col("bb.bkey"))
+      .cache()
+    val streamBands = newImages
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, ts, b) =>
+        (id, ts, Multimodal.dHash(Multimodal.PngCodec.decode(b)))
+      })
+      .toDF("img_id", "ts", "dhash")
+      .select(col("img_id"), col("ts"), col("dhash"), explode(expr(Multimodal.DHashBandsExpr)).as("bb"))
+      .select(col("img_id"), col("ts"), col("dhash"), col("bb.band"), col("bb.bkey"))
+    streamBands
+      .join(corpusBands, Seq("band", "bkey")) // stream-static join
+      .select(col("img_id"), col("ts"), col("dhash"), col("corpus_id"), col("corpus_dhash"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("img_id", "corpus_id") // before scoring
+      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("corpus_dhash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("img_id", "ts", "corpus_id", "hamming")
+  }
 }

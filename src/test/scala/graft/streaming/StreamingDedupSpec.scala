@@ -52,4 +52,51 @@ class StreamingDedupSpec extends SparkSpec {
       assert(all.toSet.contains((3L, 100L)), "second near-dup doc not flagged")
     } finally query.stop()
   }
+
+  test("streamed image replica is admitted-as-dup against the corpus; distant image passes") {
+    import graft.operators.Multimodal
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    val corpusIds = (0L until 50L).toSeq
+    val corpus = corpusIds.map(id => (id, Multimodal.PngCodec.encode(id))).toDF("doc_id", "blob")
+
+    // formula-direct corpus dhashes (no codec) to PLANT a distant image:
+    // an id whose hash is > 2 bits from every corpus hash
+    def dhashOf(id: Long): Long = {
+      val w = (id % 48 + 32).toInt; val h = (id % 32 + 24).toInt
+      var v = 0L
+      for (j <- 0 until 8; i <- 0 until 7) {
+        val sy = j * h / 8
+        val p0 = ((i * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        val p1 = (((i + 1) * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        if (p1 > p0) v |= 1L << (j * 7 + i)
+      }
+      v
+    }
+    val corpusHashes = corpusIds.map(dhashOf)
+    val farId = (1000L until 3000L)
+      .find(id => corpusHashes.forall(h => java.lang.Long.bitCount(h ^ dhashOf(id)) > 2))
+      .getOrElse(fail("no distant image id found — fixture assumption broke"))
+
+    val source = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val stream = source.toDF().toDF("img_id", "ts", "blob")
+    val query = StreamingDedup.dhashAgainstCorpus(stream, corpus).writeStream
+      .format("memory")
+      .queryName("sdhash_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      source.addData(
+        (500L, t2(0), Multimodal.PngCodec.encode(7L)), // byte-replica of corpus image 7
+        (501L, t2(1), Multimodal.PngCodec.encode(farId))) // > 2 bits from every corpus hash
+      query.processAllAvailable()
+      val rows = spark.table("sdhash_test").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(rows.contains((500L, 7L, 0L)),
+        s"replica of corpus image 7 not flagged at hamming 0; got ${rows.toSeq}")
+      assert(!rows.exists(_._1 == 501L), s"distant image falsely flagged: ${rows.toSeq}")
+    } finally query.stop()
+  }
 }
