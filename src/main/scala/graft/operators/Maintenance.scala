@@ -250,8 +250,11 @@ object Maintenance {
     * per column, which is exactly the shuffle MERGE compiles to in
     * lakehouse engines. The deterministic delta derives from the
     * dimension itself: keys ≡0 (mod 7) get a 100.00 balance credit
-    * (update arm), keys ≡0 (mod 11) re-land under key+10⁷ in the MERGED
-    * segment (insert arm). At 100 TB the join is one shuffle keyed on
+    * (update arm), keys ≡0 (mod 11) re-land under −key−1 in the MERGED
+    * segment (insert arm — −k−1 maps the key space k ≥ 0 onto strictly
+    * negative values, disjoint at ANY scale and injective including
+    * k = 0, where a fixed +10⁷ offset would collide with real keys once
+    * custkey outgrows it). At 100 TB the join is one shuffle keyed on
     * the merge key (or exchange-free on a target bucketed by it), cost
     * ∝ target ∪ delta — never a second pass; the `op` column is the
     * merge provenance a writer would use to split copy-unchanged from
@@ -271,7 +274,7 @@ object Maintenance {
     val inserts = target
       .filter(col("c_custkey") % 11 === 0)
       .select(
-        (col("c_custkey") + 10000000L).as("c_custkey"), col("c_nationkey"),
+        (-col("c_custkey") - 1).as("c_custkey"), col("c_nationkey"),
         col("bal_cents"), lit("MERGED").as("c_mktsegment"))
     val delta = updates.unionByName(inserts)
     target.as("t")
@@ -296,7 +299,7 @@ object Maintenance {
        |  SELECT c_custkey, c_nationkey, bal_cents + 10000 AS bal_cents, c_mktsegment
        |  FROM target WHERE c_custkey % 7 = 0),
        |inserts AS (
-       |  SELECT c_custkey + 10000000 AS c_custkey, c_nationkey, bal_cents,
+       |  SELECT -c_custkey - 1 AS c_custkey, c_nationkey, bal_cents,
        |         'MERGED' AS c_mktsegment
        |  FROM target WHERE c_custkey % 11 = 0)
        |SELECT c_custkey, c_nationkey, bal_cents::BIGINT AS bal_cents, c_mktsegment,
@@ -379,7 +382,11 @@ object Maintenance {
 
   /** Referential-integrity audit over the star schema: for each child →
     * parent foreign key, the child row count, the distinct key count,
-    * and the orphan count (child keys with no parent — LEFT ANTI join).
+    * and the orphan count (child keys with no parent — LEFT ANTI join;
+    * a NULL child key counts as an orphan since it joins to nothing,
+    * which is why the SQL twin spells the check NOT EXISTS — `fk NOT IN
+    * (...)` would evaluate NULL and silently skip exactly the malformed
+    * rows a bad ingest produces).
     * Each relation costs one shuffle on its key and reduces to a single
     * row, so the audit of a 100 TB fact table is one pass per FK with
     * constant output — the nightly conformance job that catches a bad
@@ -410,8 +417,9 @@ object Maintenance {
     def arm(rel: String, child: String, fk: String, parent: String, pk: String): String =
       s"""SELECT '$rel' AS relation, count(*)::BIGINT AS n_child,
          |  count(DISTINCT $fk)::BIGINT AS n_distinct_keys,
-         |  count(CASE WHEN $fk NOT IN (SELECT $pk FROM $parent) THEN 1 END)::BIGINT AS n_orphans
-         |FROM $child""".stripMargin
+         |  count(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = c.$fk)
+         |             THEN 1 END)::BIGINT AS n_orphans
+         |FROM $child c""".stripMargin
     Seq(
       arm("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
       arm("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

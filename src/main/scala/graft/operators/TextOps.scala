@@ -1356,7 +1356,9 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .select(
         col("rank"), col("w"), col("cnt"), col("cum_tokens"),
-        expr("cum_tokens * 1000000L div n_tokens").as("cov_ppm"))
+        // DECIMAL(38): cum_tokens approaches the corpus total, and
+        // total × 10⁶ wraps BIGINT past ~9.2e12 tokens
+        expr("cast(cum_tokens as decimal(38,0)) * 1000000 div n_tokens").as("cov_ppm"))
       .orderBy("rank")
   }
 
@@ -1368,7 +1370,7 @@ object TextOps {
        |SELECT row_number() OVER o AS rank, w, cnt::BIGINT AS cnt,
        |  (sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
        |    AS cum_tokens,
-       |  ((sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |  ((sum(cnt) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::HUGEINT
        |    * 1000000 // n_tokens)::BIGINT AS cov_ppm
        |FROM top, tot
        |WINDOW o AS (ORDER BY cnt DESC, w)
@@ -1395,7 +1397,9 @@ object TextOps {
       .select(explode(col("t")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("c_w"))
-    val tot = tk.select(explode(col("t")).as("w")).agg(count(lit(1)).as("n_tokens"))
+      .cache()
+    // total from the vocab-sized unigram counts — not a second token explode
+    val tot = uni.agg(sum("c_w").as("n_tokens"))
     val bg = tk
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
@@ -1411,7 +1415,9 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .withColumn(
         "pmi_micro",
-        expr("cast(1000000 as decimal(38,0)) * n_tokens * c_ab div (c_a * c_b)"))
+        // divisor widened too: c_a * c_b as BIGINT*BIGINT wraps at the
+        // same corpus scale the numerator cast exists for
+        expr("cast(1000000 as decimal(38,0)) * n_tokens * c_ab div (cast(c_a as decimal(38,0)) * c_b)"))
       .select("w1", "w2", "c_ab", "pmi_micro")
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
       .limit(30)
@@ -1429,7 +1435,7 @@ object TextOps {
        |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_ab
        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount)
        |SELECT b.w1, b.w2, b.c_ab::BIGINT AS c_ab,
-       |  (1000000::HUGEINT * t2.n_tokens * b.c_ab // (ua.c_w * ub.c_w))::BIGINT AS pmi_micro
+       |  (1000000::HUGEINT * t2.n_tokens * b.c_ab // (ua.c_w::HUGEINT * ub.c_w))::BIGINT AS pmi_micro
        |FROM bgc b JOIN uc ua ON ua.w = b.w1 JOIN uc ub ON ub.w = b.w2, tot t2
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""".stripMargin
 

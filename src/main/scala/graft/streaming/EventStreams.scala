@@ -236,8 +236,18 @@ object EventStreams {
   def hourlyFromDirectory(spark: SparkSession, dir: String): DataFrame = {
     // streams need a fixed schema up front; peek it from the files already
     // in the directory (one footer read) so the ts generation — raw nanos
-    // BIGINT vs native TIMESTAMP — is whatever the data actually is
-    val schema = spark.read.parquet(dir).schema
+    // BIGINT vs native TIMESTAMP — is whatever the data actually is. An
+    // EMPTY directory (the bootstrap of a fresh ingestion pipeline, files
+    // land after the query starts) can't be peeked: fall back to the
+    // current testdata generation's schema (TIMESTAMP_NTZ micros).
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+              "event_type STRING, value DOUBLE, props STRING")
+      }
     val raw = spark.readStream
       .schema(schema)
       .parquet(dir)

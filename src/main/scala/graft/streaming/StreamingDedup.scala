@@ -152,16 +152,20 @@ object StreamingDedup {
       corpusBlobs: DataFrame,
       maxHamming: Int = 2,
       watermarkDelay: String = "1 hour"): DataFrame = {
+    // 4 bands are pigeonhole-complete only up to 3 differing bits; a
+    // larger bar would silently lose recall instead of erroring
+    require(maxHamming <= 3, s"4-band dHash LSH is only complete for hamming <= 3, got $maxHamming")
     import graft.operators.Multimodal
     val s = newImages.sparkSession
     import s.implicits._
+    // not cached itself: its single read builds corpusBands' cache, which
+    // carries corpus_dhash through to verification
     val corpusHashes = corpusBlobs
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, b) =>
         (id, Multimodal.dHash(Multimodal.PngCodec.decode(b)))
       })
       .toDF("corpus_id", "dhash")
-      .cache()
     val corpusBands = corpusHashes
       .select(
         col("corpus_id"), col("dhash").as("corpus_dhash"),

@@ -175,6 +175,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_postings"), s"stored positional index not in plan:\n$p")
     assert(!p.contains("documents.parquet"),
       s"phrase search re-derived postings from documents at query time:\n$p")
+    // the open-vocabulary layout claim: the term-bucketed table must be
+    // probed through BUCKET PRUNING (the 3 phrase terms hash into at most
+    // 3 of the 8 buckets), not scanned in full
+    val pruned = "SelectedBucketsCount: ([0-9]+) out of 8".r
+      .findFirstMatchIn(p)
+      .map(_.group(1).toInt)
+    assert(pruned.exists(_ <= 3),
+      s"postings scan not bucket-pruned (expected <=3 of 8 buckets):\n$p")
   }
 
   test("bm25 top-20 plans as TakeOrderedAndProject over broadcast-joined stats") {
