@@ -164,4 +164,80 @@ class ScaleSmokeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(scaled === base.map { case (w, n) => w -> n * rep })
   }
+
+  /** 10× replica dir with per-replica doc_id shift — shared by the smokes
+    * whose invariants need well-formed distinct ids. */
+  private def replicatedDocs(rep: Int, tag: String): String = {
+    val tmp = Files.createTempDirectory(s"graft-scale-$tag-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("phrase search results replicate exactly under 10x replicated documents") {
+    val rep = 10
+    val tmp = replicatedDocs(rep, "phrase")
+    val base = TextOps.qPhraseSearch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val scaled = TextOps.qPhraseSearch(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // every replica of a matching doc matches at the same positions,
+    // and nothing else matches (postings index rebuilt for the replica dir)
+    assert(scaled.size === base.size * rep)
+    scaled.foreach { case ((ph, id), v) =>
+      assert(v === base((ph, id % 1000000L)), s"($ph, $id) changed under replication")
+    }
+  }
+
+  test("PMI scores and relative order are invariant under 10x replicated documents") {
+    val rep = 10
+    val tmp = replicatedDocs(rep, "pmi")
+    // N, c_ab, c_a, c_b all scale by rep, so the ratio N·c_ab/(c_a·c_b)
+    // is exactly replication-invariant for every pair. The TOP-30 SET is
+    // not: the absolute min-count bar (the standard PMI support filter)
+    // admits rare pairs only once their count crosses it — at 10× the
+    // corpus, pairs with base c_ab ∈ [1, 9] become eligible and (being
+    // rare) can out-rank everything. So assert the true invariants:
+    // common pairs keep exact (c×10, pmi) values AND their relative
+    // order; every new entrant was threshold-filtered at 1×, never
+    // re-ranked past an eligible pair.
+    val base = TextOps.qPmiPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val scaled = TextOps.qPmiPairs(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val baseByPair = base.map { case (a, b, c, pmi) => (a, b) -> (c, pmi) }.toMap
+    val common = scaled.filter { case (a, b, _, _) => baseByPair.contains((a, b)) }
+    common.foreach { case (a, b, c, pmi) =>
+      val (c1, pmi1) = baseByPair((a, b))
+      assert((c, pmi) === ((c1 * rep, pmi1)), s"($a, $b) not scale-invariant")
+    }
+    // relative order of common pairs preserved
+    val baseOrder = base.map { case (a, b, _, _) => (a, b) }
+      .filter(p => common.exists(c => (c._1, c._2) == p))
+    assert(common.map(c => (c._1, c._2)) === baseOrder,
+      "relative order of commonly-eligible pairs changed under replication")
+    // new entrants are exactly the threshold-crossers (base c_ab < 10)
+    scaled.filterNot { case (a, b, _, _) => baseByPair.contains((a, b)) }.foreach {
+      case (a, b, c, _) =>
+        assert(c % rep === 0L && c / rep < 10,
+          s"new entrant ($a, $b, $c) was not a min-count threshold-crosser")
+    }
+    assert(common.nonEmpty, "no common pairs — smoke is vacuous")
+  }
+
+  test("Zipf coverage curve is invariant under 10x replicated documents (counts x10)") {
+    val rep = 10
+    val tmp = replicatedDocs(rep, "zipf")
+    // cov_ppm = floor(cum·10⁶/N) is a ratio of extensive quantities —
+    // floor((rep·cum)·10⁶/(rep·N)) is the SAME rational, so every rank's
+    // coverage is exactly invariant
+    val base = TextOps.qZipfCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val scaled = TextOps.qZipfCoverage(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(scaled === base.map { case (rk, w, c, cum, ppm) => (rk, w, c * rep, cum * rep, ppm) })
+  }
 }
