@@ -44,6 +44,7 @@ object NativeExprs {
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def minHashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
+  def cdcChunks(text: Column): Column = c(CdcChunks(e(text)))
   def normalizeWs(text: Column): Column = c(NormalizeWs(e(text)))
   def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
     c(PqNearestCode(e(sv), codebook))
@@ -511,6 +512,90 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
   override def prettyName: String = "graft_word_shingles"
+}
+
+/** Content-defined chunk boundaries (the FastCDC/rsync family's shape):
+  * a Rabin-Karp polynomial hash rolls over the last [[CdcChunks.W]] code
+  * points, and a cut is declared after every position whose window hash
+  * is ≡ 0 mod [[CdcChunks.D]] — so boundaries depend only on LOCAL
+  * content. That is the property fixed-stride chunking lacks: insert one
+  * character and every later fixed window shifts (all chunk keys churn),
+  * while CDC re-synchronizes at the next content-defined cut, which is
+  * what makes chunk-level dedup of revisioned corpora work at 100 TB.
+  * The hash does NOT reset at cuts (the window spans boundaries), so
+  * every constant here is replayable as closed-form SQL: the DuckDB twin
+  * recomputes each window hash as Σ cp(i−j)·B^j mod 2²⁰ over a 16-row
+  * power table. All arithmetic is mod a power of two via `& Mask`, which
+  * on two's-complement Longs yields the mathematical (non-negative)
+  * remainder even after the subtraction step. Returns
+  * ARRAY<STRUCT<start_cp, len_cp>>; positions are CODE POINTS (DuckDB
+  * substr/length units), empty input ⇒ empty array, no zero-length tail
+  * (a cut at the last position just ends the final chunk). */
+case class CdcChunks(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  import CdcChunks._
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start_cp", LongType, nullable = false),
+      StructField("len_cp", LongType, nullable = false))),
+    containsNull = false)
+
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("cdcChunksExpr", this, classOf[CdcChunks].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = (h * B + (cps(i).toLong & Mask)) & Mask
+      if (i >= W) h = (h - (cps(i - W).toLong & Mask) * BwMod) & Mask
+      if (i >= W - 1 && (h & (D - 1)) == 0L) {
+        out += InternalRow(start.toLong, (i - start + 1).toLong)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out += InternalRow(start.toLong, (n - start).toLong)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
+}
+
+object CdcChunks {
+  /** Window width in code points. */
+  val W = 16
+  /** Polynomial base. */
+  val B = 31L
+  /** Modulus 2²⁰ (power of two so `& Mask` is the mod). */
+  val Mod = 1L << 20
+  val Mask: Long = Mod - 1
+  /** Cut divisor — expected chunk length ≈ D code points. */
+  val D = 64L
+  /** B^W mod 2²⁰ — the weight of the code point leaving the window. */
+  val BwMod: Long = {
+    var p = 1L; var k = 0
+    while (k < W) { p = (p * B) & Mask; k += 1 }
+    p
+  }
+  /** (j, B^j mod 2²⁰) rows for the SQL twin's power table. */
+  def powTableSql: String =
+    (0 until W).map { j =>
+      var p = 1L; var k = 0
+      while (k < j) { p = (p * B) & Mask; k += 1 }
+      s"($j, $p)"
+    }.mkString(", ")
 }
 
 /** One-pass lowercase + whitespace-run collapse (each `\s+` run → one

@@ -1104,6 +1104,133 @@ object Relational {
       |       (SELECT count(*) FROM s2)::BIGINT AS n_clicked_after,
       |       (SELECT count(*) FROM s3)::BIGINT AS n_purchased_after""".stripMargin
 
+  /** Bloom-filter semi-join reduction ([[graft.functions.GraftBloom]]):
+    * the 100 TB form of a selective dim⋈fact join when the dimension is
+    * too big to broadcast as rows — compress the filtered dimension KEY
+    * SET into a fixed 8 KiB bloom (distributed OR-merge build), and
+    * pre-filter the fact side before its shuffle so non-joining rows
+    * never cross the wire (~94% of lineitem here). False positives
+    * survive the pre-filter but die in the real join, so the result is
+    * EXACTLY the plain join's — the oracle is the plain join SQL, and
+    * `PlanShapeSpec` pins the probe below the fact-side exchange. The
+    * merge-join hint pins the shuffle-join regime the technique exists
+    * for (at this SF Spark would broadcast the dim side and the
+    * demonstration would be vacuous). */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftBloom
+    val dim = Tables.orders(s, d)
+      .filter(
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bits = GraftBloom.build(dim.select(col("o_orderkey")))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .filter(GraftBloom.mightContain(col("l_orderkey"), bits))
+    fact
+      .hint("merge")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        (sumExact(asScaled(col("l_extendedprice"), 2)) / lit(100.0)).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qBloomJoinSql =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  sum(l_quantity) AS sum_qty,
+       |  sum(${asScaledSql("l_extendedprice", 2)}) / 100.0 AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Event-type Markov transition matrix: per user, order events by
+    * (ts, event_id) and pair each with its successor (lead), then count
+    * (from, to) transitions and derive the per-from transition
+    * probability as exact integer ppm (`n·10⁶ div n_from` — no float on
+    * the hash surface). The clickstream companion to [[qFunnel]]: the
+    * funnel checks ONE ordered pattern, this surfaces the whole empirical
+    * transition structure (the input to session modeling / next-event
+    * prediction). Scale: the lead() window shuffles once on user_id, the
+    * transition count is a map-side-combined agg over |types|² keys, and
+    * the per-from normalization window runs on that tiny aggregate —
+    * event volume only ever crosses the first shuffle. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("ppm", expr("n * 1000000L div n_from"))
+      .select("from_type", "to_type", "n", "n_from", "ppm")
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qEventTransitionsSql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n::BIGINT AS n,
+      |       (sum(n) OVER (PARTITION BY from_type))::BIGINT AS n_from,
+      |       (n * 1000000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS ppm
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** k-anonymity audit (k = 5) — the privacy data-card a release pipeline
+    * runs before publishing: group customers by a quasi-identifier triple
+    * (segment, nation, 1000-dollar balance bucket) and report, per
+    * segment, the group count, the attained k (min group size), and how
+    * many groups/rows fall below the bar. The balance bucket is computed
+    * on exact cents OFFSET to non-negative (min balance −999.99 ⇒
+    * cents+10⁵ ≥ 1) so Spark's truncating `div` and DuckDB's flooring
+    * `//` agree — never integer-divide a possibly-negative number in
+    * compared output. Scale: one shuffle on the QI triple with map-side
+    * combine, then a second tiny agg over group counts. */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"))
+      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+      .drop("cents_off")
+      .groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min("n").as("k_attained"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qKAnonymitySql =
+    s"""WITH qi AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |         ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket
+       |  FROM customer),
+       |g AS (
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket, count(*) AS n
+       |  FROM qi GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment, count(*)::BIGINT AS n_groups,
+       |       min(n)::BIGINT AS k_attained,
+       |       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
+       |       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_risky_rows
+       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
     * plus a within-5% flag over the rsd=0.02 estimate. HLL register
     * merge is a bitwise max — order-independent — so the flag is
@@ -2021,6 +2148,9 @@ object Relational {
     Q("q_approx_distinct", qApproxDistinct, None),
     Q("q_approx_distinct_check", qApproxDistinctCheck, Some(qApproxDistinctCheckSql)),
     Q("q_funnel", qFunnel, Some(qFunnelSql)),
+    Q("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
+    Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
+    Q("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),
     Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),

@@ -1231,6 +1231,72 @@ object TextOps {
        |  ${graft.functions.PortableHash.md5PrefixLongSql("array_to_string(c, ' ')", 14)} AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Content-defined chunking (the rsync/FastCDC boundary rule, in the
+    * [[graft.functions.CdcChunks]] kernel): chunk cuts fall where a
+    * 16-code-point rolling polynomial hash is ≡ 0 mod 64, so boundaries
+    * are a function of LOCAL content only. The property this buys over
+    * [[qChunkWindows]]' fixed stride: editing a document shifts every
+    * downstream fixed window (all chunk keys churn) but CDC
+    * re-synchronizes at the next content-defined cut — unchanged regions
+    * keep their chunk keys, which is what makes chunk-level dedup of
+    * revisioned/crawled corpora incremental at 100 TB. Each chunk emits
+    * its (start, length) in code points plus the md5-prefix content key
+    * downstream dedup joins on. The DuckDB twin replays the window hash
+    * CLOSED-FORM (Σ cp(i−j)·B^j mod 2²⁰ over a 16-row power table — the
+    * kernel's rolling update never resets at cuts precisely so this
+    * replay is possible). Plan: one narrow projection + per-row kernel +
+    * explode — a pure map stage, no shuffle (orderBy is
+    * presentation-only). */
+  def qCdcChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text"),
+        posexplode(graft.functions.NativeExprs.cdcChunks(col("text")))
+          .as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_cp").as("start_cp"),
+        col("c.len_cp").as("len_cp"),
+        graft.functions.PortableHash
+          .md5PrefixLong(
+            expr("substring(text, cast(start_cp + 1 AS int), cast(len_cp AS int))"), 14)
+          .as("chunk_key"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val qCdcChunksSql = {
+    import graft.functions.CdcChunks.{powTableSql, Mod, D, W}
+    s"""WITH pw(j, p) AS (VALUES $powTableSql),
+       |cps AS (
+       |  SELECT doc_id, i.i AS i, unicode(substr(text, i.i + 1, 1)) % $Mod AS cpm
+       |  FROM documents, LATERAL (SELECT unnest(range(length(text))) AS i) i),
+       |h AS (
+       |  SELECT a.doc_id, a.i, sum(b.cpm * pw.p) % $Mod AS hv
+       |  FROM cps a
+       |  CROSS JOIN pw
+       |  JOIN cps b ON b.doc_id = a.doc_id AND b.i = a.i - pw.j
+       |  WHERE a.i >= ${W - 1}
+       |  GROUP BY a.doc_id, a.i),
+       |flags AS (
+       |  SELECT c.doc_id, c.i, CASE WHEN h.hv % $D = 0 THEN 1 ELSE 0 END AS cut
+       |  FROM cps c LEFT JOIN h ON h.doc_id = c.doc_id AND h.i = c.i),
+       |ch AS (
+       |  SELECT doc_id, i,
+       |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM flags),
+       |g AS (
+       |  SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |    min(i)::BIGINT AS start_cp, count(*)::BIGINT AS len_cp
+       |  FROM ch GROUP BY doc_id, chunk_idx)
+       |SELECT g.doc_id, g.chunk_idx, g.start_cp, g.len_cp,
+       |  ${graft.functions.PortableHash
+        .md5PrefixLongSql("substr(d.text, (g.start_cp + 1)::INT, g.len_cp::INT)", 14)} AS chunk_key
+       |FROM g JOIN documents d ON d.doc_id = g.doc_id
+       |ORDER BY g.doc_id, g.chunk_idx""".stripMargin
+  }
+
   /** Sequence-LENGTH DISTRIBUTION per source, in log₂ buckets — the
     * data-card histogram a packing/training job reads before choosing
     * its context length (what fraction of documents truncate at 512?
@@ -1442,6 +1508,7 @@ object TextOps {
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
+    Q("q_cdc_chunks", qCdcChunks, Some(qCdcChunksSql)),
     Q("q_length_histogram", qLengthHistogram, Some(qLengthHistogramSql)),
     Q("q_corpus_report", qCorpusReport, Some(qCorpusReportSql)),
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),

@@ -106,8 +106,43 @@ object Formats {
        |  max(event_id) AS max_event
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** XML: Spark 4's built-in XML source (the spark-xml lineage merged
+    * into sql/core) — element-per-row documents with explicit `rowTag`,
+    * values through XML text form. Ints and strings round-trip exactly;
+    * the balance rides as pre-scaled exact CENTS (BIGINT) because XML
+    * text re-parse of a shortest-form double is the one step in this
+    * format without a bit-exactness guarantee we can pin locally. Read
+    * back with an explicit schema like every round-trip here (schema
+    * inference over XML is a second full scan). */
+  def qSourceXml(s: SparkSession, d: String): DataFrame = {
+    val out = sinkDir(s, "xml")
+    val slim = Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        asScaled(col("c_acctbal"), 2).as("bal_cents"))
+    slim.write.mode("overwrite").option("rowTag", "customer").xml(out)
+    s.read.schema(slim.schema).option("rowTag", "customer").xml(out)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        (sumExact(col("bal_cents")) / lit(100.0)).as("total_bal"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qSourceXmlSql =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |  count(DISTINCT c_nationkey)::BIGINT AS n_nations,
+       |  sum(${asScaledSql("c_acctbal", 2)}) / 100.0 AS total_bal,
+       |  max(c_custkey) AS max_key
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_source_csv", qSourceCsv, Some(qSourceCsvSql)),
     Q("q_source_json", qSourceJson, Some(qSourceJsonSql)),
-    Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)))
+    Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)),
+    Q("q_source_xml", qSourceXml, Some(qSourceXmlSql)))
 }

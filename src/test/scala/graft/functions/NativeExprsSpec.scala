@@ -171,4 +171,126 @@ class NativeExprsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT graft_cosine_sim(array(1.0d))").collect())
     assert(e.getMessage.contains("graft_cosine_sim"), s"unhelpful error: ${e.getMessage}")
   }
+
+  test("GraftBloom: no false negatives, bounded false positives, order-independent build") {
+    import org.apache.spark.sql.DataFrame
+    def keysDf(ks: Seq[Long]): DataFrame =
+      spark.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+    val inserted = (0L until 5000L).map(_ * 7919L + 13L)
+    val bits = GraftBloom.build(keysDf(inserted))
+    // no false negatives — every inserted key must pass
+    val misses = keysDf(inserted)
+      .filter(!GraftBloom.mightContain(col("k"), bits)).count()
+    assert(misses === 0L, s"$misses inserted keys rejected (false negatives)")
+    // bounded false positives on a disjoint probe set
+    val disjoint = (0L until 20000L).map(_ * 6007L + 3L).filterNot(inserted.toSet)
+    val fps = keysDf(disjoint).filter(GraftBloom.mightContain(col("k"), bits)).count()
+    assert(fps.toDouble / disjoint.size < 0.02, s"FP rate ${fps.toDouble / disjoint.size}")
+    // OR-merge commutativity: shuffled insertion order → identical bits
+    val bits2 = GraftBloom.build(keysDf(inserted.reverse).repartition(7))
+    assert(bits.toSeq === bits2.toSeq, "bloom bits depend on build order/partitioning")
+  }
+
+  /** Direct chunker twin of [[CdcChunks]]: evaluates every window hash
+    * closed-form (Σ cp(i−j)·B^j, no rolling update) — the same algorithm
+    * the DuckDB oracle runs, so kernel-vs-this equivalence is the in-JVM
+    * proof the rolling update is correct. */
+  private def cdcDirect(s: String): Seq[(Long, Long)] = {
+    import CdcChunks._
+    val cps = s.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var start = 0
+    for (i <- cps.indices) {
+      if (i >= W - 1) {
+        var h = 0L
+        for (j <- 0 until W) h = (h + (cps(i - j).toLong & Mask) * ((0 until j)
+          .foldLeft(1L)((p, _) => (p * B) & Mask))) // B^j mod 2^20, recomputed cold
+        if (((h & Mask) & (D - 1)) == 0L) {
+          out += ((start.toLong, (i - start + 1).toLong))
+          start = i + 1
+        }
+      }
+    }
+    if (start < cps.length) out += ((start.toLong, (cps.length - start).toLong))
+    out.toSeq
+  }
+
+  private def cdcOf(s: String): Seq[(Long, Long)] = {
+    val df = spark.createDataFrame(Seq(Tuple1(s))).toDF("text")
+      .select(explode(NativeExprs.cdcChunks(col("text"))).as("c"))
+      .select(col("c.start_cp"), col("c.len_cp"))
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** Deterministic pseudo-text: LCG over a small alphabet with spaces —
+    * enough entropy that cut points actually occur. */
+  private def lcgText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    var x = seed
+    val alpha = "abcdefghij klmnopqrstuvwxyz"
+    for (_ <- 0 until n) {
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      sb.append(alpha(((x >>> 33) % alpha.length).toInt))
+    }
+    sb.toString
+  }
+
+  test("CdcChunks rolling hash matches the closed-form direct chunker") {
+    val samples = Seq(
+      lcgText(2000, 1), lcgText(500, 42), lcgText(15, 7), // below one window
+      "", "short",
+      "astral 😀 mixed 🚀 text " + lcgText(300, 9)) // code-point arithmetic
+    for (s <- samples) {
+      assert(cdcOf(s) === cdcDirect(s), s"kernel != direct on ${s.take(30)}...")
+    }
+  }
+
+  test("CdcChunks chunks partition the document contiguously") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty)
+    for (r <- docs.take(50)) {
+      val text = r.getString(1)
+      val chunks = cdcOf(text)
+      val n = text.codePointCount(0, text.length)
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        assert(chunks.head._1 === 0L)
+        assert(chunks.map(_._2).sum === n.toLong, "chunk lengths must sum to doc length")
+        chunks.sliding(2).foreach {
+          case Seq((s1, l1), (s2, _)) => assert(s1 + l1 === s2, "chunks must be contiguous")
+          case _                      =>
+        }
+      }
+    }
+  }
+
+  test("CdcChunks re-synchronizes after an edit (the property stride chunking lacks)") {
+    val original = lcgText(4000, 123)
+    val edited = original.substring(0, 100) + "INSERTED EDIT " + original.substring(100)
+    def contentKeys(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      cdcOf(s).map { case (st, ln) =>
+        new String(cps, st.toInt, ln.toInt)
+      }
+    }
+    val a = contentKeys(original)
+    val b = contentKeys(edited)
+    assert(a.size > 20, s"fixture too short: ${a.size} chunks")
+    // every chunk strictly after the edit's re-sync point is shared; only
+    // the O(1) chunks overlapping the edit may differ
+    val shared = a.toSet.intersect(b.toSet).size
+    assert(
+      a.size - shared <= 3,
+      s"CDC failed to re-sync: ${a.size} original chunks, only $shared shared")
+    // a fixed-stride chunker on the same text shares almost nothing after
+    // the insertion point — sanity-check the contrast that motivates CDC
+    def strideKeys(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      cps.grouped(64).map(g => new String(g, 0, g.length)).toSeq
+    }
+    val sa = strideKeys(original); val sb = strideKeys(edited)
+    val strideShared = sa.toSet.intersect(sb.toSet).size
+    assert(strideShared < shared, "stride chunking should churn where CDC re-syncs")
+  }
 }

@@ -290,6 +290,24 @@ class PlanShapeSpec extends SparkSpec {
       "runtime filter changed the results")
   }
 
+  test("explicit bloom semi-join reduction probes the fact side below its shuffle") {
+    // q_bloom_join's claim: the 8 KiB key-set bloom filters the fact rows
+    // BEFORE they cross the wire. As a plan property: the probe kernel
+    // sits in the fact-side subtree under its exchange, and the join runs
+    // in the shuffle (merge) regime the technique exists for.
+    val df = Relational.qBloomJoin(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("SortMergeJoin"), s"join left the shuffle regime:\n$p")
+    val lines = p.linesIterator.toSeq
+    val ex = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey"))
+    val probe = lines.indexWhere(_.contains("graft_bloom_might_contain"))
+    assert(ex >= 0, s"no fact-side shuffle exchange in plan:\n$p")
+    assert(probe > ex, s"probe not below the fact-side exchange:\n$p")
+  }
+
   test("lateral top-1 subquery decorrelates to WindowGroupLimit, not a nested loop") {
     val p = plan(Relational.qLateralTopOrder(spark, sfDir))
     // the correlated LIMIT 1 must become a per-key group-limit (with a
