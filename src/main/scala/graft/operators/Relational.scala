@@ -623,6 +623,95 @@ object Relational {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Session windows via Spark's BUILT-IN `session_window` aggregate —
+    * the declarative twin of [[qSessionize]]'s gaps-and-islands windows
+    * (and of the streaming sessionizers in graft.streaming, which share
+    * this exact merge rule). Two events merge while the next arrives
+    * STRICTLY inside the previous event's [ts, ts+gap) extension, so a
+    * delta of exactly the gap starts a NEW session — the oracle replays
+    * that with a `>= gap` island break on MICROSECOND epochs (second-
+    * truncated epochs would merge sessions split by a sub-second
+    * overshoot). Session end is last-event ts + gap, per the built-in's
+    * definition. Scale: one shuffle on user_id; the per-key merge is a
+    * sort + linear sweep inside the aggregate — no self-join, no window
+    * function pass. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(asScaled(col("value"), 2)) / lit(100.0)).as("session_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"),
+        col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  private val qSessionWindowSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sessions AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       |  count(*) AS n_events,
+       |  sum(${asScaledSql("value", 2)}) / 100.0 AS session_value
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** In-flight data-quality metrics via Spark's `observe`/`Observation`
+    * API (CollectMetrics): audit counters ride the SAME pass as the real
+    * work — zero additional scan, which is the only affordable audit at
+    * 100 TB (contrast [[graft.operators.Dedup.qPipelineAudit]], which is
+    * a dedicated audit query). Here the "real work" is a write to the
+    * no-op sink; the observed counters (row count, violation counts,
+    * exact-cents total) are then surfaced as a one-row DataFrame for the
+    * oracle gate. Only algebraic aggregates are observable (no
+    * distinct) — exactly the map-side-combinable class, which is why
+    * observation is free at scale. */
+  def qObserveMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("graft_quality")
+    Tables.lineitem(s, d)
+      .observe(
+        obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_bad_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+          .as("n_bad_discount"),
+        // plain BIGINT sum (not sumExact's decimal→double) — the observed
+        // value must surface as an exact integer; the 100 TB variant
+        // swaps in a DECIMAL(38,0) sum, same observation
+        sum(asScaled(col("l_extendedprice"), 2)).as("price_cents"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((
+      m("n_rows").asInstanceOf[Number].longValue,
+      m("n_bad_qty").asInstanceOf[Number].longValue,
+      m("n_bad_discount").asInstanceOf[Number].longValue,
+      m("price_cents").asInstanceOf[Number].longValue))
+      .toDF("n_rows", "n_bad_qty", "n_bad_discount", "price_cents")
+  }
+
+  private val qObserveMetricsSql =
+    s"""SELECT count(*) AS n_rows,
+       |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_bad_qty,
+       |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_bad_discount,
+       |  sum(${asScaledSql("l_extendedprice", 2)})::BIGINT AS price_cents
+       |FROM lineitem""".stripMargin
+
   /** JSON extraction from the events props column (semi-structured
     * function library): parse `{"k": int}` and aggregate per type. */
   def qJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -2143,6 +2232,8 @@ object Relational {
     Q("q_global_sort", qGlobalSort, Some(qGlobalSortSql)),
     Q("q_null_order", qNullOrder, Some(qNullOrderSql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
+    Q("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
+    Q("q_observe_metrics", qObserveMetrics, Some(qObserveMetricsSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
