@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.PortableRound.pround
+import graft.functions.PortableRound.{asScaled, pround}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -741,8 +741,81 @@ object Similarity {
       |SELECT qid AS vec_id, ql::BIGINT AS label_true, label::BIGINT AS label_pred, votes
       |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
 
+  /** Bitext-style parallel-pair mining (the margin criterion of
+    * Artetxe & Schwenk's corpus-mining line): treat label 0 as the
+    * "source language" slice and label 1 as the "target" slice; for each
+    * source vector, rank target vectors by cosine and score the best
+    * match by its MARGIN over the next-nearest neighbors — absolute
+    * cosine is miscalibrated across queries (hubness), margin is what
+    * separates true translation pairs from dense-region noise. All
+    * compared columns are exact integers: cosines as ppm
+    * (floor(c·10⁶+0.5)), margin as 3·c₁ − (c₂+c₃+c₄) in ppm (3× the
+    * mean-of-3 margin — integer, no division), admission as a 0/1 flag.
+    * Every source emits exactly one row (its best candidate + verdict),
+    * so the gate surface is stable at any SF. Scale: the source batch is
+    * the broadcast side (a mining job processes bounded query batches);
+    * candidates stream through one scan; per-query top-4 is a
+    * WindowGroupLimit, not a sort of all pairs. */
+  def qBitextMine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val src = broadcast(
+      e.filter(col("label") === 0)
+        .select(col("vec_id").as("src_id"), col("embedding").as("sv")))
+    val tgt = e.filter(col("label") === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+    val ranked = tgt
+      .crossJoin(src)
+      .select(
+        col("src_id"),
+        col("tgt_id"),
+        asScaled(graft.functions.NativeExprs.cosineSim(col("sv"), col("tv")), 6)
+          .as("cos_ppm"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("src_id").orderBy(col("cos_ppm").desc, col("tgt_id"))))
+      .filter(col("rn") <= 4)
+    ranked
+      .groupBy("src_id")
+      .agg(
+        max(when(col("rn") === 1, col("tgt_id"))).as("match_id"),
+        max(when(col("rn") === 1, col("cos_ppm"))).as("cos_ppm"),
+        (lit(3) * max(when(col("rn") === 1, col("cos_ppm"))) -
+          sum(when(col("rn") > 1, col("cos_ppm")).otherwise(0L))).as("margin_ppm3"))
+      .withColumn("admitted", (col("margin_ppm3") > 30000L).cast("long"))
+      .select(col("src_id").as("vec_id"), col("match_id"), col("cos_ppm"),
+        col("margin_ppm3"), col("admitted"))
+      .orderBy("vec_id")
+  }
+
+  private val qBitextMineSql =
+    """WITH src AS (
+      |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE label = 0),
+      |tgt AS (
+      |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv FROM embeddings WHERE label = 1),
+      |c AS (
+      |  SELECT src_id, tgt_id,
+      |    CAST(floor(list_cosine_similarity(sv, tv) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |  FROM src, tgt),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_ppm DESC, tgt_id) AS rn
+      |  FROM c),
+      |m AS (
+      |  SELECT src_id,
+      |    max(CASE WHEN rn = 1 THEN tgt_id END) AS match_id,
+      |    max(CASE WHEN rn = 1 THEN cos_ppm END) AS cos_ppm,
+      |    3 * max(CASE WHEN rn = 1 THEN cos_ppm END)
+      |      - sum(CASE WHEN rn > 1 THEN cos_ppm ELSE 0 END) AS margin_ppm3
+      |  FROM r WHERE rn <= 4 GROUP BY src_id)
+      |SELECT src_id AS vec_id, match_id, cos_ppm::BIGINT AS cos_ppm,
+      |  margin_ppm3::BIGINT AS margin_ppm3,
+      |  (CASE WHEN margin_ppm3 > 30000 THEN 1 ELSE 0 END)::BIGINT AS admitted
+      |FROM m ORDER BY vec_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
+    Q("q_bitext_mine", qBitextMine, Some(qBitextMineSql)),
     Q("q_knn_classify", qKnnClassify, Some(qKnnClassifySql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
