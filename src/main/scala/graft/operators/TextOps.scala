@@ -1247,7 +1247,10 @@ object TextOps {
     * replay is possible). Plan: one narrow projection + per-row kernel +
     * explode — a pure map stage, no shuffle (orderBy is
     * presentation-only). */
-  def qCdcChunks(s: SparkSession, d: String): DataFrame =
+  /** Shared CDC chunk rows (doc_id, chunk_idx, start_cp, len_cp,
+    * chunk_key) — one definition for the chunking gate row and the
+    * chunk-level dedup consumer. */
+  private def cdcChunkRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -1263,11 +1266,15 @@ object TextOps {
           .md5PrefixLong(
             expr("substring(text, cast(start_cp + 1 AS int), cast(len_cp AS int))"), 14)
           .as("chunk_key"))
-      .orderBy("doc_id", "chunk_idx")
 
-  private val qCdcChunksSql = {
+  def qCdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunkRows(s, d).orderBy("doc_id", "chunk_idx")
+
+  /** Shared CTE block for the CDC twins, ending in
+    * `gk(doc_id, chunk_idx, start_cp, len_cp, chunk_key)`. */
+  private def cdcChunksSqlCtes: String = {
     import graft.functions.CdcChunks.{powTableSql, Mod, D, W}
-    s"""WITH pw(j, p) AS (VALUES $powTableSql),
+    s"""pw(j, p) AS (VALUES $powTableSql),
        |cps AS (
        |  SELECT doc_id, i.i AS i, unicode(substr(text, i.i + 1, 1)) % $Mod AS cpm
        |  FROM documents, LATERAL (SELECT unnest(range(length(text))) AS i) i),
@@ -1289,13 +1296,48 @@ object TextOps {
        |g AS (
        |  SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        |    min(i)::BIGINT AS start_cp, count(*)::BIGINT AS len_cp
-       |  FROM ch GROUP BY doc_id, chunk_idx)
-       |SELECT g.doc_id, g.chunk_idx, g.start_cp, g.len_cp,
-       |  ${graft.functions.PortableHash
+       |  FROM ch GROUP BY doc_id, chunk_idx),
+       |gk AS (
+       |  SELECT g.doc_id, g.chunk_idx, g.start_cp, g.len_cp,
+       |    ${graft.functions.PortableHash
         .md5PrefixLongSql("substr(d.text, (g.start_cp + 1)::INT, g.len_cp::INT)", 14)} AS chunk_key
-       |FROM g JOIN documents d ON d.doc_id = g.doc_id
-       |ORDER BY g.doc_id, g.chunk_idx""".stripMargin
+       |  FROM g JOIN documents d ON d.doc_id = g.doc_id)""".stripMargin
   }
+
+  private val qCdcChunksSql =
+    s"""WITH $cdcChunksSqlCtes
+       |SELECT doc_id, chunk_idx, start_cp, len_cp, chunk_key FROM gk
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-level dedup over the CDC keys — the consumer [[qCdcChunks]]
+    * exists for: chunks whose content recurs (across or within
+    * documents) surface as one group per content key, the unit a
+    * revision-dedup store would keep once. The ≥ 24-code-point floor
+    * drops trivial micro-chunk collisions (single characters between
+    * two adjacent cuts) so every reported group is a substantive shared
+    * span — on this corpus those are exactly the spans the planted
+    * near-duplicate documents share. Scale: one shuffle on chunk_key
+    * with map-side combine; group count is bounded by distinct
+    * duplicated content, not corpus size. */
+  def qCdcDedup(s: SparkSession, d: String): DataFrame =
+    cdcChunkRows(s, d)
+      .filter(col("len_cp") >= 24)
+      .groupBy("chunk_key", "len_cp")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_key", "len_cp")
+
+  private val qCdcDedupSql =
+    s"""WITH $cdcChunksSqlCtes
+       |SELECT chunk_key, len_cp, count(*)::BIGINT AS n_copies,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc
+       |FROM gk WHERE len_cp >= 24
+       |GROUP BY chunk_key, len_cp
+       |HAVING count(*) > 1
+       |ORDER BY chunk_key, len_cp""".stripMargin
 
   /** Sequence-LENGTH DISTRIBUTION per source, in log₂ buckets — the
     * data-card histogram a packing/training job reads before choosing
@@ -1509,6 +1551,7 @@ object TextOps {
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
     Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
     Q("q_cdc_chunks", qCdcChunks, Some(qCdcChunksSql)),
+    Q("q_cdc_dedup", qCdcDedup, Some(qCdcDedupSql)),
     Q("q_length_histogram", qLengthHistogram, Some(qLengthHistogramSql)),
     Q("q_corpus_report", qCorpusReport, Some(qCorpusReportSql)),
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
