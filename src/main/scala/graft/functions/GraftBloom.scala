@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   */
 object GraftBloom {
 
-  /** 2¹⁶ bits = 8 KiB — key-set-size independent; at ~6k filtered keys
-    * (sf0.1 build side) the false-positive rate is ≈ (1−e^(−kn/m))^k
-    * ≈ 0.3%, and a 100 TB deployment scales `NumBits`, not the design. */
+  /** 2¹⁶ bits = 8 KiB — key-set-size independent; at the ~4.7k filtered
+    * keys of the sf0.1 build side the false-positive rate is
+    * ≈ (1−e^(−kn/m))^k ≈ 0.4%, and a 100 TB deployment scales
+    * `NumBits`, not the design. */
   val NumBits: Int = 1 << 16
   val NumWords: Int = NumBits / 64
   val NumHashes: Int = 4
@@ -37,26 +38,30 @@ object GraftBloom {
   private val Seed1 = 0x9747b28c1234abcdL
   private val Seed2 = 0x243f6a8885a308d3L
 
-  /** Kirsch–Mitzenmacher double hashing: bit_i = h1 + i·h2 mod NumBits. */
-  @inline private def bitOf(key: Long, i: Int): Int = {
-    val h1 = XXH64.hashLong(key, Seed1)
-    val h2 = XXH64.hashLong(key, Seed2)
+  /** Kirsch–Mitzenmacher double hashing: bit_i = h1 + i·h2 mod NumBits.
+    * The two base hashes are computed ONCE per key — the probe runs per
+    * fact row in the pre-shuffle filter, the hot path this operator
+    * exists for. */
+  @inline private def bitOf(h1: Long, h2: Long, i: Int): Int =
     (((h1 + i * h2) % NumBits + NumBits) % NumBits).toInt
-  }
 
   @inline private[functions] def set(bits: Array[Long], key: Long): Unit = {
+    val h1 = XXH64.hashLong(key, Seed1)
+    val h2 = XXH64.hashLong(key, Seed2)
     var i = 0
     while (i < NumHashes) {
-      val b = bitOf(key, i)
+      val b = bitOf(h1, h2, i)
       bits(b >> 6) |= 1L << (b & 63)
       i += 1
     }
   }
 
   @inline private[functions] def test(bits: Array[Long], key: Long): Boolean = {
+    val h1 = XXH64.hashLong(key, Seed1)
+    val h2 = XXH64.hashLong(key, Seed2)
     var i = 0
     while (i < NumHashes) {
-      val b = bitOf(key, i)
+      val b = bitOf(h1, h2, i)
       if ((bits(b >> 6) & (1L << (b & 63))) == 0L) return false
       i += 1
     }

@@ -626,13 +626,14 @@ object Relational {
   /** Session windows via Spark's BUILT-IN `session_window` aggregate —
     * the declarative twin of [[qSessionize]]'s gaps-and-islands windows
     * (and of the streaming sessionizers in graft.streaming, which share
-    * this exact merge rule). Two events merge while the next arrives
-    * STRICTLY inside the previous event's [ts, ts+gap) extension, so a
-    * delta of exactly the gap starts a NEW session — the oracle replays
-    * that with a `>= gap` island break on MICROSECOND epochs (second-
-    * truncated epochs would merge sessions split by a sub-second
-    * overshoot). Session end is last-event ts + gap, per the built-in's
-    * definition. Scale: one shuffle on user_id; the per-key merge is a
+    * this exact merge rule). Two events merge while the next arrives AT
+    * OR BEFORE the previous event's ts+gap extension — a delta of
+    * EXACTLY the gap still merges (verified empirically against the
+    * built-in; the window is closed at its end for merging purposes) —
+    * so the oracle's island break is a STRICT `> gap` comparison on
+    * MICROSECOND epochs (second-truncated epochs would merge sessions
+    * split by a sub-second overshoot). Session end is last-event
+    * ts + gap, per the built-in's definition. Scale: one shuffle on user_id; the per-key merge is a
     * sort + linear sweep inside the aggregate — no self-join, no window
     * function pass. */
   def qSessionWindow(s: SparkSession, d: String): DataFrame =
@@ -653,7 +654,7 @@ object Relational {
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, ts, value,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
        |         THEN 1 ELSE 0 END AS new_session
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

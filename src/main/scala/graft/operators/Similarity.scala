@@ -790,13 +790,14 @@ object Similarity {
   }
 
   private val qBitextMineSql =
-    """WITH src AS (
+    s"""WITH src AS (
       |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE label = 0),
       |tgt AS (
       |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv FROM embeddings WHERE label = 1),
       |c AS (
       |  SELECT src_id, tgt_id,
-      |    CAST(floor(list_cosine_similarity(sv, tv) * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+      |    ${graft.functions.PortableRound.asScaledSql("list_cosine_similarity(sv, tv)", 6)}
+      |      AS cos_ppm
       |  FROM src, tgt),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos_ppm DESC, tgt_id) AS rn

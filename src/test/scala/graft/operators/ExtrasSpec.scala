@@ -1314,6 +1314,26 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("session_window merges a pair exactly gap apart (the boundary the oracle must match)") {
+    // Spark's session_window MERGES two events whose delta is exactly the
+    // gap (the extension is closed at its end for merging) — so the
+    // qSessionWindow oracle breaks islands on STRICT `> gap`. No fixture
+    // pair currently lands on the boundary, so pin the rule here: if a
+    // Spark upgrade flips it, this fails before the gate silently
+    // diverges on some future corpus.
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 00:30:00") // delta == gap exactly
+    val t2 = Timestamp.valueOf("2026-01-01 01:00:00.000001") // 30min + 1us after t1
+    val df = spark.createDataFrame(Seq((1L, t0), (1L, t1), (1L, t2))).toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(sessions.length === 2, "exact-gap pair must merge; 1-us overshoot must split")
+    assert(sessions.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("cross-source dup matrix is canonicalized and accounts for every near-dup edge") {
     val rows = Dedup.qCrossSourceDups(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
