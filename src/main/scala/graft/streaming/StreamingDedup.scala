@@ -189,4 +189,61 @@ object StreamingDedup {
       .filter(col("hamming") <= maxHamming)
       .select("img_id", "ts", "corpus_id", "hamming")
   }
+
+  /** Chunk-level revision screening against an indexed corpus: arriving
+    * documents' CDC chunks ([[graft.functions.CdcChunks]] — the same
+    * kernel as the batch q_cdc_chunks/q_cdc_dedup pair, so stream and
+    * batch cannot drift on boundaries) are probed against the corpus's
+    * substantial-chunk content-key index. A match means the new document
+    * SHARES A SPAN with the corpus even when the document as a whole is
+    * new — the revision/boilerplate case whole-document fingerprints
+    * miss, caught here without any pairwise document comparison because
+    * CDC boundaries re-synchronize across edits (shared spans hash to
+    * identical chunk keys regardless of surrounding changes).
+    *
+    * Same scale shape as the sibling gates: the chunk-key index is built
+    * and cached once (one corpus scan; ~n/64 keys, one BIGINT each);
+    * each micro-batch shuffles only its own chunk keys into the
+    * stream-static join; the only streaming state is the
+    * watermark-evicted (doc, chunk) pair dedup.
+    *
+    * @param newDocs streaming (doc_id, ts, text)
+    * @param corpus  static (doc_id, text, …) — the indexed snapshot
+    * @param minLenCp substantial-chunk floor in code points (drops
+    *                 trivial micro-chunk collisions, same bar as
+    *                 q_cdc_dedup's)
+    */
+  def cdcAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      minLenCp: Int = 24,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.functions.{NativeExprs, PortableHash}
+    def chunkKeys(df: DataFrame, idAs: String, extra: Seq[String]): DataFrame =
+      df
+        .select(
+          (Seq(col("doc_id"), col("text")) ++ extra.map(col)) :+
+            posexplode(NativeExprs.cdcChunks(col("text"))).as(Seq("ci", "c")): _*)
+        .filter(col("c.len_cp") >= minLenCp)
+        .select(
+          (Seq(
+            col("doc_id").as(idAs),
+            col("c.len_cp").as("len_cp"),
+            PortableHash
+              .md5PrefixLong(
+                expr("substring(text, cast(c.start_cp + 1 AS int), cast(c.len_cp AS int))"),
+                14)
+              .as("chunk_key")) ++ extra.map(col)): _*)
+    // one exemplar corpus doc per distinct substantial chunk key — the
+    // index a revision store keeps; built once, cached for the run
+    val corpusIndex = chunkKeys(corpus, "corpus_id", Seq.empty)
+      .groupBy("chunk_key")
+      .agg(min("corpus_id").as("corpus_id"))
+      .cache()
+    chunkKeys(newDocs, "new_id", Seq("ts"))
+      .join(corpusIndex, Seq("chunk_key")) // stream-static
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "chunk_key")
+      .select("new_id", "ts", "chunk_key", "len_cp", "corpus_id")
+  }
 }

@@ -240,4 +240,71 @@ class ScaleSmokeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(scaled === base.map { case (rk, w, c, cum, ppm) => (rk, w, c * rep, cum * rep, ppm) })
   }
+
+  test("event transition ppm is invariant under 10x replicated user streams (counts x10)") {
+    // replicate USERS (not rows): each replica gets a disjoint user-id
+    // space carrying an identical event sequence, so transition counts
+    // scale exactly x10 while the ppm probabilities — floor(n·10⁶/n_from),
+    // a ratio of extensive quantities — are bit-identical. Replicating
+    // raw rows instead would interleave 10 copies of each event at one
+    // timestamp and CHANGE the transition structure; user-level
+    // replication is the composition a grown corpus actually has.
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-trans-").toString
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("user_id", col("user_id") + col("id") * 1000000000L)
+      .withColumn("event_id", col("event_id") + col("id") * 1000000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val base = Relational.qEventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val scaled = Relational.qEventTransitions(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(scaled === base.map { case (f, t, n, nf, ppm) => (f, t, n * rep, nf * rep, ppm) })
+  }
+
+  test("k-anonymity attained-k scales x10 under replicated customers; risky groups vanish") {
+    // every QI group gains exactly 10 identical members, so the group
+    // list is unchanged, attained k is x10, and no group can sit under
+    // the k=5 bar anymore (min possible size is now 10)
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-kanon-").toString
+    Tables.customer(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("c_custkey", col("c_custkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val base = Relational.qKAnonymity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val scaled = Relational.qKAnonymity(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(scaled === base.map { case (seg, groups, k) => (seg, groups, k * rep, 0L, 0L) })
+  }
+
+  test("CDC chunk dedup under 10x replication: every substantial chunk becomes a x10 group") {
+    // chunk boundaries are content-pure, so each replica contributes an
+    // identical chunk multiset: every distinct substantial (key, len)
+    // appears as a group (even 1x-unique chunks are now 10-copy dups),
+    // with copies and docs exactly x10
+    val rep = 10
+    val tmp = replicatedDocs(rep, "cdcdedup")
+    val baseChunks = TextOps.qCdcChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .filter(_._2 >= 24) // (doc_id, len_cp, chunk_key) above the q_cdc_dedup floor
+    val expected = baseChunks
+      .groupBy(c => (c._3, c._2))
+      .map { case ((key, len), xs) =>
+        (key, len) -> (xs.length * rep.toLong, xs.map(_._1).distinct.length * rep.toLong,
+          xs.map(_._1).min)
+      }
+    val scaled = TextOps.qCdcDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(scaled.length === expected.size, "group count != distinct substantial chunks")
+    scaled.foreach { case (key, len, copies, docs, firstDoc) =>
+      val (eCopies, eDocs, eFirst) = expected((key, len))
+      assert(copies === eCopies && docs === eDocs && firstDoc === eFirst,
+        s"group ($key,$len): got ($copies,$docs,$firstDoc), expected ($eCopies,$eDocs,$eFirst)")
+    }
+  }
 }

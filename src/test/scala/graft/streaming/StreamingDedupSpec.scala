@@ -99,4 +99,46 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 501L), s"distant image falsely flagged: ${rows.toSeq}")
     } finally query.stop()
   }
+
+  test("streamed revision sharing a span with the corpus is flagged via CDC chunks; novel doc passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    // deterministic pseudo-text (same LCG device as the kernel specs)
+    def lcgText(n: Int, seed: Long): String = {
+      val sb = new StringBuilder
+      var x = seed
+      val alpha = "abcdefghij klmnopqrstuvwxyz"
+      for (_ <- 0 until n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(alpha(((x >>> 33) % alpha.length).toInt))
+      }
+      sb.toString
+    }
+    val shared = lcgText(600, 77)
+    val corpus = Seq((500L, shared), (501L, lcgText(600, 88))).toDF("doc_id", "text")
+
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val stream = source.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingDedup.cdcAgainstCorpus(stream, corpus).writeStream
+      .format("memory")
+      .queryName("scdc_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+      source.addData(
+        // a REVISION: new intro, but the tail 400 chars are a corpus span —
+        // CDC re-syncs inside the shared region, so its chunk keys match
+        (1L, t2(0), "COMPLETELY NEW INTRO PARAGRAPH " + shared.substring(200)),
+        // novel document: no shared span, no chunk-key matches
+        (2L, t2(1), lcgText(600, 99)))
+      query.processAllAvailable()
+      val rows = spark.table("scdc_test").collect()
+        .map(r => (r.getLong(0), r.getLong(4)))
+      assert(rows.contains((1L, 500L)),
+        s"revision sharing a 400-char corpus span not flagged; got ${rows.toSeq}")
+      assert(!rows.exists(_._1 == 2L), s"novel doc falsely flagged: ${rows.toSeq}")
+    } finally query.stop()
+  }
 }
