@@ -623,6 +623,74 @@ object Relational {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** CUSUM upward-shift detection over hourly event counts — the
+    * sequential change-point family ([[qAnomalyHours]] flags OUTLIER
+    * hours; CUSUM accumulates SMALL persistent shifts no single hour
+    * reveals). The textbook recursion
+    * `c_t = max(0, c_{t−1} + (x_t − m − k))` is not a window function,
+    * but it has the exact closed form `c_t = S_t − min(0, S_1..S_t)`
+    * where S is the prefix sum of the drifts — a running sum and a
+    * running min, both plain windows, so the whole detector stays
+    * declarative (no per-key fold, no recursion; the DuckDB twin is the
+    * same two windows). All-integer arithmetic: per-type reference level
+    * m = ⌊mean⌋ and slack k = ⌈m/10⌉ from one tiny aggregate joined
+    * back; alarm bar H = 5·(k+1). Emits one summary row per event type
+    * (hours, max CUSUM, alarm count, first alarm) — stable gate surface
+    * whether or not the corpus contains a shift. Scale: the hourly
+    * pre-aggregation does the volume work map-side; windows run over
+    * types × hours rows only. */
+  def qCusumShift(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val ref = hourly
+      .groupBy("event_type")
+      .agg(expr("sum(n) div count(*)").as("m"))
+      .withColumn("k", expr("(m + 9) div 10"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val cum = hourly
+      .join(ref, "event_type")
+      .withColumn("d", col("n") - col("m") - col("k"))
+      .withColumn("s", sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn(
+        "cusum",
+        col("s") - least(lit(0L), min("s").over(w.rowsBetween(Window.unboundedPreceding, 0))))
+      .withColumn("h", (col("k") + 1) * 5)
+    cum
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        max("cusum").as("max_cusum"),
+        sum(when(col("cusum") > col("h"), 1L).otherwise(0L)).as("n_alarms"),
+        date_format(min(when(col("cusum") > col("h"), col("hr"))), "yyyy-MM-dd HH:mm:ss")
+          .as("first_alarm"))
+      .orderBy("event_type")
+  }
+
+  private val qCusumShiftSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ref AS (
+      |  SELECT event_type, sum(n) // count(*) AS m, ((sum(n) // count(*)) + 9) // 10 AS k
+      |  FROM hourly GROUP BY 1),
+      |cum1 AS (
+      |  SELECT h.event_type, h.hr, r.k,
+      |    sum(h.n - r.m - r.k) OVER (PARTITION BY h.event_type ORDER BY h.hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM hourly h JOIN ref r USING (event_type)),
+      |cum AS (
+      |  SELECT event_type, hr, k,
+      |    s - least(0, min(s) OVER (PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      |  FROM cum1)
+      |SELECT event_type, count(*) AS n_hours,
+      |  max(cusum)::BIGINT AS max_cusum,
+      |  sum(CASE WHEN cusum > 5 * (k + 1) THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+      |  strftime(min(CASE WHEN cusum > 5 * (k + 1) THEN hr END), '%Y-%m-%d %H:%M:%S')
+      |    AS first_alarm
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Session windows via Spark's BUILT-IN `session_window` aggregate —
     * the declarative twin of [[qSessionize]]'s gaps-and-islands windows
     * (and of the streaming sessionizers in graft.streaming, which share
@@ -2234,6 +2302,7 @@ object Relational {
     Q("q_null_order", qNullOrder, Some(qNullOrderSql)),
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
+    Q("q_cusum_shift", qCusumShift, Some(qCusumShiftSql)),
     Q("q_observe_metrics", qObserveMetrics, Some(qObserveMetricsSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),

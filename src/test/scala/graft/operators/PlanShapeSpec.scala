@@ -308,6 +308,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe > ex, s"probe not below the fact-side exchange:\n$p")
   }
 
+  test("CDC chunking is a pure map stage: one scan, no hash shuffle before the sort") {
+    // q_cdc_chunks' scale claim — chunk extraction pipelines into its
+    // consumer with no shuffle; the only exchange is the presentation
+    // orderBy's range partitioning
+    val df = TextOps.qCdcChunks(spark, sfDir)
+    val p = plan(df)
+    val scans = p.linesIterator.count(l => l.contains("FileScan parquet"))
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash shuffle in a map-only chunker:\n$p")
+  }
+
   test("lateral top-1 subquery decorrelates to WindowGroupLimit, not a nested loop") {
     val p = plan(Relational.qLateralTopOrder(spark, sfDir))
     // the correlated LIMIT 1 must become a per-key group-limit (with a
