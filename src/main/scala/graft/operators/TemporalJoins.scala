@@ -90,6 +90,111 @@ object TemporalJoins {
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
 
+  /** Generic FORWARD as-of join with an optional tolerance — together
+    * with [[asofBackward]] this is the full `merge_asof` direction
+    * surface (backward / forward / bounded-lookahead). For every left
+    * row, attach the right payload of the SMALLEST right t' ≥ t with the
+    * same key (ties by smallest `rightTiebreak`), nulled when
+    * `toleranceUs` is set and t' − t exceeds it. Same one-shuffle
+    * union+window construction as backward, mirrored: left rows sort
+    * BEFORE right rows at equal time (inclusive t' ≥ t) and the carry is
+    * `first(_, ignoreNulls)` over [current row, ∞). The tolerance is a
+    * post-filter on the carried match — it cannot advance the match to a
+    * later in-tolerance row (there is none: the carried row is the
+    * earliest candidate), so the gate is exact, not approximate. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val payloadCols = (rightCols :+ rightTime).distinct
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__payload", lit(null).cast(structType(right, payloadCols)))
+    val r = right
+      .filter(col(key).isNotNull) // NULL never equi-joins (see asofBackward)
+      .select(
+        col(key),
+        col(rightTime).as("__t"),
+        lit(1).as("__side"),
+        col(rightTiebreak).cast("long").as("__tb"),
+        struct(payloadCols.map(col): _*).as("__payload"))
+    val unioned = l.select(
+      col(key), col("__t"), col("__side"), col("__tb"), col("__payload"),
+      struct(left.columns.map(col): _*).as("__left"))
+      .unionByName(
+        r.withColumn("__left", lit(null).cast(structType(left, left.columns.toSeq))))
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned
+      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val gated = toleranceUs match {
+      case Some(tol) =>
+        carried.withColumn(
+          "__match",
+          when(
+            unix_micros(col(s"__match.$rightTime")) - unix_micros(col("__t")) <= tol,
+            col("__match")))
+      case None => carried
+    }
+    val leftOut = left.columns.map(c => col(s"__left.$c").as(c))
+    val rightOut = rightCols.map(c => col(s"__match.$c").as(c))
+    gated.select(leftOut ++ rightOut: _*)
+  }
+
+  /** Forward as-of with tolerance: for every `view` event, the user's
+    * FIRST `purchase` at or after it and within 2 hours — conversion
+    * attribution with bounded lookahead, the canonical forward-as-of
+    * workload. Exact integer microsecond gap; unconverted views keep
+    * null match columns (they are the interesting rows). */
+  def qAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    asofForward(
+      views, purchases,
+      key = "user_id",
+      leftTime = "ts",
+      rightTime = "pts",
+      rightTiebreak = "purchase_id",
+      rightCols = Seq("purchase_id", "pts"),
+      toleranceUs = Some(7200000000L))
+      .select(
+        col("view_id"),
+        col("user_id"),
+        col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("view_id")
+  }
+
+  private val qAsofForwardSql =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts AS vt FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS pt FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT v.view_id, p.purchase_id,
+      |    epoch_us(p.pt) - epoch_us(v.vt) AS gap_us,
+      |    row_number() OVER (PARTITION BY v.view_id ORDER BY p.pt, p.purchase_id) AS rn
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |    AND p.pt >= v.vt AND epoch_us(p.pt) - epoch_us(v.vt) <= 7200000000)
+      |SELECT v.view_id, v.user_id, j.purchase_id, j.gap_us
+      |FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (view_id)
+      |ORDER BY view_id""".stripMargin
+
   /** As-of query: for every event, the user's most recent order at or
     * before the event time (orders history ends 2001, events run in 2024 —
     * every event matches its user's last order if the user ever ordered). */
@@ -159,5 +264,6 @@ object TemporalJoins {
 
   val queries: Seq[Q] = Seq(
     Q("q_asof_join", qAsOfJoin, Some(qAsOfSql)),
+    Q("q_asof_forward", qAsofForward, Some(qAsofForwardSql)),
     Q("q_range_join", qRangeJoin, Some(qRangeSql)))
 }

@@ -39,4 +39,37 @@ class AsofJoinSpec extends SparkSpec {
       ("l-c", None, None),
       ("l-d", None, None)))
   }
+
+  test("asofForward: forward match, inclusive time, min-tiebreak, tolerance gate") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(4), "l-a"),  // next right at 5 → within 2-min tolerance
+      (1L, ts(5), "l-b"),  // equal time → inclusive, min tiebreak wins
+      (1L, ts(6), "l-c"),  // next right at 60 → BEYOND tolerance → null
+      (1L, ts(70), "l-d"), // after all rights → null
+      (2L, ts(1), "l-e")   // key with no right rows → null
+    ).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, ts(5), 200L, "r-high"),
+      (1L, ts(5), 100L, "r-low"), // same ts: SMALLEST tiebreak wins forward
+      (1L, ts(60), 50L, "r-late")
+    ).toDF("k", "rt", "tb", "rv")
+
+    val out = TemporalJoins.asofForward(
+      left, right,
+      key = "k", leftTime = "t", rightTime = "rt",
+      rightTiebreak = "tb", rightCols = Seq("tb", "rv"),
+      toleranceUs = Some(2L * 60 * 1000000))
+      .select("payload", "tb", "rv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+
+    assert(out === Set(
+      ("l-a", Some(100L), Some("r-low")), // 5 ≥ 4, within 2 min
+      ("l-b", Some(100L), Some("r-low")), // inclusive + min tiebreak
+      ("l-c", None, None),                // earliest candidate at 60 is out of tolerance
+      ("l-d", None, None),
+      ("l-e", None, None)))
+  }
 }
