@@ -586,6 +586,124 @@ object TextOps {
        |FROM bg b JOIN df USING (bigram)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** LM-based quality scoring (the CCNet/KenLM filter class, in exact
+    * integer form): score each document's trigrams under a Stupid-Backoff
+    * language model FIT ON THE REST OF THE CORPUS — every count is
+    * leave-one-out (global minus this doc's own occurrences), the
+    * held-out scoring a real pipeline gets from an external LM, and the
+    * reason the backoff branch genuinely fires here (a trigram unique to
+    * its document has zero others-count). Per trigram occurrence:
+    * S = others(w₁w₂w₃)/others(w₁w₂), backing off to
+    * 0.4·others(w₂w₃)/others(w₂) when the trigram is unseen elsewhere
+    * (0.4 kept exact as 2/5; a second-level backoff would continue to
+    * unigrams — single level documented and spec'd). All ratios are
+    * integer ppm via div — no float touches the hash surface. Output per
+    * doc: trigram count, backed-off count (the novelty signal), and the
+    * summed ppm score (the quality signal a perplexity gate thresholds).
+    * Scale: counts tables are combiner-backed groupBys; the scoring join
+    * chain is all hash joins on n-gram keys (AQE handles hot-gram skew);
+    * the one broadcast is the 1-row corpus total. 100 TB swaps the
+    * BIGINT ppm sums for DECIMAL(38) — same plan. */
+  def qLmBackoff(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .cache() // read three times: trigrams, bigrams, unigrams
+    val docTg = toks.select(
+      col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k_dt"))
+      .cache() // read twice: global counts + the scoring fact side
+    val ct = docTg.groupBy("w1", "w2", "w3").agg(sum("k_dt").as("c_t"))
+    val docBg = toks.select(
+      col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.a"), col("b.b"))
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("k_db"))
+      .cache() // read three times: global counts + both prefix/backoff joins
+    val cbg = docBg.groupBy("a", "b").agg(sum("k_db").as("c_b"))
+    val docUni = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("k_dw"))
+      .cache() // read twice: global counts + the w2 join
+    val cw = docUni.groupBy("w").agg(sum("k_dw").as("c_w"))
+    val scored = docTg
+      .join(ct, Seq("w1", "w2", "w3"))
+      .join(
+        docBg.select(col("doc_id"), col("a").as("w1"), col("b").as("w2"), col("k_db").as("k_d12")),
+        Seq("doc_id", "w1", "w2"))
+      .join(cbg.select(col("a").as("w1"), col("b").as("w2"), col("c_b").as("c_12")), Seq("w1", "w2"))
+      .join(
+        docBg.select(col("doc_id"), col("a").as("w2"), col("b").as("w3"), col("k_db").as("k_d23")),
+        Seq("doc_id", "w2", "w3"))
+      .join(cbg.select(col("a").as("w2"), col("b").as("w3"), col("c_b").as("c_23")), Seq("w2", "w3"))
+      .join(docUni.select(col("doc_id"), col("w").as("w2"), col("k_dw").as("k_dw2")), Seq("doc_id", "w2"))
+      .join(cw.select(col("w").as("w2"), col("c_w").as("c_w2")), Seq("w2"))
+      .withColumn("ot", col("c_t") - col("k_dt"))
+      .withColumn("o12", col("c_12") - col("k_d12"))
+      .withColumn("o23", col("c_23") - col("k_d23"))
+      .withColumn("ow2", col("c_w2") - col("k_dw2"))
+      .withColumn(
+        "s_ppm",
+        when(col("ot") > 0, expr("(ot * 1000000L) div o12"))
+          .when(col("ow2") > 0, expr("(2 * o23 * 1000000L) div (5 * ow2)"))
+          .otherwise(0L))
+      .withColumn("bko", when(col("ot") > 0, 0L).otherwise(col("k_dt")))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        sum("k_dt").as("n_trigrams"),
+        sum("bko").as("n_backoff"),
+        sum(col("k_dt") * col("s_ppm")).as("score_sum_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val qLmBackoffSql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tk3 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 3),
+       |dtg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3, count(*) AS k_dt
+       |  FROM tk3, LATERAL (SELECT unnest(generate_series(1, len(toks)-2)) AS i) g
+       |  GROUP BY 1, 2, 3, 4),
+       |ct AS (SELECT w1, w2, w3, sum(k_dt) AS c_t FROM dtg GROUP BY 1, 2, 3),
+       |dbg AS (
+       |  SELECT doc_id, toks[i] AS a, toks[i+1] AS b, count(*) AS k_db
+       |  FROM tk3, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g
+       |  GROUP BY 1, 2, 3),
+       |cbg AS (SELECT a, b, sum(k_db) AS c_b FROM dbg GROUP BY 1, 2),
+       |duni AS (
+       |  SELECT doc_id, w, count(*) AS k_dw
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM tk3) GROUP BY 1, 2),
+       |cw AS (SELECT w, sum(k_dw) AS c_w FROM duni GROUP BY 1),
+       |sc AS (
+       |  SELECT t.doc_id, t.k_dt,
+       |    (ct.c_t - t.k_dt) AS ot,
+       |    (c12.c_b - d12.k_db) AS o12,
+       |    (c23.c_b - d23.k_db) AS o23,
+       |    (cw2.c_w - du2.k_dw) AS ow2
+       |  FROM dtg t
+       |  JOIN ct ON ct.w1 = t.w1 AND ct.w2 = t.w2 AND ct.w3 = t.w3
+       |  JOIN dbg d12 ON d12.doc_id = t.doc_id AND d12.a = t.w1 AND d12.b = t.w2
+       |  JOIN cbg c12 ON c12.a = t.w1 AND c12.b = t.w2
+       |  JOIN dbg d23 ON d23.doc_id = t.doc_id AND d23.a = t.w2 AND d23.b = t.w3
+       |  JOIN cbg c23 ON c23.a = t.w2 AND c23.b = t.w3
+       |  JOIN duni du2 ON du2.doc_id = t.doc_id AND du2.w = t.w2
+       |  JOIN cw cw2 ON cw2.w = t.w2),
+       |sp AS (
+       |  SELECT doc_id, k_dt,
+       |    CASE WHEN ot > 0 THEN (ot * 1000000) // o12
+       |         WHEN ow2 > 0 THEN (2 * o23 * 1000000) // (5 * ow2)
+       |         ELSE 0 END AS s_ppm,
+       |    CASE WHEN ot > 0 THEN 0 ELSE k_dt END AS bko
+       |  FROM sc)
+       |SELECT doc_id, sum(k_dt)::BIGINT AS n_trigrams, sum(bko)::BIGINT AS n_backoff,
+       |  sum(k_dt * s_ppm)::BIGINT AS score_sum_ppm
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Language-stratified quality gate: keep the TOP HALF of each
     * language's quality ranking — the per-stratum filter a mixture
     * pipeline runs so a low-resource language isn't wiped out by a
@@ -1561,6 +1679,7 @@ object TextOps {
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
     Q("q_gopher_rep", qGopherRep, Some(qGopherRepSql)),
     Q("q_surprisal", qSurprisal, Some(qSurprisalSql)),
+    Q("q_lm_backoff", qLmBackoff, Some(qLmBackoffSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
