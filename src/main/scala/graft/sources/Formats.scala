@@ -140,9 +140,82 @@ object Formats {
        |  max(c_custkey) AS max_key
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Binary-file ingestion: one real `.png` FILE per document (identity
+    * in the filename — the on-disk layout a crawler drops media as),
+    * read back through Spark's built-in `binaryFile` source and decoded
+    * from the file CONTENT column. This is the missing first mile of the
+    * media pipeline ([[graft.operators.Multimodal]] starts from blobs
+    * already in a table; this starts from a directory of files). The
+    * compared columns are decode-derived (real dimensions + full-raster
+    * pixel sum — the shared deterministic formula the DuckDB twin
+    * replays); the PNG's compressed byte length is deliberately NOT
+    * compared (encoder-dependent). Bounded to doc_id < 300 (file-count
+    * hygiene); the directory is cleared and scoped per data dir so a
+    * previous SF's files can never leak into the read-back. At scale the
+    * source lists and splits files like any other; blobs stay in the
+    * scan stage (decode in the projection, scalars onward). */
+  def qSourceBinary(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val out = sinkDir(s, s"binary-png/${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    val dir = new java.io.File(out)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+    dir.mkdirs()
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .filter(col("doc_id") < 300)
+      .as[Long]
+      .foreachPartition { (ids: Iterator[Long]) =>
+        ids.foreach { id =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"doc_$id%06d.png"),
+            Multimodal.PngCodec.encode(id))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = Multimodal.PngCodec.decode(bytes)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, img.getWidth.toLong, img.getHeight.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum")
+      .orderBy("doc_id")
+  }
+
+  /** Replays [[graft.operators.Multimodal.PngCodec]]'s deterministic
+    * pixel formula (PNG is lossless) over the same doc slice. */
+  private val qSourceBinarySql =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS width, (doc_id % 32 + 24)::BIGINT AS height
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT d.doc_id, d.width, d.height,
+      |       sum((xs.x * 7 + ys.y * 13 + d.doc_id * 31) % 256)::BIGINT AS pixel_sum
+      |FROM dims d, (SELECT unnest(range(80)) AS x) xs, (SELECT unnest(range(56)) AS y) ys
+      |WHERE xs.x < d.width AND ys.y < d.height
+      |GROUP BY d.doc_id, d.width, d.height
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_source_csv", qSourceCsv, Some(qSourceCsvSql)),
     Q("q_source_json", qSourceJson, Some(qSourceJsonSql)),
     Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)),
-    Q("q_source_xml", qSourceXml, Some(qSourceXmlSql)))
+    Q("q_source_xml", qSourceXml, Some(qSourceXmlSql)),
+    Q("q_source_binary", qSourceBinary, Some(qSourceBinarySql)))
 }
