@@ -605,48 +605,44 @@ object TextOps {
     * the one broadcast is the 1-row corpus total. 100 TB swaps the
     * BIGINT ppm sums for DECIMAL(38) — same plan. */
   def qLmBackoff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .cache() // read three times: trigrams, bigrams, unigrams
-    val docTg = toks.select(
+    // each count table is built ONCE with its leave-one-out complement
+    // attached via a window sum over the n-gram key — no agg+join-back
+    // pair, no second evaluation of the tokenize subtree per use
+    val tgAnn = toks.select(
       col("doc_id"),
       explode(expr(
         "transform(sequence(0, size(toks)-3), i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
         .as("t"))
       .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
       .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k_dt"))
-      .cache() // read twice: global counts + the scoring fact side
-    val ct = docTg.groupBy("w1", "w2", "w3").agg(sum("k_dt").as("c_t"))
-    val docBg = toks.select(
+      .withColumn("ot", sum("k_dt").over(Window.partitionBy("w1", "w2", "w3")) - col("k_dt"))
+    val bgAnn = toks.select(
       col("doc_id"),
       explode(expr(
         "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
         .as("b"))
       .select(col("doc_id"), col("b.a"), col("b.b"))
       .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("k_db"))
-      .cache() // read three times: global counts + both prefix/backoff joins
-    val cbg = docBg.groupBy("a", "b").agg(sum("k_db").as("c_b"))
-    val docUni = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .withColumn("ob", sum("k_db").over(Window.partitionBy("a", "b")) - col("k_db"))
+      .cache() // joined twice: trigram prefix (w1w2) and backoff gram (w2w3)
+    val uniAnn = toks.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("k_dw"))
-      .cache() // read twice: global counts + the w2 join
-    val cw = docUni.groupBy("w").agg(sum("k_dw").as("c_w"))
-    val scored = docTg
-      .join(ct, Seq("w1", "w2", "w3"))
+      .withColumn("ow", sum("k_dw").over(Window.partitionBy("w")) - col("k_dw"))
+    val scored = tgAnn
       .join(
-        docBg.select(col("doc_id"), col("a").as("w1"), col("b").as("w2"), col("k_db").as("k_d12")),
+        bgAnn.select(col("doc_id"), col("a").as("w1"), col("b").as("w2"), col("ob").as("o12")),
         Seq("doc_id", "w1", "w2"))
-      .join(cbg.select(col("a").as("w1"), col("b").as("w2"), col("c_b").as("c_12")), Seq("w1", "w2"))
       .join(
-        docBg.select(col("doc_id"), col("a").as("w2"), col("b").as("w3"), col("k_db").as("k_d23")),
+        bgAnn.select(col("doc_id"), col("a").as("w2"), col("b").as("w3"), col("ob").as("o23")),
         Seq("doc_id", "w2", "w3"))
-      .join(cbg.select(col("a").as("w2"), col("b").as("w3"), col("c_b").as("c_23")), Seq("w2", "w3"))
-      .join(docUni.select(col("doc_id"), col("w").as("w2"), col("k_dw").as("k_dw2")), Seq("doc_id", "w2"))
-      .join(cw.select(col("w").as("w2"), col("c_w").as("c_w2")), Seq("w2"))
-      .withColumn("ot", col("c_t") - col("k_dt"))
-      .withColumn("o12", col("c_12") - col("k_d12"))
-      .withColumn("o23", col("c_23") - col("k_d23"))
-      .withColumn("ow2", col("c_w2") - col("k_dw2"))
+      .join(
+        uniAnn.select(col("doc_id"), col("w").as("w2"), col("ow").as("ow2")),
+        Seq("doc_id", "w2"))
       .withColumn(
         "s_ppm",
         when(col("ot") > 0, expr("(ot * 1000000L) div o12"))

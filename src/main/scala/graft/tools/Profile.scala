@@ -27,6 +27,9 @@ object Profile {
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
       println(f"[profile] $name attempt $attempt: plan ${(t1 - t0) / 1e9}%.3f s, exec ${(t2 - t1) / 1e9}%.3f s")
+      // Bench clears the cache between queries — set this to measure the
+      // cost an interleaved bench pass actually pays, not the warm rerun
+      if (sys.env.contains("SPARK_GRAFT_PROFILE_CLEARCACHE")) spark.catalog.clearCache()
     }
     spark.stop()
   }
