@@ -96,12 +96,21 @@ object TemporalJoins {
     * row, attach the right payload of the SMALLEST right t' ≥ t with the
     * same key (ties by smallest `rightTiebreak`), nulled when
     * `toleranceUs` is set and t' − t exceeds it. Same one-shuffle
-    * union+window construction as backward, mirrored: left rows sort
-    * BEFORE right rows at equal time (inclusive t' ≥ t) and the carry is
-    * `first(_, ignoreNulls)` over [current row, ∞). The tolerance is a
-    * post-filter on the carried match — it cannot advance the match to a
-    * later in-tolerance row (there is none: the carried row is the
-    * earliest candidate), so the gate is exact, not approximate. */
+    * union+window construction as backward, mirrored by sorting the
+    * partition DESCENDING and carrying with `last(_, ignoreNulls)` over
+    * [−∞, current row] — the incremental frame. (The tempting direct
+    * mirror, `first` over [current row, +∞), is evaluated by Spark's
+    * UnboundedFollowing frame which RESCANS to the partition end per
+    * row — O(n²) on a hot key.) At equal time, right rows sort before
+    * left (inclusive t' ≥ t); among equal right times the descending
+    * tiebreak puts the SMALLEST tiebreak nearest the left row, which is
+    * what `last` picks. A left row with a NULL time matches nothing
+    * (explicitly gated — the descending sort would otherwise park null
+    * times at the partition end with every right row in frame). The
+    * tolerance is a post-filter on the carried match — it cannot
+    * advance the match to a later in-tolerance row (there is none: the
+    * carried row is the earliest candidate), so the gate is exact, not
+    * approximate. */
   def asofForward(
       left: DataFrame,
       right: DataFrame,
@@ -132,11 +141,13 @@ object TemporalJoins {
         r.withColumn("__left", lit(null).cast(structType(left, left.columns.toSeq))))
     val w = Window
       .partitionBy(key)
-      .orderBy(col("__t"), col("__side"), col("__tb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").desc, col("__tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__match", first(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
+      // NULL left time matches nothing (mirrors asofBackward's semantics)
+      .withColumn("__match", when(col("__t").isNotNull, col("__match")))
     val gated = toleranceUs match {
       case Some(tol) =>
         carried.withColumn(

@@ -1361,25 +1361,37 @@ object TextOps {
     * replay is possible). Plan: one narrow projection + per-row kernel +
     * explode — a pure map stage, no shuffle (orderBy is
     * presentation-only). */
-  /** Shared CDC chunk rows (doc_id, chunk_idx, start_cp, len_cp,
-    * chunk_key) — one definition for the chunking gate row and the
-    * chunk-level dedup consumer. */
+  /** Substantial-chunk floor in code points — drops trivial micro-chunk
+    * collisions. ONE constant for [[qCdcDedup]] and the streaming
+    * admission gate ([[graft.streaming.StreamingDedup.cdcAgainstCorpus]]);
+    * a drifted copy would silently stop the stream matching the batch
+    * index. */
+  private[graft] val CdcMinSubstantialCp = 24
+
+  /** THE chunk-key derivation: exploded CDC chunk rows
+    * (doc_id, chunk_idx, start_cp, len_cp, chunk_key) from a frame with
+    * (doc_id, text, …), `extra` columns carried through. Shared by the
+    * batch gate rows AND the streaming gate so boundary kernel, substring
+    * recipe, and key hash cannot drift between them. */
+  private[graft] def cdcChunkKeys(docs: DataFrame, extra: Seq[String]): DataFrame =
+    docs
+      .select(
+        (Seq(col("doc_id"), col("text")) ++ extra.map(col)) :+
+          posexplode(graft.functions.NativeExprs.cdcChunks(col("text")))
+            .as(Seq("chunk_idx", "c")): _*)
+      .select(
+        (Seq(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.start_cp").as("start_cp"),
+          col("c.len_cp").as("len_cp"),
+          graft.functions.PortableHash
+            .md5PrefixLong(
+              expr("substring(text, cast(start_cp + 1 AS int), cast(len_cp AS int))"), 14)
+            .as("chunk_key")) ++ extra.map(col)): _*)
+
   private def cdcChunkRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        col("text"),
-        posexplode(graft.functions.NativeExprs.cdcChunks(col("text")))
-          .as(Seq("chunk_idx", "c")))
-      .select(
-        col("doc_id"),
-        col("chunk_idx").cast("long").as("chunk_idx"),
-        col("c.start_cp").as("start_cp"),
-        col("c.len_cp").as("len_cp"),
-        graft.functions.PortableHash
-          .md5PrefixLong(
-            expr("substring(text, cast(start_cp + 1 AS int), cast(len_cp AS int))"), 14)
-          .as("chunk_key"))
+    cdcChunkKeys(Tables.documents(s, d), Seq.empty)
 
   def qCdcChunks(s: SparkSession, d: String): DataFrame =
     cdcChunkRows(s, d).orderBy("doc_id", "chunk_idx")
@@ -1435,7 +1447,7 @@ object TextOps {
     * duplicated content, not corpus size. */
   def qCdcDedup(s: SparkSession, d: String): DataFrame =
     cdcChunkRows(s, d)
-      .filter(col("len_cp") >= 24)
+      .filter(col("len_cp") >= CdcMinSubstantialCp)
       .groupBy("chunk_key", "len_cp")
       .agg(
         count(lit(1)).as("n_copies"),
@@ -1448,7 +1460,7 @@ object TextOps {
     s"""WITH $cdcChunksSqlCtes
        |SELECT chunk_key, len_cp, count(*)::BIGINT AS n_copies,
        |  count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc
-       |FROM gk WHERE len_cp >= 24
+       |FROM gk WHERE len_cp >= $CdcMinSubstantialCp
        |GROUP BY chunk_key, len_cp
        |HAVING count(*) > 1
        |ORDER BY chunk_key, len_cp""".stripMargin

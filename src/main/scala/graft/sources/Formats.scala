@@ -159,11 +159,7 @@ object Formats {
     import s.implicits._
     val out = sinkDir(s, s"binary-png/${d.replaceAll("[^A-Za-z0-9]", "_")}")
     val dir = new java.io.File(out)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) Warehouse.rm(dir)
     dir.mkdirs()
     Tables.documents(s, d)
       .select(col("doc_id"))

@@ -19,7 +19,7 @@ object Warehouse {
   def tableName(prefix: String, dir: String): String =
     prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def rm(f: java.io.File): Unit = {
+  private[sources] def rm(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rm)
     f.delete()
   }

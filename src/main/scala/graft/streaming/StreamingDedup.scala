@@ -210,30 +210,23 @@ object StreamingDedup {
     * @param newDocs streaming (doc_id, ts, text)
     * @param corpus  static (doc_id, text, …) — the indexed snapshot
     * @param minLenCp substantial-chunk floor in code points (drops
-    *                 trivial micro-chunk collisions, same bar as
-    *                 q_cdc_dedup's)
+    *                 trivial micro-chunk collisions; defaults to the
+    *                 SHARED q_cdc_dedup bar)
     */
   def cdcAgainstCorpus(
       newDocs: DataFrame,
       corpus: DataFrame,
-      minLenCp: Int = 24,
+      minLenCp: Int = graft.operators.TextOps.CdcMinSubstantialCp,
       watermarkDelay: String = "1 hour"): DataFrame = {
-    import graft.functions.{NativeExprs, PortableHash}
+    // chunk-key derivation = TextOps.cdcChunkKeys, the ONE definition the
+    // batch gate rows use — kernel, substring recipe, and key hash
+    // cannot drift between stream and corpus index
     def chunkKeys(df: DataFrame, idAs: String, extra: Seq[String]): DataFrame =
-      df
+      graft.operators.TextOps.cdcChunkKeys(df, extra)
+        .filter(col("len_cp") >= minLenCp)
         .select(
-          (Seq(col("doc_id"), col("text")) ++ extra.map(col)) :+
-            posexplode(NativeExprs.cdcChunks(col("text"))).as(Seq("ci", "c")): _*)
-        .filter(col("c.len_cp") >= minLenCp)
-        .select(
-          (Seq(
-            col("doc_id").as(idAs),
-            col("c.len_cp").as("len_cp"),
-            PortableHash
-              .md5PrefixLong(
-                expr("substring(text, cast(c.start_cp + 1 AS int), cast(c.len_cp AS int))"),
-                14)
-              .as("chunk_key")) ++ extra.map(col)): _*)
+          (Seq(col("doc_id").as(idAs), col("len_cp"), col("chunk_key")) ++
+            extra.map(col)): _*)
     // one exemplar corpus doc per distinct substantial chunk key — the
     // index a revision store keeps; built once, cached for the run
     val corpusIndex = chunkKeys(corpus, "corpus_id", Seq.empty)

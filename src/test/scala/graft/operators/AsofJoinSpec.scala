@@ -47,7 +47,8 @@ class AsofJoinSpec extends SparkSpec {
       (1L, ts(5), "l-b"),  // equal time → inclusive, min tiebreak wins
       (1L, ts(6), "l-c"),  // next right at 60 → BEYOND tolerance → null
       (1L, ts(70), "l-d"), // after all rights → null
-      (2L, ts(1), "l-e")   // key with no right rows → null
+      (2L, ts(1), "l-e"),  // key with no right rows → null
+      (1L, null.asInstanceOf[Timestamp], "l-f") // NULL left time → null match
     ).toDF("k", "t", "payload")
     val right = Seq(
       (1L, ts(5), 200L, "r-high"),
@@ -70,6 +71,20 @@ class AsofJoinSpec extends SparkSpec {
       ("l-b", Some(100L), Some("r-low")), // inclusive + min tiebreak
       ("l-c", None, None),                // earliest candidate at 60 is out of tolerance
       ("l-d", None, None),
-      ("l-e", None, None)))
+      ("l-e", None, None),
+      ("l-f", None, None)))               // null left time never matches
+
+    // the same frame WITHOUT tolerance must also null the null-time row
+    // (the tolerance branch otherwise masks the null-handling path)
+    val noTol = TemporalJoins.asofForward(
+      left, right,
+      key = "k", leftTime = "t", rightTime = "rt",
+      rightTiebreak = "tb", rightCols = Seq("tb", "rv"))
+      .select("payload", "tb")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+      .toMap
+    assert(noTol("l-f") === None, "null left time matched without tolerance")
+    assert(noTol("l-c") === Some(50L), "without tolerance l-c matches the 60-min right")
   }
 }
