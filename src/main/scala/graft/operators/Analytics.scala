@@ -1,0 +1,574 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.PortableHash.{md5PrefixLong, md5PrefixLongSql}
+import graft.functions.PortableRound.{asScaled, asScaledSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/ops analytics pack over the `events` stream table and the star
+  * schema: cohort retention, interval concurrency (sweep line), Pareto
+  * skyline, robust outliers (median absolute deviation), deterministic
+  * Poisson-bootstrap confidence intervals, gap imputation (LOCF), EWMA
+  * forecasting and item-item collaborative filtering.
+  *
+  * The reference's MapReduce core (SURVEY.md §2.1) has none of these as
+  * operators — they are the analytics a user of that system would write as
+  * opaque map/reduce binaries; here each is a declarative Catalyst plan
+  * with an exact-integer output surface (house rule: every compared column
+  * is a BIGINT, a formatted timestamp, or an exact-cents sum, so the
+  * DuckDB oracle hash-matches bit-for-bit).
+  *
+  * Scale notes (100 TB): every aggregation is algebraic (map-side partial
+  * agg); global orderings (sweep line, skyline) are decomposed into
+  * partitioned partials + a bounded merge instead of a single-partition
+  * window; the one self-join (item-CF basket pairs) is bounded by an
+  * explicit basket-size cap so candidate volume is Σ C(cap,2) per order,
+  * never quadratic in a hub item's popularity.
+  */
+object Analytics {
+
+  // ---------------------------------------------------------------- cohorts
+
+  /** Weekly signup-cohort retention matrix — the canonical product
+    * analytics query. A user's cohort is the ISO week (Monday-truncated,
+    * identical rule in both engines) of their FIRST event; activity in
+    * week `w` after that counts them into (cohort, w). All arithmetic is
+    * calendar-day integer math (`datediff div 7`) — no floats anywhere.
+    *
+    * Plan: one groupBy(user) for first-event day, a fact-side join back
+    * (user-keyed shuffle, combiner-backed distinct), then a small
+    * (cohort, week) aggregate. At 100 TB the first-event table is the
+    * standard incremental dimension (min is algebraic, so a daily batch
+    * folds in with one merge). */
+  def qRetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+    val cohort = ev
+      .groupBy("user_id")
+      .agg(min("day").as("fday"))
+      .select(col("user_id"), date_trunc("week", col("fday")).cast("date").as("cweek"))
+    ev.join(cohort, "user_id")
+      .select(
+        col("user_id"),
+        col("cweek"),
+        expr("CAST(datediff(day, cweek) div 7 AS BIGINT)").as("weeks_since"))
+      .distinct()
+      .groupBy("cweek", "weeks_since")
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("cweek"), "yyyy-MM-dd").as("cohort_week"),
+        col("weeks_since"),
+        col("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  private val qRetentionCohortsSql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE) AS cweek
+      |  FROM ev GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.cweek,
+      |    date_diff('day', f.cweek, e.day) // 7 AS weeks_since
+      |  FROM ev e JOIN f USING (user_id))
+      |SELECT strftime(cweek, '%Y-%m-%d') AS cohort_week,
+      |  CAST(weeks_since AS BIGINT) AS weeks_since,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- interval concurrency
+
+  /** Peak concurrent sessions — the classic sweep-line interval query
+    * (capacity planning: "how many sessions were open at once?").
+    *
+    * Sessions are [[Relational.qSessionize]]'s 30-minute-gap islands
+    * (same `floor(epoch)` second rule, so the two operators cannot
+    * disagree about what a session is). Each session [st, en] contributes
+    * +1 at `st` and −1 at `en + 1µs` — the end shift makes the count
+    * INCLUSIVE of the endpoint and, after grouping deltas by timestamp,
+    * leaves the sweep a prefix sum over UNIQUE instants: no peer-order
+    * ambiguity for the engines to disagree on.
+    *
+    * Scale: a naive running sum over one global ordering is a
+    * single-partition window — the textbook distributed fix is the
+    * two-phase prefix sum implemented here: per-DAY partial running sums
+    * (parallel windows), day totals offset by a window over the tiny
+    * day table (one row per day — bounded by the calendar, not the
+    * data), partials + offset joined back. The oracle uses the plain
+    * global window — deliberately a different evaluation order. */
+  def qMaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800),
+          1).otherwise(0))
+      .withColumn(
+        "session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("st"), max("ts").as("en"))
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("en") + expr("INTERVAL 1 MICROSECOND")).as("t"), lit(-1L).as("d")))
+      .groupBy("t")
+      .agg(sum("d").as("dt"))
+      .withColumn("day", col("t").cast("date"))
+    val wDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = deltas.withColumn("run", sum("dt").over(wDay))
+    val wOff = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas
+      .groupBy("day")
+      .agg(sum("dt").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wOff), lit(0L)))
+      .select("day", "off")
+    partial
+      .join(offsets, "day")
+      .select(
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at_ts"),
+        (col("off") + col("run")).as("conc"))
+      .orderBy(col("conc").desc, col("at_ts"))
+      .limit(10)
+  }
+
+  private val qMaxConcurrencySql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      |  FROM numbered GROUP BY 1, 2
+      |), delta AS (
+      |  SELECT st AS t, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT en + INTERVAL 1 MICROSECOND, -1 FROM sess
+      |), agg AS (
+      |  SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM delta GROUP BY 1
+      |), sweep AS (
+      |  SELECT t, sum(dt) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM agg)
+      |SELECT strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS at_ts, CAST(conc AS BIGINT) AS conc
+      |FROM sweep ORDER BY conc DESC, at_ts LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------------- skyline
+
+  /** 2-D Pareto skyline of `part` — rows no other row dominates
+    * (dominates = price ≤ AND size ≥, strict in at least one): the
+    * "best value at every size" frontier. Exact-cents prices keep every
+    * comparison integral.
+    *
+    * Distributed form: skyline is idempotent under union, so stage 1
+    * computes a LOCAL skyline per coarse price band (windows partitioned
+    * by band — fully parallel) and stage 2 re-runs the same two checks
+    * globally over the survivors. Survivors per band are bounded by the
+    * number of distinct sizes in it (one row can survive per size value),
+    * so the global pass sees a bounded small set, NOT the input — the
+    * standard partition-then-merge skyline. Dominance checks are two
+    * window functions, not a self-join: strictly-cheaper dominance is
+    * `max(size) OVER (ORDER BY price RANGE UNBOUNDED PRECEDING TO -1)`,
+    * equal-price dominance is a per-price-group max. The oracle is the
+    * O(n²) NOT EXISTS definition — a genuinely different algorithm. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(
+      col("p_partkey"),
+      asScaled(col("p_retailprice"), 2).as("price_c"),
+      col("p_size"))
+
+    def skylinePass(df: DataFrame, bandCols: Seq[String]): DataFrame = {
+      val part = bandCols.map(col)
+      val wCheaper = Window.partitionBy(part: _*).orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSamePrice = Window.partitionBy(part :+ col("price_c"): _*)
+      df.withColumn("mx_cheaper", max("p_size").over(wCheaper))
+        .withColumn("mx_same", max("p_size").over(wSamePrice))
+        .filter(
+          (col("mx_cheaper").isNull || col("mx_cheaper") < col("p_size")) &&
+            col("mx_same") === col("p_size"))
+        .drop("mx_cheaper", "mx_same")
+    }
+
+    val local = skylinePass(p.withColumn("band", expr("price_c div 2000")), Seq("band"))
+    skylinePass(local.drop("band"), Seq.empty)
+      .orderBy("price_c", "p_partkey")
+  }
+
+  private val qSkylineSql = {
+    val pc = asScaledSql("p_retailprice", 2)
+    val pcB = asScaledSql("b.p_retailprice", 2)
+    val pcA = asScaledSql("a.p_retailprice", 2)
+    s"""SELECT a.p_partkey, $pcA AS price_c, a.p_size
+       |FROM part a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM part b
+       |  WHERE $pcB <= $pcA AND b.p_size >= a.p_size
+       |    AND ($pcB < $pcA OR b.p_size > a.p_size))
+       |ORDER BY price_c, p_partkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------ MAD outliers
+
+  /** Lower median of `v` per `key` via the VALUE-HISTOGRAM cumulative
+    * rank (the scale-safe exact path — shuffles carry DISTINCT values
+    * with counts, never row lists; same idiom as q_percentile_hist).
+    * Returns (key, n, med): med = smallest value whose cumulative count
+    * reaches rank ⌈n/2⌉. */
+  private def lowerMedian(df: DataFrame, key: String, v: String): DataFrame = {
+    val wCum = Window.partitionBy(key).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(col(key), col(v))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy(key)))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col(key), col("n"))
+      .agg(min(col(v)).as("med"))
+  }
+
+  /** Robust outlier detection per event type: median / MAD (median
+    * absolute deviation) and the count of rows beyond 3·MAD — the
+    * heavy-tail-safe alternative to [[Relational.qAnomalyHours]]'s 2σ
+    * test (a single extreme value shifts a mean and explodes a stddev;
+    * it moves a median by at most one rank). Lower-median convention
+    * throughout keeps every statistic an EXACT data value (cents), so
+    * there is no interpolation arithmetic to diverge on. Spark computes
+    * medians via the value-histogram cumulative rank; the oracle uses
+    * row_number ranks — different algorithm, same definition. */
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .select(col("event_type").as("et"), asScaled(col("value"), 2).as("vc"))
+    val med = lowerMedian(v, "et", "vc")
+    val dv = v.join(med, "et").withColumn("dv", abs(col("vc") - col("med")))
+    val mad = lowerMedian(dv.select(col("et"), col("dv")), "et", "dv")
+      .select(col("et"), col("med").as("mad"))
+    dv.join(mad, "et")
+      .groupBy(col("et"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("dv") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_out"))
+      .select(
+        col("et").as("event_type"),
+        col("n"),
+        col("med").as("med_c"),
+        col("mad").as("mad_c"),
+        col("n_out"))
+      .orderBy("event_type")
+  }
+
+  private val qMadOutliersSql = {
+    val vc = asScaledSql("value", 2)
+    s"""WITH v AS (SELECT event_type AS et, $vc AS vc FROM events),
+       |r AS (
+       |  SELECT et, vc,
+       |    row_number() OVER (PARTITION BY et ORDER BY vc) AS rn,
+       |    count(*) OVER (PARTITION BY et) AS n
+       |  FROM v),
+       |med AS (SELECT et, n, min(vc) AS med FROM r WHERE rn >= (n + 1) // 2 GROUP BY 1, 2),
+       |d AS (SELECT v.et, n, med, abs(vc - med) AS dv FROM v JOIN med USING (et)),
+       |r2 AS (
+       |  SELECT et, n, med, dv,
+       |    row_number() OVER (PARTITION BY et ORDER BY dv) AS rn
+       |  FROM d),
+       |mad AS (SELECT et, min(dv) AS mad FROM r2 WHERE rn >= (n + 1) // 2 GROUP BY 1)
+       |SELECT d.et AS event_type, CAST(n AS BIGINT) AS n, med AS med_c, mad AS mad_c,
+       |  CAST(count(*) FILTER (WHERE dv > 3 * mad) AS BIGINT) AS n_out
+       |FROM d JOIN mad USING (et)
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------- Poisson bootstrap
+
+  /** Replicate count; the median rank below assumes it even. */
+  private val BootB = 16
+  /** Cumulative Poisson(1) thresholds on a uniform [0, 10⁶) hash draw:
+    * P(≤0)=.367879, P(≤1)=.735759, P(≤2)=.919699, P(≤3)=.981012,
+    * truncated at weight 4. Fixed integers shared verbatim by both
+    * engines — exactness does not depend on them being perfect. */
+  private val BootCum = Seq(367879L, 735759L, 919699L, 981012L)
+
+  /** Deterministic Poisson bootstrap of the mean event value per type —
+    * the ONLINE bootstrap for datasets too large to resample by index:
+    * replicate `b` weights each row by a Poisson(1) draw derived from
+    * `md5(event_id:b)`, so the "resample" is a single scan with a ×B
+    * row expansion and a combiner-backed aggregate (weights are assigned
+    * row-locally; nothing is ever collected or permuted). The hash draw
+    * makes it bit-reproducible — both engines compute the identical
+    * replicate means, so lo/median/hi of the bootstrap distribution are
+    * hash-compared BIGINTs, not a tolerance check. Scale: cost is B×scan
+    * with map-side partial aggregation; B=16 is the classic cheap CI. */
+  def qPoissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("event_type").as("et"), asScaled(col("value"), 2).as("vc"))
+    val u = md5PrefixLong(concat_ws(":", col("event_id"), col("b")), 10) % lit(1000000L)
+    val w = BootCum.zipWithIndex
+      .foldRight(lit(BootCum.size.toLong)) { case ((thr, i), els) =>
+        when(col("u") < thr, i.toLong).otherwise(els)
+      }
+    val reps = base
+      .select(col("et"), col("vc"), explode(expr(s"sequence(0, ${BootB - 1})")).as("b"),
+        col("event_id"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("et", "b")
+      .agg(sum(col("w") * col("vc")).as("sw"), sum("w").as("cw"))
+      .filter(col("cw") > 0)
+      .select(col("et"), col("b"), expr("sw div cw").as("bmean"))
+    val wRank = Window.partitionBy("et").orderBy("bmean", "b")
+    val boot = reps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("et")))
+      .groupBy("et")
+      .agg(
+        min("bmean").as("boot_lo"),
+        min(when(col("rn") >= expr("(nb + 1) div 2"), col("bmean"))).as("boot_med"),
+        max("bmean").as("boot_hi"))
+    val point = base.groupBy("et").agg(expr("sum(vc) div count(*)").as("mean_c"))
+    point.join(boot, "et")
+      .select(col("et").as("event_type"), col("mean_c"),
+        col("boot_lo"), col("boot_med"), col("boot_hi"))
+      .orderBy("event_type")
+  }
+
+  private val qPoissonBootstrapSql = {
+    val vc = asScaledSql("value", 2)
+    val u = md5PrefixLongSql("event_id || ':' || b", 10)
+    val wCase = BootCum.zipWithIndex
+      .map { case (thr, i) => s"WHEN u < $thr THEN $i" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type AS et, $vc AS vc FROM events),
+       |reps AS (
+       |  SELECT et, vc, b, ($u) % 1000000 AS u
+       |  FROM base, LATERAL (SELECT unnest(generate_series(0, ${BootB - 1})) AS b) g),
+       |wtd AS (SELECT et, vc, b, CASE $wCase ELSE ${BootCum.size} END AS w FROM reps),
+       |means AS (
+       |  SELECT et, b, CAST(sum(w * vc) AS BIGINT) // CAST(sum(w) AS BIGINT) AS bmean
+       |  FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0),
+       |ranked AS (
+       |  SELECT et, bmean,
+       |    row_number() OVER (PARTITION BY et ORDER BY bmean, b) AS rn,
+       |    count(*) OVER (PARTITION BY et) AS nb
+       |  FROM means),
+       |boot AS (
+       |  SELECT et, min(bmean) AS boot_lo,
+       |    min(CASE WHEN rn >= (nb + 1) // 2 THEN bmean END) AS boot_med,
+       |    max(bmean) AS boot_hi
+       |  FROM ranked GROUP BY 1),
+       |pt AS (SELECT et, CAST(sum(vc) AS BIGINT) // count(*) AS mean_c FROM base GROUP BY 1)
+       |SELECT pt.et AS event_type, mean_c, boot_lo, boot_med, boot_hi
+       |FROM pt JOIN boot USING (et) ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------ gap fill LOCF
+
+  /** Shared dense hourly spine per event type: observed count `n` and
+    * exact-cents value sum `sv`, LEFT-joined onto the min→max hour grid
+    * so missing hours surface as NULL observations. */
+  private def hourlyObs(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), sum(asScaled(col("value"), 2)).as("sv"))
+    val grid = obs
+      .groupBy("et")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("et"), explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    grid.join(obs, Seq("et", "hr"), "left")
+  }
+
+  /** DuckDB twin of [[hourlyObs]] (h/b/grid/g CTE prefix; `g` has
+    * NULL n/sv on gap hours). */
+  private val hourlyObsSqlCtes = {
+    val vc = asScaledSql("value", 2)
+    s"""h AS (
+       |  SELECT event_type AS et, date_trunc('hour', ts) AS hr,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum($vc) AS BIGINT) AS sv
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT et, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+       |grid AS (
+       |  SELECT et, unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP, INTERVAL 1 HOUR)) AS hr
+       |  FROM b),
+       |g AS (
+       |  SELECT grid.et, grid.hr, h.n, h.sv
+       |  FROM grid LEFT JOIN h ON grid.et = h.et AND grid.hr = h.hr::TIMESTAMP)""".stripMargin
+  }
+
+  /** Gap imputation by last observation carried forward (LOCF) — the
+    * time-series repair step between resampling
+    * ([[Relational.qResampleHourly]] zero-fills counts) and forecasting:
+    * a sensor/ingest gap hour keeps the LAST observed hourly value sum
+    * instead of a misleading zero. One `last(ignoreNulls)` running
+    * window per type over the dense spine; `is_gap` marks imputed rows.
+    * The first spine hour per type is always observed (the spine starts
+    * at the type's min event), so the carry never reads an empty
+    * history. */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val wFill = Window.partitionBy("et").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourlyObs(s, d)
+      .withColumn("sv_filled", last("sv", ignoreNulls = true).over(wFill))
+      .select(
+        col("et").as("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("sv_filled"),
+        when(col("n").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qGapFillSql =
+    s"""WITH $hourlyObsSqlCtes
+       |SELECT et AS event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       |  COALESCE(n, 0)::BIGINT AS n,
+       |  last_value(sv IGNORE NULLS) OVER (PARTITION BY et ORDER BY hr
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_filled,
+       |  CASE WHEN n IS NULL THEN 1 ELSE 0 END AS is_gap
+       |FROM g ORDER BY event_type, hour""".stripMargin
+
+  // ---------------------------------------------------------- EWMA forecast
+
+  /** Dyadic EWMA weights over the last 8 hours: lag 1 → 128 … lag 8 → 1
+    * (sum 255) — a λ=½ exponential decay kept EXACT in integers. */
+  private val EwmaLags = 8
+
+  /** One-step-ahead EWMA forecast of hourly event volume per type, with
+    * the realized absolute error — the workload-prediction primitive an
+    * autoscaler runs on ingest counts. The smoothing is a FIXED dyadic
+    * kernel (weights 2⁷…2⁰ over the trailing 8 hours, divisor 255):
+    * mathematically a truncated λ=½ EWMA, chosen over the textbook
+    * recursion because a truncated kernel is a pure window dot product —
+    * stateless, parallel per type, and integer-exact, where the
+    * recursion forces a sequential scan and float drift. Zero-filled
+    * spine ([[hourlyObs]]) so gap hours damp the forecast instead of
+    * vanishing; the first 8 hours (incomplete kernel) are gated out by
+    * the NULL lag. */
+  def qEwmaForecast(s: SparkSession, d: String): DataFrame = {
+    val wLag = Window.partitionBy("et").orderBy("hr")
+    val g = hourlyObs(s, d).select(col("et"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+    val num = (1 to EwmaLags)
+      .map(i => lag(col("n"), i).over(wLag) * lit(1L << (EwmaLags - i)))
+      .reduce(_ + _)
+    g.withColumn("num", num)
+      .filter(col("num").isNotNull)
+      .withColumn("forecast", expr(s"num div ${(1L << EwmaLags) - 1}"))
+      .select(
+        col("et").as("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"),
+        col("forecast"),
+        abs(col("n") - col("forecast")).as("abs_err"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qEwmaForecastSql = {
+    val num = (1 to EwmaLags)
+      .map(i => s"(lag(nz, $i) OVER w) * ${1L << (EwmaLags - i)}")
+      .mkString(" + ")
+    s"""WITH $hourlyObsSqlCtes,
+       |z AS (SELECT et, hr, COALESCE(n, 0)::BIGINT AS nz FROM g),
+       |f AS (
+       |  SELECT et, hr, nz, ($num) AS num
+       |  FROM z WINDOW w AS (PARTITION BY et ORDER BY hr))
+       |SELECT et AS event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       |  nz AS n, num // ${(1L << EwmaLags) - 1} AS forecast,
+       |  abs(nz - num // ${(1L << EwmaLags) - 1}) AS abs_err
+       |FROM f WHERE num IS NOT NULL ORDER BY event_type, hour""".stripMargin
+  }
+
+  // ------------------------------------------------------------- item-CF
+
+  /** Baskets above this size are dropped before pairing — the skew guard
+    * that bounds pair fan-out per basket at C(cap, 2) regardless of how
+    * pathological one order is. A no-op on this data (max basket 13). */
+  private val CfBasketCap = 50
+  /** Minimum co-occurrence support. An ABSOLUTE bar — under corpus
+    * growth, new pairs cross it (same caveat as q_pmi_pairs; the scale
+    * smoke asserts score invariance for surviving pairs, not set
+    * equality). */
+  private val CfMinCooc = 2
+
+  /** Item-item collaborative filtering over order baskets — "customers
+    * who bought X also bought Y": co-occurrence counts within orders →
+    * Jaccard similarity (ppm-exact integers) → top-3 neighbors per item.
+    *
+    * Scale shape: pairing is a basket-keyed self-join, so candidate
+    * volume is Σ C(|basket|, 2) — bounded by [[CfBasketCap]] per order,
+    * never by an item's global popularity (the classic pitfall is
+    * pairing through the ITEM side, which explodes on a bestseller).
+    * Counts and pairs are combiner-backed aggregates; the final top-k
+    * is a rank-filtered window (WindowGroupLimit pushes the k=3 cut
+    * below the sort). */
+  def qItemCf(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val keep = li.groupBy("ok").agg(count(lit(1)).as("bs")).filter(col("bs") <= CfBasketCap)
+    val baskets = li.join(keep.select("ok"), "ok")
+    val itemN = baskets.groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("ia"), col("b.pk").as("ib"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= CfMinCooc)
+    val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"), col("cooc"))
+      .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"), col("cooc")))
+    val wTop = Window.partitionBy("item").orderBy(col("jac_ppm").desc, col("neighbor"))
+    directed
+      .join(itemN.select(col("pk").as("item"), col("n").as("na")), "item")
+      .join(itemN.select(col("pk").as("neighbor"), col("n").as("nb")), "neighbor")
+      .withColumn("jac_ppm", expr("(cooc * 1000000) div (na + nb - cooc)"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("item", "neighbor", "cooc", "jac_ppm", "rk")
+      .orderBy("item", "rk")
+  }
+
+  private val qItemCfSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |keep AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $CfBasketCap),
+       |bk AS (SELECT li.ok, li.pk FROM li JOIN keep USING (ok)),
+       |n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.pk AS ia, b.pk AS ib, CAST(count(*) AS BIGINT) AS cooc
+       |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCooc),
+       |dir AS (
+       |  SELECT ia AS item, ib AS neighbor, cooc FROM pairs
+       |  UNION ALL
+       |  SELECT ib, ia, cooc FROM pairs),
+       |scored AS (
+       |  SELECT item, neighbor, cooc,
+       |    (cooc * 1000000) // (na.n + nb.n - cooc) AS jac_ppm
+       |  FROM dir
+       |  JOIN n na ON na.pk = item
+       |  JOIN n nb ON nb.pk = neighbor),
+       |ranked AS (
+       |  SELECT item, neighbor, cooc, jac_ppm,
+       |    row_number() OVER (PARTITION BY item ORDER BY jac_ppm DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT item, neighbor, cooc, jac_ppm, rk
+       |FROM ranked WHERE rk <= 3 ORDER BY item, rk""".stripMargin
+
+  // ------------------------------------------------------------------ registry
+
+  val queries: Seq[Q] = Seq(
+    Q("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
+    Q("q_max_concurrency", qMaxConcurrency, Some(qMaxConcurrencySql)),
+    Q("q_skyline", qSkyline, Some(qSkylineSql)),
+    Q("q_mad_outliers", qMadOutliers, Some(qMadOutliersSql)),
+    Q("q_poisson_bootstrap", qPoissonBootstrap, Some(qPoissonBootstrapSql)),
+    Q("q_gap_fill", qGapFill, Some(qGapFillSql)),
+    Q("q_ewma_forecast", qEwmaForecast, Some(qEwmaForecastSql)),
+    Q("q_item_cf", qItemCf, Some(qItemCfSql)))
+}
