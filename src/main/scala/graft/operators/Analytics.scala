@@ -509,7 +509,12 @@ object Analytics {
     * Counts and pairs are combiner-backed aggregates; the final top-k
     * is a rank-filtered window (WindowGroupLimit pushes the k=3 cut
     * below the sort). */
-  def qItemCf(s: SparkSession, d: String): DataFrame = {
+  /** The scored directed pair table (item, neighbor, cooc, jac_ppm)
+    * before the top-k cut — seam for the scale smoke (Jaccard is a ratio
+    * of extensive counts, so it must be bit-invariant under corpus
+    * replication; the TOP-3 set is not, because [[CfMinCooc]] admits new
+    * pairs as the corpus grows). */
+  private[operators] def itemCfScored(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -523,11 +528,15 @@ object Analytics {
       .filter(col("cooc") >= CfMinCooc)
     val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"), col("cooc"))
       .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"), col("cooc")))
-    val wTop = Window.partitionBy("item").orderBy(col("jac_ppm").desc, col("neighbor"))
     directed
       .join(itemN.select(col("pk").as("item"), col("n").as("na")), "item")
       .join(itemN.select(col("pk").as("neighbor"), col("n").as("nb")), "neighbor")
       .withColumn("jac_ppm", expr("(cooc * 1000000) div (na + nb - cooc)"))
+  }
+
+  def qItemCf(s: SparkSession, d: String): DataFrame = {
+    val wTop = Window.partitionBy("item").orderBy(col("jac_ppm").desc, col("neighbor"))
+    itemCfScored(s, d)
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= 3)
       .select("item", "neighbor", "cooc", "jac_ppm", "rk")

@@ -1061,6 +1061,75 @@ object TextOps {
        |JOIN deg db ON db.n = u.dst
        |ORDER BY jacc_ppm DESC, u.src, u.dst""".stripMargin
 
+  /** BFS frontier expansion beyond this depth is cut identically by both
+    * engines (diameter backstop; the word graph's giant component is far
+    * shallower). */
+  private val BfsMaxDepth = 20
+
+  /** Single-source BFS hop distances over the word-adjacency graph,
+    * seeded at the highest-degree word (tie → lexically smallest) — the
+    * third iterative-graph shape next to [[qPagerank]] (fixpoint on
+    * values) and [[Dedup.qDedupClusters]] (fixpoint on labels): a
+    * monotone FRONTIER expansion whose per-round work is the frontier's
+    * out-edges, not the whole graph. Each round joins the frontier to
+    * the edge list, anti-joins the visited set (so a node's level is
+    * final the round it is first reached), and localCheckpoints both —
+    * lineage stays O(1) per round and the loop terminates via a
+    * count-based emptiness test, never a collect. Output is the seed's
+    * connected component only — exactly the rows the oracle's recursive
+    * CTE (min level per node under the same depth cap) produces. */
+  def qBfsLevels(s: SparkSession, d: String): DataFrame = {
+    val und = adjacencyEdges(s, d)
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seed = deg
+      .orderBy(col("deg").desc, col("src"))
+      .limit(1)
+      .select(col("src").as("node"), lit(0L).as("lvl"))
+    bfsFrom(edges, seed).orderBy("lvl", "node")
+  }
+
+  /** The BFS loop itself, seam for specs: `edges` BOTH directions
+    * (src, dst), `seed` (node, lvl=0) rows. Returns (node, lvl) for
+    * every node reachable within [[BfsMaxDepth]]. */
+  private[operators] def bfsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
+    var visited = seed.localCheckpoint()
+    var frontier = visited
+    var lvl = 0L
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && lvl < BfsMaxDepth) {
+      lvl += 1
+      val next = frontier
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("lvl", lit(lvl))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+      frontierSize = next.count()
+    }
+    visited
+  }
+
+  private val qBfsLevelsSql =
+    s"""WITH RECURSIVE
+       |$adjacencySqlCtes,
+       |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |seed AS (SELECT src FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |bfs(node, lvl) AS (
+       |  SELECT src, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, b.lvl + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.node
+       |  WHERE b.lvl < $BfsMaxDepth)
+       |SELECT node, CAST(min(lvl) AS BIGINT) AS lvl
+       |FROM bfs GROUP BY 1 ORDER BY lvl, node""".stripMargin
+
   /** Count-min-sketch heavy hitters, gate-checked: the exact top-20
     * token counts (oracle side) each probed against a corpus-wide CMS
     * (eps 0.001, confidence 0.99, fixed seed). `overestimate_only` is
@@ -1701,6 +1770,7 @@ object TextOps {
     Q("q_pagerank", qPagerank, Some(qPagerankSql)),
     Q("q_triangles", qTriangles, Some(qTrianglesSql)),
     Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
+    Q("q_bfs_levels", qBfsLevels, Some(qBfsLevelsSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
     Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)))

@@ -39,6 +39,17 @@ final case class ProfileState(nEvents: Long, totalCents: Long, lastMs: Long)
 final case class UserProfile(
     user_id: Long, n_events: Long, total_value: Double, last_ts: java.sql.Timestamp)
 
+/** Keyed state for [[EventStreams.quotaAdmit]]: events admitted so far in
+  * the key's hour (top-level for the product encoder, like
+  * [[SessionState]]). */
+final case class QuotaState(admitted: Long)
+
+/** One admission decision from [[EventStreams.quotaAdmit]]: `hour` is the
+  * event-time hour the quota applies to, `admitted` whether this event was
+  * within the per-user budget when processed. */
+final case class QuotaDecision(
+    user_id: Long, hour: java.sql.Timestamp, event_id: Long, admitted: Boolean)
+
 object EventStreams {
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 2-hour
@@ -215,6 +226,60 @@ object EventStreams {
     * logic needs per-event custom state (mid-session emission, dynamic
     * gaps); both are tested to agree. Same exact-cents value sum as the
     * batch twin. */
+  /** Per-user hourly quota admission — the rate-limit gate an ingestion
+    * front end applies before anything expensive runs: at most `perHour`
+    * events per (user, event-time hour) are admitted; every event still
+    * emits a decision row so rejects are auditable downstream.
+    *
+    * State is ONE counter per active (user, hour) key, sharded by the
+    * shuffle and evicted by EventTimeTimeout once the watermark passes
+    * the hour's end — bounded by construction (users active within the
+    * watermark horizon × ≤2 in-flight hours each).
+    *
+    * Determinism contract: events are ordered by (ts, event_id) WITHIN a
+    * micro-batch; across batches admission is first-come (the stored
+    * counter carries over), so a late-but-in-watermark event can be
+    * rejected although the fully-sorted batch replay would have admitted
+    * it — the same bounded deviation [[sessionize]] documents, and the
+    * spec pins the single-batch case where stream and batch replay agree
+    * exactly. The COUNT of admitted events per key is order-independent
+    * (min(n, perHour)) and always matches the batch twin. */
+  def quotaAdmit(
+      events: Dataset[Event],
+      perHour: Long,
+      watermarkDelay: String = "1 hour"): Dataset[QuotaDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMs = 3600000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.ts.getTime / hourMs))
+      .flatMapGroupsWithState[QuotaState, QuotaDecision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), batch: Iterator[Event], state: GroupState[QuotaState]) =>
+          val (userId, hourIdx) = key
+          if (state.hasTimedOut) {
+            // Watermark passed the hour: no further in-watermark event can
+            // key here — drop the counter.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var n = state.getOption.map(_.admitted).getOrElse(0L)
+            val hour = new java.sql.Timestamp(hourIdx * hourMs)
+            val out = sorted.map { e =>
+              val ok = n < perHour
+              if (ok) n += 1
+              QuotaDecision(userId, hour, e.event_id, ok)
+            }
+            state.update(QuotaState(n))
+            state.setTimeoutTimestamp(
+              math.max(hourIdx * hourMs + hourMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   def sessionizeBuiltin(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
     import graft.functions.PortableRound.asScaled
     events

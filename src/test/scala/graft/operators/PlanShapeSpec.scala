@@ -543,4 +543,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join appeared:\n$p")
     assert(p.contains("cell"), s"cell blocking key missing from the plan:\n$p")
   }
+
+  test("item-CF pairs only through the basket equi-join; top-3 cut below the sort") {
+    // the scale claim: candidate pairs come from the ok-keyed self-join
+    // (bounded per basket), never a cartesian over items, and the k=3
+    // rank filter is pushed below the window sort (WindowGroupLimit)
+    val p = plan(Analytics.qItemCf(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join appeared:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank<=3 not pushed below the window sort:\n$p")
+  }
+
+  test("skyline is windows-only: no join operator anywhere in the plan") {
+    // dominance via two window checks per pass — a refactor that
+    // reintroduces the O(n^2) NOT EXISTS self-join (the oracle's
+    // algorithm, fine for DuckDB at test SF, fatal at 100 TB) fails here
+    val p = plan(Analytics.qSkyline(spark, sfDir))
+    assert(!p.contains("Join"), s"skyline grew a join:\n$p")
+    assert(p.contains("Window"), s"dominance windows missing:\n$p")
+  }
+
+  test("concurrency sweep runs its running sum partitioned by day, not one global window") {
+    // the two-phase prefix sum: the delta-level running sum must be
+    // partitioned (parallel) — only the day-level offset window (one row
+    // per day) may be unpartitioned
+    val qe = Analytics.qMaxConcurrency(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val deltaLevel = windows.filter(_.windowExpressions.exists(_.sql.contains("run")))
+    assert(deltaLevel.nonEmpty, "delta-level running-sum window not found")
+    deltaLevel.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"delta running sum lost its day partitioning (single-partition window):\n$w")
+    }
+  }
 }

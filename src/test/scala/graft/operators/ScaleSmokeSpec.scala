@@ -307,4 +307,88 @@ class ScaleSmokeSpec extends SparkSpec {
         s"group ($key,$len): got ($copies,$docs,$firstDoc), expected ($eCopies,$eDocs,$eFirst)")
     }
   }
+
+  test("retention cohorts scale x10 under replicated user streams") {
+    // disjoint user-id replicas with identical day patterns: each (cohort,
+    // week) cell gains exactly 10x the users, the cell set is unchanged
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-cohort-").toString
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("user_id", col("user_id") + col("id") * 1000000000L)
+      .withColumn("event_id", col("event_id") + col("id") * 1000000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val base = Analytics.qRetentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val scaled = Analytics.qRetentionCohorts(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(scaled === base.map { case (cw, ws, n) => (cw, ws, n * rep) })
+  }
+
+  test("MAD outliers scale x10 under replicated events: medians invariant, counts x10") {
+    // replicating every row x10 preserves the value distribution exactly:
+    // lower-median ranks land inside the same value blocks, so med/MAD are
+    // bit-identical while the extensive counts scale
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-mad-").toString
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("event_id", col("event_id") + col("id") * 1000000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val base = Analytics.qMadOutliers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val scaled = Analytics.qMadOutliers(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(scaled === base.map { case (et, n, med, mad, out) => (et, n * rep, med, mad, out * rep) })
+  }
+
+  test("skyline under 10x replicated parts: every frontier point appears in 10 copies") {
+    // fresh part keys, identical (price, size) pairs: dominance is
+    // non-strict between copies, so each frontier point survives in all
+    // replicas and nothing else enters
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-sky-").toString
+    Tables.part(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("p_partkey", col("p_partkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val base = Analytics.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).groupBy(identity).view.mapValues(_.size).toMap
+    val scaled = Analytics.qSkyline(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).groupBy(identity).view.mapValues(_.size).toMap
+    assert(scaled === base.view.mapValues(_ * rep).toMap)
+  }
+
+  test("item-CF Jaccard is bit-invariant under 10x replicated orders; newcomers are bar-crossers") {
+    // disjoint order-key replicas: every pair's cooc and both item counts
+    // scale x10, and floor((10a·10⁶)/(10b)) = floor(a·10⁶/b) exactly —
+    // the ratio statistic is invariant. The CfMinCooc=2 support bar is
+    // ABSOLUTE, so pairs with base cooc 1 (below the bar) legitimately
+    // enter at x10 — they must account for ALL new pairs, with cooc
+    // exactly rep (the same thresholded-ranking caveat as q_pmi_pairs).
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-itemcf-").toString
+    Tables.lineitem(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong))
+      .withColumn("l_orderkey", col("l_orderkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val base = Analytics.itemCfScored(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("cooc"), r.getAs[Long]("jac_ppm"))).toMap
+    val scaled = Analytics.itemCfScored(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor")) ->
+        (r.getAs[Long]("cooc"), r.getAs[Long]("jac_ppm"))).toMap
+    base.foreach { case (k, (cooc, jac)) =>
+      val (sc, sj) = scaled(k)
+      assert(sc === cooc * rep, s"$k cooc not linear")
+      assert(sj === jac, s"$k jaccard not invariant")
+    }
+    (scaled.keySet -- base.keySet).foreach { k =>
+      assert(scaled(k)._1 === rep.toLong, s"unexpected newcomer $k with cooc ${scaled(k)._1}")
+    }
+  }
 }

@@ -652,4 +652,51 @@ class EventStreamsSpec extends SparkSpec {
       assert(batchAdmitted === admitted)
     } finally query.stop()
   }
+
+  test("quotaAdmit caps per-user hourly admissions, counter survives across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // hour-aligned base so all minute offsets < 60 share one quota bucket
+    val base = 1700000000000L - (1700000000000L % 3600000L)
+    def t2(min: Long) = new Timestamp(base + min * 60_000L)
+    val source = MemoryStream[Event]
+    val query = quotaAdmit(source.toDS(), perHour = 3).writeStream
+      .format("memory")
+      .queryName("quota_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 fires 5 events in the hour (2 over quota), user 2 fires 2
+      val b1 = Seq(
+        Event(1, t2(1), 1, 1.0), Event(2, t2(2), 1, 1.0), Event(3, t2(3), 1, 1.0),
+        Event(4, t2(4), 1, 1.0), Event(5, t2(5), 1, 1.0),
+        Event(6, t2(1), 2, 1.0), Event(7, t2(2), 2, 1.0))
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      def decisions() = spark.table("quota_test").collect()
+        .map(r => (r.getLong(2), r.getBoolean(3))).toMap // event_id -> admitted
+      val d1 = decisions()
+      assert(d1.filter(_._2).keySet === Set(1L, 2L, 3L, 6L, 7L),
+        s"single-batch admissions wrong: $d1")
+      // the single-batch decisions must equal the batch-replay rank rule
+      import org.apache.spark.sql.functions.col
+      val replay = b1.toDF()
+        .withColumn("hr", org.apache.spark.sql.functions.date_trunc("hour", col("ts")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "hr").orderBy("ts", "event_id")))
+        .select(col("event_id"), (col("rn") <= 3).as("admitted"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(replay === d1, "stream decisions diverge from batch replay")
+      // batch 2, same hour: the carried counter rejects both extra events
+      source.addData(Event(8, t2(10), 1, 1.0), Event(9, t2(11), 1, 1.0))
+      query.processAllAvailable()
+      val d2 = decisions()
+      assert(!d2(8L) && !d2(9L), s"same-hour batch-2 events not rejected: $d2")
+      // next hour: a fresh key admits again
+      source.addData(Event(10, t2(61), 1, 1.0))
+      query.processAllAvailable()
+      assert(decisions()(10L), "new hour should reset the quota")
+    } finally query.stop()
+  }
 }
