@@ -514,18 +514,41 @@ object Analytics {
     * of extensive counts, so it must be bit-invariant under corpus
     * replication; the TOP-3 set is not, because [[CfMinCooc]] admits new
     * pairs as the corpus grows). */
-  private[operators] def itemCfScored(s: SparkSession, d: String): DataFrame = {
+  /** Capped distinct (order, item) basket rows — shared root of the
+    * co-purchase family ([[itemCfScored]], [[qKcore]]). */
+  private def basketItems(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val keep = li.groupBy("ok").agg(count(lit(1)).as("bs")).filter(col("bs") <= CfBasketCap)
-    val baskets = li.join(keep.select("ok"), "ok")
-    val itemN = baskets.groupBy("pk").agg(count(lit(1)).as("n"))
-    val pairs = baskets.as("a")
+    li.join(keep.select("ok"), "ok")
+  }
+
+  /** Undirected co-purchase edges (ia < ib, cooc ≥ [[CfMinCooc]]) from the
+    * capped baskets — ONE definition for the CF scores and the k-core. */
+  private[operators] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val baskets = basketItems(s, d)
+    baskets.as("a")
       .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("ia"), col("b.pk").as("ib"))
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= CfMinCooc)
+  }
+
+  /** DuckDB twin of [[basketItems]]+[[copurchasePairs]] (li/keep/bk/pairs
+    * CTE prefix). */
+  private val copurchaseSqlCtes =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |keep AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $CfBasketCap),
+       |bk AS (SELECT li.ok, li.pk FROM li JOIN keep USING (ok)),
+       |pairs AS (
+       |  SELECT a.pk AS ia, b.pk AS ib, CAST(count(*) AS BIGINT) AS cooc
+       |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCooc)""".stripMargin
+
+  private[operators] def itemCfScored(s: SparkSession, d: String): DataFrame = {
+    val itemN = basketItems(s, d).groupBy("pk").agg(count(lit(1)).as("n"))
+    val pairs = copurchasePairs(s, d)
     val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"), col("cooc"))
       .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"), col("cooc")))
     directed
@@ -544,14 +567,8 @@ object Analytics {
   }
 
   private val qItemCfSql =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |keep AS (SELECT ok FROM li GROUP BY ok HAVING count(*) <= $CfBasketCap),
-       |bk AS (SELECT li.ok, li.pk FROM li JOIN keep USING (ok)),
+    s"""WITH $copurchaseSqlCtes,
        |n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM bk GROUP BY 1),
-       |pairs AS (
-       |  SELECT a.pk AS ia, b.pk AS ib, CAST(count(*) AS BIGINT) AS cooc
-       |  FROM bk a JOIN bk b ON a.ok = b.ok AND a.pk < b.pk
-       |  GROUP BY 1, 2 HAVING count(*) >= $CfMinCooc),
        |dir AS (
        |  SELECT ia AS item, ib AS neighbor, cooc FROM pairs
        |  UNION ALL
@@ -569,6 +586,91 @@ object Analytics {
        |SELECT item, neighbor, cooc, jac_ppm, rk
        |FROM ranked WHERE rk <= 3 ORDER BY item, rk""".stripMargin
 
+  // ------------------------------------------------------------------ k-core
+
+  /** Core order; 2-core = strip every tree-like fringe, keep only items
+    * sitting on co-purchase cycles. */
+  private val KcoreK = 2
+  /** Peeling-round backstop shared with the oracle's unrolled stages —
+    * peeling converges in O(peel depth) rounds; measured ≤ 6 on this
+    * family at every SF (extra stages past the fixpoint are no-ops, so
+    * the bound only needs to be an upper bound). */
+  private val KcoreMaxRounds = 16
+
+  /** K-core of the co-purchase graph — iterative PEELING, the third
+    * distributed-graph fixpoint shape in the repo (monotone shrinking
+    * node set; vs PageRank's value iteration and CC's label spread):
+    * repeatedly delete nodes with fewer than k surviving neighbors until
+    * none remains. The surviving 2-core is the recommendation-worthy
+    * subgraph (every member co-sells through at least two others).
+    *
+    * Each round is: restrict edges to the surviving set (two semi
+    * joins), recount degrees (combiner-backed), filter — O(edges) per
+    * round, localCheckpoint'd, converging via a count comparison (never
+    * a collect). The oracle unrolls [[KcoreMaxRounds]] peel stages as
+    * plain CTAs — peeling is schedule-independent (the k-core is the
+    * unique maximal subgraph of min-degree ≥ k), so any bound past the
+    * measured fixpoint depth yields the identical set. Output carries
+    * each survivor's within-core degree. */
+  def qKcore(s: SparkSession, d: String): DataFrame =
+    kcoreFrom(copurchasePairs(s, d).select("ia", "ib"))
+
+  /** The peeling loop itself, seam for specs: `und` is the undirected
+    * (ia, ib) edge list. Returns (node, core_deg) for the k-core. */
+  private[operators] def kcoreFrom(und: DataFrame): DataFrame = {
+    val edges = und
+      .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
+      .localCheckpoint()
+    var cur = edges.select(col("ia").as("node")).distinct().localCheckpoint()
+    var n = cur.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < KcoreMaxRounds) {
+      round += 1
+      val alive = edges
+        .join(cur, col("ia") === col("node"), "leftsemi")
+        .join(cur.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")
+      val next = alive
+        .groupBy("ia")
+        .agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= KcoreK)
+        .select(col("ia").as("node"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      cur = next
+      n = m
+    }
+    val core = edges
+      .join(cur, col("ia") === col("node"), "leftsemi")
+      .join(cur.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")
+      .groupBy("ia")
+      .agg(count(lit(1)).as("core_deg"))
+    core.select(col("ia").as("node"), col("core_deg")).orderBy("node")
+  }
+
+  private val qKcoreSql = {
+    // MATERIALIZED is load-bearing: every stage references its
+    // predecessor twice, so inlining would expand the chain 2^rounds-fold
+    val stages = (1 to KcoreMaxRounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN c${i - 1} a ON a.node = e.src
+         |  JOIN c${i - 1} b ON b.node = e.dst
+         |  GROUP BY 1 HAVING count(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseSqlCtes,
+       |edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
+       |          UNION ALL SELECT ib, ia FROM pairs),
+       |c0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |$stages
+       |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM edges e
+       |JOIN c$KcoreMaxRounds a ON a.node = e.src
+       |JOIN c$KcoreMaxRounds b ON b.node = e.dst
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   // ------------------------------------------------------------------ registry
 
   val queries: Seq[Q] = Seq(
@@ -579,5 +681,6 @@ object Analytics {
     Q("q_poisson_bootstrap", qPoissonBootstrap, Some(qPoissonBootstrapSql)),
     Q("q_gap_fill", qGapFill, Some(qGapFillSql)),
     Q("q_ewma_forecast", qEwmaForecast, Some(qEwmaForecastSql)),
-    Q("q_item_cf", qItemCf, Some(qItemCfSql)))
+    Q("q_item_cf", qItemCf, Some(qItemCfSql)),
+    Q("q_kcore", qKcore, Some(qKcoreSql)))
 }

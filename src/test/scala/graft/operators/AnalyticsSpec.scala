@@ -212,6 +212,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("k-core equals the in-JVM peeling fixpoint on the co-purchase graph") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = li.groupBy(_._1).values.map(_.map(_._2).sorted).filter(_.size <= 50)
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { b =>
+      for (i <- b.indices; j <- i + 1 until b.size)
+        cooc((b(i), b(j))) = cooc.getOrElse((b(i), b(j)), 0L) + 1
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    cooc.filter(_._2 >= 2).keys.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    var cur = adj.keySet.toSet
+    var done = false
+    while (!done) {
+      val next = cur.filter(n => (adj(n) & cur).size >= 2)
+      done = next == cur
+      cur = next
+    }
+    val want = cur.toSeq.sorted.map(n => (n, (adj(n) & cur).size.toLong))
+    val got = Analytics.qKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
+  test("k-core peels a path tail round by round, keeps the cycle") {
+    // cycle c0..c4 plus a pendant path c0-t1-t2-t3: the path peels from
+    // the far end inward (3 genuine rounds), the cycle is the 2-core
+    import spark.implicits._
+    val cycle = (0 until 5).map(i => (s"c$i", s"c${(i + 1) % 5}"))
+    val tail = Seq(("c0", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val und = (cycle ++ tail).map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .toDF("ia", "ib")
+    val got = Analytics.kcoreFrom(und).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === (0 until 5).map(i => (s"c$i", 2L)))
+  }
+
   test("BFS levels are exact hop distances on a synthetic path + hub graph") {
     // path 0-1-2-...-9 plus a hub h connected to node 0 via 3 spokes
     import spark.implicits._
