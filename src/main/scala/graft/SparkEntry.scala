@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Maintenance, Multimodal, Relational, Sampling, Similarity, TemporalJoins, TextOps}
+import graft.operators.{Analytics, Dedup, Evaluation, Maintenance, Multimodal, Relational, Sampling, Similarity, TemporalJoins, TextOps}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   val all: Seq[Q] =
     Relational.queries ++ TemporalJoins.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Formats.queries ++ Sampling.queries ++ Maintenance.queries ++ Analytics.queries
+      Formats.queries ++ Sampling.queries ++ Maintenance.queries ++ Analytics.queries ++
+      Evaluation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,498 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.PortableHash.{md5PrefixLong, md5PrefixLongSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation & audit pack: the measurement half of a training-data
+  * pipeline — classifier evaluation (nearest-centroid predictions →
+  * confusion matrix → per-label precision/recall/F1), a data-contract
+  * audit over the star schema, boolean retrieval over the stored postings
+  * index, and a deterministic A/B significance test.
+  *
+  * The reference's MapReduce core (SURVEY.md §2.1) has no evaluation
+  * surface at all — these are the jobs its users would bolt on as opaque
+  * binaries. House rule throughout: every compared column is an exact
+  * BIGINT (counts, ppm ratios via integer division, fixed-point
+  * micro-units), so the DuckDB oracle hash-matches bit-for-bit and no
+  * float summation order can flip a digit.
+  */
+object Evaluation {
+
+  // ------------------------------------------------- nearest-centroid eval
+
+  /** Fixed-point offset added to every micro-scaled embedding value so the
+    * integer centroid mean divides NON-NEGATIVE numbers: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and the two agree
+    * only on non-negative operands (the q_k_anonymity lesson). Safe for
+    * any |value| < 4.19 — far above this corpus's [-0.58, 0.52] range —
+    * and it cancels exactly in every distance: (q+OFF)−(c+OFF) = q−c. */
+  private val CentroidOff = 1L << 22
+
+  /** Nearest-centroid predictions over (vec_id, label, embedding) rows —
+    * the evaluation twin of [[Similarity.qEmbedCentroids]]'s pooling:
+    * class prototype = per-dimension integer mean of the micro-scaled
+    * (⌊v·10⁶+0.5⌋) vectors, prediction = argmin of the EXACT integer
+    * squared L2 distance (tie → smaller label). Everything after the
+    * initial scaling is integer arithmetic, so Spark and DuckDB cannot
+    * diverge on a single prediction — unlike cosine-to-a-float-mean,
+    * where partitioned float summation makes near-ties engine-dependent.
+    *
+    * Scale shape: the flattened view is cached (it feeds both the
+    * centroid fit and the distance join); centroids are nlabels×dim rows
+    * (640 here) and BROADCAST, so scoring is an exchange-free map-side
+    * join whose output (n·nlabels rows after the per-vec partial
+    * aggregate) is the only shuffle. Train-set eval, deliberately: the
+    * leave-one-out correction would need a per-vector centroid. At 100 TB
+    * the per-dim sums outgrow BIGINT past ~10¹² vectors — swap the sum
+    * accumulator to DECIMAL(38,0), same plan. */
+  private[operators] def centroidPredictionsFrom(emb: DataFrame): DataFrame = {
+    val x = emb
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label_true"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(
+        col("vec_id"),
+        col("label_true"),
+        col("pos"),
+        (floor(col("v") * 1e6 + 0.5).cast("long") + CentroidOff).as("q"))
+      .cache()
+    val cents = x
+      .groupBy(col("label_true").as("label"), col("pos"))
+      .agg(sum("q").as("sq"), count(lit(1)).as("nc"))
+      .select(col("label"), col("pos"), expr("sq div nc").as("c"))
+    x.join(broadcast(cents), "pos")
+      .groupBy("vec_id", "label_true", "label")
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      .groupBy("vec_id", "label_true")
+      .agg(min(struct(col("d2"), col("label"))).as("m"))
+      .select(col("vec_id"), col("label_true"), col("m.label").as("label_pred"))
+  }
+
+  /** Shared DuckDB CTE prefix replaying [[centroidPredictionsFrom]]
+    * (x/c/d/p: p has (vec_id, label_true, label_pred)). The argmin is a
+    * row_number over (d2, label) — a different evaluation order than
+    * Spark's struct-min, same total order. */
+  private val centroidPredSqlCtes =
+    s"""x AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label_true,
+       |    CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) + $CentroidOff AS q
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+       |c AS (
+       |  SELECT label_true AS label, pos,
+       |    CAST(sum(q) AS BIGINT) // count(*) AS c
+       |  FROM x GROUP BY 1, 2),
+       |d AS (
+       |  SELECT x.vec_id, x.label_true, c.label,
+       |    sum((x.q - c.c) * (x.q - c.c)) AS d2
+       |  FROM x JOIN c USING (pos) GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT vec_id, label_true, label AS label_pred
+       |  FROM (SELECT vec_id, label_true, label,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |        FROM d)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Confusion matrix of the nearest-centroid classifier — counts per
+    * (true, predicted) label pair. The data-quality dashboard's "is the
+    * label column coherent with the embedding space" card. */
+  def qCentroidConfusion(s: SparkSession, d: String): DataFrame =
+    centroidPredictionsFrom(Tables.embeddings(s, d))
+      .groupBy("label_true", "label_pred")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label_true", "label_pred")
+
+  private val qCentroidConfusionSql =
+    s"""WITH $centroidPredSqlCtes
+       |SELECT label_true, label_pred, count(*)::BIGINT AS n_vecs
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-label precision / recall / F1 in exact ppm from the confusion
+    * matrix: tp = diagonal, fp = column total − tp, fn = row total − tp;
+    * precision = tp·10⁶ div (tp+fp), recall = tp·10⁶ div (tp+fn),
+    * F1 = 2·tp·10⁶ div (2·tp+fp+fn) — the harmonic mean computed from
+    * raw counts in ONE integer division (never from the already-rounded
+    * ppm ratios, which would compound rounding). The `greatest(·,1)`
+    * floor makes a never-predicted label score 0 instead of erroring.
+    * Label universe = labels with support (every fp label also appears
+    * as some row's true label here; a label predicted but absent from
+    * truth would need the outer-join variant). */
+  def qClassifierMetrics(s: SparkSession, d: String): DataFrame = {
+    val m = centroidPredictionsFrom(Tables.embeddings(s, d))
+      .groupBy("label_true", "label_pred")
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val rows = m.groupBy(col("label_true").as("label")).agg(sum("n").as("support"))
+    val cols = m.groupBy(col("label_pred").as("label")).agg(sum("n").as("predicted"))
+    val tps = m
+      .filter(col("label_true") === col("label_pred"))
+      .select(col("label_true").as("label"), col("n").as("tp"))
+    rows
+      .join(cols, Seq("label"), "left")
+      .join(tps, Seq("label"), "left")
+      .select(
+        col("label"),
+        col("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (col("support") - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision_ppm", expr("(tp * 1000000) div greatest(tp + fp, 1)"))
+      .withColumn("recall_ppm", expr("(tp * 1000000) div greatest(tp + fn, 1)"))
+      .withColumn("f1_ppm", expr("(2 * tp * 1000000) div greatest(2 * tp + fp + fn, 1)"))
+      .orderBy("label")
+  }
+
+  private val qClassifierMetricsSql =
+    s"""WITH $centroidPredSqlCtes,
+       |m AS (SELECT label_true, label_pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+       |r AS (SELECT label_true AS label, sum(n)::BIGINT AS support FROM m GROUP BY 1),
+       |cl AS (SELECT label_pred AS label, sum(n)::BIGINT AS predicted FROM m GROUP BY 1),
+       |tp AS (SELECT label_true AS label, n AS tp FROM m WHERE label_true = label_pred),
+       |j AS (
+       |  SELECT r.label, r.support, COALESCE(tp.tp, 0)::BIGINT AS tp,
+       |    (COALESCE(cl.predicted, 0) - COALESCE(tp.tp, 0))::BIGINT AS fp,
+       |    (r.support - COALESCE(tp.tp, 0))::BIGINT AS fn
+       |  FROM r LEFT JOIN cl USING (label) LEFT JOIN tp USING (label))
+       |SELECT label, support, tp, fp, fn,
+       |  (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm,
+       |  (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
+       |  (2 * tp * 1000000) // greatest(2 * tp + fp + fn, 1) AS f1_ppm
+       |FROM j ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------- data contract
+
+  /** The contract audit over caller-supplied tables — seam for the spec,
+    * which plants violations of every check (the production tables are
+    * almost entirely clean, so the planted run is what proves each
+    * predicate actually fires). One conditional-aggregation pass per
+    * table plus one LEFT join per FK relationship; every check's
+    * violation count rides the same scan, so the audit costs one read of
+    * each table regardless of how many checks it carries. The results
+    * are a handful of rows — union of tiny aggregates, no data-sized
+    * shuffle anywhere. */
+  private[operators] def contractChecks(
+      li: DataFrame,
+      ord: DataFrame,
+      cust: DataFrame,
+      ev: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val zero = lit(0L)
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(zero))
+
+    val liLocal = li
+      .agg(
+        count(lit(1)).as("n"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+        viol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"),
+        viol(col("l_extendedprice") <= 0).as("v_price"),
+        (count(lit(1)) - countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+          .as("v_pk"))
+      .select(expr(
+        """stack(4,
+          |'lineitem_discount_range', n, v_disc,
+          |'lineitem_pk_unique', n, v_pk,
+          |'lineitem_price_positive', n, v_price,
+          |'lineitem_quantity_range', n, v_qty) AS (chk, n_checked, n_violations)"""
+          .stripMargin))
+    val liJoin = li
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"),
+        "left")
+      .agg(
+        count(lit(1)).as("n"),
+        viol(col("o_orderkey").isNull).as("v_fk"),
+        viol(col("l_shipdate") < col("o_orderdate")).as("v_early"))
+      .select(expr(
+        """stack(2,
+          |'lineitem_fk_orders', n, v_fk,
+          |'lineitem_ship_after_order', n, v_early) AS (chk, n_checked, n_violations)"""
+          .stripMargin))
+    val ordChecks = ord
+      .join(
+        cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"),
+        "left")
+      .agg(
+        count(lit(1)).as("n"),
+        viol(col("c_custkey").isNull).as("v_fk"),
+        viol(col("o_totalprice") <= 0).as("v_price"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"))
+      .select(expr(
+        """stack(3,
+          |'orders_fk_customer', n, v_fk,
+          |'orders_pk_unique', n, v_pk,
+          |'orders_price_positive', n, v_price) AS (chk, n_checked, n_violations)"""
+          .stripMargin))
+    val evChecks = ev
+      .agg(
+        count(lit(1)).as("n"),
+        viol(col("value") < 0).as("v_val"),
+        viol(!col("event_type").isin("view", "click", "purchase", "signup", "error"))
+          .as("v_type"))
+      .select(expr(
+        """stack(2,
+          |'events_type_domain', n, v_type,
+          |'events_value_nonnegative', n, v_val) AS (chk, n_checked, n_violations)"""
+          .stripMargin))
+    val docChecks = docs
+      .agg(
+        count(lit(1)).as("n"),
+        viol(col("n_chars") =!= length(col("text"))).as("v_len"),
+        viol(!col("lang").isin("en", "de", "fr", "es", "zh")).as("v_lang"))
+      .select(expr(
+        """stack(2,
+          |'documents_lang_domain', n, v_lang,
+          |'documents_nchars_consistent', n, v_len) AS (chk, n_checked, n_violations)"""
+          .stripMargin))
+    liLocal
+      .unionByName(liJoin)
+      .unionByName(ordChecks)
+      .unionByName(evChecks)
+      .unionByName(docChecks)
+      .select(col("chk").as("check"), col("n_checked"), col("n_violations"))
+  }
+
+  /** Data-contract audit — the "great expectations" card a pipeline runs
+    * before admitting a batch: PK uniqueness, FK integrity, value-range
+    * and domain checks, and cross-column consistency, each as an exact
+    * (check, n_checked, n_violations) row. On this corpus every check
+    * passes EXCEPT two genuine generator artifacts the audit surfaces
+    * (exactly its job): lineitem_ship_after_order (~49% of lineitems
+    * ship before their order date) and lineitem_pk_unique (~24% of
+    * (l_orderkey, l_linenumber) pairs are duplicated — linenumber is not
+    * sequenced within an order). */
+  def qDataContract(s: SparkSession, d: String): DataFrame =
+    contractChecks(
+      Tables.lineitem(s, d),
+      Tables.orders(s, d),
+      Tables.customer(s, d),
+      Tables.events(s, d),
+      Tables.documents(s, d))
+      .orderBy("check")
+
+  private val qDataContractSql =
+    """WITH lij AS (
+      |  SELECT count(*) AS n,
+      |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS fk,
+      |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS early
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |oj AS (
+      |  SELECT count(*) AS n,
+      |    count(*) FILTER (WHERE c.c_custkey IS NULL) AS fk,
+      |    count(*) FILTER (WHERE o_totalprice <= 0) AS price,
+      |    count(*) - count(DISTINCT o_orderkey) AS pk
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |u AS (
+      |  SELECT 'lineitem_quantity_range' AS chk, count(*) AS n,
+      |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', count(*),
+      |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_price_positive', count(*),
+      |    count(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_pk_unique', count(*),
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', n, fk FROM lij
+      |  UNION ALL
+      |  SELECT 'lineitem_ship_after_order', n, early FROM lij
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer', n, fk FROM oj
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', n, pk FROM oj
+      |  UNION ALL
+      |  SELECT 'orders_price_positive', n, price FROM oj
+      |  UNION ALL
+      |  SELECT 'events_value_nonnegative', count(*),
+      |    count(*) FILTER (WHERE value < 0) FROM events
+      |  UNION ALL
+      |  SELECT 'events_type_domain', count(*),
+      |    count(*) FILTER (WHERE event_type NOT IN ('view','click','purchase','signup','error'))
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'documents_nchars_consistent', count(*),
+      |    count(*) FILTER (WHERE n_chars <> length(text)) FROM documents
+      |  UNION ALL
+      |  SELECT 'documents_lang_domain', count(*),
+      |    count(*) FILTER (WHERE lang NOT IN ('en','de','fr','es','zh')) FROM documents)
+      |SELECT chk AS "check", CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations
+      |FROM u ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ boolean search
+
+  /** Standing boolean queries (query id, MUST terms, MUST-NOT terms) —
+    * a deterministic stand-in for a search front end's load, vocabulary
+    * drawn from the corpus. */
+  private val BoolQueries: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("+table +scan -merge", Seq("table", "scan"), Seq("merge")),
+    ("+data +query -slow", Seq("data", "query"), Seq("slow")))
+
+  /** Boolean retrieval probing the STORED postings index
+    * ([[TextOps.ensurePostings]] — the same build-once table phrase
+    * search probes; one index serves every retrieval flavor): MUST terms
+    * intersect via hash joins on doc_id, MUST-NOT terms subtract via
+    * LEFT ANTI joins, and the score column is the summed term frequency
+    * of the MUST terms. The corpus text is never rescanned at query time
+    * (plan-guarded), the per-term posting lists are pruned by the
+    * `term IN (...)` filter on the bucketed index, and candidates are
+    * bounded by the rarest MUST term's posting list — the textbook
+    * conjunctive-query bound that holds at any corpus size. */
+  def qBoolSearch(s: SparkSession, d: String): DataFrame = {
+    val terms = BoolQueries.flatMap { case (_, p, n) => p ++ n }.distinct
+    val post = s.table(TextOps.ensurePostings(s, d))
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val perQuery = BoolQueries.map { case (qid, must, mustNot) =>
+      val seed = post.filter(col("term") === must.head).select(col("doc_id"), col("tf"))
+      val hits = must.drop(1).foldLeft(seed) { (acc, t) =>
+        acc.join(
+          post.filter(col("term") === t).select(col("doc_id"), col("tf").as("tf2")),
+          "doc_id")
+          .select(col("doc_id"), (col("tf") + col("tf2")).as("tf"))
+      }
+      val kept = mustNot.foldLeft(hits) { (acc, t) =>
+        acc.join(post.filter(col("term") === t).select("doc_id"), Seq("doc_id"), "left_anti")
+      }
+      kept.select(lit(qid).as("query"), col("doc_id"), col("tf").as("tf_sum"))
+    }
+    perQuery.reduce(_ unionByName _).orderBy("query", "doc_id")
+  }
+
+  private val qBoolSearchSql = {
+    def tf(t: String) = s"len(list_filter(t, x -> x = '$t'))"
+    val arms = BoolQueries.map { case (qid, must, mustNot) =>
+      val conds =
+        (must.map(t => s"${tf(t)} > 0") ++ mustNot.map(t => s"${tf(t)} = 0")).mkString(" AND ")
+      val score = must.map(tf).mkString(" + ")
+      s"""SELECT '$qid' AS query, doc_id, ($score)::BIGINT AS tf_sum
+         |FROM tk WHERE $conds""".stripMargin
+    }
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS t FROM documents)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY query, doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ A/B test
+
+  /** Two-proportion z-test decision at α=0.05 (z₀ = 1.96 = 49/25, so
+    * z₀² = 2401/625), computed as one EXACT cross-multiplied integer
+    * comparison — no square roots, no floats, no boundary-rounding
+    * divergence between engines:
+    *
+    *   z² = d²·N / (n1·n2·c·(N−c)),  d = c1·n2 − c2·n1, N = n1+n2,
+    *   c = c1+c2;  significant ⟺ 625·d²·N > 2401·n1·n2·c·(N−c).
+    *
+    * Both sides are DECIMAL(38,0)/HUGEINT (the qAnomalyHours widening) —
+    * exact up to ~10⁸ users per arm (d² ≈ (c·n)² is the 4th-degree
+    * term); past that, divide all four counts by a common 10^k first
+    * (z² is scale-invariant up to the +0/−0 of integer flooring, which
+    * cannot flip a decision that isn't already on the α boundary). */
+  private[operators] def abSignificant(
+      c1: Column, n1: Column, c2: Column, n2: Column): Column = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val d = dec(c1) * dec(n2) - dec(c2) * dec(n1)
+    val bigN = dec(n1) + dec(n2)
+    val c = dec(c1) + dec(c2)
+    when(lit(625) * d * d * bigN > lit(2401) * dec(n1) * dec(n2) * c * (bigN - c), 1L)
+      .otherwise(0L)
+  }
+
+  /** The same decision as DuckDB SQL text (HUGEINT is 128-bit — wider
+    * than Spark's DECIMAL(38), so the Spark side is the binding one). */
+  private def abSignificantSql(c1: String, n1: String, c2: String, n2: String): String = {
+    val d = s"(CAST($c1 AS HUGEINT) * $n2 - CAST($c2 AS HUGEINT) * $n1)"
+    s"""CASE WHEN 625 * $d * $d * ($n1 + $n2)
+       |   > 2401 * CAST($n1 AS HUGEINT) * $n2 * ($c1 + $c2) * ($n1 + $n2 - $c1 - $c2)
+       |THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  /** Deterministic A/B experiment readout: every user hashes into
+    * variant A or B (`md5("ab:" || user_id) % 2` — the split any engine
+    * can replay), "conversion" on metric m = the user emitted ≥1 event
+    * of type m, and each metric row carries the per-arm counts plus the
+    * exact z-test verdict. A hash split of uniform traffic is an A/A
+    * test, so `significant` should be (and is) 0 everywhere — the
+    * arithmetic itself is pinned by the planted-effect spec, which
+    * drives [[abSignificant]] with counts on both sides of the α bar.
+    *
+    * Scale shape: conversion flags reduce map-side to distinct (user,
+    * type) pairs, the variant join is user-keyed, and everything past it
+    * aggregates to metrics×2 rows; the grid cross-join multiplies two
+    * broadcast-sized aggregates (5×2 rows). */
+  def qAbTest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val users = ev.select("user_id").distinct()
+      .withColumn(
+        "variant",
+        md5PrefixLong(concat(lit("ab:"), col("user_id")), 10) % 2)
+    val nv = users.groupBy("variant").agg(count(lit(1)).as("n"))
+    val conv = ev.select(col("user_id"), col("event_type")).distinct()
+      .join(users, "user_id")
+      .groupBy(col("event_type").as("metric"), col("variant"))
+      .agg(count(lit(1)).as("conv"))
+    val grid = ev.select(col("event_type").as("metric")).distinct()
+      .crossJoin(nv)
+    grid
+      .join(conv, Seq("metric", "variant"), "left")
+      .select(
+        col("metric"), col("variant"), col("n"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+      .groupBy("metric")
+      .agg(
+        min(when(col("variant") === 0, col("n"))).as("n_a"),
+        min(when(col("variant") === 0, col("conv"))).as("conv_a"),
+        min(when(col("variant") === 1, col("n"))).as("n_b"),
+        min(when(col("variant") === 1, col("conv"))).as("conv_b"))
+      .withColumn(
+        "significant",
+        abSignificant(col("conv_a"), col("n_a"), col("conv_b"), col("n_b")))
+      .orderBy("metric")
+  }
+
+  private val qAbTestSql = {
+    val h = md5PrefixLongSql("'ab:' || user_id", 10)
+    s"""WITH users AS (
+       |  SELECT user_id, ($h) % 2 AS variant
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |nv AS (SELECT variant, count(*)::BIGINT AS n FROM users GROUP BY 1),
+       |conv AS (
+       |  SELECT e.event_type AS metric, u.variant, count(*)::BIGINT AS conv
+       |  FROM (SELECT DISTINCT user_id, event_type FROM events) e
+       |  JOIN users u USING (user_id)
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT m.metric, nv.variant, nv.n
+       |  FROM (SELECT DISTINCT event_type AS metric FROM events) m, nv),
+       |filled AS (
+       |  SELECT g.metric, g.variant, g.n, COALESCE(c.conv, 0)::BIGINT AS conv
+       |  FROM grid g LEFT JOIN conv c ON g.metric = c.metric AND g.variant = c.variant),
+       |wide AS (
+       |  SELECT metric,
+       |    min(CASE WHEN variant = 0 THEN n END) AS n_a,
+       |    min(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+       |    min(CASE WHEN variant = 1 THEN n END) AS n_b,
+       |    min(CASE WHEN variant = 1 THEN conv END) AS conv_b
+       |  FROM filled GROUP BY 1)
+       |SELECT metric, n_a, conv_a, n_b, conv_b,
+       |  CAST(${abSignificantSql("conv_a", "n_a", "conv_b", "n_b")} AS BIGINT) AS significant
+       |FROM wide ORDER BY metric""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Seq[Q] = Seq(
+    Q("q_centroid_confusion", qCentroidConfusion, Some(qCentroidConfusionSql)),
+    Q("q_classifier_metrics", qClassifierMetrics, Some(qClassifierMetricsSql)),
+    Q("q_data_contract", qDataContract, Some(qDataContractSql)),
+    Q("q_bool_search", qBoolSearch, Some(qBoolSearchSql)),
+    Q("q_ab_test", qAbTest, Some(qAbTestSql)))
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Third-opinion checks for the Evaluation pack: planted fixtures that
+  * prove each predicate/decision actually fires (the production tables
+  * are clean, so the gate row alone can't show that), plus straight-line
+  * JVM recomputations on the real corpus — a different code path from
+  * both Spark and the DuckDB oracle twins. */
+class EvaluationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------- centroid classifier
+
+  /** Independent integer nearest-centroid: replay the micro-scale +
+    * offset + floor-div mean + exact L2 argmin pipeline in plain Scala. */
+  private def jvmPredict(
+      rows: Seq[(Long, Int, Array[Float])]): Map[Long, (Long, Long)] = {
+    val off = 1L << 22
+    def q(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong + off
+    val dims = rows.head._3.length
+    val byLabel = rows.groupBy(_._2)
+    val cents: Map[Int, Array[Long]] = byLabel.map { case (l, vs) =>
+      val c = Array.tabulate(dims) { i =>
+        val s = vs.map(r => q(r._3(i))).sum
+        Math.floorDiv(s, vs.size.toLong)
+      }
+      l -> c
+    }
+    rows.map { case (id, lt, v) =>
+      val best = cents.toSeq
+        .map { case (l, c) =>
+          val d2 = (0 until dims).map { i => val d = q(v(i)) - c(i); d * d }.sum
+          (d2, l.toLong)
+        }
+        .min
+      id -> (lt.toLong, best._2)
+    }.toMap
+  }
+
+  test("planted clusters classify to their own centroid; an exact tie breaks to the smaller label") {
+    // c0 = mean(0, 0, 300000) = 100000 micro; c1 = 500000 micro. The
+    // probe (id 2, q = 300000) is EXACTLY 200000 from both centroids —
+    // d² = 4e10 either way — so the struct-min tie-break must pick
+    // label 0. (0.5f is exact in binary; 0.3f floors to 300000 micro.)
+    val a = Seq((0L, 0, Array(0f, 0f)), (1L, 0, Array(0f, 0f)), (2L, 0, Array(0.3f, 0f)))
+    val b = Seq.tabulate(3)(i => (10L + i, 1, Array(0.5f, 0f)))
+    val emb = (a ++ b).toDF("vec_id", "label", "embedding")
+    val got = Evaluation.centroidPredictionsFrom(emb)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(2L) === (0L, 0L), "equidistant probe must break the tie to label 0")
+    b.foreach { case (id, _, _) => assert(got(id) === (1L, 1L)) }
+    assert(got === jvmPredict(a ++ b))
+  }
+
+  test("negative embedding values: offset keeps Spark div == floor-division mean") {
+    // all-negative values make the UNOFFSET sum negative — a truncating
+    // div would round toward zero and shift the centroid by one micro
+    // step vs DuckDB's floor. The planted fixture has a mean that does
+    // not divide evenly, so the two conventions genuinely differ.
+    val rows = Seq(
+      (0L, 0, Array(-0.31f, -0.11f)),
+      (1L, 0, Array(-0.32f, -0.12f)),
+      (2L, 0, Array(-0.34f, -0.14f)), // sums ≡ 1 mod 3 territory
+      (3L, 1, Array(0.2f, 0.2f)),
+      (4L, 1, Array(0.22f, 0.18f)))
+    val got = Evaluation.centroidPredictionsFrom(rows.toDF("vec_id", "label", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === jvmPredict(rows))
+    rows.take(3).foreach { case (id, _, _) => assert(got(id)._2 === 0L) }
+  }
+
+  test("classifier metrics satisfy the confusion-matrix identities on the real corpus") {
+    val m = Evaluation.qCentroidConfusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = Evaluation.qClassifierMetrics(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (label, support, tp, fp, fn) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp === m.getOrElse((label, label), 0L))
+      assert(support === m.collect { case ((t, _), n) if t == label => n }.sum)
+      assert(tp + fp === m.collect { case ((_, p), n) if p == label => n }.sum)
+      assert(tp + fn === support)
+      assert(r.getLong(5) === tp * 1000000L / math.max(tp + fp, 1L))
+      assert(r.getLong(6) === tp * 1000000L / math.max(tp + fn, 1L))
+      assert(r.getLong(7) === 2 * tp * 1000000L / math.max(2 * tp + fp + fn, 1L))
+    }
+    // supports cover the corpus exactly once
+    assert(got.map(_.getLong(1)).sum === Tables.embeddings(spark, sfDir).count())
+  }
+
+  // ------------------------------------------------------- data contract
+
+  test("every contract check fires on planted violations with exact counts") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    // lineitem: rows (orderkey, linenumber, qty, price, discount, shipdate)
+    val li = Seq(
+      (1L, 1, 10.0, 100.0, 0.05, ts0), // clean
+      (1L, 1, 10.0, 100.0, 0.05, ts0), // pk dup (+1)
+      (1L, 2, 99.0, 100.0, 0.05, ts0), // qty out of range
+      (1L, 3, 10.0, -5.0, 0.05, ts0), // price nonpositive
+      (1L, 4, 10.0, 100.0, 0.5, ts0), // discount out of range
+      (7L, 1, 10.0, 100.0, 0.05, ts0), // orphan orderkey
+      (2L, 1, 10.0, 100.0, 0.05, ts1) // ships before its order date
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate")
+    val ord = Seq(
+      (1L, 10L, 50.0, ts1), // clean (order placed on the 5th)
+      (2L, 10L, 50.0, ts0), // order on the 10th, its lineitem ships on the 5th
+      (3L, 99L, 50.0, ts1), // orphan custkey
+      (3L, 10L, -1.0, ts1) // pk dup (+1) AND nonpositive total
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Seq(Tuple1(10L)).toDF("c_custkey")
+    val ev = Seq(
+      (1L, "view", 1.0),
+      (2L, "bogus", 1.0), // type out of domain
+      (3L, "click", -2.0) // negative value
+    ).toDF("event_id", "event_type", "value")
+    val docs = Seq(
+      (1L, "abc", "en", 3L),
+      (2L, "abc", "xx", 3L), // lang out of domain
+      (3L, "abc", "en", 7L) // n_chars inconsistent
+    ).toDF("doc_id", "text", "lang", "n_chars")
+
+    val got = Evaluation.contractChecks(li, ord, cust, ev, docs)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("lineitem_quantity_range") === (7L, 1L))
+    assert(got("lineitem_discount_range") === (7L, 1L))
+    assert(got("lineitem_price_positive") === (7L, 1L))
+    assert(got("lineitem_pk_unique") === (7L, 1L))
+    assert(got("lineitem_fk_orders") === (7L, 1L))
+    // the o_orderkey=3 pk dup makes the left join fan out order 3's rows;
+    // none of order 3's lineitems exist, so ship_after_order counts only
+    // the genuine (2, ts1) row, and fk sees no extra nulls
+    assert(got("lineitem_ship_after_order")._2 === 1L)
+    assert(got("orders_fk_customer") === (4L, 1L))
+    assert(got("orders_pk_unique") === (4L, 1L))
+    assert(got("orders_price_positive") === (4L, 1L))
+    assert(got("events_type_domain") === (3L, 1L))
+    assert(got("events_value_nonnegative") === (3L, 1L))
+    assert(got("documents_lang_domain") === (3L, 1L))
+    assert(got("documents_nchars_consistent") === (3L, 1L))
+    assert(got.size === 13)
+  }
+
+  test("contract audit on the real corpus: exactly the two known generator artifacts fire") {
+    val got = Evaluation.qDataContract(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val dirty = got.filter(_._2 > 0)
+    assert(dirty.keySet === Set("lineitem_ship_after_order", "lineitem_pk_unique"))
+  }
+
+  // ------------------------------------------------------- boolean search
+
+  test("bool search equals a direct text scan (no index) on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[\\s]+").filter(_.nonEmpty).toSeq)
+    def want(must: Seq[String], mustNot: Seq[String]): Map[Long, Long] =
+      docs.collect {
+        case (id, toks)
+            if must.forall(toks.contains) && !mustNot.exists(toks.contains) =>
+          id -> must.map(t => toks.count(_ == t).toLong).sum
+      }.toMap
+    val got = Evaluation.qBoolSearch(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(got("+table +scan -merge") === want(Seq("table", "scan"), Seq("merge")))
+    assert(got("+data +query -slow") === want(Seq("data", "query"), Seq("slow")))
+  }
+
+  // ------------------------------------------------------------- A/B test
+
+  /** Independent BigInt evaluation of the z² > 2401/625 decision. */
+  private def jvmSig(c1: Long, n1: Long, c2: Long, n2: Long): Long = {
+    val (bc1, bn1, bc2, bn2) = (BigInt(c1), BigInt(n1), BigInt(c2), BigInt(n2))
+    val d = bc1 * bn2 - bc2 * bn1
+    val bigN = bn1 + bn2
+    val c = bc1 + bc2
+    if (625 * d * d * bigN > 2401 * bn1 * bn2 * c * (bigN - c)) 1L else 0L
+  }
+
+  test("ab decision fires on a planted effect and stays quiet on noise; boundary sweep agrees with BigInt") {
+    val cases = Seq(
+      (200L, 1000L, 100L, 1000L), // z ≈ 6 → significant
+      (105L, 1000L, 100L, 1000L), // z ≈ 0.36 → not
+      (0L, 1000L, 0L, 1000L), // degenerate: no conversions
+      (1000L, 1000L, 1000L, 1000L) // degenerate: all converted
+    ) ++ (100L to 160L).map(c1 => (c1, 1000L, 100L, 1000L)) // walk across α
+    val got = cases.toDF("c1", "n1", "c2", "n2")
+      .withColumn("sig", Evaluation.abSignificant(col("c1"), col("n1"), col("c2"), col("n2")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    cases.foreach { case k @ (c1, n1, c2, n2) =>
+      assert(got(k) === jvmSig(c1, n1, c2, n2), s"counts $k")
+    }
+    assert(got((200L, 1000L, 100L, 1000L)) === 1L)
+    assert(got((105L, 1000L, 100L, 1000L)) === 0L)
+    // the sweep must actually cross the α bar somewhere
+    val sweep = (100L to 160L).map(c1 => got((c1, 1000L, 100L, 1000L)))
+    assert(sweep.head === 0L && sweep.last === 1L)
+  }
+
+  test("ab readout counts are conserved and decisions match BigInt on the real corpus") {
+    val rows = Evaluation.qAbTest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    rows.foreach { r =>
+      val (na, ca, nb, cb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(na + nb === users, "every user lands in exactly one arm")
+      assert(ca <= na && cb <= nb)
+      assert(r.getLong(5) === jvmSig(ca, na, cb, nb))
+    }
+  }
+}

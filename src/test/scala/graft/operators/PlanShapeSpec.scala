@@ -563,6 +563,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"dominance windows missing:\n$p")
   }
 
+  test("bool search probes the stored postings index, bucket-pruned, and never rescans the text") {
+    val df = Evaluation.qBoolSearch(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_postings"), s"stored postings index not in plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"bool search re-derived postings from documents at query time:\n$p")
+    // 6 distinct query terms hash into at most 6 of the 8 term buckets
+    val pruned = "SelectedBucketsCount: ([0-9]+) out of 8".r
+      .findFirstMatchIn(p)
+      .map(_.group(1).toInt)
+    assert(pruned.exists(_ <= 6),
+      s"postings scan not bucket-pruned (expected <=6 of 8 buckets):\n$p")
+  }
+
+  test("centroid classifier scores through a broadcast join, never a shuffled one") {
+    // the nlabels×dim centroid table must broadcast so the n·dim scoring
+    // join is exchange-free on the data side; a SortMergeJoin here means
+    // the full flattened corpus shuffled on `pos` (dim-way skew at scale)
+    val p = plan(Evaluation.qCentroidConfusion(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"centroid join shuffled:\n$p")
+  }
+
   test("concurrency sweep runs its running sum partitioned by day, not one global window") {
     // the two-phase prefix sum: the delta-level running sum must be
     // partitioned (parallel) — only the day-level offset window (one row

@@ -391,4 +391,59 @@ class ScaleSmokeSpec extends SparkSpec {
       assert(scaled(k)._1 === rep.toLong, s"unexpected newcomer $k with cooc ${scaled(k)._1}")
     }
   }
+
+  test("centroid confusion counts scale x10 under replicated embeddings") {
+    // centroids are floor-div means — invariant when every vector is
+    // replicated (floor(k·s / k·n) = floor(s/n)), so each replica
+    // predicts identically and every confusion cell scales exactly ×10.
+    // A violation here means volume leaked into the classifier (e.g. a
+    // sum overflow or a non-deterministic argmin).
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-centroid-").toString
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("vec_id", col("vec_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val base = Evaluation.qCentroidConfusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scaled = Evaluation.qCentroidConfusion(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(scaled.keySet === base.keySet)
+    base.foreach { case (k, n) => assert(scaled(k) === n * rep, s"cell $k not linear") }
+  }
+
+  test("contract audit scales x10 under PK-disjoint replicated tables") {
+    // replicas get disjoint order keys (both sides of the FK move
+    // together), so every n_checked and every violation count — including
+    // the two genuine generator artifacts — scales exactly ×10
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-contract-").toString
+    Tables.lineitem(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("l_orderkey", col("l_orderkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("o_orderkey", col("o_orderkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    for (t <- Seq("customer", "events", "documents"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val base = Evaluation.qDataContract(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scaled = Evaluation.qDataContract(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scaled.keySet === base.keySet)
+    Seq("lineitem_quantity_range", "lineitem_discount_range", "lineitem_price_positive",
+      "lineitem_pk_unique", "lineitem_fk_orders", "lineitem_ship_after_order",
+      "orders_pk_unique", "orders_price_positive").foreach { c =>
+      assert(scaled(c)._1 === base(c)._1 * rep, s"$c n_checked not linear")
+      assert(scaled(c)._2 === base(c)._2 * rep, s"$c violations not linear")
+    }
+    // replicated orders keep the ORIGINAL custkeys → customer FK stays clean
+    assert(scaled("orders_fk_customer") === (base("orders_fk_customer")._1 * rep, 0L))
+  }
 }
