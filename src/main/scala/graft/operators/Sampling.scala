@@ -436,8 +436,77 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Global token budget apportioned across sources. */
+  private val MixturePlanBudget = 1000000L
+
+  /** Mixture planning by largest-remainder (Hamilton) apportionment: split
+    * a global token budget across sources proportionally to their
+    * available tokens, in EXACT integers that sum to the budget —
+    * quota_i = ⌊B·avail_i/Σ⌋ plus one extra token for the k sources with
+    * the largest remainders (B·avail_i mod Σ; tie → source name), where
+    * k = B − Σ⌊·⌋. Plain proportional flooring under-allocates by up to
+    * (#sources−1) tokens and the naive fix (round half up) can OVERSHOOT
+    * the budget; largest-remainder is the standard apportionment that
+    * does neither ([[SamplingSpec]] pins Σquota = B exactly). This emits
+    * the RECIPE a mixing run then enforces per source with the
+    * [[qTokenBudget]] cut.
+    *
+    * Scale shape: one combiner-backed per-source aggregate; everything
+    * after runs on #sources rows (the 1-row total broadcast-crossed, one
+    * window over the tiny recipe table). B·avail_i needs DECIMAL(38) once
+    * B·Σtokens passes ~9·10¹⁸ (B=10⁶ × 10¹³-token corpus) — same swap,
+    * same plan. */
+  def qMixturePlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val avail = Tables.documents(s, d)
+      .select(
+        col("source"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("avail_tokens"))
+    val tot = avail.agg(sum("avail_tokens").as("tot"))
+    val based = avail.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("avail_tokens"),
+        expr(s"($MixturePlanBudget * avail_tokens) div tot").as("base"),
+        expr(s"($MixturePlanBudget * avail_tokens) % tot").as("rem"))
+    based
+      .withColumn("short", lit(MixturePlanBudget) - sum("base").over())
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        col("source"),
+        col("avail_tokens"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("quota_tokens"))
+      .orderBy("source")
+  }
+
+  private val qMixturePlanSql = {
+    val t = graft.operators.TextOps.tokensSql
+    s"""WITH avail AS (
+       |  SELECT source, sum(len($t))::BIGINT AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(avail_tokens)::BIGINT AS tot FROM avail),
+       |based AS (
+       |  SELECT source, avail_tokens,
+       |    ($MixturePlanBudget * avail_tokens) // tot AS base,
+       |    ($MixturePlanBudget * avail_tokens) % tot AS rem
+       |  FROM avail, tot),
+       |ranked AS (
+       |  SELECT *,
+       |    $MixturePlanBudget - sum(base) OVER () AS short,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM based)
+       |SELECT source, avail_tokens,
+       |  (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS quota_tokens
+       |FROM ranked ORDER BY source""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_mixture_plan", qMixturePlan, Some(qMixturePlanSql)),
     Q("q_dsir_score", qDsirScore, Some(qDsirScoreSql)),
     Q("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),
     Q("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),

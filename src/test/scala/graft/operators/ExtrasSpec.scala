@@ -1342,4 +1342,27 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.map(_._3).sum === Dedup.nearDupEdges(spark, sfDir).count(),
       "matrix cells do not sum to the near-dup edge count")
   }
+
+  test("mixture plan is exact Hamilton apportionment: sums to the budget, matches a JVM reference") {
+    val budget = 1000000L
+    val got = Sampling.qMixturePlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum === budget, "quotas must sum to the budget EXACTLY")
+    // independent largest-remainder implementation over the same avails
+    val avails = got.map(t => t._1 -> t._2)
+    val tot = avails.map(_._2).sum
+    val base = avails.map { case (s, a) => (s, budget * a / tot, budget * a % tot) }
+    val short = budget - base.map(_._2).sum
+    val bumped = base.sortBy { case (s, _, r) => (-r, s) }.zipWithIndex
+      .map { case ((s, b, _), i) => s -> (b + (if (i < short) 1L else 0L)) }
+      .toMap
+    got.foreach { case (s, _, q) => assert(q === bumped(s), s"source $s") }
+    // quota monotone in availability (equal floors order by remainder,
+    // which follows the share on a fixed total)
+    val byAvail = got.sortBy(_._2)
+    byAvail.zip(byAvail.tail).foreach { case ((_, _, q1), (_, _, q2)) =>
+      assert(q1 <= q2, "larger source got a smaller quota")
+    }
+  }
 }
