@@ -671,6 +671,124 @@ object Analytics {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------------- RFM
+
+  /** Quartile boundaries of `v` (lower-quantile convention, b_k = min
+    * value whose cumulative count reaches ⌈k·n/4⌉) via the value
+    * histogram — one row (b1, b2, b3). The cumulative window runs over
+    * DISTINCT values of `v`, so cardinality (and the window's single
+    * partition) is bounded by the value DOMAIN, not the row count —
+    * which is why callers pre-quantize unbounded metrics (cents →
+    * whole dollars below). */
+  private def quartileBounds(df: DataFrame, v: String): DataFrame = {
+    val wCum = Window.orderBy(v).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def bound(k: Int): Column = min(when(col("cum") * 4 >= col("n") * k, col(v)))
+    df.groupBy(col(v))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+      .agg(bound(1).as("b1"), bound(2).as("b2"), bound(3).as("b3"))
+  }
+
+  /** RFM segmentation — the classic customer-value cube: per user,
+    * Recency (days since last event, relative to the corpus max day),
+    * Frequency (event count) and Monetary (exact cents, quantized to
+    * whole dollars for bucketing), each cut at its exact quartile
+    * boundaries; output is the segment cube (r_q, f_q, m_q) with user
+    * counts and total cents. Quartile assignment is by boundary
+    * comparison (1 + Σ v>b_k), NOT ntile — ties land in one bucket
+    * deterministically, and the per-user pass is a broadcast-joined map
+    * stage instead of a global ranking window. Boundaries come from
+    * [[quartileBounds]] value histograms whose cardinality is bounded by
+    * each metric's DOMAIN (days, counts, dollars), so nothing
+    * user-cardinality-sized ever sits in one partition. Bucket 1 = low
+    * metric value (recent / infrequent / low-spend). */
+  def qRfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("ts").cast("date").as("day"),
+        asScaled(col("value"), 2).as("vc"))
+    val now = ev.agg(max("day").as("now_day"))
+    val rfm = ev
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"), sum("vc").as("mon_c"))
+      .crossJoin(broadcast(now))
+      .select(
+        col("user_id"),
+        datediff(col("now_day"), col("last_day")).cast("long").as("rec_days"),
+        col("freq"),
+        col("mon_c"),
+        expr("mon_c div 100").as("mon_d"))
+    def bucket(v: String, prefix: String): Column =
+      (lit(1L)
+        + when(col(v) > col(s"${prefix}_b1"), 1L).otherwise(0L)
+        + when(col(v) > col(s"${prefix}_b2"), 1L).otherwise(0L)
+        + when(col(v) > col(s"${prefix}_b3"), 1L).otherwise(0L))
+    val rb = quartileBounds(rfm, "rec_days")
+      .select(col("b1").as("r_b1"), col("b2").as("r_b2"), col("b3").as("r_b3"))
+    val fb = quartileBounds(rfm, "freq")
+      .select(col("b1").as("f_b1"), col("b2").as("f_b2"), col("b3").as("f_b3"))
+    val mb = quartileBounds(rfm, "mon_d")
+      .select(col("b1").as("m_b1"), col("b2").as("m_b2"), col("b3").as("m_b3"))
+    rfm
+      .crossJoin(broadcast(rb))
+      .crossJoin(broadcast(fb))
+      .crossJoin(broadcast(mb))
+      .select(
+        col("user_id"),
+        col("mon_c"),
+        bucket("rec_days", "r").as("r_q"),
+        bucket("freq", "f").as("f_q"),
+        bucket("mon_d", "m").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum("mon_c").as("total_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val qRfmSegmentsSql = {
+    val vc = asScaledSql("value", 2)
+    def boundsCte(name: String, src: String, v: String): String =
+      s"""${name}_h AS (
+         |  SELECT $v AS v, count(*) AS cnt FROM $src GROUP BY 1),
+         |${name}_c AS (
+         |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM ${name}_h),
+         |$name AS (
+         |  SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS b1,
+         |         min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS b2,
+         |         min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS b3
+         |  FROM ${name}_c)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, $vc AS vc FROM events),
+       |nw AS (SELECT max(day) AS now_day FROM ev),
+       |rfm AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', max(day), (SELECT now_day FROM nw)) AS BIGINT) AS rec_days,
+       |    count(*)::BIGINT AS freq,
+       |    sum(vc)::BIGINT AS mon_c,
+       |    sum(vc)::BIGINT // 100 AS mon_d
+       |  FROM ev GROUP BY user_id),
+       |${boundsCte("rb", "rfm", "rec_days")},
+       |${boundsCte("fb", "rfm", "freq")},
+       |${boundsCte("mb", "rfm", "mon_d")},
+       |coded AS (
+       |  SELECT user_id, mon_c,
+       |    1 + CASE WHEN rec_days > rb.b1 THEN 1 ELSE 0 END
+       |      + CASE WHEN rec_days > rb.b2 THEN 1 ELSE 0 END
+       |      + CASE WHEN rec_days > rb.b3 THEN 1 ELSE 0 END AS r_q,
+       |    1 + CASE WHEN freq > fb.b1 THEN 1 ELSE 0 END
+       |      + CASE WHEN freq > fb.b2 THEN 1 ELSE 0 END
+       |      + CASE WHEN freq > fb.b3 THEN 1 ELSE 0 END AS f_q,
+       |    1 + CASE WHEN mon_d > mb.b1 THEN 1 ELSE 0 END
+       |      + CASE WHEN mon_d > mb.b2 THEN 1 ELSE 0 END
+       |      + CASE WHEN mon_d > mb.b3 THEN 1 ELSE 0 END AS m_q
+       |  FROM rfm, rb, fb, mb)
+       |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       |  CAST(m_q AS BIGINT) AS m_q,
+       |  count(*)::BIGINT AS n_users, sum(mon_c)::BIGINT AS total_cents
+       |FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ------------------------------------------------------------------ registry
 
   val queries: Seq[Q] = Seq(
@@ -682,5 +800,6 @@ object Analytics {
     Q("q_gap_fill", qGapFill, Some(qGapFillSql)),
     Q("q_ewma_forecast", qEwmaForecast, Some(qEwmaForecastSql)),
     Q("q_item_cf", qItemCf, Some(qItemCfSql)),
-    Q("q_kcore", qKcore, Some(qKcoreSql)))
+    Q("q_kcore", qKcore, Some(qKcoreSql)),
+    Q("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)))
 }

@@ -277,4 +277,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).max === 20L, "depth cap not applied")
     assert(got.length === 21, "nodes beyond the cap must be absent")
   }
+
+  test("RFM segments match an in-JVM recomputation of boundaries and buckets") {
+    // independent implementation: sorted-distinct cumulative quartile
+    // boundaries (lower-quantile), then 1 + Σ v>b_k bucketing
+    val dayOf = (micros: Long) =>
+      java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L))
+        .atZone(ZoneOffset.UTC).toLocalDate
+    val perUser = rawEvents.groupBy(_._3).map { case (uid, evs) =>
+      val days = evs.map(e => dayOf(e._2))
+      (uid, days.max, evs.size.toLong, evs.map(_._5).sum)
+    }.toSeq
+    val now = perUser.map(_._2).max
+    val rfm = perUser.map { case (uid, last, freq, monC) =>
+      (uid, java.time.temporal.ChronoUnit.DAYS.between(last, now), freq, monC,
+        Math.floorDiv(monC, 100L))
+    }
+    def bounds(vs: Seq[Long]): (Long, Long, Long) = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val n = vs.size.toLong
+      val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (v, k)) => (v, c + k) }.drop(1)
+      def b(k: Int) = cums.find { case (_, c) => c * 4 >= n * k }.get._1
+      (b(1), b(2), b(3))
+    }
+    val rb = bounds(rfm.map(_._2)); val fb = bounds(rfm.map(_._3)); val mb = bounds(rfm.map(_._5))
+    def bucket(v: Long, b: (Long, Long, Long)): Long =
+      1L + (if (v > b._1) 1 else 0) + (if (v > b._2) 1 else 0) + (if (v > b._3) 1 else 0)
+    val want = rfm
+      .groupBy { case (_, rec, freq, _, monD) => (bucket(rec, rb), bucket(freq, fb), bucket(monD, mb)) }
+      .map { case (k, us) => k -> (us.size.toLong, us.map(_._4).sum) }
+    val got = Analytics.qRfmSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === perUser.size.toLong, "every user in exactly one segment")
+  }
 }
