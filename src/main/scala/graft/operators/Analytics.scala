@@ -222,22 +222,38 @@ object Analytics {
 
   // ------------------------------------------------------------ MAD outliers
 
-  /** Lower median of `v` per `key` via the VALUE-HISTOGRAM cumulative
-    * rank (the scale-safe exact path — shuffles carry DISTINCT values
-    * with counts, never row lists; same idiom as q_percentile_hist).
-    * Returns (key, n, med): med = smallest value whose cumulative count
-    * reaches rank ⌈n/2⌉. */
-  private def lowerMedian(df: DataFrame, key: String, v: String): DataFrame = {
-    val wCum = Window.partitionBy(key).orderBy(v)
+  /** The shared value-histogram rank kernel (the scale-safe exact
+    * quantile path — shuffles carry DISTINCT values with counts, never
+    * row lists; same idiom as q_percentile_hist): per `keys` group, for
+    * each requested (alias, num, den), the smallest `v` whose cumulative
+    * histogram count reaches rank ⌈n·num/den⌉ (integer comparison
+    * cum·den ≥ n·num), plus the group size `n`. One histogram pass
+    * serves any number of ranks. With empty `keys` the cumulative window
+    * is global — callers must bound the DISTINCT-value cardinality by
+    * the value domain (see [[quartileBounds]]). */
+  private def histRankMins(
+      df: DataFrame,
+      keys: Seq[String],
+      v: String,
+      ranks: Seq[(String, Int, Int)]): DataFrame = {
+    val part = keys.map(col)
+    val wCum = Window.partitionBy(part: _*).orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.groupBy(col(key), col(v))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(wCum))
-      .withColumn("n", sum("c").over(Window.partitionBy(key)))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
-      .groupBy(col(key), col("n"))
-      .agg(min(col(v)).as("med"))
+    val hist = df.groupBy((keys :+ v).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(part: _*)))
+    val aggs = ranks.map { case (a, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col(v))).as(a)
+    } :+ max("n").as("n")
+    hist.groupBy(part: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Lower median of `v` per `key`: rank ⌈n/2⌉ via [[histRankMins]].
+    * Returns (key, n, med). */
+  private def lowerMedian(df: DataFrame, key: String, v: String): DataFrame =
+    histRankMins(df, Seq(key), v, Seq(("med", 1, 2)))
+      .select(col(key), col("n"), col("med"))
 
   /** Robust outlier detection per event type: median / MAD (median
     * absolute deviation) and the count of rows beyond 3·MAD — the
@@ -674,21 +690,14 @@ object Analytics {
   // --------------------------------------------------------------------- RFM
 
   /** Quartile boundaries of `v` (lower-quantile convention, b_k = min
-    * value whose cumulative count reaches ⌈k·n/4⌉) via the value
-    * histogram — one row (b1, b2, b3). The cumulative window runs over
-    * DISTINCT values of `v`, so cardinality (and the window's single
-    * partition) is bounded by the value DOMAIN, not the row count —
-    * which is why callers pre-quantize unbounded metrics (cents →
-    * whole dollars below). */
-  private def quartileBounds(df: DataFrame, v: String): DataFrame = {
-    val wCum = Window.orderBy(v).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def bound(k: Int): Column = min(when(col("cum") * 4 >= col("n") * k, col(v)))
-    df.groupBy(col(v))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("n", sum("cnt").over(Window.partitionBy()))
-      .agg(bound(1).as("b1"), bound(2).as("b2"), bound(3).as("b3"))
-  }
+    * value whose cumulative count reaches ⌈k·n/4⌉) — one row (b1, b2,
+    * b3) from a single [[histRankMins]] pass. The global cumulative
+    * window runs over DISTINCT values of `v`, so its single partition is
+    * bounded by the value DOMAIN, not the row count — which is why
+    * callers pre-quantize unbounded metrics (cents → whole dollars
+    * below). */
+  private def quartileBounds(df: DataFrame, v: String): DataFrame =
+    histRankMins(df, Nil, v, Seq(("b1", 1, 4), ("b2", 2, 4), ("b3", 3, 4))).drop("n")
 
   /** RFM segmentation — the classic customer-value cube: per user,
     * Recency (days since last event, relative to the corpus max day),
@@ -704,22 +713,31 @@ object Analytics {
     * user-cardinality-sized ever sits in one partition. Bucket 1 = low
     * metric value (recent / infrequent / low-spend). */
   def qRfmSegments(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    // cached: the per-user aggregate feeds the corpus max-day, three
+    // boundary histograms AND the final bucketing pass — uncached, each
+    // would rescan events and redo the user-keyed shuffle
+    val perUser = Tables.events(s, d)
       .select(
         col("user_id"),
         col("ts").cast("date").as("day"),
         asScaled(col("value"), 2).as("vc"))
-    val now = ev.agg(max("day").as("now_day"))
-    val rfm = ev
       .groupBy("user_id")
       .agg(max("day").as("last_day"), count(lit(1)).as("freq"), sum("vc").as("mon_c"))
+      .cache()
+    // max over users' last days == max event day — no second events scan
+    val now = perUser.agg(max("last_day").as("now_day"))
+    val rfm = perUser
       .crossJoin(broadcast(now))
       .select(
         col("user_id"),
         datediff(col("now_day"), col("last_day")).cast("long").as("rec_days"),
         col("freq"),
         col("mon_c"),
-        expr("mon_c div 100").as("mon_d"))
+        // FLOOR division (subtract the non-negative pmod remainder before
+        // the truncating div): value has no schema-level non-negativity
+        // guarantee, and a negative cents sum must quantize like the
+        // oracle's flooring `//` (the q_k_anonymity div-vs-floor rule)
+        expr("(mon_c - pmod(mon_c, 100)) div 100").as("mon_d"))
     def bucket(v: String, prefix: String): Column =
       (lit(1L)
         + when(col(v) > col(s"${prefix}_b1"), 1L).otherwise(0L)

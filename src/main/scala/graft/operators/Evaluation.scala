@@ -197,12 +197,18 @@ object Evaluation {
           |'lineitem_price_positive', n, v_price,
           |'lineitem_quantity_range', n, v_qty) AS (chk, n_checked, n_violations)"""
           .stripMargin))
+    // FK/cross-table passes join a DEDUPLICATED right-side key set — a
+    // duplicated PK on the dimension (exactly the dirty data an audit
+    // exists for) must not fan the fact side out and corrupt the
+    // co-resident counts. A duplicate with CONFLICTING o_orderdate is
+    // collapsed to min() so the temporal check stays deterministic (and
+    // such a duplicate is already reported by orders_pk_unique).
+    val ordKeys = ord
+      .groupBy("o_orderkey")
+      .agg(min("o_orderdate").as("o_orderdate"))
     val liJoin = li
       .select(col("l_orderkey"), col("l_shipdate"))
-      .join(
-        ord.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"),
-        "left")
+      .join(ordKeys, col("l_orderkey") === col("o_orderkey"), "left")
       .agg(
         count(lit(1)).as("n"),
         viol(col("o_orderkey").isNull).as("v_fk"),
@@ -214,7 +220,7 @@ object Evaluation {
           .stripMargin))
     val ordChecks = ord
       .join(
-        cust.select(col("c_custkey")),
+        cust.select(col("c_custkey")).distinct(),
         col("o_custkey") === col("c_custkey"),
         "left")
       .agg(
@@ -276,17 +282,20 @@ object Evaluation {
       .orderBy("check")
 
   private val qDataContractSql =
-    """WITH lij AS (
+    """WITH ok AS (
+      |  SELECT o_orderkey, min(o_orderdate) AS o_orderdate FROM orders GROUP BY 1),
+      |lij AS (
       |  SELECT count(*) AS n,
       |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS fk,
       |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS early
-      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |  FROM lineitem l LEFT JOIN ok o ON l.l_orderkey = o.o_orderkey),
+      |ck AS (SELECT DISTINCT c_custkey FROM customer),
       |oj AS (
       |  SELECT count(*) AS n,
       |    count(*) FILTER (WHERE c.c_custkey IS NULL) AS fk,
       |    count(*) FILTER (WHERE o_totalprice <= 0) AS price,
       |    count(*) - count(DISTINCT o_orderkey) AS pk
-      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |  FROM orders o LEFT JOIN ck c ON o.o_custkey = c.c_custkey),
       |u AS (
       |  SELECT 'lineitem_quantity_range' AS chk, count(*) AS n,
       |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v FROM lineitem
@@ -391,27 +400,48 @@ object Evaluation {
     *   z² = d²·N / (n1·n2·c·(N−c)),  d = c1·n2 − c2·n1, N = n1+n2,
     *   c = c1+c2;  significant ⟺ 625·d²·N > 2401·n1·n2·c·(N−c).
     *
-    * Both sides are DECIMAL(38,0)/HUGEINT (the qAnomalyHours widening) —
-    * exact up to ~10⁸ users per arm (d² ≈ (c·n)² is the 4th-degree
-    * term); past that, divide all four counts by a common 10^k first
-    * (z² is scale-invariant up to the +0/−0 of integer flooring, which
-    * cannot flip a decision that isn't already on the α boundary). */
+    * The LHS is 5th-degree in the counts, so the raw form outgrows
+    * DECIMAL(38) near ~10⁷ users/arm — where Spark's non-ANSI decimal
+    * would return NULL and silently report the STRONGEST effects as
+    * not-significant. Guarded by construction: all four counts are first
+    * floor-divided by 10^max(0, digits(max n)−6), capping the scaled
+    * arms below 10⁶ (worst-case LHS ≈ 1.3·10³³, comfortable in both
+    * DECIMAL(38) and HUGEINT). z² is invariant under common scaling up
+    * to the flooring of the counts themselves, which cannot flip a
+    * decision that isn't already sitting on the α boundary — and below
+    * 10⁶ users/arm the divisor is 1 and the test is exact outright. */
   private[operators] def abSignificant(
       c1: Column, n1: Column, c2: Column, n2: Column): Column = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val d = dec(c1) * dec(n2) - dec(c2) * dec(n1)
-    val bigN = dec(n1) + dec(n2)
-    val c = dec(c1) + dec(c2)
-    when(lit(625) * d * d * bigN > lit(2401) * dec(n1) * dec(n2) * c * (bigN - c), 1L)
+    val k = greatest(
+      lit(0),
+      greatest(length(n1.cast("string")), length(n2.cast("string"))) - 6)
+    // 10^k is exact in a double for k <= 13 (max digits(BIGINT)−6)
+    val divisor = pow(lit(10.0), k).cast("long")
+    // exact integer division (SQL `div`), not Column./ (double division
+    // loses ulps above 2^53 — the very magnitudes the guard exists for)
+    def idiv(a: Column): Column = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
+        org.apache.spark.sql.GraftBridge.expression(divisor)))
+    val (c1s, n1s, c2s, n2s) = (dec(idiv(c1)), dec(idiv(n1)), dec(idiv(c2)), dec(idiv(n2)))
+    val d = c1s * n2s - c2s * n1s
+    val bigN = n1s + n2s
+    val c = c1s + c2s
+    when(lit(625) * d * d * bigN > lit(2401) * n1s * n2s * c * (bigN - c), 1L)
       .otherwise(0L)
   }
 
-  /** The same decision as DuckDB SQL text (HUGEINT is 128-bit — wider
-    * than Spark's DECIMAL(38), so the Spark side is the binding one). */
+  /** The same decision as DuckDB SQL text (HUGEINT arithmetic over the
+    * identically scaled counts — same divisor rule, same flooring). */
   private def abSignificantSql(c1: String, n1: String, c2: String, n2: String): String = {
-    val d = s"(CAST($c1 AS HUGEINT) * $n2 - CAST($c2 AS HUGEINT) * $n1)"
-    s"""CASE WHEN 625 * $d * $d * ($n1 + $n2)
-       |   > 2401 * CAST($n1 AS HUGEINT) * $n2 * ($c1 + $c2) * ($n1 + $n2 - $c1 - $c2)
+    val div = "CAST(power(10, greatest(0, greatest(" +
+      s"length(CAST($n1 AS VARCHAR)), length(CAST($n2 AS VARCHAR))) - 6)) AS BIGINT)"
+    val (c1s, n1s) = (s"($c1 // $div)", s"($n1 // $div)")
+    val (c2s, n2s) = (s"($c2 // $div)", s"($n2 // $div)")
+    val d = s"(CAST($c1s AS HUGEINT) * $n2s - CAST($c2s AS HUGEINT) * $n1s)"
+    s"""CASE WHEN 625 * $d * $d * ($n1s + $n2s)
+       |   > 2401 * CAST($n1s AS HUGEINT) * $n2s * ($c1s + $c2s) * ($n1s + $n2s - $c1s - $c2s)
        |THEN 1 ELSE 0 END""".stripMargin
   }
 

@@ -109,7 +109,10 @@ class EvaluationSpec extends SparkSpec {
       (1L, 3, 10.0, -5.0, 0.05, ts0), // price nonpositive
       (1L, 4, 10.0, 100.0, 0.5, ts0), // discount out of range
       (7L, 1, 10.0, 100.0, 0.05, ts0), // orphan orderkey
-      (2L, 1, 10.0, 100.0, 0.05, ts1) // ships before its order date
+      (2L, 1, 10.0, 100.0, 0.05, ts1), // ships before its order date
+      // references the DUPLICATED order 3: the dedup'd join side must
+      // count this row once, not fan it out into phantom violations
+      (3L, 1, 10.0, 100.0, 0.05, ts0)
     ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
       "l_discount", "l_shipdate")
     val ord = Seq(
@@ -134,15 +137,15 @@ class EvaluationSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    assert(got("lineitem_quantity_range") === (7L, 1L))
-    assert(got("lineitem_discount_range") === (7L, 1L))
-    assert(got("lineitem_price_positive") === (7L, 1L))
-    assert(got("lineitem_pk_unique") === (7L, 1L))
-    assert(got("lineitem_fk_orders") === (7L, 1L))
-    // the o_orderkey=3 pk dup makes the left join fan out order 3's rows;
-    // none of order 3's lineitems exist, so ship_after_order counts only
-    // the genuine (2, ts1) row, and fk sees no extra nulls
-    assert(got("lineitem_ship_after_order")._2 === 1L)
+    assert(got("lineitem_quantity_range") === (8L, 1L))
+    assert(got("lineitem_discount_range") === (8L, 1L))
+    assert(got("lineitem_price_positive") === (8L, 1L))
+    assert(got("lineitem_pk_unique") === (8L, 1L))
+    // order 3 is PK-duplicated, and a lineitem references it: the
+    // dedup'd join side keeps n_checked at the true lineitem count and
+    // the counts fan-out-free
+    assert(got("lineitem_fk_orders") === (8L, 1L))
+    assert(got("lineitem_ship_after_order") === (8L, 1L))
     assert(got("orders_fk_customer") === (4L, 1L))
     assert(got("orders_pk_unique") === (4L, 1L))
     assert(got("orders_price_positive") === (4L, 1L))
@@ -183,9 +186,14 @@ class EvaluationSpec extends SparkSpec {
 
   // ------------------------------------------------------------- A/B test
 
-  /** Independent BigInt evaluation of the z² > 2401/625 decision. */
+  /** Independent BigInt evaluation of the z² > 2401/625 decision,
+    * replaying the production divisor rule (floor all four counts by
+    * 10^max(0, digits(max n)−6) before the exact comparison). */
   private def jvmSig(c1: Long, n1: Long, c2: Long, n2: Long): Long = {
-    val (bc1, bn1, bc2, bn2) = (BigInt(c1), BigInt(n1), BigInt(c2), BigInt(n2))
+    val k = math.max(0, math.max(n1.toString.length, n2.toString.length) - 6)
+    val div = math.pow(10, k).toLong
+    val (bc1, bn1, bc2, bn2) =
+      (BigInt(c1 / div), BigInt(n1 / div), BigInt(c2 / div), BigInt(n2 / div))
     val d = bc1 * bn2 - bc2 * bn1
     val bigN = bn1 + bn2
     val c = bc1 + bc2
@@ -197,7 +205,13 @@ class EvaluationSpec extends SparkSpec {
       (200L, 1000L, 100L, 1000L), // z ≈ 6 → significant
       (105L, 1000L, 100L, 1000L), // z ≈ 0.36 → not
       (0L, 1000L, 0L, 1000L), // degenerate: no conversions
-      (1000L, 1000L, 1000L, 1000L) // degenerate: all converted
+      (1000L, 1000L, 1000L, 1000L), // degenerate: all converted
+      // 1e8/arm with a huge effect: the raw 5th-degree product would
+      // overflow DECIMAL(38) → NULL → a silent "not significant"; the
+      // divisor rule must keep this a loud 1
+      (50000000L, 100000000L, 10000000L, 100000000L),
+      // ... and a huge-N null effect must stay 0, not trip the scaler
+      (10000001L, 100000000L, 10000000L, 100000000L)
     ) ++ (100L to 160L).map(c1 => (c1, 1000L, 100L, 1000L)) // walk across α
     val got = cases.toDF("c1", "n1", "c2", "n2")
       .withColumn("sig", Evaluation.abSignificant(col("c1"), col("n1"), col("c2"), col("n2")))
@@ -209,6 +223,9 @@ class EvaluationSpec extends SparkSpec {
     }
     assert(got((200L, 1000L, 100L, 1000L)) === 1L)
     assert(got((105L, 1000L, 100L, 1000L)) === 0L)
+    assert(got((50000000L, 100000000L, 10000000L, 100000000L)) === 1L,
+      "overflow guard: a 1e8-arm blowout effect must stay significant")
+    assert(got((10000001L, 100000000L, 10000000L, 100000000L)) === 0L)
     // the sweep must actually cross the α bar somewhere
     val sweep = (100L to 160L).map(c1 => got((c1, 1000L, 100L, 1000L)))
     assert(sweep.head === 0L && sweep.last === 1L)

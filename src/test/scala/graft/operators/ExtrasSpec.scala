@@ -1358,11 +1358,15 @@ class ExtrasSpec extends SparkSpec {
       .map { case ((s, b, _), i) => s -> (b + (if (i < short) 1L else 0L)) }
       .toMap
     got.foreach { case (s, _, q) => assert(q === bumped(s), s"source $s") }
-    // quota monotone in availability (equal floors order by remainder,
-    // which follows the share on a fixed total)
+    // quota monotone in availability: strict for distinct avails (equal
+    // floors order by remainder, which follows the share on a fixed
+    // total); EQUAL avails have equal remainders and tie-break by source
+    // name, so the lexically smaller source may legitimately carry the
+    // +1 — allow one token of slack exactly there
     val byAvail = got.sortBy(_._2)
-    byAvail.zip(byAvail.tail).foreach { case ((_, _, q1), (_, _, q2)) =>
-      assert(q1 <= q2, "larger source got a smaller quota")
+    byAvail.zip(byAvail.tail).foreach { case ((_, a1, q1), (_, a2, q2)) =>
+      if (a1 == a2) assert(math.abs(q1 - q2) <= 1, "tied sources differ by more than the bump")
+      else assert(q1 <= q2, "larger source got a smaller quota")
     }
   }
 }
