@@ -106,6 +106,41 @@ object Formats {
        |  max(event_id) AS max_event
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Parquet SCHEMA EVOLUTION — the lakehouse append-with-a-new-column
+    * case: batch 0 is written BEFORE the `lang` column existed (even
+    * doc_ids, two columns), batch 1 after (odd doc_ids, three columns);
+    * the read unions both under `mergeSchema=true`, which merges the
+    * footers into the superset schema and null-fills the legacy rows.
+    * The aggregate pins all three behaviors at once: total counts (no
+    * row lost to the schema difference), `n_legacy` (nulls appear
+    * exactly where the column predates the row), and `n_langs` (typed
+    * values bind by NAME across heterogeneous files). mergeSchema costs
+    * a footer read per file — fine for a round-trip demo; a production
+    * table keeps the superset schema in the metastore and reads with it
+    * explicitly, same semantics. */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = sinkDir(s, "evolve")
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$out/b0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/b1")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b0", s"$out/b1")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  private val qSchemaEvolutionSql =
+    """SELECT source, count(*)::BIGINT AS n_total,
+      |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_legacy,
+      |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)::BIGINT AS n_langs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** XML: Spark 4's built-in XML source (the spark-xml lineage merged
     * into sql/core) — element-per-row documents with explicit `rowTag`,
     * values through XML text form. Ints and strings round-trip exactly;
@@ -213,5 +248,6 @@ object Formats {
     Q("q_source_json", qSourceJson, Some(qSourceJsonSql)),
     Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)),
     Q("q_source_xml", qSourceXml, Some(qSourceXmlSql)),
-    Q("q_source_binary", qSourceBinary, Some(qSourceBinarySql)))
+    Q("q_source_binary", qSourceBinary, Some(qSourceBinarySql)),
+    Q("q_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)))
 }

@@ -441,6 +441,27 @@ object EventStreams {
   def viewPurchaseJoinOuter(views: DataFrame, purchases: DataFrame): DataFrame =
     viewPurchaseJoinWith(views, purchases, "left_outer")
 
+  /** Stream-static AS-OF enrichment: each event joins the dimension
+    * VERSION whose [valid_from, valid_to) interval covers its event time
+    * — the streaming consumption side of an SCD-2 history table (the
+    * [[graft.operators.Maintenance.qScd2History]] shape on a time axis).
+    * `dim` carries (user_id, valid_from, valid_to, ...attrs) with
+    * intervals partitioning each key's timeline, so the match is unique
+    * by construction and no event is double-enriched.
+    *
+    * Plan shape: stream-static joins are STATELESS — the static side is
+    * re-planned every micro-batch (broadcast when it fits), nothing
+    * enters a state store, and no watermark is needed for correctness.
+    * The equi-join runs on user_id with the interval check as a post-join
+    * filter, so the static side shuffles (or broadcasts) by key, never by
+    * interval. Inner semantics: an event before its key's first version
+    * (or for an unknown key) is dropped — the auditable-reject variant is
+    * a left join over the same condition. */
+  def enrichAsOf(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+
   private def viewPurchaseJoinWith(
       views: DataFrame,
       purchases: DataFrame,

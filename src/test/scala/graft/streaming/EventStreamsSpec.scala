@@ -699,4 +699,46 @@ class EventStreamsSpec extends SparkSpec {
       assert(decisions()(10L), "new hour should reset the quota")
     } finally query.stop()
   }
+
+  test("stream-static as-of enrichment picks each event's covering dimension version") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // SCD-2-shaped dimension: user 1 upgrades bronze→gold at minute 60;
+    // user 2 has one open-ended version; user 3 is unknown to the dim
+    val dim = Seq(
+      (1L, ts(0), ts(60), "bronze"),
+      (1L, ts(60), new Timestamp(Long.MaxValue / 1000), "gold"),
+      (2L, ts(30), new Timestamp(Long.MaxValue / 1000), "silver"))
+      .toDF("user_id", "valid_from", "valid_to", "tier")
+    val source = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = source.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStreams.enrichAsOf(events, dim)
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("asof_enrich_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val batch = Seq(
+        (1L, ts(10), 1L, "click", 1.0), // bronze era
+        (2L, ts(59), 1L, "click", 1.0), // last bronze minute
+        (3L, ts(60), 1L, "click", 1.0), // boundary: gold from minute 60
+        (4L, ts(90), 1L, "click", 1.0), // gold era
+        (5L, ts(45), 2L, "click", 1.0), // silver
+        (6L, ts(10), 2L, "click", 1.0), // BEFORE user 2's first version → dropped
+        (7L, ts(10), 3L, "click", 1.0)) // unknown key → dropped
+      source.addData(batch: _*)
+      query.processAllAvailable()
+      val got = spark.table("asof_enrich_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "bronze", 2L -> "bronze", 3L -> "gold",
+        4L -> "gold", 5L -> "silver"))
+      // agreement with the batch form of the same join
+      val want = EventStreams.enrichAsOf(
+        batch.toDF("event_id", "ts", "user_id", "event_type", "value"), dim)
+        .select(col("event_id"), col("tier")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === want, "stream enrichment diverges from the batch twin")
+    } finally query.stop()
+  }
 }
