@@ -406,10 +406,56 @@ object Similarity {
     books
   }
 
+  /** Build-once PERSISTED PQ index (the serving artifact of a vector
+    * store): the fitted per-subspace codebooks as a tiny table
+    * (8×32×8 rows of (m, code, pos, mu)) plus every vector's 8 codes
+    * bucketed by vec_id — the 32×-compressed table the ADC scan reads.
+    * Query time then pays a STORED-codes scan and a bounded codebook
+    * pull; the Lloyd fit and the corpus encode pass run only on the
+    * first build (the same daily-index contract as the shingle /
+    * keyword / IVF-cell stores). The codes are a pure function of the
+    * deterministic seeded fit, so the stored table is identical to
+    * recomputing. */
+  private def ensurePqIndex(s: SparkSession, d: String, e: DataFrame): (String, String) = {
+    import graft.sources.Warehouse
+    val cbT = Warehouse.tableName("graft_pq_cb", d)
+    val cdT = Warehouse.tableName("graft_pq_codes", d)
+    Warehouse.ensureVia(s, cbT) {
+      val books = pqCodebooks(e)
+      val rows = for {
+        (m, cb) <- books.toSeq
+        (code, mus) <- cb
+        (mu, pos) <- mus.zipWithIndex
+      } yield (m, code, pos, mu)
+      import s.implicits._
+      rows.toDF("m", "code", "pos", "mu").coalesce(1).write.saveAsTable(cbT)
+    }
+    Warehouse.ensure(s, cdT, "vec_id") {
+      val books = loadPqBooks(s, cbT)
+      val codes = array((0 until PqSubspaces).map(m =>
+        nearestCode(books(m), slice(col("vn"), m * PqSubDim + 1, PqSubDim))): _*)
+      // vn hoisted once: 8 slices of one normalization, not 8
+      e.withColumn("vn", normalized(col("v"))).select(col("vec_id"), codes.as("codes"))
+    }
+    (cbT, cdT)
+  }
+
+  /** Rehydrate the stored codebook table (bounded: 8×32×8 rows). */
+  private def loadPqBooks(s: SparkSession, cbT: String): Map[Int, Array[(Int, Seq[Double])]] =
+    s.table(cbT).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        m -> rs.groupBy(_._2).toSeq.map { case (code, ps) =>
+          (code, ps.sortBy(_._3).map(_._4).toSeq)
+        }.sortBy(_._1).toArray
+      }
+
   /** Product-quantization ANN — the memory-bound 100 TB path. Vectors
     * compress 32×: 64 floats → 8 one-byte codes (per-subspace L2-nearest
-    * codebook entry), so the first-pass scan touches only the code table,
-    * never the vectors. The query precomputes an 8×32 lookup table of
+    * codebook entry), PERSISTED by [[ensurePqIndex]] so the first-pass
+    * scan touches only the stored code table, never the vectors and
+    * never a fit. The query precomputes an 8×32 lookup table of
     * subvector dots driver-side; the asymmetric-distance score is then 8
     * array lookups + adds per row. Top-[[PqShortlist]] by approximate dot
     * (TakeOrderedAndProject — no global sort), then ONLY the shortlist
@@ -419,26 +465,26 @@ object Similarity {
     * aren't SQL-expressible → no DuckDB oracle; SketchSpec asserts
     * recall@10 against the brute-force baseline on the real corpus. */
   def qSimPq(s: SparkSession, d: String): DataFrame = {
-    // cached: PqIters+2 full reads (codebook fit scans + encode scan +
-    // re-rank join); harness clearCache()s per query
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
     e.filter(col("vec_id") === 0).collect().headOption match {
       case None => emptyTopK(e)
       case Some(qrow) =>
         val qraw = qrow.getSeq[Float](1).map(_.toDouble)
-        adcRerank(e, e.filter(col("vec_id") =!= 0), qraw, pqCodebooks(e))
+        val (cbT, cdT) = ensurePqIndex(s, d, e)
+        adcRerank(
+          e, s.table(cdT).filter(col("vec_id") =!= 0), qraw, loadPqBooks(s, cbT))
     }
   }
 
-  /** ADC shortlist + exact re-rank tail shared by the PQ variants: encode
-    * `cand` rows to their per-subspace codes, score via the query's
-    * precomputed 8×[[PqCodes]] lookup table (8 array reads + adds per
-    * row), keep the top-[[PqShortlist]] by approximate dot
-    * (TakeOrderedAndProject — no global sort), then join ONLY the
-    * shortlist back to real vectors for the exact cosine top-10. */
+  /** ADC shortlist + exact re-rank tail shared by the PQ variants:
+    * score STORED (vec_id, codes) rows via the query's precomputed
+    * 8×[[PqCodes]] lookup table (8 array reads + adds per row), keep the
+    * top-[[PqShortlist]] by approximate dot (TakeOrderedAndProject — no
+    * global sort), then join ONLY the shortlist back to real vectors for
+    * the exact cosine top-10. */
   private def adcRerank(
       e: DataFrame,
-      cand: DataFrame,
+      codedCand: DataFrame,
       qraw: Seq[Double],
       books: Map[Int, Array[(Int, Seq[Double])]]): DataFrame = {
     val qnorm = math.sqrt(qraw.map(x => x * x).sum)
@@ -451,9 +497,6 @@ object Similarity {
       }.toSeq
     }
     val lutLit = typedlit(lut)
-    // vn hoisted once: 8 slices of one normalization, not 8 normalizations
-    val codes = array((0 until PqSubspaces).map(m =>
-      nearestCode(books(m), slice(col("vn"), m * PqSubDim + 1, PqSubDim))): _*)
     val approx = aggregate(
       sequence(lit(0), lit(PqSubspaces - 1)),
       lit(0.0),
@@ -461,9 +504,7 @@ object Similarity {
         acc + element_at(
           element_at(lutLit, (i + 1).cast("int")),
           (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
-    val shortlist = cand
-      .withColumn("vn", normalized(col("v")))
-      .withColumn("codes", codes)
+    val shortlist = codedCand
       .select(col("vec_id"), approx.as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(PqShortlist)
@@ -502,7 +543,9 @@ object Similarity {
     cents.find(_._1 == 0).map(_._2) match {
       case None => emptyTopK(e)
       case Some(qraw) =>
-        adcRerank(e, probedCandidates(e, cents, qraw, IvfPqProbes), qraw, pqCodebooks(e))
+        val (cbT, cdT) = ensurePqIndex(s, d, e)
+        val cand = probedCandidates(e, cents, qraw, IvfPqProbes).select("vec_id")
+        adcRerank(e, s.table(cdT).join(cand, "vec_id"), qraw, loadPqBooks(s, cbT))
     }
   }
 

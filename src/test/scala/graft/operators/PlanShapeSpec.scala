@@ -577,6 +577,17 @@ class PlanShapeSpec extends SparkSpec {
       s"postings scan not bucket-pruned (expected <=6 of 8 buckets):\n$p")
   }
 
+  test("PQ shortlist scans the STORED codes table — no fit or encode at query time") {
+    val df = Similarity.qSimPq(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_pq_codes"), s"stored PQ codes table not in plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ADC shortlist became a global sort:\n$p")
+    // the encode expression belongs to the index BUILD; its presence in
+    // the query plan means the corpus is being re-encoded per query
+    assert(!p.toLowerCase.contains("nearestcode"),
+      s"query-time encode: pqNearestCode in the query plan:\n$p")
+  }
+
   test("centroid classifier scores through a broadcast join, never a shuffled one") {
     // the nlabels×dim centroid table must broadcast so the n·dim scoring
     // join is exchange-free on the data side; a SortMergeJoin here means
