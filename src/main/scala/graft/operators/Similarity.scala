@@ -187,13 +187,6 @@ object Similarity {
   /** Shared IVF probe tail: pick the query's nProbes nearest cells, assign
     * every vector to its cell, exact-rerank only the probed cells. One
     * definition — the sampled and k-means variants must not drift. */
-  private def probeAndRerank(
-      e: DataFrame,
-      cents: Array[(Int, Seq[Double])],
-      qvec: Seq[Double],
-      nProbes: Int): DataFrame =
-    rerankExact(probedCandidates(e, cents, qvec, nProbes), qvec)
-
   /** The query's nProbes nearest cells under the shared (-cos, cid)
     * tie-break — ONE definition for the inline and stored-index probes. */
   private def probeCells(
@@ -216,10 +209,10 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
 
-  /** Probe selection + cell assignment shared by the exact-rerank tail
-    * ([[probeAndRerank]]) and the ADC tail ([[qSimIvfPq]]) — one
-    * definition so probe tie-breaking and assignment cannot drift
-    * between the IVF variants. */
+  /** Probe selection + inline cell assignment for the ADC tail
+    * ([[qSimIvfPq]]'s candidate generation) — shares [[probeCells]] and
+    * [[nearestCell]] with the stored-index variants so probe tie-breaking
+    * and assignment cannot drift between the IVF forms. */
   private def probedCandidates(
       e: DataFrame,
       cents: Array[(Int, Seq[Double])],
@@ -314,21 +307,58 @@ object Similarity {
   private val KmeansIters = 5
   private val KmeansProbes = 4
 
+  /** Build-once PERSISTED k-means IVF index: the fitted centroid matrix
+    * as a tiny table (k×dim rows of (cell, pos, mu)) and every vector's
+    * cell assignment PARTITIONED BY CELL (plan-time directory pruning on
+    * the probe, like [[qIvf]]'s sampled-centroid store). The Lloyd fit's
+    * iteration scans run only on the first build. */
+  private def ensureKmeansIndex(s: SparkSession, d: String, e: DataFrame): (String, String) = {
+    import graft.sources.Warehouse
+    val ctT = Warehouse.tableName("graft_km_cents", d)
+    val asT = Warehouse.tableName("graft_km_cells", d)
+    Warehouse.ensureVia(s, ctT) {
+      val cents = kmeansCentroids(e, IvfCells, KmeansIters)
+      val rows = for { (cid, cv) <- cents.toSeq; (mu, pos) <- cv.zipWithIndex }
+        yield (cid, pos, mu)
+      import s.implicits._
+      rows.toDF("cell", "pos", "mu").coalesce(1).write.saveAsTable(ctT)
+    }
+    Warehouse.ensurePartitioned(s, asT, "cell") {
+      e.withColumn("cell", nearestCell(loadCentroids(s, ctT), col("v")))
+    }
+    (ctT, asT)
+  }
+
+  /** Rehydrate a stored centroid table (bounded: k×dim rows). */
+  private def loadCentroids(s: SparkSession, ctT: String): Array[(Int, Seq[Double])] =
+    s.table(ctT).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .toSeq
+      .map { case (cid, rs) => (cid, rs.sortBy(_._2).map(_._3).toSeq) }
+      .sortBy(_._1)
+      .toArray
+
   /** IVF ANN with k-means-fit centroids — the production index build.
     * Same probe shape as [[qIvf]] but the cells come from a seeded Lloyd's
     * fit, so cell populations follow the data's cluster structure rather
-    * than which vectors happened to have low ids. k-means isn't reasonably
-    * SQL-expressible → no DuckDB oracle; SketchSpec asserts recall@10 ≥ 0.9
-    * against the brute-force baseline on the real sf data. */
+    * than which vectors happened to have low ids — and both fit artifacts
+    * are PERSISTED by [[ensureKmeansIndex]], so query time pays a bounded
+    * centroid pull plus a directory-pruned scan of the probed cells only.
+    * k-means isn't reasonably SQL-expressible → no DuckDB oracle;
+    * SketchSpec asserts recall@10 ≥ 0.9 against the brute-force baseline
+    * on the real sf data. */
   def qIvfKmeans(s: SparkSession, d: String): DataFrame = {
-    // cached: the Lloyd iterations re-scan the table once each, plus the
-    // query-vector pull and the final assignment scan (~7 reads total);
-    // the harness clearCache()s after each query
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v")).cache()
-    val cents = kmeansCentroids(e, IvfCells, KmeansIters)
     e.filter(col("vec_id") === 0).collect().headOption
       .map(_.getSeq[Float](1).map(_.toDouble)) match {
-      case Some(qvec) => probeAndRerank(e, cents, qvec, KmeansProbes)
+      case Some(qvec) =>
+        val (ctT, asT) = ensureKmeansIndex(s, d, e)
+        val probes = probeCells(loadCentroids(s, ctT), qvec, KmeansProbes)
+        rerankExact(
+          s.table(asT).filter(col("vec_id") =!= 0 &&
+            col("cell").isin(probes.map(_.asInstanceOf[Any]): _*)),
+          qvec)
       case None => emptyTopK(e) // absent query vector → empty, not a crash
     }
   }
