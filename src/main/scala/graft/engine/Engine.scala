@@ -58,7 +58,10 @@ object Engine {
       .filter(col(KV.LineCol).rlike("\\S"))
       .select(
         parts.getItem(0).as(KV.KeyCol),
-        coalesce(parts.getItem(1), lit("")).as(KV.ValueCol))
+        // get(), not getItem(1): a key-only line splits to ONE part, and
+        // under Spark 4's default ANSI mode getItem throws on the missing
+        // index instead of yielding the null this coalesce exists for
+        coalesce(get(parts, lit(1)), lit("")).as(KV.ValueCol))
 
     // O3 — hash partition on key (≡ partition.cpp:33-35). Every reduce op
     // brings its OWN key shuffle (groupBy for algebraic, groupByKey for

@@ -141,6 +141,34 @@ object Formats {
       |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)::BIGINT AS n_langs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The reference's NATIVE `"<key> <value>"` line format through the
+    * custom DataSource V2 reader ([[KvDirSource]]): documents written as
+    * KV lines by the plain text sink (the engine's own output format),
+    * read back as a first-class (key, value) table via
+    * `format("graft-kv")`, aggregated, and hash-matched against the
+    * parquet-derived oracle — certifying the custom source's parsing,
+    * file enumeration and type bridging end-to-end. The write intentionally
+    * uses the STOCK text sink: producer and consumer are independent
+    * implementations of the same format contract. */
+  def qSourceKv(s: SparkSession, d: String): DataFrame = {
+    val out = sinkDir(s, "kv")
+    Tables.documents(s, d)
+      .select(concat_ws(" ", col("doc_id"), col("source")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.format("graft-kv").load(out)
+      .select(col("key").cast("long").as("doc_id"), col("value").as("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
+  private val qSourceKvSql =
+    """SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** XML: Spark 4's built-in XML source (the spark-xml lineage merged
     * into sql/core) — element-per-row documents with explicit `rowTag`,
     * values through XML text form. Ints and strings round-trip exactly;
@@ -249,5 +277,6 @@ object Formats {
     Q("q_source_orc", qSourceOrc, Some(qSourceOrcSql)),
     Q("q_source_xml", qSourceXml, Some(qSourceXmlSql)),
     Q("q_source_binary", qSourceBinary, Some(qSourceBinarySql)),
-    Q("q_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)))
+    Q("q_schema_evolution", qSchemaEvolution, Some(qSchemaEvolutionSql)),
+    Q("q_source_kv", qSourceKv, Some(qSourceKvSql)))
 }

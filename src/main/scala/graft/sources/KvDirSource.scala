@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference engine's NATIVE storage format:
+  * flat directories of text files holding one `"<key> <value>"` record per
+  * line (reference: `DistrStorage.java:88-102` — bytes in flat dirs;
+  * `partition.cpp:30-31` / `reduce.cpp:23-27` — the `iss >> key` parsing
+  * convention). `spark.read.format("graft-kv").load(dir)` yields the same
+  * `(key STRING, value STRING)` relation [[graft.engine.Engine.plan]]
+  * derives from `spark.read.text` + split — but as a first-class TABLE:
+  * schema known at plan time, one input partition per file (the
+  * reference's own split unit), and COLUMN PRUNING pushed into the reader
+  * (`SupportsPushDownRequiredColumns` — a `select(value)` never
+  * materializes keys; plan-guarded).
+  *
+  * Parse parity with the engine path is spec-pinned ([[graft.sources]]
+  * KvDirSourceSpec): leading whitespace of every kind stripped, key =
+  * first `\s+`-token, value = rest (empty when absent),
+  * whitespace-only lines DROPPED (the reference's stream extraction
+  * fails and emits nothing).
+  *
+  * Scale notes: file listing happens once at planning; each file is one
+  * partition (matching the reference's file-per-split model — files there
+  * are output shards, already sized by the writing job's parallelism).
+  * Readers stream lines through a buffered decoder — constant memory per
+  * partition. The reader resolves its Hadoop FileSystem from a default
+  * `Configuration()`; a cluster deployment with non-default FS settings
+  * broadcasts the job conf instead (Spark's `SerializableConfiguration`
+  * pattern) — local and default-HDFS setups are unaffected.
+  */
+class KvDirSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvDirSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-kv requires a directory path: .load(dir)")
+    new KvTable(path)
+  }
+}
+
+object KvDirSource {
+  val Schema: StructType =
+    StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
+
+  /** The engine's line→KV rule, one definition for this reader and the
+    * parity spec: None = dropped (whitespace-only). */
+  def parse(line: String): Option[(String, String)] = {
+    val stripped = line.replaceFirst("^\\s+", "")
+    if (stripped.isEmpty) None
+    else {
+      val parts = stripped.split("\\s+", 2)
+      Some((parts(0), if (parts.length > 1) parts(1) else ""))
+    }
+  }
+}
+
+private[sources] class KvTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv:$path"
+  override def schema(): StructType = KvDirSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path)
+}
+
+private[sources] class KvScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = KvDirSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new KvScan(path, required)
+}
+
+private[sources] class KvScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    fs.listStatus(root)
+      .filter(_.isFile)
+      .map(_.getPath)
+      // _SUCCESS markers / hidden files, same convention as FileFormat
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(p => KvInputPartition(p.toString): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required.fieldNames)
+}
+
+private[sources] case class KvInputPartition(file: String) extends InputPartition
+
+private[sources] class KvReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file, fields)
+}
+
+private[sources] class KvPartitionReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val reader = new BufferedReader(
+    new InputStreamReader(
+      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      KvDirSource.parse(line) match {
+        case Some((k, v)) =>
+          current = new GenericInternalRow(fields.map {
+            case "key" => UTF8String.fromString(k)
+            case "value" => UTF8String.fromString(v)
+          }.toArray[Any])
+          return true
+        case None => line = reader.readLine()
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
