@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,15 +82,41 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead {
 }
 
 private[sources] class KvScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = KvDirSource.Schema
+  private var keyEquals: Option[String] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new KvScan(path, required)
+
+  /** Accept `key = <literal>` (the reference's only addressable
+    * dimension — its storage API is get-by-key within a directory,
+    * `DistrStorage.java:88-102`); everything else stays with Spark.
+    * Accepted filters apply during the line scan, so a point lookup
+    * never materializes non-matching rows into the query — the row-group
+    * skip this format's plain text can offer. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("key", _: String) => true
+      case _ => false
+    }
+    keyEquals = accepted.collectFirst { case EqualTo("key", v: String) => v }
+    rest
+  }
+  override def pushedFilters(): Array[Filter] =
+    keyEquals.map(v => EqualTo("key", v): Filter).toArray
+
+  override def build(): Scan = new KvScan(path, required, keyEquals)
 }
 
-private[sources] class KvScan(path: String, required: StructType) extends Scan with Batch {
+private[sources] class KvScan(
+    path: String, required: StructType, keyEquals: Option[String])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv $path, PushedFilters: ${keyEquals.map(v => s"[key = $v]").getOrElse("[]")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
@@ -103,18 +129,21 @@ private[sources] class KvScan(path: String, required: StructType) extends Scan w
       .map(p => KvInputPartition(p.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames)
+    new KvReaderFactory(required.fieldNames, keyEquals)
 }
 
 private[sources] case class KvInputPartition(file: String) extends InputPartition
 
-private[sources] class KvReaderFactory(fields: Array[String])
+private[sources] class KvReaderFactory(
+    fields: Array[String], keyEquals: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file, fields)
+    new KvPartitionReader(
+      partition.asInstanceOf[KvInputPartition].file, fields, keyEquals)
 }
 
-private[sources] class KvPartitionReader(file: String, fields: Array[String])
+private[sources] class KvPartitionReader(
+    file: String, fields: Array[String], keyEquals: Option[String])
     extends PartitionReader[InternalRow] {
   private val path = new Path(file)
   private val reader = new BufferedReader(
@@ -126,13 +155,13 @@ private[sources] class KvPartitionReader(file: String, fields: Array[String])
     var line = reader.readLine()
     while (line != null) {
       KvDirSource.parse(line) match {
-        case Some((k, v)) =>
+        case Some((k, v)) if keyEquals.forall(_ == k) =>
           current = new GenericInternalRow(fields.map {
             case "key" => UTF8String.fromString(k)
             case "value" => UTF8String.fromString(v)
           }.toArray[Any])
           return true
-        case None => line = reader.readLine()
+        case _ => line = reader.readLine()
       }
     }
     false

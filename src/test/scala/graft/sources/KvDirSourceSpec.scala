@@ -67,6 +67,22 @@ class KvDirSourceSpec extends SparkSpec {
       "expected exactly the two visible part files as partitions")
   }
 
+  test("key-equality filter pushes into the KV reader and drops non-matching rows at scan") {
+    val dir = writeFixture()
+    val df = spark.read.format("graft-kv").load(dir).filter(col("key") === "c")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("PushedFilters: [key = c]"),
+      s"key filter not pushed: ${scans.head.scan.description()}")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("c", "3 4")))
+    // a non-key predicate must NOT be claimed by the source
+    val df2 = spark.read.format("graft-kv").load(dir).filter(col("value") === "1")
+    val s2 = df2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(s2.head.scan.description().contains("PushedFilters: []"),
+      s"value filter wrongly claimed: ${s2.head.scan.description()}")
+    assert(df2.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
   test("KV round-trip through the engine text sink preserves every record") {
     val out = Files.createTempDirectory("graft-kv-rt-").toString
     import spark.implicits._
