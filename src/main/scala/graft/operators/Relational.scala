@@ -1389,6 +1389,72 @@ object Relational {
        |       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_risky_rows
        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** L-diversity audit — k-anonymity's necessary companion: a QI group
+    * can be large (k-safe) yet HOMOGENEOUS in its sensitive attribute,
+    * so membership alone discloses the attribute. Sensitive value here =
+    * the customer's dominant order priority (deterministic argmax: max
+    * count, tie → lexically smallest priority; order-less customers are
+    * their own 'NONE' class). Same QI triple as [[qKAnonymity]] — the
+    * two audits must read the same grouping or their risk reports talk
+    * past each other. Per segment: distinct-sensitive minimum
+    * (l_attained), homogeneous (l=1) group and row counts.
+    *
+    * Scale: dominant-priority is a (cust, priority) count + struct-min
+    * argmax — two combiner-backed aggregates on the orders side; the
+    * customer join is key-partitioned; everything after runs on QI-group
+    * rows. */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val dom = Tables.orders(s, d)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_custkey")
+      .agg(min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("p"))).as("m"))
+      .select(col("o_custkey").as("c_custkey"), col("m.p").as("sens"))
+    val qi = Tables.customer(s, d)
+      .join(dom, Seq("c_custkey"), "left")
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+      .drop("cents_off")
+    qi.groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
+      .agg(count(lit(1)).as("n"), countDistinct("sens").as("l"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min("l").as("l_attained"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous_groups"),
+        sum(when(col("l") === 1, col("n")).otherwise(0L)).as("n_disclosed_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qLDiversitySql =
+    s"""WITH pc AS (
+       |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+       |  FROM orders GROUP BY 1, 2),
+       |dom AS (
+       |  SELECT o_custkey AS c_custkey, o_orderpriority AS sens FROM (
+       |    SELECT o_custkey, o_orderpriority,
+       |      row_number() OVER (PARTITION BY o_custkey
+       |                         ORDER BY cnt DESC, o_orderpriority) AS rn
+       |    FROM pc) WHERE rn = 1),
+       |qi AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |    ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket,
+       |    COALESCE(d.sens, 'NONE') AS sens
+       |  FROM customer c LEFT JOIN dom d USING (c_custkey)),
+       |g AS (
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket,
+       |    count(*) AS n, count(DISTINCT sens) AS l
+       |  FROM qi GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment, count(*)::BIGINT AS n_groups,
+       |  min(l)::BIGINT AS l_attained,
+       |  sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous_groups,
+       |  sum(CASE WHEN l = 1 THEN n ELSE 0 END)::BIGINT AS n_disclosed_rows
+       |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
     * plus a within-5% flag over the rsd=0.02 estimate. HLL register
     * merge is a bitwise max — order-independent — so the flag is
@@ -2312,6 +2378,7 @@ object Relational {
     Q("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     Q("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),
+    Q("q_l_diversity", qLDiversity, Some(qLDiversitySql)),
     Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),
