@@ -1403,23 +1403,8 @@ object Relational {
     * argmax — two combiner-backed aggregates on the orders side; the
     * customer join is key-partitioned; everything after runs on QI-group
     * rows. */
-  def qLDiversity(s: SparkSession, d: String): DataFrame = {
-    val dom = Tables.orders(s, d)
-      .groupBy("o_custkey", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("o_custkey")
-      .agg(min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("p"))).as("m"))
-      .select(col("o_custkey").as("c_custkey"), col("m.p").as("sens"))
-    val qi = Tables.customer(s, d)
-      .join(dom, Seq("c_custkey"), "left")
-      .select(
-        col("c_mktsegment"),
-        col("c_nationkey"),
-        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"),
-        coalesce(col("sens"), lit("NONE")).as("sens"))
-      .withColumn("acct_bucket", expr("cents_off div 100000L"))
-      .drop("cents_off")
-    qi.groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
+  def qLDiversity(s: SparkSession, d: String): DataFrame =
+    privacyQiSens(s, d).groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
       .agg(count(lit(1)).as("n"), countDistinct("sens").as("l"))
       .groupBy("c_mktsegment")
       .agg(
@@ -1428,10 +1413,34 @@ object Relational {
         sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous_groups"),
         sum(when(col("l") === 1, col("n")).otherwise(0L)).as("n_disclosed_rows"))
       .orderBy("c_mktsegment")
+
+  /** The shared (QI triple, sensitive value) row set behind the privacy
+    * audit trio ([[qKAnonymity]] reads the same QI triple without sens;
+    * [[qLDiversity]] and [[qTCloseness]] read this exactly) — one
+    * definition so the three risk reports are over the same grouping by
+    * construction. Columns: c_mktsegment, c_nationkey, acct_bucket, sens. */
+  private def privacyQiSens(s: SparkSession, d: String): DataFrame = {
+    val dom = Tables.orders(s, d)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_custkey")
+      .agg(min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("p"))).as("m"))
+      .select(col("o_custkey").as("c_custkey"), col("m.p").as("sens"))
+    Tables.customer(s, d)
+      .join(dom, Seq("c_custkey"), "left")
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"),
+        coalesce(col("sens"), lit("NONE")).as("sens"))
+      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+      .drop("cents_off")
   }
 
-  private val qLDiversitySql =
-    s"""WITH pc AS (
+  /** The oracle twin of [[privacyQiSens]]: CTEs pc/dom/qi yielding the
+    * same (QI, sens) rows in DuckDB. */
+  private val privacyQiSensSql =
+    s"""pc AS (
        |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
        |  FROM orders GROUP BY 1, 2),
        |dom AS (
@@ -1444,7 +1453,10 @@ object Relational {
        |  SELECT c_mktsegment, c_nationkey,
        |    ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket,
        |    COALESCE(d.sens, 'NONE') AS sens
-       |  FROM customer c LEFT JOIN dom d USING (c_custkey)),
+       |  FROM customer c LEFT JOIN dom d USING (c_custkey))""".stripMargin
+
+  private val qLDiversitySql =
+    s"""WITH $privacyQiSensSql,
        |g AS (
        |  SELECT c_mktsegment, c_nationkey, acct_bucket,
        |    count(*) AS n, count(DISTINCT sens) AS l
@@ -1454,6 +1466,101 @@ object Relational {
        |  sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous_groups,
        |  sum(CASE WHEN l = 1 THEN n ELSE 0 END)::BIGINT AS n_disclosed_rows
        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** t-closeness audit — the third leg of the privacy trio: a QI group
+    * can be k-large and l-diverse yet still leak because its sensitive
+    * DISTRIBUTION deviates from the population's (e.g. a group that is
+    * 90% 'URGENT' when the corpus is 20%). Distance here is total
+    * variation (the categorical-attribute form of the t-closeness EMD):
+    * TVD(g) = ½ Σ_v |p_v(g) − p_v(corpus)|, reported in exact ppm.
+    *
+    * Integer form, no per-group × domain join: with c_vg the group's
+    * count of value v, n_g the group size, C_v the corpus count, N the
+    * corpus size,
+    *   Σ_{v∈domain} |c_vg·N − C_v·n_g|
+    *     = Σ_{v∈group} (|c_vg·N − C_v·n_g| − C_v·n_g) + N·n_g
+    * (absent values contribute C_v·n_g, and Σ_domain C_v = N), so the sum
+    * runs only over PRESENT (group, value) rows. tvd_ppm = that sum
+    * ·10⁶ div (2·n_g·N) — non-negative throughout, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree. Products are widened to
+    * DECIMAL(38,0): c_vg·N wraps BIGINT once both factors pass ~3·10⁹
+    * (the q_anomaly_hours lesson — overflow must fail loudly or be
+    * impossible, never silent).
+    *
+    * Scale: one shuffle to (QI, sens) counts with map-side combine, a
+    * window over QI-grouped rows for n_g, and the corpus distribution is
+    * a ≤|domain|-row broadcast — nothing is ever joined per input row.
+    * Per segment: group count, worst tvd_ppm, groups/rows over the
+    * t = 0.4 bar. n_groups must equal [[qKAnonymity]]'s — the three
+    * audits read one grouping ([[privacyQiSens]]) by construction. */
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val tPpm = 400000L
+    val qi = privacyQiSens(s, d)
+    val glob = qi.groupBy("sens").agg(count(lit(1)).as("cv"))
+    val tot = qi.agg(count(lit(1)).as("n_total"))
+    val gvs = qi
+      .groupBy("c_mktsegment", "c_nationkey", "acct_bucket", "sens")
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "ng",
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment", "c_nationkey", "acct_bucket")))
+    val terms = gvs
+      .join(broadcast(glob), Seq("sens"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("c_mktsegment"), col("c_nationkey"), col("acct_bucket"),
+        col("ng"), col("n_total"),
+        (abs(
+          col("c").cast("decimal(38,0)") * col("n_total")
+            - col("cv").cast("decimal(38,0)") * col("ng"))
+          - col("cv").cast("decimal(38,0)") * col("ng")).as("term"))
+    terms
+      .groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
+      .agg(
+        first("ng").as("ng"),
+        first("n_total").as("n_total"),
+        sum("term").as("present_sum"))
+      .withColumn(
+        "tvd_ppm",
+        expr("(present_sum + cast(n_total as decimal(38,0)) * ng) * 1000000" +
+          " div (2 * cast(n_total as decimal(38,0)) * ng)"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        max("tvd_ppm").as("max_tvd_ppm"),
+        sum(when(col("tvd_ppm") > tPpm, 1L).otherwise(0L)).as("n_far_groups"),
+        sum(when(col("tvd_ppm") > tPpm, col("ng")).otherwise(0L)).as("n_far_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qTClosenessSql =
+    s"""WITH $privacyQiSensSql,
+       |gdist AS (SELECT sens, count(*)::HUGEINT AS cv FROM qi GROUP BY 1),
+       |tot AS (SELECT count(*)::HUGEINT AS n_total FROM qi),
+       |gvs AS (
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket, sens,
+       |         count(*)::HUGEINT AS c
+       |  FROM qi GROUP BY 1, 2, 3, 4),
+       |gv AS (
+       |  SELECT *, sum(c) OVER (
+       |    PARTITION BY c_mktsegment, c_nationkey, acct_bucket) AS ng
+       |  FROM gvs),
+       |t AS (
+       |  SELECT g.c_mktsegment, g.c_nationkey, g.acct_bucket, g.ng, tot.n_total,
+       |         abs(g.c * tot.n_total - gdist.cv * g.ng) - gdist.cv * g.ng AS term
+       |  FROM gv g JOIN gdist USING (sens) CROSS JOIN tot),
+       |per_group AS (
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket,
+       |         any_value(ng) AS ng, any_value(n_total) AS n_total,
+       |         ((sum(term) + any_value(n_total) * any_value(ng)) * 1000000)
+       |           // (2 * any_value(n_total) * any_value(ng)) AS tvd_ppm
+       |  FROM t GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment, count(*)::BIGINT AS n_groups,
+       |  max(tvd_ppm)::BIGINT AS max_tvd_ppm,
+       |  sum(CASE WHEN tvd_ppm > 400000 THEN 1 ELSE 0 END)::BIGINT AS n_far_groups,
+       |  sum(CASE WHEN tvd_ppm > 400000 THEN ng ELSE 0 END)::BIGINT AS n_far_rows
+       |FROM per_group GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
     * plus a within-5% flag over the rsd=0.02 estimate. HLL register
@@ -2379,6 +2486,7 @@ object Relational {
     Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     Q("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),
     Q("q_l_diversity", qLDiversity, Some(qLDiversitySql)),
+    Q("q_t_closeness", qTCloseness, Some(qTClosenessSql)),
     Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),

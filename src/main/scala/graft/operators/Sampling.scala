@@ -504,8 +504,79 @@ object Sampling {
        |FROM ranked ORDER BY source""".stripMargin
   }
 
+  private val NumShards = 16L
+  private val ShardSalts = 64L
+
+  /** Token-balanced shard planning — the writer-side step that turns a
+    * cleaned corpus into evenly-sized training shards: rank every
+    * document by (n_tokens DESC, tie-break), assign
+    * shard = (rank−1) mod [[NumShards]]. Longest-first round-robin keeps
+    * every shard's token mass within one maximal document of every
+    * other's (each round of S consecutive ranks deals S near-equal
+    * sizes) — the classic LPT-style guarantee, asserted by
+    * SamplingSpec's balance property.
+    *
+    * The global rank is computed WITHOUT a global row window: a value
+    * histogram over ([[ShardSalts]]-salted) distinct token counts gives
+    * each (count, salt) class its exclusive higher-rank offset via a
+    * window over the ≤|token-count domain|·64-row histogram (the
+    * quartileBounds bounded-domain argument), and within a class
+    * row_number partitions by (n_tokens, salt) — the salt caps class
+    * width at ~1/64 of a token-count mode, so no window partition can
+    * become a hub even when half the corpus shares one length. Docs then
+    * broadcast-join the tiny offsets table. Rank order is
+    * (n_tokens DESC, salt, doc_id) — any deterministic total order
+    * yields the same balance; the oracle replays this one. At 100 TB the
+    * shuffles carry (doc_id, n_tokens) pairs and the only global object
+    * is the histogram. */
+  def qShardPlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("salt", pmod(col("doc_id"), lit(ShardSalts)))
+    val offsets = t
+      .groupBy("n_tokens", "salt")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("cnt").over(
+            w.orderBy(col("n_tokens").desc, col("salt"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("cnt")
+    t.join(broadcast(offsets), Seq("n_tokens", "salt"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("n_tokens", "salt").orderBy("doc_id")))
+      .withColumn("shard", pmod(col("off") + col("rn") - 1, lit(NumShards)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
+      .orderBy("shard")
+  }
+
+  private val qShardPlanSql = {
+    val t = graft.operators.TextOps.tokensSql
+    s"""WITH t AS (
+       |  SELECT doc_id, len($t)::BIGINT AS n_tokens, doc_id % $ShardSalts AS salt
+       |  FROM documents),
+       |r AS (
+       |  SELECT n_tokens,
+       |    (row_number() OVER (ORDER BY n_tokens DESC, salt, doc_id) - 1) % $NumShards
+       |      AS shard
+       |  FROM t)
+       |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
+    Q("q_shard_plan", qShardPlan, Some(qShardPlanSql)),
     Q("q_mixture_plan", qMixturePlan, Some(qMixturePlanSql)),
     Q("q_dsir_score", qDsirScore, Some(qDsirScoreSql)),
     Q("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),

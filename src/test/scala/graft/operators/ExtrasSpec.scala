@@ -1369,4 +1369,77 @@ class ExtrasSpec extends SparkSpec {
       else assert(q1 <= q2, "larger source got a smaller quota")
     }
   }
+
+  test("shard plan: balanced within one maximal document, matches a JVM round-robin") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Sampling.qShardPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === (0L until 16L), "one row per shard, in order")
+    assert(got.map(_._2).sum === docs.length, "every document assigned")
+    assert(got.map(_._3).sum === docs.map(_._2).sum, "token mass conserved")
+    // independent longest-first round-robin over the same total order
+    val expect = docs
+      .sortBy { case (id, n) => (-n, id % 64, id) }
+      .zipWithIndex
+      .groupBy(_._2 % 16)
+      .map { case (s, xs) => s.toLong -> (xs.length.toLong, xs.map(_._1._2).sum) }
+    got.foreach { case (s, nd, ts) =>
+      assert((nd, ts) === expect(s), s"shard $s differs from the JVM reference")
+    }
+    // LPT round-robin balance: spread bounded by one maximal document,
+    // doc counts within one of each other
+    val tokSums = got.map(_._3)
+    assert(tokSums.max - tokSums.min <= docs.map(_._2).max,
+      "token spread exceeds one maximal document")
+    assert(got.map(_._2).max - got.map(_._2).min <= 1, "doc counts differ by more than 1")
+  }
+
+  test("t-closeness matches a full-domain JVM recomputation and k-anonymity's grouping") {
+    // independent algorithm: sum over the WHOLE sensitive domain per
+    // group (the query uses the present-values-only identity)
+    val sensOf = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (c, xs) =>
+        val counts = xs.groupBy(_._2).map { case (p, ys) => p -> ys.length }
+        c -> counts.toSeq.map { case (p, n) => (-n, p) }.min._2
+      }
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map { r =>
+        val cents = math.floor(r.getDouble(3) * 100 + 0.5).toLong
+        val qi = (r.getString(1), r.getInt(2), (cents + 100000L) / 100000L)
+        (qi, sensOf.getOrElse(r.getLong(0), "NONE"))
+      }
+    val nTotal = BigInt(rows.length)
+    val global = rows.groupBy(_._2).map { case (v, xs) => v -> BigInt(xs.length) }
+    val perSeg = rows.groupBy(_._1).toSeq.map { case (qi, xs) =>
+      val ng = BigInt(xs.length)
+      val cv = xs.groupBy(_._2).map { case (v, ys) => v -> BigInt(ys.length) }
+      val num = global.map { case (v, cvg) =>
+        (cv.getOrElse(v, BigInt(0)) * nTotal - cvg * ng).abs
+      }.sum
+      (qi._1, num * 1000000 / (2 * ng * nTotal), ng)
+    }.groupBy(_._1)
+    val got = Relational.qTCloseness(spark, sfDir).collect()
+    got.foreach { r =>
+      val seg = r.getString(0)
+      val ppms = perSeg(seg)
+      assert(r.getLong(1) === ppms.length.toLong, s"$seg n_groups")
+      assert(r.getLong(2) === ppms.map(_._2).max.toLong, s"$seg max_tvd_ppm")
+      assert(r.getLong(3) === ppms.count(_._2 > 400000).toLong, s"$seg n_far_groups")
+      assert(r.getLong(4) === ppms.filter(_._2 > 400000).map(_._3).sum.toLong, s"$seg n_far_rows")
+    }
+    // the trio reads ONE grouping: group counts must agree with k-anonymity
+    val kanon = Relational.qKAnonymity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(1) === kanon(r.getString(0)),
+      s"${r.getString(0)}: t-closeness and k-anonymity disagree on n_groups"))
+  }
 }
