@@ -887,8 +887,123 @@ object Similarity {
       |  (CASE WHEN margin_ppm3 > 30000 THEN 1 ELSE 0 END)::BIGINT AS admitted
       |FROM m ORDER BY vec_id""".stripMargin
 
+  private val PcaIters = 24
+  private val PcaScale = BigInt(1000000)
+
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration — the dimensionality-reduction primitive (whitening,
+    * coreset projection, drift monitoring all start from it), made
+    * engine-exact so a 1000-executor run and DuckDB produce bit-identical
+    * components.
+    *
+    * Distributed part: micro-scale each coordinate (⌊x·10⁶+0.5⌋, the
+    * repo's fixed-point idiom), then ONE combiner-backed aggregation for
+    * the d first moments and the d² second moments. The scatter matrix is
+    * mean-centered analytically — M = n·Σxxᵀ − (Σx)(Σx)ᵀ (exact integers;
+    * no rational means) — and only d²+d bounded rows are collected: the
+    * same k×dim-collect pattern as the k-means/PQ codebooks, independent
+    * of corpus size. Sums ride DECIMAL(38,0) so 10¹²-row corpora cannot
+    * wrap the BIGINT partials.
+    *
+    * Driver part (BigInt, deterministic): [[PcaIters]] power iterations
+    * from e₁, renormalizing each step to max|v|=10⁶ by truncating
+    * division (BigInt `/` and DuckDB's integer `//` both round toward
+    * zero — measured, not assumed), then a sign convention (component at the largest-|value| index
+    * — ties to the lowest — made positive). The oracle replays the whole
+    * iteration in a recursive CTE over HUGEINT lists; SimilaritySpec
+    * checks the integer component against a double-precision eigenvector
+    * by Rayleigh quotient. Fixed iteration count, not a convergence test:
+    * both engines must run the exact same arithmetic. */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val micro = Tables.embeddings(s, d)
+      .select(transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("v"))
+      .cache()
+    val ex = micro.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+    val sxRows = ex.groupBy("i")
+      .agg(
+        sum(col("xi").cast("decimal(38,0)")).as("sxi"),
+        count(lit(1)).as("n"))
+      .collect()
+    val sxxRows = ex
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxij"))
+      .collect()
+    micro.unpersist()
+    val dim = sxRows.length
+    val n = BigInt(sxRows.head.getLong(2))
+    val sx = Array.fill(dim)(BigInt(0))
+    sxRows.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    val m = Array.fill(dim, dim)(BigInt(0))
+    sxxRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      m(i)(j) = n * BigInt(r.getDecimal(2).toBigInteger) - sx(i) * sx(j)
+    }
+    // BigInt `/` truncates toward zero — exactly DuckDB's integer `//`
+    // (measured: -7 // 2 = -3), so the renormalization is engine-identical
+    // for negative components without any offset trick
+    var v = Array.tabulate(dim)(i => if (i == 0) PcaScale else BigInt(0))
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val sMax = w.map(_.abs).max
+      v = w.map(x => x * PcaScale / sMax)
+    }
+    val am = v.indices.minBy(i => (-v(i).abs, i))
+    val sg = if (v(am).signum < 0) BigInt(-1) else BigInt(1)
+    v.indices.map(i => ((i + 1).toLong, (v(i) * sg).toLong))
+      .toDF("dim", "comp_micro")
+      .orderBy("dim")
+  }
+
+  private val qPcaPowerSql =
+    s"""WITH RECURSIVE
+       |e AS (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS HUGEINT)) AS v
+       |  FROM embeddings),
+       |sx AS (
+       |  SELECT i.i AS i, sum(v[i.i])::HUGEINT AS sxi
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i) i GROUP BY 1),
+       |sxx AS (
+       |  SELECT i.i AS i, j.j AS j, sum(v[i.i] * v[j.j])::HUGEINT AS sxij
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i) i,
+       |       (SELECT unnest(range(1, ${Dim + 1})) AS j) j
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT count(*)::HUGEINT AS n FROM e),
+       |mrow AS (
+       |  SELECT s.i, list(nn.n * s.sxij - a.sxi * b.sxi ORDER BY s.j) AS row
+       |  FROM sxx s JOIN sx a ON a.i = s.i JOIN sx b ON b.i = s.j CROSS JOIN nn
+       |  GROUP BY s.i),
+       |mm AS (SELECT list(row ORDER BY i) AS rows FROM mrow),
+       |it AS (
+       |  SELECT 0 AS k,
+       |         list_transform(range(1, ${Dim + 1}),
+       |           i -> CASE WHEN i = 1 THEN 1000000::HUGEINT ELSE 0::HUGEINT END) AS v
+       |  UNION ALL
+       |  SELECT k + 1, list_transform(w, x -> (x * 1000000) // s)
+       |  FROM (
+       |    SELECT it.k,
+       |           list_transform(mm.rows,
+       |             r -> list_sum(list_transform(range(1, ${Dim + 1}),
+       |                    j -> r[j] * it.v[j]))) AS w
+       |    FROM it, mm WHERE it.k < $PcaIters) t,
+       |    LATERAL (SELECT list_max(list_transform(t.w, x -> abs(x))) AS s) ls),
+       |fin AS (SELECT v FROM it WHERE k = $PcaIters),
+       |ix AS (
+       |  SELECT i.i AS idx, f.v[i.i] AS x
+       |  FROM fin f, (SELECT unnest(range(1, ${Dim + 1})) AS i) i),
+       |sgn AS (
+       |  SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS sg
+       |  FROM ix ORDER BY abs(x) DESC, idx LIMIT 1)
+       |SELECT ix.idx::BIGINT AS dim, (ix.x * sgn.sg)::BIGINT AS comp_micro
+       |FROM ix, sgn
+       |ORDER BY dim""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
+    Q("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
     Q("q_bitext_mine", qBitextMine, Some(qBitextMineSql)),
     Q("q_knn_classify", qKnnClassify, Some(qKnnClassifySql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),

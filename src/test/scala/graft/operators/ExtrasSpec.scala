@@ -1399,6 +1399,36 @@ class ExtrasSpec extends SparkSpec {
     assert(got.map(_._2).max - got.map(_._2).min <= 1, "doc counts differ by more than 1")
   }
 
+  test("pca power component captures the top eigendirection (Rayleigh quotient vs doubles)") {
+    // double-precision reference: mean-centered covariance + 200 power
+    // iterations — an independent (float) algorithm; the integer
+    // component must capture ≥ 99% of its variance (Rayleigh quotient)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val dim = vecs.head.length
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum
+    }
+    def rayleigh(v: Array[Double]): Double = {
+      val num = (0 until dim).map(i => (0 until dim).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+      num / v.map(x => x * x).sum
+    }
+    var u = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * u(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(_ / norm)
+    }
+    val got = Similarity.qPcaPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toDouble))
+      .sortBy(_._1).map(_._2)
+    assert(got.length === dim)
+    assert(rayleigh(got) >= 0.99 * rayleigh(u),
+      s"integer component captures ${rayleigh(got) / rayleigh(u)} of the top variance")
+  }
+
   test("t-closeness matches a full-domain JVM recomputation and k-anonymity's grouping") {
     // independent algorithm: sum over the WHOLE sensitive domain per
     // group (the query uses the present-values-only identity)
