@@ -613,4 +613,39 @@ class PlanShapeSpec extends SparkSpec {
         s"delta running sum lost its day partitioning (single-partition window):\n$w")
     }
   }
+
+  test("shard plan: per-doc rank window is partitioned; offsets join broadcasts") {
+    // the global size rank must come from the salted histogram, never a
+    // single-partition window over the documents themselves: the only
+    // unpartitioned window may run over the Aggregate (histogram) side
+    val qe = Sampling.qShardPlan(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val rankWindows = windows.filter(_.windowExpressions.exists(_.sql.contains("row_number")))
+    assert(rankWindows.nonEmpty, "per-doc row_number window not found")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"doc rank window lost its (n_tokens, salt) partitioning:\n$w")
+    }
+    val p = plan(Sampling.qShardPlan(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"offsets table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in shard plan:\n$p")
+  }
+
+  test("t-closeness: group-size window is QI-partitioned; corpus distribution broadcasts") {
+    val qe = Relational.qTCloseness(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "group-size window not found")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"group-size sum lost its QI partitioning (single-partition window):\n$w")
+    }
+    val p = plan(Relational.qTCloseness(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"sensitive-distribution join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t-closeness:\n$p")
+  }
 }

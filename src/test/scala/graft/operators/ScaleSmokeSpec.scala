@@ -446,4 +446,67 @@ class ScaleSmokeSpec extends SparkSpec {
     // replicated orders keep the ORIGINAL custkeys → customer FK stays clean
     assert(scaled("orders_fk_customer") === (base("orders_fk_customer")._1 * rep, 0L))
   }
+
+  test("t-closeness ppm values are invariant under 10x user-level replication") {
+    // replicate CUSTOMERS (with their orders, keys offset together): every
+    // QI group's sensitive histogram scales by exactly rep, as does the
+    // corpus distribution, so each group's TVD — a ratio of counts — is
+    // bit-identical; only row totals scale. Catches any volume-dependent
+    // drift in the DECIMAL arithmetic (an overflow nulling a product
+    // would shift max_tvd_ppm, not just row counts).
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-tclose-").toString
+    Tables.customer(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("c_custkey", col("c_custkey") + col("id") * 10000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("o_custkey", col("o_custkey") + col("id") * 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + col("id") * 1000000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val base = Relational.qTCloseness(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val scaled = Relational.qTCloseness(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(scaled.keySet === base.keySet)
+    base.foreach { case (seg, (ng, ppm, farG, farR)) =>
+      val s10 = scaled(seg)
+      // replicas share their original's QI triple, so the GROUPS are the
+      // same — group count and every per-group ppm are invariant; only
+      // the row totals scale
+      assert(s10._1 === ng, s"$seg n_groups changed under replication")
+      assert(s10._2 === ppm, s"$seg max_tvd_ppm drifted under replication")
+      assert(s10._3 === farG, s"$seg n_far_groups changed under replication")
+      assert(s10._4 === farR * rep, s"$seg n_far_rows not linear")
+    }
+  }
+
+  test("shard plan stays balanced and conserves totals under 10x replicated documents") {
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-shard-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val base = Sampling.qShardPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val scaled = Sampling.qShardPlan(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(scaled.length === 16)
+    assert(scaled.map(_._1).sum === base.map(_._1).sum * rep, "doc total not linear")
+    assert(scaled.map(_._2).sum === base.map(_._2).sum * rep, "token total not linear")
+    // the balance guarantees are volume-independent properties of the
+    // round-robin, not of this corpus size
+    val maxDoc = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.NativeExprs.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).max
+    assert(scaled.map(_._2).max - scaled.map(_._2).min <= maxDoc,
+      "10x spread exceeds one maximal document")
+    assert(scaled.map(_._1).max - scaled.map(_._1).min <= 1, "10x doc counts differ by more than 1")
+  }
 }
