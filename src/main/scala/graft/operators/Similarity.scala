@@ -890,36 +890,19 @@ object Similarity {
   private val PcaIters = 24
   private val PcaScale = BigInt(1000000)
 
-  /** Top principal component of the embedding corpus by exact-integer
-    * power iteration — the dimensionality-reduction primitive (whitening,
-    * coreset projection, drift monitoring all start from it), made
-    * engine-exact so a 1000-executor run and DuckDB produce bit-identical
-    * components.
-    *
-    * Distributed part: micro-scale each coordinate (⌊x·10⁶+0.5⌋, the
-    * repo's fixed-point idiom), then ONE combiner-backed aggregation for
-    * the d first moments and the d² second moments. The scatter matrix is
-    * mean-centered analytically — M = n·Σxxᵀ − (Σx)(Σx)ᵀ (exact integers;
-    * no rational means) — and only d²+d bounded rows are collected: the
-    * same k×dim-collect pattern as the k-means/PQ codebooks, independent
-    * of corpus size. Sums ride DECIMAL(38,0) so 10¹²-row corpora cannot
-    * wrap the BIGINT partials.
-    *
-    * Driver part (BigInt, deterministic): [[PcaIters]] power iterations
-    * from e₁, renormalizing each step to max|v|=10⁶ by truncating
-    * division (BigInt `/` and DuckDB's integer `//` both round toward
-    * zero — measured, not assumed), then a sign convention (component at the largest-|value| index
-    * — ties to the lowest — made positive). The oracle replays the whole
-    * iteration in a recursive CTE over HUGEINT lists; SimilaritySpec
-    * checks the integer component against a double-precision eigenvector
-    * by Rayleigh quotient. Fixed iteration count, not a convergence test:
-    * both engines must run the exact same arithmetic. */
-  def qPcaPower(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val micro = Tables.embeddings(s, d)
-      .select(transform(col("embedding"), x =>
-        floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("v"))
-      .cache()
+  /** The embedding table micro-scaled (⌊x·10⁶+0.5⌋ per coordinate) with
+    * the requested extra columns kept — one definition for the moment
+    * aggregation and the projection pass. */
+  private def microVecs(s: SparkSession, d: String, keep: String*): DataFrame =
+    Tables.embeddings(s, d)
+      .select(keep.map(col) :+ transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("v"): _*)
+
+  /** The signed top-component (micro units) — the driver-side BigInt
+    * iteration shared by [[qPcaPower]] (which emits it) and
+    * [[qPcaProject]] (which projects with it). */
+  private def pcaComponentOf(s: SparkSession, d: String): Array[Long] = {
+    val micro = microVecs(s, d).cache()
     val ex = micro.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
     val sxRows = ex.groupBy("i")
       .agg(
@@ -952,14 +935,45 @@ object Similarity {
     }
     val am = v.indices.minBy(i => (-v(i).abs, i))
     val sg = if (v(am).signum < 0) BigInt(-1) else BigInt(1)
-    v.indices.map(i => ((i + 1).toLong, (v(i) * sg).toLong))
+    v.map(x => (x * sg).toLong).toArray
+  }
+
+  /** Top principal component of the embedding corpus by exact-integer
+    * power iteration — the dimensionality-reduction primitive (whitening,
+    * coreset projection, drift monitoring all start from it), made
+    * engine-exact so a 1000-executor run and DuckDB produce bit-identical
+    * components.
+    *
+    * Distributed part: micro-scale each coordinate (⌊x·10⁶+0.5⌋, the
+    * repo's fixed-point idiom), then ONE combiner-backed aggregation for
+    * the d first moments and the d² second moments. The scatter matrix is
+    * mean-centered analytically — M = n·Σxxᵀ − (Σx)(Σx)ᵀ (exact integers;
+    * no rational means) — and only d²+d bounded rows are collected: the
+    * same k×dim-collect pattern as the k-means/PQ codebooks, independent
+    * of corpus size. Sums ride DECIMAL(38,0) so 10¹²-row corpora cannot
+    * wrap the BIGINT partials.
+    *
+    * Driver part (BigInt, deterministic): [[PcaIters]] power iterations
+    * from e₁, renormalizing each step to max|v|=10⁶ by truncating
+    * division (BigInt `/` and DuckDB's integer `//` both round toward
+    * zero — measured, not assumed), then a sign convention (component at the largest-|value| index
+    * — ties to the lowest — made positive). The oracle replays the whole
+    * iteration in a recursive CTE over HUGEINT lists; SimilaritySpec
+    * checks the integer component against a double-precision eigenvector
+    * by Rayleigh quotient. Fixed iteration count, not a convergence test:
+    * both engines must run the exact same arithmetic. */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comp = pcaComponentOf(s, d)
+    comp.indices.map(i => ((i + 1).toLong, comp(i)))
       .toDF("dim", "comp_micro")
       .orderBy("dim")
   }
 
-  private val qPcaPowerSql =
-    s"""WITH RECURSIVE
-       |e AS (
+  /** The component-computing CTE chain (through `sgn`), shared by the
+    * power and projection oracles so the two cannot drift. */
+  private val pcaComponentSqlCtes =
+    s"""e AS (
        |  SELECT list_transform(embedding,
        |           x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS HUGEINT)) AS v
        |  FROM embeddings),
@@ -996,14 +1010,70 @@ object Similarity {
        |  FROM fin f, (SELECT unnest(range(1, ${Dim + 1})) AS i) i),
        |sgn AS (
        |  SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS sg
-       |  FROM ix ORDER BY abs(x) DESC, idx LIMIT 1)
+       |  FROM ix ORDER BY abs(x) DESC, idx LIMIT 1)""".stripMargin
+
+  private val qPcaPowerSql =
+    s"""WITH RECURSIVE
+       |$pcaComponentSqlCtes
        |SELECT ix.idx::BIGINT AS dim, (ix.x * sgn.sg)::BIGINT AS comp_micro
        |FROM ix, sgn
        |ORDER BY dim""".stripMargin
 
+  /** Per-label projection card over the top component — the
+    * dimensionality-reduction primitive APPLIED: every embedding's exact
+    * integer projection Σᵢ compᵢ·xᵢ (micro·micro units), summarized per
+    * label (count, truncating-div mean, min, max). The drift-monitoring /
+    * class-separation readout a 1-D reduction exists for. The component
+    * is the same driver-side iteration as [[qPcaPower]]
+    * ([[pcaComponentOf]]); the projection itself is one codegen'd
+    * zip_with/aggregate scan — no joins, no shuffle beyond the |labels|-
+    * key aggregate, and the per-row product tops out at
+    * 64·10⁶·3·10⁵ ≈ 2·10¹³ (BIGINT-safe); the label SUM rides
+    * DECIMAL(38,0). */
+  def qPcaProject(s: SparkSession, d: String): DataFrame = {
+    val comp = pcaComponentOf(s, d)
+    microVecs(s, d, "label")
+      .select(
+        col("label"),
+        aggregate(
+          zip_with(col("v"), typedlit(comp.toSeq), (x, c) => x * c),
+          lit(0L), (acc, y) => acc + y).as("proj"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("proj").cast("decimal(38,0)")).as("psum"),
+        min("proj").as("min_proj"),
+        max("proj").as("max_proj"))
+      .select(
+        col("label"), col("n"),
+        expr("psum div n").as("mean_proj"),
+        col("min_proj"), col("max_proj"))
+      .orderBy("label")
+  }
+
+  private val qPcaProjectSql =
+    s"""WITH RECURSIVE
+       |$pcaComponentSqlCtes,
+       |cvec AS (
+       |  SELECT list_transform(range(1, ${Dim + 1}), i -> f.v[i] * sgn.sg) AS c
+       |  FROM fin f, sgn),
+       |el AS (
+       |  SELECT label, list_transform(embedding,
+       |           x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS HUGEINT)) AS v
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT el.label,
+       |         list_sum(list_transform(range(1, ${Dim + 1}), i -> el.v[i] * cvec.c[i])) AS p
+       |  FROM el, cvec)
+       |SELECT label, count(*)::BIGINT AS n,
+       |  (sum(p) // count(*))::BIGINT AS mean_proj,
+       |  min(p)::BIGINT AS min_proj, max(p)::BIGINT AS max_proj
+       |FROM proj GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
+    Q("q_pca_project", qPcaProject, Some(qPcaProjectSql)),
     Q("q_bitext_mine", qBitextMine, Some(qBitextMineSql)),
     Q("q_knn_classify", qKnnClassify, Some(qKnnClassifySql)),
     Q("q_sim_ann_lsh", qAnnLsh, None),
