@@ -898,10 +898,27 @@ object Similarity {
       .select(keep.map(col) :+ transform(col("embedding"), x =>
         floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("v"): _*)
 
-  /** The signed top-component (micro units) — the driver-side BigInt
-    * iteration shared by [[qPcaPower]] (which emits it) and
-    * [[qPcaProject]] (which projects with it). */
+  /** The signed top-component (micro units) — shared by [[qPcaPower]]
+    * (which emits it) and [[qPcaProject]] (which projects with it).
+    * PERSISTED build-once as a 64-row managed table
+    * ([[graft.sources.Warehouse]]), like the PQ codebooks and IVF
+    * centroids: the moment aggregation + iteration is the nightly fit
+    * job; query time reads the stored component (the fit never reruns
+    * per query). */
   private def pcaComponentOf(s: SparkSession, d: String): Array[Long] = {
+    val tbl = graft.sources.Warehouse.tableName("graft_pca_comp", d)
+    graft.sources.Warehouse.ensureVia(s, tbl) {
+      import s.implicits._
+      val comp = fitPcaComponent(s, d)
+      comp.indices.map(i => ((i + 1).toLong, comp(i)))
+        .toDF("dim", "comp_micro")
+        .write.saveAsTable(tbl)
+    }
+    s.table(tbl).collect().sortBy(_.getLong(0)).map(_.getLong(1))
+  }
+
+  /** The fit itself: distributed moments, driver-side BigInt iteration. */
+  private def fitPcaComponent(s: SparkSession, d: String): Array[Long] = {
     val micro = microVecs(s, d).cache()
     val ex = micro.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
     val sxRows = ex.groupBy("i")
