@@ -330,6 +330,82 @@ object Multimodal {
       |  count(CASE WHEN v % 8 = 7 THEN 1 END)::BIGINT AS h7
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  final case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long, sad_total: Long)
+
+  /** Scene-cut detection over the video container — the keyframe-selection
+    * pass a video-pretraining pipeline runs before sampling (cut-adjacent
+    * frames are the informative ones; within-shot frames are near-dups).
+    * Per consecutive frame pair, the sum of absolute pixel differences
+    * (SAD) over the decoded rasters; a pair is a CUT when its mean
+    * absolute difference exceeds 120 per pixel (SAD > 120·n_pixels, exact
+    * integer compare — the bar sits at the formula's expected drift, so
+    * real containers produce a non-vacuous cut/no-cut mix decided by
+    * exact pixel counts, not a threshold everything clears).
+    *
+    * Unlike [[qFrameSample]]'s selective decode, scene detection is
+    * inherently a full-scan op — every pair must be compared — so the
+    * loop decodes each frame ONCE and keeps only the previous raster
+    * (O(1) frames in memory however long the video; a production swap-in
+    * runs the same two-raster sweep over a real codec's decode iterator).
+    * Emits the per-doc card (n_frames, n_cuts, sad_total) — exact
+    * integers a DuckDB twin replays from the authored pixel formula
+    * (consecutive frames differ by +97 mod 256, so |Δ| is 97 on
+    * non-wrapping pixels and 159 on wrapping ones). */
+  def qSceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoBlobs(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, dir) = VideoContainer.demux(bytes)
+          var prev = VideoContainer.decodeFrame(bytes, dir, 0).getRaster
+          val w = prev.getWidth; val h = prev.getHeight
+          var cuts = 0L
+          var sadTotal = 0L
+          var f = 1
+          while (f < n) {
+            val cur = VideoContainer.decodeFrame(bytes, dir, f).getRaster
+            var sad = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sad += math.abs(cur.getSample(x, y, 0) - prev.getSample(x, y, 0))
+                x += 1
+              }
+              y += 1
+            }
+            sadTotal += sad
+            if (sad > 120L * w * h) cuts += 1
+            prev = cur
+            f += 1
+          }
+          SceneCuts(id, n.toLong, cuts, sadTotal)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val qSceneCutsSql =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 48 + 32)::BIGINT AS w, (doc_id % 32 + 24)::BIGINT AS h,
+      |         (doc_id % 6 + 2)::BIGINT AS n FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, w, h, n, unnest(range(n - 1)) AS f FROM dims),
+      |sad AS (
+      |  SELECT p.doc_id, p.f, (p.w * p.h)::BIGINT AS npx,
+      |    sum(CASE WHEN (xs.x * 7 + ys.y * 13 + p.doc_id * 31 + p.f * 97) % 256 < 159
+      |             THEN 97 ELSE 159 END)::BIGINT AS sad
+      |  FROM pairs p, (SELECT unnest(range(80)) AS x) xs, (SELECT unnest(range(56)) AS y) ys
+      |  WHERE xs.x < p.w AND ys.y < p.h
+      |  GROUP BY 1, 2, 3)
+      |SELECT d.doc_id, d.n AS n_frames,
+      |  COALESCE(sum(CASE WHEN s.sad > 120 * s.npx THEN 1 ELSE 0 END), 0)::BIGINT AS n_cuts,
+      |  COALESCE(sum(s.sad), 0)::BIGINT AS sad_total
+      |FROM dims d LEFT JOIN sad s USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY d.doc_id""".stripMargin
+
   /** Resize: decode, then nearest-neighbor downscale into a 48×48 box with
     * aspect preserved (integer source mapping `src = i*in/out` so the
     * DuckDB oracle replays it exactly). The resample reads every real
@@ -658,6 +734,7 @@ object Multimodal {
     Q("q_media_meta", qMediaMeta, Some(qMediaMetaSql)),
     Q("q_video_meta", qVideoMeta, Some(qVideoMetaSql)),
     Q("q_frame_sample", qFrameSample, Some(qFrameSampleSql)),
+    Q("q_scene_cuts", qSceneCuts, Some(qSceneCutsSql)),
     Q("q_media_features", qFeatureExtract, Some(qFeatureExtractSql)),
     Q("q_media_resize", qResize, Some(qResizeSql)),
     Q("q_audio_meta", qAudioMeta, Some(qAudioMetaSql)),

@@ -691,6 +691,105 @@ object Relational {
       |    AS first_alarm
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sample autocorrelation card over the dense hourly count series — the
+    * seasonality diagnostic completing the time-series set ([[qAnomalyHours]]
+    * flags outlier hours, [[qCusumShift]] persistent shifts, [[qEwmaForecast]]
+    * forecasts; ACF answers "is there a daily cycle" — lag 24 ≫ lags 1..3
+    * means schedule-driven load). Computed over the zero-filled grid
+    * ([[qResampleHourly]]'s rule — a missing hour is a real zero, and
+    * skipping it would splice non-adjacent hours into fake lag-1 pairs).
+    *
+    * Exact integer arithmetic throughout: mean-centering is cross-multiplied
+    * (dev_t = c·n_t − Σn, so num_k = Σ dev_t·dev_{t−k} and den = Σ dev_t²
+    * are the ACF num/den scaled by the SAME c² — the ratio is unchanged),
+    * widened to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) before any
+    * product. The emitted ratio is ppm OFFSET BY +10⁶:
+    * r_ppm1m = (num+den)·10⁶ div den ∈ [0, 2·10⁶] — num ≥ −den by
+    * Cauchy–Schwarz, so the dividend is non-negative and Spark's
+    * truncating `div` equals DuckDB's flooring `//` (they diverge on
+    * negatives; the offset removes negatives by construction).
+    * Precision bound: den·10⁶ ≤ 38 digits requires c·n_hour ≲ 10¹⁴ —
+    * same envelope as [[qAnomalyHours]], documented there.
+    *
+    * Scale: the raw volume is reduced by the hourly groupBy (map-side
+    * combine); everything after runs on the types × hours series — a few
+    * hundred thousand rows even for a decade, so the per-type ordered
+    * window is bounded by construction, not by luck. Lagging is ROW-based
+    * over the dense grid (positions ARE hours there); the four lags ride
+    * one window pass, and the unpivot to (type, lag) rows is a stack over
+    * the single aggregate row per type. */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val grid = qResampleHourly(s, d) // (event_type, hour-string, n); dense
+    val stats = grid
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("n").as("s1"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val dev = grid
+      .join(stats, "event_type")
+      .withColumn("dev", expr("CAST(n AS DECIMAL(38,0)) * c - s1"))
+      .withColumn("d1", lag("dev", 1).over(w))
+      .withColumn("d2", lag("dev", 2).over(w))
+      .withColumn("d3", lag("dev", 3).over(w))
+      .withColumn("d24", lag("dev", 24).over(w))
+    val aggd = dev
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(expr("dev * dev")).as("den"),
+        sum(expr("dev * d1")).as("num1"),
+        sum(expr("dev * d2")).as("num2"),
+        sum(expr("dev * d3")).as("num3"),
+        sum(expr("dev * d24")).as("num24"))
+    aggd
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("den"),
+        expr("stack(4, 1L, num1, 2L, num2, 3L, num3, 24L, num24) AS (lag, num)"))
+      .select(
+        col("event_type"),
+        col("lag"),
+        col("n_hours"),
+        expr("CAST((num + den) * 1000000 div den AS BIGINT)").as("r_ppm1m"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val qAutocorrSql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type AS et, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT et, unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP, INTERVAL 1 HOUR)) AS ghr
+      |  FROM b),
+      |g AS (
+      |  SELECT gg.et AS event_type, gg.ghr AS hr, COALESCE(h.n, 0)::BIGINT AS n
+      |  FROM grid gg LEFT JOIN h ON gg.et = h.event_type AND gg.ghr = h.hr::TIMESTAMP),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS c, CAST(sum(n) AS BIGINT) AS s1
+      |  FROM g GROUP BY 1),
+      |dv AS (
+      |  SELECT g.event_type, g.hr, (g.n::HUGEINT * st.c - st.s1) AS dev,
+      |    lag(g.n::HUGEINT * st.c - st.s1, 1) OVER w AS d1,
+      |    lag(g.n::HUGEINT * st.c - st.s1, 2) OVER w AS d2,
+      |    lag(g.n::HUGEINT * st.c - st.s1, 3) OVER w AS d3,
+      |    lag(g.n::HUGEINT * st.c - st.s1, 24) OVER w AS d24
+      |  FROM g JOIN st USING (event_type)
+      |  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.hr)),
+      |ag AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_hours, sum(dev * dev) AS den,
+      |    sum(dev * d1) AS num1, sum(dev * d2) AS num2,
+      |    sum(dev * d3) AS num3, sum(dev * d24) AS num24
+      |  FROM dv GROUP BY 1),
+      |lg AS (
+      |  SELECT event_type, 1::BIGINT AS lag, n_hours, num1 AS num, den FROM ag
+      |  UNION ALL SELECT event_type, 2, n_hours, num2, den FROM ag
+      |  UNION ALL SELECT event_type, 3, n_hours, num3, den FROM ag
+      |  UNION ALL SELECT event_type, 24, n_hours, num24, den FROM ag)
+      |SELECT event_type, lag, n_hours,
+      |  CAST((num + den) * 1000000 // den AS BIGINT) AS r_ppm1m
+      |FROM lg ORDER BY event_type, lag""".stripMargin
+
   /** Session windows via Spark's BUILT-IN `session_window` aggregate —
     * the declarative twin of [[qSessionize]]'s gaps-and-islands windows
     * (and of the streaming sessionizers in graft.streaming, which share
@@ -2487,6 +2586,7 @@ object Relational {
     Q("q_sessionize", qSessionize, Some(qSessionizeSql)),
     Q("q_session_window", qSessionWindow, Some(qSessionWindowSql)),
     Q("q_cusum_shift", qCusumShift, Some(qCusumShiftSql)),
+    Q("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     Q("q_observe_metrics", qObserveMetrics, Some(qObserveMetricsSql)),
     Q("q_json_extract", qJsonExtract, Some(qJsonSql)),
     Q("q_cube", qCube, Some(qCubeSql)),

@@ -604,7 +604,7 @@ object TextOps {
     * chain is all hash joins on n-gram keys (AQE handles hot-gram skew);
     * the one broadcast is the 1-row corpus total. 100 TB swaps the
     * BIGINT ppm sums for DECIMAL(38) — same plan. */
-  def qLmBackoff(s: SparkSession, d: String): DataFrame = {
+  private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("toks"))
@@ -655,11 +655,16 @@ object TextOps {
         sum("k_dt").as("n_trigrams"),
         sum("bko").as("n_backoff"),
         sum(col("k_dt") * col("s_ppm")).as("score_sum_ppm"))
-      .orderBy("doc_id")
   }
 
-  private val qLmBackoffSql =
-    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+  def qLmBackoff(s: SparkSession, d: String): DataFrame =
+    lmDocScores(s, d).orderBy("doc_id")
+
+  /** Shared CTE chain ending in `docscore` (doc_id, n_trigrams,
+    * n_backoff, score_sum_ppm) — one definition for [[qLmBackoff]] and
+    * the perplexity-bucket split so the scoring model cannot fork. */
+  private val lmScoreCtes =
+    s"""tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |tk3 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 3),
        |dtg AS (
        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3, count(*) AS k_dt
@@ -695,10 +700,96 @@ object TextOps {
        |         WHEN ow2 > 0 THEN (2 * o23 * 1000000) // (5 * ow2)
        |         ELSE 0 END AS s_ppm,
        |    CASE WHEN ot > 0 THEN 0 ELSE k_dt END AS bko
-       |  FROM sc)
-       |SELECT doc_id, sum(k_dt)::BIGINT AS n_trigrams, sum(bko)::BIGINT AS n_backoff,
-       |  sum(k_dt * s_ppm)::BIGINT AS score_sum_ppm
-       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM sc),
+       |docscore AS (
+       |  SELECT doc_id, sum(k_dt)::BIGINT AS n_trigrams, sum(bko)::BIGINT AS n_backoff,
+       |    sum(k_dt * s_ppm)::BIGINT AS score_sum_ppm
+       |  FROM sp GROUP BY doc_id)""".stripMargin
+
+  private val qLmBackoffSql =
+    s"""WITH $lmScoreCtes
+       |SELECT doc_id, n_trigrams, n_backoff, score_sum_ppm
+       |FROM docscore ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., public): split each
+    * language's documents into head / middle / tail TERTILES of LM score —
+    * the standard way a pretraining pipeline partitions a crawl by fluency
+    * before choosing mixture weights (head = most predictable under the
+    * LM, the CCNet "low-perplexity" cut; our Stupid-Backoff score grows
+    * with predictability, so HIGH score ⇔ head). Per-language boundaries,
+    * not global — the CCNet point is that a low-resource language must
+    * not be graded on the dominant language's scale.
+    *
+    * Per-doc metric: avg_ppm = score_sum_ppm div n_trigrams (both
+    * non-negative, so Spark's truncating div == DuckDB's flooring //).
+    * Tertile boundaries use the exact value-histogram rank rule (the
+    * [[Relational.qPercentileHist]] machinery — shuffles carry distinct
+    * values, never rows): b_k = min value whose cumulative count reaches
+    * ⌈k·n/3⌉. Bucketing is strict-< against the boundaries, ties go up —
+    * deterministic in both engines. Output is the per-(lang, bucket) data
+    * card: doc count, trigram mass, score mass (all exact integers).
+    *
+    * Scale: the LM scoring dominates (see [[lmDocScores]]'s notes); the
+    * bucket stage adds one histogram groupBy on (lang, avg_ppm) and a
+    * broadcast-size boundary join. The scored per-doc table is cached —
+    * it feeds both the boundary computation and the final classification,
+    * and re-deriving it would re-run the whole scoring join chain. */
+  def qPplBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val av = lmDocScores(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("avg_ppm", expr("score_sum_ppm div n_trigrams"))
+      .cache() // feeds the boundary histogram AND the final classification
+    val wLang = Window.partitionBy("lang")
+    val bounds = av
+      .groupBy("lang", "avg_ppm")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wLang.orderBy("avg_ppm")))
+      .withColumn("n", sum("cnt").over(wLang))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("avg_ppm"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("avg_ppm"))).as("b2"))
+    av.join(bounds, "lang")
+      .withColumn(
+        "bucket",
+        when(col("avg_ppm") < col("b1"), "tail")
+          .when(col("avg_ppm") < col("b2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trigrams").as("sum_trigrams"),
+        sum("score_sum_ppm").as("sum_score_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val qPplBucketsSql =
+    s"""WITH $lmScoreCtes,
+       |av AS (
+       |  SELECT d.lang, ds.doc_id, ds.n_trigrams, ds.score_sum_ppm,
+       |    ds.score_sum_ppm // ds.n_trigrams AS avg_ppm
+       |  FROM docscore ds JOIN documents d USING (doc_id)),
+       |hist AS (SELECT lang, avg_ppm, count(*) AS cnt FROM av GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, avg_ppm,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY avg_ppm) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |bounds AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum * 3 >= n THEN avg_ppm END) AS b1,
+       |    min(CASE WHEN cum * 3 >= n * 2 THEN avg_ppm END) AS b2
+       |  FROM cum GROUP BY lang)
+       |SELECT av.lang,
+       |  CASE WHEN avg_ppm < b1 THEN 'tail'
+       |       WHEN avg_ppm < b2 THEN 'middle'
+       |       ELSE 'head' END AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_trigrams) AS BIGINT) AS sum_trigrams,
+       |  CAST(sum(score_sum_ppm) AS BIGINT) AS sum_score_ppm
+       |FROM av JOIN bounds USING (lang)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
   /** Language-stratified quality gate: keep the TOP HALF of each
     * language's quality ranking — the per-stratum filter a mixture
@@ -1757,6 +1848,7 @@ object TextOps {
     Q("q_gopher_rep", qGopherRep, Some(qGopherRepSql)),
     Q("q_surprisal", qSurprisal, Some(qSurprisalSql)),
     Q("q_lm_backoff", qLmBackoff, Some(qLmBackoffSql)),
+    Q("q_ppl_buckets", qPplBuckets, Some(qPplBucketsSql)),
     Q("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),

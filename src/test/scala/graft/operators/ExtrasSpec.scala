@@ -233,6 +233,87 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts match a formula-direct SAD sweep that never touches the codec") {
+    // Query path: formula → PNG frames → container → demux → ImageIO
+    // decode → SAD sweep. This recomputes every pair's SAD straight from
+    // the pixel formula; any codec/demux corruption diverges the two.
+    val got = Multimodal.qSceneCuts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet === ids.toSet)
+    ids.foreach { id =>
+      val w = Multimodal.PngCodec.width(id); val h = Multimodal.PngCodec.height(id)
+      val n = Multimodal.VideoContainer.nFrames(id)
+      var cuts = 0L; var total = 0L
+      for (f <- 1 until n) {
+        var sad = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sad += math.abs(
+            Multimodal.PngCodec.framePixel(x, y, id, f) -
+              Multimodal.PngCodec.framePixel(x, y, id, f - 1))
+        total += sad
+        if (sad > 120L * w * h) cuts += 1
+      }
+      assert(got(id) === ((n.toLong, cuts, total)), s"doc $id scene-cut card mismatch")
+    }
+  }
+
+  test("autocorrelation card matches an in-JVM BigInt ACF over the dense hourly series") {
+    // Independent algorithm: collect the zero-filled hourly series and
+    // redo the cross-multiplied ACF in exact BigInt arithmetic (no
+    // DECIMAL, no windows). BigInt `/` truncates toward zero; the
+    // dividend (num+den)·10⁶ is ≥ 0 by Cauchy–Schwarz, so it equals the
+    // floor the query's div/‌// computes.
+    val byType = Relational.qResampleHourly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.sortBy(_._2).map(_._3) }
+    val got = Relational.qAutocorr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === byType.size * 4)
+    byType.foreach { case (t, series) =>
+      val n = series.length
+      val c = BigInt(n); val s1 = series.map(BigInt(_)).sum
+      val dev = series.map(v => BigInt(v) * c - s1)
+      val den = dev.map(x => x * x).sum
+      assert(den > 0, s"$t: constant series makes the card undefined")
+      for (k <- Seq(1, 2, 3, 24)) {
+        assert(n > k, s"$t: series too short for lag $k")
+        val num = (k until n).map(i => dev(i) * dev(i - k)).sum
+        val expect = ((num + den) * 1000000) / den
+        val (nh, r) = got((t, k.toLong))
+        assert(nh === n.toLong, s"$t lag $k n_hours")
+        assert(r === expect.toLong, s"$t lag $k r_ppm1m")
+      }
+    }
+  }
+
+  test("perplexity buckets agree with a direct reclassification of the per-doc LM scores") {
+    // Third opinion: boundaries from the SORTED per-lang score list (rank
+    // index ⌈k·n/3⌉), not the query's value-histogram windows — the two
+    // rules coincide exactly, duplicates included.
+    val langs = graft.Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TextOps.qLmBackoff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expect = scala.collection.mutable.Map.empty[(String, String), (Long, Long, Long)]
+    scores.groupBy { case (id, _, _) => langs(id) }.foreach { case (lang, docs) =>
+      val avgs = docs.map { case (id, ntg, ssum) => (id, ntg, ssum, ssum / ntg) }
+      val sorted = avgs.map(_._4).sorted
+      val n = sorted.length
+      def atRank(k: Int) = sorted((n * k + 2) / 3 - 1)
+      val b1 = atRank(1); val b2 = atRank(2)
+      avgs.foreach { case (_, ntg, ssum, a) =>
+        val b = if (a < b1) "tail" else if (a < b2) "middle" else "head"
+        val (c0, t0, s0) = expect.getOrElse((lang, b), (0L, 0L, 0L))
+        expect((lang, b)) = (c0 + 1, t0 + ntg, s0 + ssum)
+      }
+    }
+    val got = TextOps.qPplBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect.toMap)
+  }
+
   test("IVF probes find the true nearest neighbor on real data when cells align") {
     // On the real sf0.001 embeddings the oracle guards exactness; here we
     // check that the probe path returns a non-empty, correctly

@@ -509,4 +509,24 @@ class ScaleSmokeSpec extends SparkSpec {
       "10x spread exceeds one maximal document")
     assert(scaled.map(_._1).max - scaled.map(_._1).min <= 1, "10x doc counts differ by more than 1")
   }
+
+  test("autocorrelation card is exactly invariant under 10x replicated events") {
+    // Row replication multiplies every hourly count by rep, so dev scales
+    // by rep and num/den both by rep² — the ratio is the SAME rational,
+    // and floor of the same rational is bit-identical. The grid (min/max
+    // hour) is unchanged, so the whole card must match exactly. Catches
+    // any volume-dependent drift (overflow, a lag pairing across a
+    // replica boundary) the fixed-size oracle can't see.
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-acf-").toString
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def card(dir: String) = Relational.qAutocorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val base = card(sfDir)
+    assert(base.nonEmpty)
+    assert(card(tmp) === base)
+  }
 }
