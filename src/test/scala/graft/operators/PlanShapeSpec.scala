@@ -633,6 +633,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in shard plan:\n$p")
   }
 
+  test("autocorrelation: every window is event_type-partitioned; no cartesian") {
+    // the lag pass and the cumulative windows all ride the per-type
+    // series — an unpartitioned window here would funnel the whole grid
+    // through one task at scale
+    val qe = Relational.qAutocorr(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "lag window not found")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"autocorr window lost its event_type partitioning:\n$w")
+    }
+    val p = plan(Relational.qAutocorr(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in autocorr:\n$p")
+  }
+
+  test("perplexity buckets reuse ONE cached scoring pass for boundaries and classification") {
+    // lmDocScores is the expensive subtree; it must be computed once into
+    // the cache and SCANNED twice — if the cache is dropped the tokenize/
+    // trigram join chain re-executes wholesale for the boundary side
+    val df = TextOps.qPplBuckets(spark, sfDir)
+    try {
+      val p = plan(df)
+      val scans = "InMemoryTableScan".r.findAllIn(p).length
+      assert(scans >= 2, s"expected 2+ cached-scan reads of the scored docs, got $scans:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("scene cuts is a map-only pass over the stored blobs plus the output sort — no join") {
+    val p = plan(Multimodal.qSceneCuts(spark, sfDir))
+    assert(p.contains("MapPartitions"), s"decode sweep not a mapPartitions pass:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in scene cuts:\n$p")
+  }
+
   test("t-closeness: group-size window is QI-partitioned; corpus distribution broadcasts") {
     val qe = Relational.qTCloseness(spark, sfDir).queryExecution
     val windows = qe.optimizedPlan.collect {
