@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.PortableHash.{md5PrefixLong, md5PrefixLongSql}
 import graft.functions.PortableRound.{asScaled, asScaledSql, pround, sumExact, proundSql => pr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1661,6 +1662,62 @@ object Relational {
        |  sum(CASE WHEN tvd_ppm > 400000 THEN ng ELSE 0 END)::BIGINT AS n_far_rows
        |FROM per_group GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Noisy contingency-table release via the binomial mechanism — the
+    * OUTPUT side of the privacy pack (the k/l/t trio AUDITS the raw
+    * grouping; this is the perturbed table one actually publishes).
+    * Releases the per-QI-group sizes of the SAME (segment, nation,
+    * balance-bucket) grouping [[qKAnonymity]] audits, with additive
+    * binomial noise: noise = popcount(md5-prefix₆₀(group key ‖ salt)) − 30
+    * ~ Binomial(60, ½) − 30 (σ ≈ 3.9), clamped at zero (a count can't be
+    * negative). The binomial mechanism is the classic discrete
+    * approximation of Gaussian noise for sensitivity-1 counting queries
+    * (Dwork et al. 2006 "Our Data, Ourselves"; Agarwal et al. 2018 cpSGD
+    * analyze its (ε,δ) guarantees); a production release derives the
+    * noise bits from a SECRET salt — the fixed public salt here pins the
+    * mechanism (plan + arithmetic) deterministically so both engines and
+    * the driver gate replay it bit-for-bit, which no floating Laplace
+    * draw allows. Per-row noise is a pure codegen'd projection on the
+    * already-aggregated group rows (popcount of a 60-bit md5 prefix —
+    * identical two's-complement semantics in both engines), so the
+    * release costs the underlying groupBy and nothing else at any scale. */
+  def qDpRelease(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"))
+      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+      .groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "h",
+        md5PrefixLong(
+          concat_ws("|", col("c_mktsegment"), col("c_nationkey"), col("acct_bucket"), lit("dp1")),
+          15))
+      .withColumn("noise", expr("bit_count(h) - 30"))
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        col("acct_bucket"),
+        greatest(lit(0L), (col("n") + col("noise")).cast("long")).as("n_noisy"))
+      .orderBy("c_mktsegment", "c_nationkey", "acct_bucket")
+  }
+
+  private val qDpReleaseSql = {
+    val key = "c_mktsegment || '|' || c_nationkey || '|' || acct_bucket || '|dp1'"
+    s"""WITH qi AS (
+       |  SELECT c_mktsegment, c_nationkey,
+       |         ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket
+       |  FROM customer),
+       |g AS (
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket, count(*) AS n
+       |  FROM qi GROUP BY 1, 2, 3)
+       |SELECT c_mktsegment, c_nationkey, acct_bucket,
+       |  CAST(greatest(0, n + bit_count(${md5PrefixLongSql(key, 15)}) - 30) AS BIGINT)
+       |    AS n_noisy
+       |FROM g ORDER BY c_mktsegment, c_nationkey, acct_bucket""".stripMargin
+  }
+
   /** Driver-visible sketch-accuracy gate for HLL: exact distinct counts
     * plus a within-5% flag over the rsd=0.02 estimate. HLL register
     * merge is a bitwise max — order-independent — so the flag is
@@ -2598,6 +2655,7 @@ object Relational {
     Q("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),
     Q("q_l_diversity", qLDiversity, Some(qLDiversitySql)),
     Q("q_t_closeness", qTCloseness, Some(qTClosenessSql)),
+    Q("q_dp_release", qDpRelease, Some(qDpReleaseSql)),
     Q("q_approx_percentiles_check", qApproxPercentilesCheck, Some(qApproxPercentilesCheckSql)),
     Q("q_weighted_avg", qWeightedAvg, Some(qWeightedAvgSql)),
     Q("q_topk_per_key_agg", qTopKPerKeyAgg, Some(qWindowTopSql)),

@@ -314,6 +314,32 @@ class ExtrasSpec extends SparkSpec {
     assert(got === expect.toMap)
   }
 
+  test("DP release reproduces the binomial-mechanism noise computed off-Spark") {
+    // Third opinion: group sizes from plain Scala, noise from
+    // MessageDigest md5 + Long.bitCount — no Spark expressions, no
+    // DuckDB. Pins the whole mechanism (key layout, 60-bit prefix,
+    // popcount center, zero clamp) against an independent implementation.
+    import java.security.MessageDigest
+    val rows = graft.Tables.customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (graft.functions.PortableRound.asScaled(col("c_acctbal"), 2) + lit(100000L)).as("co"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2) / 100000L))
+    val expect = rows.groupBy(identity).map { case (k @ (seg, nat, b), g) =>
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$seg|$nat|$b|dp1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val noise = java.lang.Long.bitCount(java.lang.Long.parseLong(hex, 16)) - 30
+      k -> math.max(0L, g.size.toLong + noise)
+    }
+    val got = Relational.qDpRelease(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got === expect)
+  }
+
   test("IVF probes find the true nearest neighbor on real data when cells align") {
     // On the real sf0.001 embeddings the oracle guards exactness; here we
     // check that the probe path returns a non-empty, correctly
