@@ -280,6 +280,65 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** Incremental IVF index maintenance — the ANN twin of
+    * [[Dedup.qDedupIncremental]] / [[Maintenance.qStatsIncremental]]:
+    * yesterday's index is a STORED cell-partitioned assignment table over
+    * the base corpus (vec_id % 5 ≠ 0), and admitting today's batch
+    * (vec_id % 5 = 0) assigns ONLY the batch vectors against the same
+    * frozen centroids — daily cost ∝ batch, never ∝ corpus (the property
+    * the plan guard pins: exactly one raw-embeddings scan, the base side
+    * arrives from the stored table with no assignment expression).
+    * Centroids are the deterministic base-side sample (16 lowest
+    * non-batch vec_ids) so the DuckDB twin replays both assignments
+    * exactly; freezing centroids across appends is the production IVF
+    * practice too (FAISS `add` after `train` — re-training is a separate
+    * offline event that rebuilds the index wholesale). Output is the
+    * per-cell occupancy card (base, batch, total) an index operator
+    * watches for drift: a batch that piles into few cells means the
+    * frozen centroids no longer fit the data distribution. */
+  def qIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val isBatch = col("vec_id") % 5 === 0
+    val cents: Array[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < 20 && !(col("vec_id") % 5 === 0))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val tbl = graft.sources.Warehouse.tableName("graft_ivf_base", d)
+    graft.sources.Warehouse.ensurePartitioned(s, tbl, "cell") {
+      e.filter(!isBatch).withColumn("cell", nearestCell(cents, col("v")))
+    }
+    val base = s.table(tbl).groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val batch = e
+      .filter(isBatch)
+      .withColumn("cell", nearestCell(cents, col("v")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_batch"))
+    base
+      .join(batch, Seq("cell"), "full")
+      .select(
+        col("cell").cast("long").as("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      .withColumn("n_total", col("n_base") + col("n_batch"))
+      .orderBy("cell")
+  }
+
+  private val qIvfAppendSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20 AND vec_id % 5 <> 0),
+      |pc AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS cos FROM e, c),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM pc) WHERE rn = 1)
+      |SELECT cell::BIGINT AS cell,
+      |  CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |  CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+      |  count(*)::BIGINT AS n_total
+      |FROM assign GROUP BY 1 ORDER BY cell""".stripMargin
+
   /** Seeded distributed k-means (Lloyd's): init = the k lowest-vec_id
     * vectors, fixed iteration count. Assignment is one scan against the
     * centroid literals; the update step averages per (cell, dim) via
@@ -1096,6 +1155,7 @@ object Similarity {
     Q("q_sim_ann_lsh", qAnnLsh, None),
     Q("q_sim_bucketed_pairs", qBucketedPairs, None),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
+    Q("q_sim_ivf_append", qIvfAppend, Some(qIvfAppendSql)),
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
     Q("q_sim_pq", qSimPq, None),
     Q("q_sim_ivfpq", qSimIvfPq, None),

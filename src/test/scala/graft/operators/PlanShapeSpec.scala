@@ -668,6 +668,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join in scene cuts:\n$p")
   }
 
+  test("IVF append assigns ONLY the batch — base side scans the stored index, one raw-embeddings read") {
+    // daily cost ∝ batch: the base occupancy comes from the stored
+    // cell-partitioned table; re-assigning the corpus would show up as a
+    // second raw-embeddings scan feeding an assignment projection
+    val p = plan(Similarity.qIvfAppend(spark, sfDir))
+    assert(p.contains("graft_ivf_base"), s"stored base index not in plan:\n$p")
+    val rawScans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(rawScans === 1, s"expected exactly 1 raw embeddings scan (the batch), got $rawScans:\n$p")
+  }
+
   test("t-closeness: group-size window is QI-partitioned; corpus distribution broadcasts") {
     val qe = Relational.qTCloseness(spark, sfDir).queryExecution
     val windows = qe.optimizedPlan.collect {
