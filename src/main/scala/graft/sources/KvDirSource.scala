@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -84,30 +85,115 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead {
 private[sources] class KvScanBuilder(path: String)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = KvDirSource.Schema
   private var keyEquals: Option[String] = None
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** Accept a bare global COUNT(*) — the "how many records" pass a text
+    * format can answer without materializing a single row into Spark
+    * (the line scan still runs, but each FILE hands back one Long
+    * instead of one row per line — no UTF8String allocation, no per-row
+    * handoff). PARTIAL pushdown (`supportCompletePushDown` = false):
+    * each input partition emits its own count and Spark's final
+    * aggregate sums them — correct under any partitioning, no
+    * single-partition requirement. Composes with the pushed key filter
+    * (Spark only attempts aggregate pushdown once every remaining
+    * filter was claimed by the source, so a pushed count counts exactly
+    * the key-matching records). Grouped or non-count aggregates stay
+    * with Spark. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  private var accepted: Array[Filter] = Array.empty
+
   /** Accept `key = <literal>` (the reference's only addressable
     * dimension — its storage API is get-by-key within a directory,
-    * `DistrStorage.java:88-102`); everything else stays with Spark.
-    * Accepted filters apply during the line scan, so a point lookup
-    * never materializes non-matching rows into the query — the row-group
-    * skip this format's plain text can offer. */
+    * `DistrStorage.java:88-102`) plus `IsNotNull` on either column
+    * (vacuously true — the parse rule never emits nulls, so claiming the
+    * planner-generated IsNotNull companions leaves NO residual Filter
+    * node, which is what keeps a filtered COUNT eligible for aggregate
+    * pushdown). Everything else stays with Spark. Accepted filters apply
+    * during the line scan, so a point lookup never materializes
+    * non-matching rows into the query — the row-group skip this format's
+    * plain text can offer. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
+    val (acc, rest) = filters.partition {
       case EqualTo("key", _: String) => true
+      case IsNotNull("key") | IsNotNull("value") => true
       case _ => false
     }
-    keyEquals = accepted.collectFirst { case EqualTo("key", v: String) => v }
+    accepted = acc
+    keyEquals = acc.collectFirst { case EqualTo("key", v: String) => v }
     rest
   }
-  override def pushedFilters(): Array[Filter] =
-    keyEquals.map(v => EqualTo("key", v): Filter).toArray
+  override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new KvScan(path, required, keyEquals)
+  override def build(): Scan =
+    if (countPushed) new KvCountScan(path, keyEquals)
+    else new KvScan(path, required, keyEquals)
+}
+
+/** COUNT(*)-pushed scan: same file enumeration, but each partition reader
+  * emits exactly one row — the file's (filter-surviving) record count. */
+private[sources] class KvCountScan(path: String, keyEquals: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv $path, PushedAggregation: [COUNT(*)], PushedFilters: ${keyEquals
+        .map(v => s"[key = $v]").getOrElse("[]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    KvScan.listPartitions(path)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvCountReaderFactory(keyEquals)
+}
+
+private[sources] class KvCountReaderFactory(keyEquals: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvCountPartitionReader(
+      partition.asInstanceOf[KvInputPartition].file, keyEquals)
+}
+
+private[sources] class KvCountPartitionReader(file: String, keyEquals: Option[String])
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val reader = new BufferedReader(
+    new InputStreamReader(
+      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+  private var emitted = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    var n = 0L
+    var line = reader.readLine()
+    while (line != null) {
+      KvDirSource.parse(line) match {
+        case Some((k, _)) if keyEquals.forall(_ == k) => n += 1
+        case _ => ()
+      }
+      line = reader.readLine()
+    }
+    current = new GenericInternalRow(Array[Any](n))
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
 }
 
 private[sources] class KvScan(
@@ -117,7 +203,15 @@ private[sources] class KvScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-kv $path, PushedFilters: ${keyEquals.map(v => s"[key = $v]").getOrElse("[]")}"
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    KvScan.listPartitions(path)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required.fieldNames, keyEquals)
+}
+
+private[sources] object KvScan {
+  /** One partition per visible file — shared by the row and count scans. */
+  def listPartitions(path: String): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
     fs.listStatus(root)
@@ -128,8 +222,6 @@ private[sources] class KvScan(
       .sortBy(_.getName)
       .map(p => KvInputPartition(p.toString): InputPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames, keyEquals)
 }
 
 private[sources] case class KvInputPartition(file: String) extends InputPartition

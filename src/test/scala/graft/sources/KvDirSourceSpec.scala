@@ -83,6 +83,45 @@ class KvDirSourceSpec extends SparkSpec {
     assert(df2.collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("COUNT(*) pushes into the KV scan — partial per-file counts, rows never materialize") {
+    // aggregates put an exchange in the plan, so AQE wraps the scan in
+    // stage nodes — unwrap them to reach the BatchScan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] = {
+      def find(plan: SparkPlan): Seq[BatchScanExec] = plan match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(find)
+      }
+      find(df.queryExecution.executedPlan)
+    }
+    val dir = writeFixture()
+    val df = spark.read.format("graft-kv").load(dir).groupBy().count()
+    val s1 = scans(df)
+    assert(s1.nonEmpty, "no BatchScan for the v2 source")
+    assert(s1.head.scan.description().contains("PushedAggregation: [COUNT(*)]"),
+      s"count not pushed: ${s1.head.scan.description()}")
+    // partial pushdown: scan emits Long partials (one per file), Spark sums
+    assert(s1.head.scan.readSchema().fields.map(_.dataType.typeName).toSeq === Seq("long"),
+      s"count scan schema not a bare Long: ${s1.head.scan.readSchema()}")
+    assert(df.collect().head.getLong(0) === 6L) // the 6 parseable fixture records
+    // composes with the pushed key filter: counts only matching records
+    val dfk = spark.read.format("graft-kv").load(dir)
+      .filter(col("key") === "c").groupBy().count()
+    val sk = scans(dfk)
+    assert(sk.head.scan.description().contains("PushedAggregation: [COUNT(*)]"))
+    assert(sk.head.scan.description().contains("PushedFilters: [key = c]"))
+    assert(dfk.collect().head.getLong(0) === 1L)
+    // a grouped aggregate must NOT be claimed by the source
+    val dfg = spark.read.format("graft-kv").load(dir).groupBy("key").count()
+    val sg = scans(dfg)
+    assert(!sg.head.scan.description().contains("PushedAggregation"),
+      s"grouped count wrongly claimed: ${sg.head.scan.description()}")
+    assert(dfg.count() === 6L)
+  }
+
   test("KV round-trip through the engine text sink preserves every record") {
     val out = Files.createTempDirectory("graft-kv-rt-").toString
     import spark.implicits._
