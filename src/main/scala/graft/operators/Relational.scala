@@ -1457,13 +1457,7 @@ object Relational {
     * combine, then a second tiny agg over group counts. */
   def qKAnonymity(s: SparkSession, d: String): DataFrame = {
     val k = 5
-    Tables.customer(s, d)
-      .select(
-        col("c_mktsegment"),
-        col("c_nationkey"),
-        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"))
-      .withColumn("acct_bucket", expr("cents_off div 100000L"))
-      .drop("cents_off")
+    privacyQi(s, d)
       .groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
       .agg(count(lit(1)).as("n"))
       .groupBy("c_mktsegment")
@@ -1476,13 +1470,10 @@ object Relational {
   }
 
   private val qKAnonymitySql =
-    s"""WITH qi AS (
-       |  SELECT c_mktsegment, c_nationkey,
-       |         ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket
-       |  FROM customer),
+    s"""WITH $privacyQiCteSql,
        |g AS (
        |  SELECT c_mktsegment, c_nationkey, acct_bucket, count(*) AS n
-       |  FROM qi GROUP BY 1, 2, 3)
+       |  FROM qi0 GROUP BY 1, 2, 3)
        |SELECT c_mktsegment, count(*)::BIGINT AS n_groups,
        |       min(n)::BIGINT AS k_attained,
        |       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
@@ -1514,6 +1505,32 @@ object Relational {
         sum(when(col("l") === 1, col("n")).otherwise(0L)).as("n_disclosed_rows"))
       .orderBy("c_mktsegment")
 
+  /** The QI triple projection (segment, nation, 1000-dollar balance
+    * bucket; cents offset to non-negative before the div, see
+    * [[qKAnonymity]]'s docstring) — ONE definition behind EVERY privacy
+    * operator, audits and release alike: the k/l/t cards and the noisy
+    * [[qDpRelease]] must read the same grouping or their guarantees talk
+    * past each other. Carries c_custkey so the sensitive-attribute join
+    * can ride on top; group-bys simply don't read it. */
+  private def privacyQi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"))
+      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+      .drop("cents_off")
+
+  /** DuckDB twin of [[privacyQi]]: one CTE `qi0` shared by every privacy
+    * oracle. Lazy — qKAnonymitySql interpolates it from EARLIER in the
+    * object body, and a strict val would still be null there. */
+  private lazy val privacyQiCteSql =
+    s"""qi0 AS (
+       |  SELECT c_custkey, c_mktsegment, c_nationkey,
+       |    ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket
+       |  FROM customer)""".stripMargin
+
   /** The shared (QI triple, sensitive value) row set behind the privacy
     * audit trio ([[qKAnonymity]] reads the same QI triple without sens;
     * [[qLDiversity]] and [[qTCloseness]] read this exactly) — one
@@ -1526,15 +1543,13 @@ object Relational {
       .groupBy("o_custkey")
       .agg(min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("p"))).as("m"))
       .select(col("o_custkey").as("c_custkey"), col("m.p").as("sens"))
-    Tables.customer(s, d)
+    privacyQi(s, d)
       .join(dom, Seq("c_custkey"), "left")
       .select(
         col("c_mktsegment"),
         col("c_nationkey"),
-        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"),
+        col("acct_bucket"),
         coalesce(col("sens"), lit("NONE")).as("sens"))
-      .withColumn("acct_bucket", expr("cents_off div 100000L"))
-      .drop("cents_off")
   }
 
   /** The oracle twin of [[privacyQiSens]]: CTEs pc/dom/qi yielding the
@@ -1549,11 +1564,11 @@ object Relational {
        |      row_number() OVER (PARTITION BY o_custkey
        |                         ORDER BY cnt DESC, o_orderpriority) AS rn
        |    FROM pc) WHERE rn = 1),
+       |$privacyQiCteSql,
        |qi AS (
-       |  SELECT c_mktsegment, c_nationkey,
-       |    ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket,
+       |  SELECT c_mktsegment, c_nationkey, acct_bucket,
        |    COALESCE(d.sens, 'NONE') AS sens
-       |  FROM customer c LEFT JOIN dom d USING (c_custkey))""".stripMargin
+       |  FROM qi0 c LEFT JOIN dom d USING (c_custkey))""".stripMargin
 
   private val qLDiversitySql =
     s"""WITH $privacyQiSensSql,
@@ -1681,12 +1696,7 @@ object Relational {
     * identical two's-complement semantics in both engines), so the
     * release costs the underlying groupBy and nothing else at any scale. */
   def qDpRelease(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d)
-      .select(
-        col("c_mktsegment"),
-        col("c_nationkey"),
-        (asScaled(col("c_acctbal"), 2) + lit(100000L)).as("cents_off"))
-      .withColumn("acct_bucket", expr("cents_off div 100000L"))
+    privacyQi(s, d)
       .groupBy("c_mktsegment", "c_nationkey", "acct_bucket")
       .agg(count(lit(1)).as("n"))
       .withColumn(
@@ -1705,13 +1715,10 @@ object Relational {
 
   private val qDpReleaseSql = {
     val key = "c_mktsegment || '|' || c_nationkey || '|' || acct_bucket || '|dp1'"
-    s"""WITH qi AS (
-       |  SELECT c_mktsegment, c_nationkey,
-       |         ((${asScaledSql("c_acctbal", 2)} + 100000) // 100000) AS acct_bucket
-       |  FROM customer),
+    s"""WITH $privacyQiCteSql,
        |g AS (
        |  SELECT c_mktsegment, c_nationkey, acct_bucket, count(*) AS n
-       |  FROM qi GROUP BY 1, 2, 3)
+       |  FROM qi0 GROUP BY 1, 2, 3)
        |SELECT c_mktsegment, c_nationkey, acct_bucket,
        |  CAST(greatest(0, n + bit_count(${md5PrefixLongSql(key, 15)}) - 30) AS BIGINT)
        |    AS n_noisy

@@ -71,6 +71,64 @@ object KvDirSource {
       Some((parts(0), if (parts.length > 1) parts(1) else ""))
     }
   }
+
+  /** `parse(line).isDefined`, allocation-free: a line is a record iff it
+    * contains any char outside java-regex `\s` = [ \t\n\x0B\f\r] — the
+    * exact class [[parse]]'s strip/split use, restated here so the cheap
+    * count path cannot drift from the parse rule. */
+  def isRecordLine(line: String): Boolean = {
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c != ' ' && c != '\t' && c != '\n' && c != '\u000B' && c != '\f' && c != '\r')
+        return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Shared line-record machinery for the row and count readers: one
+  * file-open recipe and ONE application of the parse + key-filter rule,
+  * so the two scan shapes cannot diverge on the same file. (A cluster
+  * deployment swapping the default `Configuration()` for a broadcast
+  * SerializableConfiguration changes exactly this class.) */
+private[sources] final class KvRecords(file: String, keyEquals: Option[String]) {
+  private val path = new Path(file)
+  private val reader = new BufferedReader(
+    new InputStreamReader(
+      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+
+  /** Next filter-surviving (key, value) record, or null at EOF. */
+  def nextRecord(): (String, String) = {
+    var line = reader.readLine()
+    while (line != null) {
+      KvDirSource.parse(line) match {
+        case Some(kv) if keyEquals.forall(_ == kv._1) => return kv
+        case _ => line = reader.readLine()
+      }
+    }
+    null
+  }
+
+  /** Count of filter-surviving records in the rest of the stream. With no
+    * key filter this is a pure char scan per line (no regex, no split
+    * array) — the whole point of the pushed count. */
+  def countRecords(): Long = {
+    var n = 0L
+    if (keyEquals.isEmpty) {
+      var line = reader.readLine()
+      while (line != null) {
+        if (KvDirSource.isRecordLine(line)) n += 1
+        line = reader.readLine()
+      }
+    } else {
+      while (nextRecord() != null) n += 1
+    }
+    n
+  }
+
+  def close(): Unit = reader.close()
 }
 
 private[sources] class KvTable(path: String) extends Table with SupportsRead {
@@ -128,32 +186,41 @@ private[sources] class KvScanBuilder(path: String)
     * non-matching rows into the query — the row-group skip this format's
     * plain text can offer. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (acc, rest) = filters.partition {
-      case EqualTo("key", _: String) => true
-      case IsNotNull("key") | IsNotNull("value") => true
-      case _ => false
+    val acc = Array.newBuilder[Filter]
+    val rest = Array.newBuilder[Filter]
+    filters.foreach {
+      // claim at most ONE key equality (the reader applies exactly one);
+      // a second conjunct with a different literal stays residual — the
+      // DSv2 contract says claimed filters are FULLY applied by the
+      // source, so claiming both while applying one would return wrong
+      // rows (and wrong pushed counts) whenever the optimizer hands us a
+      // contradictory pair un-folded
+      case f @ EqualTo("key", v: String) if keyEquals.forall(_ == v) =>
+        keyEquals = Some(v); acc += f
+      case f @ (IsNotNull("key") | IsNotNull("value")) => acc += f
+      case f => rest += f
     }
-    accepted = acc
-    keyEquals = acc.collectFirst { case EqualTo("key", v: String) => v }
-    rest
+    accepted = acc.result()
+    rest.result()
   }
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan =
-    if (countPushed) new KvCountScan(path, keyEquals)
-    else new KvScan(path, required, keyEquals)
+    if (countPushed) new KvCountScan(path, keyEquals, accepted)
+    else new KvScan(path, required, keyEquals, accepted)
 }
 
 /** COUNT(*)-pushed scan: same file enumeration, but each partition reader
   * emits exactly one row — the file's (filter-surviving) record count. */
-private[sources] class KvCountScan(path: String, keyEquals: Option[String])
+private[sources] class KvCountScan(
+    path: String, keyEquals: Option[String], pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-kv $path, PushedAggregation: [COUNT(*)], PushedFilters: ${keyEquals
-        .map(v => s"[key = $v]").getOrElse("[]")}"
+    s"graft-kv $path, PushedAggregation: [COUNT(*)], " +
+      s"PushedFilters: ${KvScan.renderFilters(pushed)}"
   override def planInputPartitions(): Array[InputPartition] =
     KvScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
@@ -169,40 +236,28 @@ private[sources] class KvCountReaderFactory(keyEquals: Option[String])
 
 private[sources] class KvCountPartitionReader(file: String, keyEquals: Option[String])
     extends PartitionReader[InternalRow] {
-  private val path = new Path(file)
-  private val reader = new BufferedReader(
-    new InputStreamReader(
-      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+  private val records = new KvRecords(file, keyEquals)
   private var emitted = false
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (emitted) return false
-    var n = 0L
-    var line = reader.readLine()
-    while (line != null) {
-      KvDirSource.parse(line) match {
-        case Some((k, _)) if keyEquals.forall(_ == k) => n += 1
-        case _ => ()
-      }
-      line = reader.readLine()
-    }
-    current = new GenericInternalRow(Array[Any](n))
+    current = new GenericInternalRow(Array[Any](records.countRecords()))
     emitted = true
     true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = records.close()
 }
 
 private[sources] class KvScan(
-    path: String, required: StructType, keyEquals: Option[String])
+    path: String, required: StructType, keyEquals: Option[String], pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-kv $path, PushedFilters: ${keyEquals.map(v => s"[key = $v]").getOrElse("[]")}"
+    s"graft-kv $path, PushedFilters: ${KvScan.renderFilters(pushed)}"
   override def planInputPartitions(): Array[InputPartition] =
     KvScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
@@ -210,6 +265,16 @@ private[sources] class KvScan(
 }
 
 private[sources] object KvScan {
+  /** EXPLAIN must show everything the source CLAIMED (the filters Spark
+    * will not re-check) — under-reporting claimed IsNotNulls would make a
+    * vanished null-check undiagnosable from the plan. */
+  def renderFilters(pushed: Array[Filter]): String =
+    pushed.map {
+      case EqualTo(a, v) => s"$a = $v"
+      case IsNotNull(a) => s"$a IS NOT NULL"
+      case f => f.toString
+    }.mkString("[", ", ", "]")
+
   /** One partition per visible file — shared by the row and count scans. */
   def listPartitions(path: String): Array[InputPartition] = {
     val root = new Path(path)
@@ -237,28 +302,21 @@ private[sources] class KvReaderFactory(
 private[sources] class KvPartitionReader(
     file: String, fields: Array[String], keyEquals: Option[String])
     extends PartitionReader[InternalRow] {
-  private val path = new Path(file)
-  private val reader = new BufferedReader(
-    new InputStreamReader(
-      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+  private val records = new KvRecords(file, keyEquals)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
-      KvDirSource.parse(line) match {
-        case Some((k, v)) if keyEquals.forall(_ == k) =>
-          current = new GenericInternalRow(fields.map {
-            case "key" => UTF8String.fromString(k)
-            case "value" => UTF8String.fromString(v)
-          }.toArray[Any])
-          return true
-        case _ => line = reader.readLine()
-      }
+    val kv = records.nextRecord()
+    if (kv == null) false
+    else {
+      current = new GenericInternalRow(fields.map {
+        case "key" => UTF8String.fromString(kv._1)
+        case "value" => UTF8String.fromString(kv._2)
+      }.toArray[Any])
+      true
     }
-    false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = records.close()
 }

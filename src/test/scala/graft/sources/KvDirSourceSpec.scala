@@ -72,15 +72,37 @@ class KvDirSourceSpec extends SparkSpec {
     val df = spark.read.format("graft-kv").load(dir).filter(col("key") === "c")
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.nonEmpty)
-    assert(scans.head.scan.description().contains("PushedFilters: [key = c]"),
+    assert(scans.head.scan.description().contains("key = c"),
       s"key filter not pushed: ${scans.head.scan.description()}")
     assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("c", "3 4")))
-    // a non-key predicate must NOT be claimed by the source
+    // a non-key EQUALITY must NOT be claimed by the source (its vacuous
+    // IsNotNull companion is — and the description must say so)
     val df2 = spark.read.format("graft-kv").load(dir).filter(col("value") === "1")
     val s2 = df2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
-    assert(s2.head.scan.description().contains("PushedFilters: []"),
-      s"value filter wrongly claimed: ${s2.head.scan.description()}")
+    assert(!s2.head.scan.description().contains("value = 1"),
+      s"value equality wrongly claimed: ${s2.head.scan.description()}")
+    assert(s2.head.scan.description().contains("value IS NOT NULL"),
+      s"claimed IsNotNull missing from EXPLAIN surface: ${s2.head.scan.description()}")
     assert(df2.collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("conflicting key equalities: only one is claimed, the second stays residual") {
+    // DSv2 contract: a claimed filter is FULLY applied by the source. The
+    // reader applies exactly one key equality, so a second, different
+    // equality must come back as residual for Spark to evaluate (the
+    // optimizer normally folds the contradiction away — this drives the
+    // builder directly to pin the contract itself).
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val b = new KvScanBuilder("/unused")
+    val residual = b.pushFilters(Array[Filter](EqualTo("key", "a"), EqualTo("key", "b")))
+    assert(residual.toSeq === Seq(EqualTo("key", "b")),
+      s"second equality must stay residual, got: ${residual.toSeq}")
+    assert(b.pushedFilters().toSeq === Seq(EqualTo("key", "a")))
+    // an identical duplicate IS claimable — both conjuncts are the one
+    // filter the reader applies
+    val b2 = new KvScanBuilder("/unused")
+    val r2 = b2.pushFilters(Array[Filter](EqualTo("key", "a"), EqualTo("key", "a")))
+    assert(r2.isEmpty)
   }
 
   test("COUNT(*) pushes into the KV scan — partial per-file counts, rows never materialize") {
@@ -112,7 +134,7 @@ class KvDirSourceSpec extends SparkSpec {
       .filter(col("key") === "c").groupBy().count()
     val sk = scans(dfk)
     assert(sk.head.scan.description().contains("PushedAggregation: [COUNT(*)]"))
-    assert(sk.head.scan.description().contains("PushedFilters: [key = c]"))
+    assert(sk.head.scan.description().contains("key = c"))
     assert(dfk.collect().head.getLong(0) === 1L)
     // a grouped aggregate must NOT be claimed by the source
     val dfg = spark.read.format("graft-kv").load(dir).groupBy("key").count()
