@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -135,7 +136,7 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-kv:$path"
   override def schema(): StructType = KvDirSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
 }
@@ -262,6 +263,73 @@ private[sources] class KvScan(
     KvScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required.fieldNames, keyEquals)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KvMicroBatchStream(path, required.fieldNames, keyEquals)
+}
+
+/** Streaming offset for the KV directory: the lexicographic watermark of
+  * the last ingested file name (full path — all files share the dir
+  * prefix, so path order ≡ name order). */
+private[sources] case class KvOffset(lastFile: String) extends Offset {
+  override def json(): String =
+    "{\"last\":\"" + lastFile.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+}
+
+private[sources] object KvOffset {
+  private val Shape = """\{"last":"(.*)"\}""".r
+  def fromJson(j: String): KvOffset = j match {
+    case Shape(v) => KvOffset(v.replaceAll("""\\(.)""", "$1"))
+    case other => throw new IllegalArgumentException(s"bad graft-kv offset: $other")
+  }
+}
+
+/** Micro-batch ingestion of a KV directory — the reference engine's
+  * output dirs become a STREAM source (`spark.readStream
+  * .format("graft-kv")`), so its native format feeds the streaming pack
+  * directly. Progress is a lexicographic file-name watermark: a batch is
+  * every visible file named AFTER the previous watermark, which is
+  * exactly right for the part-file convention every distributed writer
+  * (including the reference's sink and our own) follows — new output
+  * shards sort after old ones. A producer that drops files BELOW the
+  * watermark violates that convention and those files are not picked up
+  * (the same append-only assumption FileStreamSource makes, minus its
+  * bounded-age cache — this watermark is O(1) state). Column pruning and
+  * the key filter push into the stream readers unchanged (same
+  * ScanBuilder). Implements SupportsTriggerAvailableNow natively: the
+  * catch-up target is pinned once at query start, so AvailableNow
+  * drains exactly the backlog and terminates even while a producer
+  * keeps appending. */
+private[sources] class KvMicroBatchStream(
+    path: String, fields: Array[String], keyEquals: Option[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private def visibleMax: String = {
+    val fs = KvScan.listPartitions(path)
+    if (fs.isEmpty) "" else fs.map(_.asInstanceOf[KvInputPartition].file).max
+  }
+  private var availableNowTarget: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(visibleMax)
+  override def initialOffset(): Offset = KvOffset("")
+  // SupportsAdmissionControl routes all offset requests through the
+  // 2-arg form (the 1-arg variant must not be called on such sources);
+  // every file is ingested whole, so read limits don't subdivide here
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    KvOffset(availableNowTarget.getOrElse(visibleMax))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvOffset].lastFile
+    val e = end.asInstanceOf[KvOffset].lastFile
+    KvScan.listPartitions(path).filter { p =>
+      val f = p.asInstanceOf[KvInputPartition].file
+      f > s && f <= e
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(fields, keyEquals)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset = KvOffset.fromJson(json)
 }
 
 private[sources] object KvScan {

@@ -144,6 +144,38 @@ class KvDirSourceSpec extends SparkSpec {
     assert(dfg.count() === 6L)
   }
 
+  test("graft-kv streams: AvailableNow drains the backlog; resume ingests only files past the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-kv-stream-")
+    Files.write(dir.resolve("part-000"), "a 1\nb 2".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("part-001"), "c 3".getBytes(StandardCharsets.UTF_8))
+    val ckpt = Files.createTempDirectory("graft-kv-ckpt-").toString
+    // parquet sink: the memory sink refuses checkpoint RECOVERY, and the
+    // resume leg is the point of this test
+    val out = Files.createTempDirectory("graft-kv-out-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rows() = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    drain()
+    assert(rows() === Seq(("a", "1"), ("b", "2"), ("c", "3")))
+    // a later-named file lands; resuming from the SAME checkpoint must
+    // ingest ONLY it — a backlog rescan would double the first three rows
+    Files.write(dir.resolve("part-002"), "d 4".getBytes(StandardCharsets.UTF_8))
+    drain()
+    assert(rows() === Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")))
+    // offset round-trip survives names needing JSON escaping
+    val off = KvOffset("""/tmp/we"ird\name""")
+    assert(KvOffset.fromJson(off.json()) === off)
+  }
+
   test("KV round-trip through the engine text sink preserves every record") {
     val out = Files.createTempDirectory("graft-kv-rt-").toString
     import spark.implicits._
