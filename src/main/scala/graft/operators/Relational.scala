@@ -1326,7 +1326,12 @@ object Relational {
     * three aggregations share the user_id partitioning, so the chain
     * costs one logical shuffle at scale. Exact integer outputs over
     * micros-truncated event times (the shared nanos→micros rule). */
-  def qFunnel(s: SparkSession, d: String): DataFrame = {
+  /** Per-user funnel stage times — ONE definition behind [[qFunnel]]'s
+    * counts and [[qConversionLag]]'s latency distribution (the two cards
+    * must agree on what "converted" means). Columns: user_id, t1 (first
+    * view), t2 (first click strictly after t1, nullable), t3 (first
+    * purchase strictly after t2, nullable). */
+  private def funnelTimes(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
     val s1 = e
       .groupBy("user_id")
@@ -1342,13 +1347,19 @@ object Relational {
       .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
       .groupBy("user_id")
       .agg(min("ts").as("t3"))
-    s1.agg(count(lit(1)).as("n_viewed"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
   }
 
-  private val qFunnelSql =
-    """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+  def qFunnel(s: SparkSession, d: String): DataFrame =
+    funnelTimes(s, d).agg(
+      count(col("t1")).as("n_viewed"),
+      count(col("t2")).as("n_clicked_after"),
+      count(col("t3")).as("n_purchased_after"))
+
+  /** DuckDB twin of [[funnelTimes]]: CTEs e/s1/s2/s3 — shared by the
+    * funnel counts and the conversion-lag distribution. */
+  private val funnelCtesSql =
+    """e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
       |s1 AS (
       |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
       |  FROM e GROUP BY 1 HAVING t1 IS NOT NULL),
@@ -1357,10 +1368,61 @@ object Relational {
       |  WHERE event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
       |s3 AS (
       |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
-      |  WHERE event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-      |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_viewed,
-      |       (SELECT count(*) FROM s2)::BIGINT AS n_clicked_after,
-      |       (SELECT count(*) FROM s3)::BIGINT AS n_purchased_after""".stripMargin
+      |  WHERE event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)""".stripMargin
+
+  private val qFunnelSql =
+    s"""WITH $funnelCtesSql
+       |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_viewed,
+       |       (SELECT count(*) FROM s2)::BIGINT AS n_clicked_after,
+       |       (SELECT count(*) FROM s3)::BIGINT AS n_purchased_after""".stripMargin
+
+  /** Time-to-conversion distribution over the completed funnels — the
+    * latency card that belongs next to [[qFunnel]]'s counts (how MANY
+    * convert says nothing about how LONG the journey takes). Lag =
+    * first-purchase second minus first-view second (the shared
+    * floor-epoch rule, exact integers), percentiles via the value
+    * histogram (rank ⌈p·n⌉ over DISTINCT lag values with cumulative
+    * counts — shuffles carry distinct seconds, never converted users;
+    * the one unpartitioned window runs over that bounded histogram, the
+    * same trade [[qPercentileHist]] documents). One summary row:
+    * conversions, p50/p90/max lag seconds. */
+  def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    val lags = funnelTimes(s, d)
+      .filter(col("t3").isNotNull)
+      .select(expr(
+        "unix_micros(t3) div 1000000 - unix_micros(t1) div 1000000").as("lag_sec"))
+    val wAll = Window.partitionBy(lit(1))
+    val hist = lags
+      .groupBy("lag_sec")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wAll.orderBy("lag_sec")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(wAll))
+    def rank(num: Int, den: Int) =
+      min(when(col("cum") * den >= col("n") * num, col("lag_sec")))
+    hist.agg(
+      max("n").as("n_converted"),
+      rank(1, 2).as("p50_lag_sec"),
+      rank(9, 10).as("p90_lag_sec"),
+      max("lag_sec").as("max_lag_sec"))
+  }
+
+  private val qConversionLagSql =
+    s"""WITH $funnelCtesSql,
+       |lags AS (
+       |  SELECT (floor(epoch(s3.t3))::BIGINT - floor(epoch(s1.t1))::BIGINT) AS lag_sec
+       |  FROM s3 JOIN s1 USING (user_id)),
+       |hist AS (SELECT lag_sec, count(*) AS cnt FROM lags GROUP BY 1),
+       |cum AS (
+       |  SELECT lag_sec,
+       |    sum(cnt) OVER (ORDER BY lag_sec) AS cum,
+       |    sum(cnt) OVER () AS n
+       |  FROM hist)
+       |SELECT max(n)::BIGINT AS n_converted,
+       |  min(CASE WHEN cum * 2 >= n THEN lag_sec END) AS p50_lag_sec,
+       |  min(CASE WHEN cum * 10 >= n * 9 THEN lag_sec END) AS p90_lag_sec,
+       |  max(lag_sec) AS max_lag_sec
+       |FROM cum""".stripMargin
 
   /** Bloom-filter semi-join reduction ([[graft.functions.GraftBloom]]):
     * the 100 TB form of a selective dim⋈fact join when the dimension is
@@ -2657,6 +2719,7 @@ object Relational {
     Q("q_approx_distinct", qApproxDistinct, None),
     Q("q_approx_distinct_check", qApproxDistinctCheck, Some(qApproxDistinctCheckSql)),
     Q("q_funnel", qFunnel, Some(qFunnelSql)),
+    Q("q_conversion_lag", qConversionLag, Some(qConversionLagSql)),
     Q("q_bloom_join", qBloomJoin, Some(qBloomJoinSql)),
     Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     Q("q_k_anonymity", qKAnonymity, Some(qKAnonymitySql)),

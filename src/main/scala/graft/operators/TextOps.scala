@@ -114,12 +114,15 @@ object TextOps {
     withHits.withColumn("predicted", pred).orderBy("doc_id")
   }
 
-  private val qLangIdSql = {
-    val hits = markers
-      .map { case (lang, ws) =>
-        s"len(list_filter($tokensSql, x -> x IN ${sqlList(ws)}))::BIGINT AS ${lang}_hits"
-      }
-      .mkString(",\n  ")
+  /** Marker-hit projection + argmax CASE — the lang-ID rule in SQL, one
+    * definition for the per-doc query and the accuracy eval. */
+  private val langIdHitsSql = markers
+    .map { case (lang, ws) =>
+      s"len(list_filter($tokensSql, x -> x IN ${sqlList(ws)}))::BIGINT AS ${lang}_hits"
+    }
+    .mkString(",\n  ")
+
+  private val langIdPredCaseSql = {
     val langs = markers.map(_._1)
     val pred = langs.zipWithIndex
       .map { case (lang, i) =>
@@ -130,13 +133,48 @@ object TextOps {
         s"WHEN $cond THEN '$lang'"
       }
       .mkString(" ")
+    s"CASE $pred ELSE 'und' END"
+  }
+
+  private val qLangIdSql =
     s"""SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, zh_hits,
-       |  CASE $pred ELSE 'und' END AS predicted
+       |  $langIdPredCaseSql AS predicted
        |FROM (SELECT doc_id,
-       |  $hits
+       |  $langIdHitsSql
        |FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** Language-ID confusion matrix against the labeled `lang` column —
+    * the accuracy card that tells a pipeline operator how far to trust
+    * the heuristic per language before using it as a filter (a 95%-
+    * recall language can gate on it; one that leaks into 'und' cannot).
+    * Reuses [[qLangId]]'s prediction wholesale (same Spark expression,
+    * same SQL CASE — the eval must grade the classifier that actually
+    * runs, not a twin). One extra doc_id-keyed join and a tiny
+    * (lang × predicted) aggregate on top of the scoring scan.
+    *
+    * On THIS corpus the card earns its keep by failing loudly: the
+    * synthetic lang slices share one vocabulary (same reason the DSIR
+    * spec needed a planted two-vocabulary corpus), so the marker
+    * heuristic collapses to en/und across all five labels — a pipeline
+    * reading only q_lang_id's per-doc output would never see that. */
+  def qLangIdEval(s: SparkSession, d: String): DataFrame =
+    qLangId(s, d)
+      .select("doc_id", "predicted")
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  private val qLangIdEvalSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, $langIdPredCaseSql AS predicted
+       |  FROM (SELECT doc_id,
+       |    $langIdHitsSql
+       |  FROM documents))
+       |SELECT d.lang, p.predicted, count(*) AS n
+       |FROM p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
 
   /** Quality scoring: length/stopword/char-class ratios composed into a
     * single score — the heuristic filter stage of a data pipeline. */
@@ -1843,6 +1881,7 @@ object TextOps {
     Q("q_cms_check", qCmsCheck, Some(qCmsCheckSql)),
     Q("q_token_count", qTokenCount, Some(qTokenCountSql)),
     Q("q_lang_id", qLangId, Some(qLangIdSql)),
+    Q("q_langid_eval", qLangIdEval, Some(qLangIdEvalSql)),
     Q("q_quality_score", qQuality, Some(qQualitySql)),
     Q("q_repetition", qRepetition, Some(qRepetitionSql)),
     Q("q_gopher_rep", qGopherRep, Some(qGopherRepSql)),
