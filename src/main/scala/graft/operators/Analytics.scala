@@ -304,6 +304,99 @@ object Analytics {
        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
   }
 
+  /** Exact 10%-trimmed and winsorized sums per event type — the robust
+    * location estimators completing the set around [[qMadOutliers]]
+    * (MAD grades spread; trimming/winsorizing give a mean the tails
+    * can't drag). Row-count semantics: k = n div 10 rows are discarded
+    * from EACH end (trimmed) or clamped to the cut values (winsorized).
+    * Everything is computed from the VALUE HISTOGRAM — distinct cents
+    * with counts, cumulative count AND cumulative sum windows — so
+    * shuffles carry distinct values, never events, and the boundary
+    * value's partial removal is exact integer arithmetic: rows strictly
+    * below the cut leave wholesale (cumulative sums), the remainder of
+    * k leaves at exactly the cut value. No division anywhere — the card
+    * emits sums and counts (means are one client-side divide), so
+    * negative cents can't trip a div/‌// floor divergence. One shuffle
+    * on event_type; the cut-value join-backs probe the tiny histogram. */
+  def qTrimmedStats(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .select(col("event_type").as("et"), asScaled(col("value"), 2).as("vc"))
+    val wEt = Window.partitionBy("et")
+    val wCum = wEt.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    val hist = v
+      .groupBy("et", "vc")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("csum", sum(col("vc") * col("cnt")).over(wCum))
+      .withColumn("n", sum("cnt").over(wEt))
+      .withColumn("tot", sum(col("vc") * col("cnt")).over(wEt))
+      .withColumn("k", expr("n div 10"))
+    val bounds = hist
+      .groupBy("et")
+      .agg(
+        max("n").as("n"),
+        max("tot").as("tot"),
+        max("k").as("k"),
+        min(when(col("cum") >= col("k") + 1, col("vc"))).as("v_lo"),
+        min(when(col("cum") >= col("n") - col("k"), col("vc"))).as("v_hi"))
+    val lo = hist.select(
+      col("et"), col("vc").as("v_lo"), col("cnt").as("lo_cnt"),
+      col("cum").as("lo_cum"), col("csum").as("lo_csum"))
+    val hi = hist.select(
+      col("et"), col("vc").as("v_hi"), col("cnt").as("hi_cnt"),
+      col("cum").as("hi_cum"), col("csum").as("hi_csum"))
+    bounds
+      .join(lo, Seq("et", "v_lo"))
+      .join(hi, Seq("et", "v_hi"))
+      .withColumn(
+        "removed_lo",
+        col("lo_csum") - col("v_lo") * col("lo_cnt") +
+          (col("k") - (col("lo_cum") - col("lo_cnt"))) * col("v_lo"))
+      .withColumn(
+        "removed_hi",
+        col("tot") - col("hi_csum") +
+          (col("k") - (col("n") - col("hi_cum"))) * col("v_hi"))
+      .select(
+        col("et").as("event_type"),
+        col("n"),
+        (col("n") - lit(2) * col("k")).as("trimmed_n"),
+        (col("tot") - col("removed_lo") - col("removed_hi")).as("trimmed_sum_c"),
+        (col("tot") - col("removed_lo") - col("removed_hi") +
+          col("k") * col("v_lo") + col("k") * col("v_hi")).as("winsor_sum_c"))
+      .orderBy("event_type")
+  }
+
+  private val qTrimmedStatsSql = {
+    val vc = asScaledSql("value", 2)
+    s"""WITH v AS (SELECT event_type AS et, $vc AS vc FROM events),
+       |hist AS (SELECT et, vc, count(*) AS cnt FROM v GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT et, vc, cnt,
+       |    sum(cnt) OVER (PARTITION BY et ORDER BY vc) AS cum,
+       |    sum(vc * cnt) OVER (PARTITION BY et ORDER BY vc) AS csum,
+       |    sum(cnt) OVER (PARTITION BY et) AS n,
+       |    sum(vc * cnt) OVER (PARTITION BY et) AS tot
+       |  FROM hist),
+       |b AS (
+       |  SELECT et, max(n) AS n, max(tot) AS tot, max(n) // 10 AS k,
+       |    min(CASE WHEN cum >= (n // 10) + 1 THEN vc END) AS v_lo,
+       |    min(CASE WHEN cum >= n - (n // 10) THEN vc END) AS v_hi
+       |  FROM cw GROUP BY et)
+       |SELECT b.et AS event_type, CAST(b.n AS BIGINT) AS n,
+       |  CAST(b.n - 2 * b.k AS BIGINT) AS trimmed_n,
+       |  CAST(b.tot - (lo.csum - lo.vc * lo.cnt + (b.k - (lo.cum - lo.cnt)) * lo.vc)
+       |             - (b.tot - hi.csum + (b.k - (b.n - hi.cum)) * hi.vc)
+       |    AS BIGINT) AS trimmed_sum_c,
+       |  CAST(b.tot - (lo.csum - lo.vc * lo.cnt + (b.k - (lo.cum - lo.cnt)) * lo.vc)
+       |             - (b.tot - hi.csum + (b.k - (b.n - hi.cum)) * hi.vc)
+       |             + b.k * lo.vc + b.k * hi.vc
+       |    AS BIGINT) AS winsor_sum_c
+       |FROM b
+       |JOIN cw lo ON lo.et = b.et AND lo.vc = b.v_lo
+       |JOIN cw hi ON hi.et = b.et AND hi.vc = b.v_hi
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------------- Poisson bootstrap
 
   /** Replicate count; the median rank below assumes it even. */
@@ -814,6 +907,7 @@ object Analytics {
     Q("q_max_concurrency", qMaxConcurrency, Some(qMaxConcurrencySql)),
     Q("q_skyline", qSkyline, Some(qSkylineSql)),
     Q("q_mad_outliers", qMadOutliers, Some(qMadOutliersSql)),
+    Q("q_trimmed_stats", qTrimmedStats, Some(qTrimmedStatsSql)),
     Q("q_poisson_bootstrap", qPoissonBootstrap, Some(qPoissonBootstrapSql)),
     Q("q_gap_fill", qGapFill, Some(qGapFillSql)),
     Q("q_ewma_forecast", qEwmaForecast, Some(qEwmaForecastSql)),

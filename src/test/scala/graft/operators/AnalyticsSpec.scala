@@ -100,6 +100,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("trimmed/winsorized sums equal the in-JVM sort-and-slice recomputation") {
+    // independent algorithm: materialize, sort, drop/clamp k rows per
+    // end — no histogram, no windows, no boundary-partial arithmetic
+    val want = rawEvents
+      .groupBy(_._4)
+      .map { case (et, evs) =>
+        val vs = evs.map(_._5).toSeq.sorted
+        val n = vs.size
+        val k = n / 10
+        val kept = vs.slice(k, n - k)
+        val winsor = Seq.fill(k)(vs(k)).sum + kept.sum + Seq.fill(k)(vs(n - k - 1)).sum
+        (et, n.toLong, (n - 2 * k).toLong, kept.sum, winsor)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = Analytics.qTrimmedStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
+
   test("retention cohorts equal the in-JVM calendar recomputation") {
     val days = rawEvents.map { e =>
       (e._3, Instant.ofEpochSecond(e._2 / 1000000L).atZone(ZoneOffset.UTC).toLocalDate)
