@@ -1771,6 +1771,35 @@ object TextOps {
     * rows enter the single-partition running-sum window — the
     * all-of-vocab cumsum a naive global window would do never happens.
     * The corpus total rides a broadcast 1-row cross join. */
+  /** Vocabulary-growth card per source: token mass, distinct types, and
+    * hapax legomena (types seen exactly once) — the Heaps'-law corner of
+    * the corpus report ([[qZipfCoverage]] grades the HEAD of the
+    * frequency curve; the hapax share grades the TAIL, which is where
+    * OCR noise, boilerplate IDs and tokenizer damage pile up — a rising
+    * hapax share across ingest batches is the canonical early-warning).
+    * Exact integers from one (source, word) combiner-backed aggregate
+    * and a per-source rollup; hot words shard across sources before
+    * the second aggregate so no single key carries the corpus. */
+  def qVocabGrowth(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .orderBy("source")
+
+  private val qVocabGrowthSql =
+    s"""WITH un AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+       |uc AS (SELECT source, w, count(*) AS cnt FROM un GROUP BY 1, 2)
+       |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  count(*)::BIGINT AS n_types,
+       |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |FROM uc GROUP BY source ORDER BY source""".stripMargin
+
   def qZipfCoverage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, d)
@@ -1904,5 +1933,6 @@ object TextOps {
     Q("q_bfs_levels", qBfsLevels, Some(qBfsLevelsSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
-    Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)))
+    Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)),
+    Q("q_vocab_growth", qVocabGrowth, Some(qVocabGrowthSql)))
 }

@@ -510,6 +510,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(scaled.map(_._1).max - scaled.map(_._1).min <= 1, "10x doc counts differ by more than 1")
   }
 
+  test("vocab growth under 10x replication: tokens x10, types unchanged, hapax vanish") {
+    // exact replication multiplies every (source, word) count by 10, so
+    // every type now appears >= 10 times — the hapax count must drop to
+    // EXACTLY zero, the sharpest form of the tail statistic's contract
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-vocab-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def card(dir: String) = TextOps.qVocabGrowth(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = card(sfDir)
+    val scaled = card(tmp)
+    assert(scaled.keySet === base.keySet)
+    base.foreach { case (src, (tok, types, _)) =>
+      val (stok, stypes, shapax) = scaled(src)
+      assert(stok === tok * rep, s"$src tokens not linear")
+      assert(stypes === types, s"$src type count changed under replication")
+      assert(shapax === 0L, s"$src hapax survived 10x replication")
+    }
+  }
+
   test("autocorrelation card is exactly invariant under 10x replicated events") {
     // Row replication multiplies every hourly count by rep, so dev scales
     // by rep and num/den both by rep² — the ratio is the SAME rational,
