@@ -231,7 +231,7 @@ object Analytics {
     * serves any number of ranks. With empty `keys` the cumulative window
     * is global — callers must bound the DISTINCT-value cardinality by
     * the value domain (see [[quartileBounds]]). */
-  private def histRankMins(
+  private[operators] def histRankMins(
       df: DataFrame,
       keys: Seq[String],
       v: String,

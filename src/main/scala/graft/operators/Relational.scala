@@ -1282,25 +1282,13 @@ object Relational {
     * exact integer (`cum·den ≥ n·num` — no float rank arithmetic), and
     * the emitted percentile is a real data value, so the hashed output
     * is engine-exact with no rounding convention needed. */
-  def qPercentileHist(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy("l_returnflag")
-    val hist = Tables.lineitem(s, d)
-      .groupBy("l_returnflag", "l_quantity")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(byFlag.orderBy("l_quantity")))
-      .withColumn("n", sum("cnt").over(byFlag))
-    def rank(num: Int, den: Int) =
-      min(when(col("cum") * den >= col("n") * num, col("l_quantity")))
-    hist
-      .groupBy("l_returnflag")
-      .agg(
-        rank(1, 2).as("p50_qty"),
-        rank(9, 10).as("p90_qty"),
-        rank(99, 100).as("p99_qty"),
-        max("n").as("n"))
+  def qPercentileHist(s: SparkSession, d: String): DataFrame =
+    Analytics
+      .histRankMins(
+        Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity",
+        Seq(("p50_qty", 1, 2), ("p90_qty", 9, 10), ("p99_qty", 99, 100)))
       .orderBy("l_returnflag")
-  }
 
   private val qPercentileHistSql =
     """WITH hist AS (
@@ -1318,14 +1306,6 @@ object Relational {
       |  CAST(max(n) AS BIGINT) AS n
       |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Ordered-pattern funnel (the MATCH_RECOGNIZE capability class, in
-    * composable aggregate form): per user, the first `view`, the first
-    * `click` STRICTLY AFTER that view, and the first `purchase` strictly
-    * after that click — one row of stage counts. Each stage is a
-    * conditional-min aggregate keyed by user joined back to events; all
-    * three aggregations share the user_id partitioning, so the chain
-    * costs one logical shuffle at scale. Exact integer outputs over
-    * micros-truncated event times (the shared nanos→micros rule). */
   /** Per-user funnel stage times — ONE definition behind [[qFunnel]]'s
     * counts and [[qConversionLag]]'s latency distribution (the two cards
     * must agree on what "converted" means). Columns: user_id, t1 (first
@@ -1350,6 +1330,14 @@ object Relational {
     s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
   }
 
+  /** Ordered-pattern funnel (the MATCH_RECOGNIZE capability class, in
+    * composable aggregate form): per user, the first `view`, the first
+    * `click` STRICTLY AFTER that view, and the first `purchase` strictly
+    * after that click — one row of stage counts. Each stage is a
+    * conditional-min aggregate keyed by user joined back to events; all
+    * three aggregations share the user_id partitioning, so the chain
+    * costs one logical shuffle at scale. Exact integer outputs over
+    * micros-truncated event times (the shared nanos→micros rule). */
   def qFunnel(s: SparkSession, d: String): DataFrame =
     funnelTimes(s, d).agg(
       count(col("t1")).as("n_viewed"),
@@ -1387,24 +1375,23 @@ object Relational {
     * same trade [[qPercentileHist]] documents). One summary row:
     * conversions, p50/p90/max lag seconds. */
   def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    // unix_seconds floor-divides micros (engine-identical to DuckDB's
+    // floor(epoch(...)) even pre-1970) — never `div 1000000`, which
+    // truncates toward zero and diverges on negative epochs
     val lags = funnelTimes(s, d)
       .filter(col("t3").isNotNull)
-      .select(expr(
-        "unix_micros(t3) div 1000000 - unix_micros(t1) div 1000000").as("lag_sec"))
-    val wAll = Window.partitionBy(lit(1))
-    val hist = lags
-      .groupBy("lag_sec")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wAll.orderBy("lag_sec")
-        .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("cnt").over(wAll))
-    def rank(num: Int, den: Int) =
-      min(when(col("cum") * den >= col("n") * num, col("lag_sec")))
-    hist.agg(
-      max("n").as("n_converted"),
-      rank(1, 2).as("p50_lag_sec"),
-      rank(9, 10).as("p90_lag_sec"),
-      max("lag_sec").as("max_lag_sec"))
+      .select(expr("unix_seconds(t3) - unix_seconds(t1)").as("lag_sec"))
+    // one shared rank-min kernel ([[Analytics.histRankMins]]) — the
+    // (1,1) rank is the max; column order restored below
+    Analytics
+      .histRankMins(
+        lags, Nil, "lag_sec",
+        Seq(("p50_lag_sec", 1, 2), ("p90_lag_sec", 9, 10), ("max_lag_sec", 1, 1)))
+      .select(
+        col("n").as("n_converted"),
+        col("p50_lag_sec"),
+        col("p90_lag_sec"),
+        col("max_lag_sec"))
   }
 
   private val qConversionLagSql =

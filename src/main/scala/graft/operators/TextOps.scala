@@ -1762,15 +1762,6 @@ object TextOps {
        |ORDER BY phrase, doc_id""".stripMargin
   }
 
-  /** Zipf coverage curve: the top-50 terms by corpus frequency with each
-    * rank's CUMULATIVE token coverage in exact ppm — the data card that
-    * answers "how many vocabulary entries cover X% of the corpus"
-    * (tokenizer sizing, stopword-list audits). Scale shape: the full
-    * vocabulary reduces map-side to (term, count), the top-50 head is a
-    * TakeOrderedAndProject (never a global sort), and ONLY those ≤50
-    * rows enter the single-partition running-sum window — the
-    * all-of-vocab cumsum a naive global window would do never happens.
-    * The corpus total rides a broadcast 1-row cross join. */
   /** Vocabulary-growth card per source: token mass, distinct types, and
     * hapax legomena (types seen exactly once) — the Heaps'-law corner of
     * the corpus report ([[qZipfCoverage]] grades the HEAD of the
@@ -1800,6 +1791,15 @@ object TextOps {
        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
        |FROM uc GROUP BY source ORDER BY source""".stripMargin
 
+  /** Zipf coverage curve: the top-50 terms by corpus frequency with each
+    * rank's CUMULATIVE token coverage in exact ppm — the data card that
+    * answers "how many vocabulary entries cover X% of the corpus"
+    * (tokenizer sizing, stopword-list audits). Scale shape: the full
+    * vocabulary reduces map-side to (term, count), the top-50 head is a
+    * TakeOrderedAndProject (never a global sort), and ONLY those ≤50
+    * rows enter the single-partition running-sum window — the
+    * all-of-vocab cumsum a naive global window would do never happens.
+    * The corpus total rides a broadcast 1-row cross join. */
   def qZipfCoverage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, d)

@@ -269,16 +269,19 @@ private[sources] class KvScan(
 
 /** Streaming offset for the KV directory: the lexicographic watermark of
   * the last ingested file name (full path — all files share the dir
-  * prefix, so path order ≡ name order). */
-private[sources] case class KvOffset(lastFile: String) extends Offset {
+  * prefix, so path order ≡ name order) plus the count of files at or
+  * below it, which lets the next batch DETECT a producer that violated
+  * the naming contract (see [[KvMicroBatchStream]]). */
+private[sources] case class KvOffset(lastFile: String, nBelow: Long) extends Offset {
   override def json(): String =
-    "{\"last\":\"" + lastFile.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+    "{\"last\":\"" + lastFile.replace("\\", "\\\\").replace("\"", "\\\"") +
+      "\",\"n\":" + nBelow + "}"
 }
 
 private[sources] object KvOffset {
-  private val Shape = """\{"last":"(.*)"\}""".r
+  private val Shape = """\{"last":"(.*)","n":(-?\d+)\}""".r
   def fromJson(j: String): KvOffset = j match {
-    case Shape(v) => KvOffset(v.replaceAll("""\\(.)""", "$1"))
+    case Shape(v, n) => KvOffset(v.replaceAll("""\\(.)""", "$1"), n.toLong)
     case other => throw new IllegalArgumentException(s"bad graft-kv offset: $other")
   }
 }
@@ -288,12 +291,21 @@ private[sources] object KvOffset {
   * .format("graft-kv")`), so its native format feeds the streaming pack
   * directly. Progress is a lexicographic file-name watermark: a batch is
   * every visible file named AFTER the previous watermark, which is
-  * exactly right for the part-file convention every distributed writer
-  * (including the reference's sink and our own) follows — new output
-  * shards sort after old ones. A producer that drops files BELOW the
-  * watermark violates that convention and those files are not picked up
-  * (the same append-only assumption FileStreamSource makes, minus its
-  * bounded-age cache — this watermark is O(1) state). Column pruning and
+  * right for monotonically-named appends: one producer whose shard
+  * names increase (the reference sink's numbered output shards, or any
+  * writer landing per-batch files under an increasing prefix such as a
+  * batch timestamp). It is NOT sufficient for several independent
+  * Spark-style jobs appending into one flat dir — each job restarts at
+  * part-00000, which sorts BELOW the watermark; such layouts need a
+  * per-batch subdirectory (the usual practice) or FileStreamSource's
+  * seen-file cache. The failure is loud, not silent: the offset also
+  * records how many files sat at-or-below the watermark, and a later
+  * listing with MORE files below it fails the batch with the naming-
+  * contract error instead of quietly skipping data (a best-effort
+  * tripwire — O(1) state, so a simultaneous add+delete below the
+  * watermark can cancel out). Watermarks never regress: a listing that
+  * lost its max file (retention cleanup) keeps the checkpointed
+  * watermark, so reappearing names cannot re-ingest. Column pruning and
   * the key filter push into the stream readers unchanged (same
   * ScanBuilder). Implements SupportsTriggerAvailableNow natively: the
   * catch-up target is pinned once at query start, so AvailableNow
@@ -302,21 +314,39 @@ private[sources] object KvOffset {
 private[sources] class KvMicroBatchStream(
     path: String, fields: Array[String], keyEquals: Option[String])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private def visibleMax: String = {
-    val fs = KvScan.listPartitions(path)
-    if (fs.isEmpty) "" else fs.map(_.asInstanceOf[KvInputPartition].file).max
-  }
+  private def visibleFiles(): Array[String] =
+    KvScan.listPartitions(path).map(_.asInstanceOf[KvInputPartition].file)
+  private def maxName(a: String, b: String): String = if (a >= b) a else b
   private var availableNowTarget: Option[String] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(visibleMax)
-  override def initialOffset(): Offset = KvOffset("")
+    availableNowTarget = Some(visibleFiles().foldLeft("")(maxName))
+  override def initialOffset(): Offset = KvOffset("", 0L)
   // SupportsAdmissionControl routes all offset requests through the
   // 2-arg form (the 1-arg variant must not be called on such sources);
   // every file is ingested whole, so read limits don't subdivide here
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    KvOffset(availableNowTarget.getOrElse(visibleMax))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val prev = start.asInstanceOf[KvOffset]
+    val files = visibleFiles()
+    // naming-contract tripwire: a NEW file at-or-below the committed
+    // watermark would be skipped forever — fail the batch instead
+    val belowNow = files.count(_ <= prev.lastFile)
+    if (belowNow > prev.nBelow)
+      throw new IllegalStateException(
+        s"graft-kv $path: ${belowNow - prev.nBelow} file(s) appeared at or below the " +
+          s"ingestion watermark '${prev.lastFile}' — producer violated the " +
+          "monotone-naming contract (use a per-batch subdirectory)")
+    // never regress the watermark: a listing that lost its max file
+    // (retention) keeps the committed offset, so a reappearing name
+    // cannot be re-ingested
+    val mx = maxName(files.foldLeft("")(maxName), prev.lastFile)
+    val target = availableNowTarget match {
+      case Some(t) => maxName(t, prev.lastFile)
+      case None => mx
+    }
+    KvOffset(target, files.count(_ <= target).toLong max prev.nBelow)
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KvOffset].lastFile
     val e = end.asInstanceOf[KvOffset].lastFile

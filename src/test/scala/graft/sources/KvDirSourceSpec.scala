@@ -172,8 +172,36 @@ class KvDirSourceSpec extends SparkSpec {
     drain()
     assert(rows() === Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")))
     // offset round-trip survives names needing JSON escaping
-    val off = KvOffset("""/tmp/we"ird\name""")
+    val off = KvOffset("""/tmp/we"ird\name""", 7L)
     assert(KvOffset.fromJson(off.json()) === off)
+  }
+
+  test("a file landing below the stream watermark fails loudly instead of silently skipping") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-kv-tripwire-")
+    Files.write(dir.resolve("part-005"), "a 1".getBytes(StandardCharsets.UTF_8))
+    val ckpt = Files.createTempDirectory("graft-kv-tw-ckpt-").toString
+    val out = Files.createTempDirectory("graft-kv-tw-out-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-kv").load(dir.toString)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 1L)
+    // a second producer restarting at part-000 sorts BELOW the watermark:
+    // the resume must throw the naming-contract error, not drop the file
+    Files.write(dir.resolve("part-000"), "late 9".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("monotone-naming contract")),
+      s"expected the naming-contract error, got: $e")
   }
 
   test("KV round-trip through the engine text sink preserves every record") {
