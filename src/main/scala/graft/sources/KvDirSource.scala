@@ -8,11 +8,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -132,13 +133,118 @@ private[sources] final class KvRecords(file: String, keyEquals: Option[String]) 
   def close(): Unit = reader.close()
 }
 
-private[sources] class KvTable(path: String) extends Table with SupportsRead {
+private[sources] class KvTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-kv:$path"
   override def schema(): StructType = KvDirSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(path, info)
+}
+
+/** DSv2 WRITE path for the KV-line format — `df.write.format("graft-kv")`
+  * lands `"<key> <value>"` shards the reference engine (and this
+  * module's own readers) consume directly, under Spark's v2 commit
+  * contract: every task writes to a staged file in `_temp/`, only the
+  * ONE commit message Spark accepts per partition gets its file renamed
+  * into place by the driver, and abort deletes the staging dir — a
+  * speculative or retried task attempt can never surface a duplicate
+  * shard (the same exactly-once story FaultToleranceSpec pins for the
+  * engine sink, here through the connector API). Final shard names carry
+  * a zero-padded millis prefix, so sequential append jobs produce
+  * lexicographically increasing names — the compliant producer for
+  * [[KvMicroBatchStream]]'s monotone-naming contract. Line rule is the
+  * engine sink's `concat_ws(" ", key, value)` (an empty value writes a
+  * trailing space; values with LEADING whitespace are not representable
+  * in the reference format — `iss >> key` swallows the run). */
+private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val names = info.schema().fieldNames.toSeq
+    require(names == Seq("key", "value"),
+      s"graft-kv writes a (key, value) relation, got: ${names.mkString(", ")}")
+    new KvWrite(path, doTruncate)
+  }
+}
+
+private[sources] class KvWrite(path: String, truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new KvBatchWrite(path, truncate)
+}
+
+private[sources] case class KvCommitMessage(staged: String, finalName: String)
+    extends WriterCommitMessage
+
+private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+  // millis prefix keeps sequential jobs' shard names monotone; the
+  // random token disambiguates same-millis jobs (their relative order is
+  // then arbitrary — concurrent writers to one stream-watched dir are
+  // outside the naming contract anyway)
+  private val jobToken =
+    f"${System.currentTimeMillis()}%013d-${util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, jobToken)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (truncate) {
+      KvScan.listPartitions(path).foreach { p =>
+        fs.delete(new Path(p.asInstanceOf[KvInputPartition].file), false)
+      }
+    }
+    messages.foreach { case KvCommitMessage(staged, finalName) =>
+      fs.rename(new Path(staged), new Path(root, finalName))
+    }
+    fs.delete(new Path(root, "_temp"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    root.getFileSystem(new Configuration()).delete(new Path(root, "_temp"), true)
+  }
+}
+
+private[sources] class KvWriterFactory(path: String, jobToken: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, jobToken, partitionId, taskId)
+}
+
+private[sources] class KvDataWriter(
+    path: String, jobToken: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val staged = new Path(new Path(path, "_temp"), s"$jobToken-p$partitionId-t$taskId")
+  private val fs = staged.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(staged, true), StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val k = row.getUTF8String(0)
+    val v = row.getUTF8String(1)
+    out.write(if (k == null) "" else k.toString)
+    out.write(' ')
+    if (v != null) out.write(v.toString)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvCommitMessage(staged.toString, f"part-$jobToken-p$partitionId%05d")
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class KvScanBuilder(path: String)

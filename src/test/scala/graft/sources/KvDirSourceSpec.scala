@@ -204,6 +204,35 @@ class KvDirSourceSpec extends SparkSpec {
       s"expected the naming-contract error, got: $e")
   }
 
+  test("DSv2 write: committed shards round-trip through the reader; overwrite truncates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kv-write-").toString
+    val data = Seq(("k1", "v one"), ("k2", ""), ("k3", "3  4")) // empty + internal-run values
+    data.toDF("key", "value").repartition(2)
+      .write.format("graft-kv").mode("append").save(dir)
+    def back() = spark.read.format("graft-kv").load(dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(back() === data.sorted)
+    // the v2 commit protocol leaves no staging residue
+    assert(!new java.io.File(dir, "_temp").exists(), "_temp staging dir survived commit")
+    // append lands ADDITIONAL shards whose names sort after the first
+    // job's (the millis prefix — the stream watermark's contract)
+    // raw listing minus the local-FS ".crc" sidecars (hidden names the
+    // readers already skip)
+    def shards() = new java.io.File(dir).list().filterNot(_.startsWith(".")).sorted.toSeq
+    val firstShards = shards()
+    Seq(("k4", "later")).toDF("key", "value")
+      .write.format("graft-kv").mode("append").save(dir)
+    val newShards = shards().diff(firstShards)
+    assert(newShards.nonEmpty && newShards.forall(n => firstShards.forall(_ < n)),
+      s"append shards must sort after existing: $firstShards vs $newShards")
+    assert(back() === (data :+ (("k4", "later"))).sorted)
+    // overwrite truncates every previous shard
+    Seq(("x", "1")).toDF("key", "value")
+      .write.format("graft-kv").mode("overwrite").save(dir)
+    assert(back() === Seq(("x", "1")))
+  }
+
   test("KV round-trip through the engine text sink preserves every record") {
     val out = Files.createTempDirectory("graft-kv-rt-").toString
     import spark.implicits._
