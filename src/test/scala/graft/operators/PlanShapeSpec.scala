@@ -678,6 +678,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(rawScans === 1, s"expected exactly 1 raw embeddings scan (the batch), got $rawScans:\n$p")
   }
 
+  test("trimmed stats: histogram windows stay event_type-partitioned; cut lookups broadcast") {
+    val qe = Analytics.qTrimmedStats(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "histogram windows not found")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"histogram window lost its event_type partitioning:\n$w")
+    }
+    val p = plan(Analytics.qTrimmedStats(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in trimmed stats:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cut-value lookups not broadcast:\n$p")
+  }
+
   test("t-closeness: group-size window is QI-partitioned; corpus distribution broadcasts") {
     val qe = Relational.qTCloseness(spark, sfDir).queryExecution
     val windows = qe.optimizedPlan.collect {
