@@ -233,6 +233,32 @@ class KvDirSourceSpec extends SparkSpec {
     assert(back() === Seq(("x", "1")))
   }
 
+  test("isRecordLine equals parse.isDefined for arbitrary whitespace-laced lines") {
+    // the allocation-free count path and the parse rule must agree on
+    // every line, or a pushed COUNT(*) diverges from count-after-read;
+    // fuzz over the exact \s class plus printable payload chars
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ch = Gen.frequency(
+      5 -> Gen.oneOf(' ', '\t', '\u000B', '\f', '\r'),
+      4 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('!', '"', '\\', '~', 'é'))
+    val lineGen = Gen.listOf(ch).map(_.mkString)
+    (1 to 300).foreach { seed =>
+      val line = lineGen.pureApply(Gen.Parameters.default.withSize(20), Seed(seed.toLong))
+      assert(KvDirSource.isRecordLine(line) === KvDirSource.parse(line).isDefined,
+        s"count/parse disagree on ${line.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // offset JSON round-trip under hostile path characters
+    val pathGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', '/', '-')))
+      .map(_.mkString)
+    (1 to 100).foreach { seed =>
+      val p = pathGen.pureApply(Gen.Parameters.default.withSize(16), Seed(seed + 1000L))
+      val off = KvOffset(p, seed.toLong)
+      assert(KvOffset.fromJson(off.json()) === off, s"offset round-trip broke on: $p")
+    }
+  }
+
   test("KV round-trip through the engine text sink preserves every record") {
     val out = Files.createTempDirectory("graft-kv-rt-").toString
     import spark.implicits._
