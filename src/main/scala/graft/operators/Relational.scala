@@ -1282,6 +1282,57 @@ object Relational {
     * exact integer (`cum·den ≥ n·num` — no float rank arithmetic), and
     * the emitted percentile is a real data value, so the hashed output
     * is engine-exact with no rounding convention needed. */
+  /** Order-to-ship latency percentiles per priority class — the supply-
+    * chain SLA card (does URGENT actually ship faster, and how fat is
+    * the p99 tail). Delay = calendar days from order date to line ship
+    * date, exact integers; percentiles via the shared value-histogram
+    * rank kernel ([[Analytics.histRankMins]] — shuffles carry distinct
+    * day-counts per priority, never line items). Negative delays are
+    * REAL in this corpus (the generator ships ~49% of lines before
+    * their order date — q_data_contract flags it) and flow through
+    * unharmed: the rank rule never divides, so there is no negative-
+    * division portability trap to dodge. One fact-side join on
+    * orderkey (orders arrives hash-partitioned the same way), then the
+    * tiny histogram. */
+  def qShipDelay(s: SparkSession, d: String): DataFrame =
+    Analytics
+      .histRankMins(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(
+            Tables.orders(s, d).select(
+              col("o_orderkey").as("l_orderkey"),
+              col("o_orderdate"),
+              col("o_orderpriority")),
+            "l_orderkey")
+          .select(
+            col("o_orderpriority"),
+            expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)")
+              .as("delay_days")),
+        Seq("o_orderpriority"), "delay_days",
+        Seq(("p50_days", 1, 2), ("p90_days", 9, 10), ("p99_days", 99, 100)))
+      .orderBy("o_orderpriority")
+
+  private val qShipDelaySql =
+    """WITH de AS (
+      |  SELECT o.o_orderpriority,
+      |    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+      |      AS delay_days
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |hist AS (
+      |  SELECT o_orderpriority, delay_days, count(*) AS cnt FROM de GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT o_orderpriority, delay_days,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY delay_days) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM hist)
+      |SELECT o_orderpriority,
+      |  min(CASE WHEN cum * 2 >= n THEN delay_days END) AS p50_days,
+      |  min(CASE WHEN cum * 10 >= n * 9 THEN delay_days END) AS p90_days,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN delay_days END) AS p99_days,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def qPercentileHist(s: SparkSession, d: String): DataFrame =
     Analytics
       .histRankMins(
@@ -2722,6 +2773,7 @@ object Relational {
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Q("q_approx_percentiles", qApproxPercentiles, None),
     Q("q_percentile_hist", qPercentileHist, Some(qPercentileHistSql)),
+    Q("q_ship_delay", qShipDelay, Some(qShipDelaySql)),
     Q("q10_returned_items", q10Returns, Some(q10Sql)),
     Q("q7_trade_flows", q7TradeFlows, Some(q7Sql)),
     Q("q14_promo_share", q14PromoShare, Some(q14Sql)),

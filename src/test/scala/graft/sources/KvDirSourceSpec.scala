@@ -176,6 +176,26 @@ class KvDirSourceSpec extends SparkSpec {
     assert(KvOffset.fromJson(off.json()) === off)
   }
 
+  test("the pushed key filter rides the streaming scans too") {
+    // one ScanBuilder serves batch and micro-batch — pin the filter's
+    // stream-side effect end to end, not just by construction
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-kv-sf-")
+    Files.write(dir.resolve("part-000"), "a 1\nb 2\na 3".getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("graft-kv-sf-out-").toString
+    val q = spark.readStream.format("graft-kv").load(dir.toString)
+      .filter(col("key") === "a")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("graft-kv-sf-ck-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+      Seq(("a", "1"), ("a", "3")))
+  }
+
   test("a file landing below the stream watermark fails loudly instead of silently skipping") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft-kv-tripwire-")
