@@ -74,16 +74,19 @@ object KvDirSource {
     }
   }
 
+  /** java-regex `\s` membership = [ \t\n\x0B\f\r] — ONE definition
+    * for [[isRecordLine]]'s record test and the writer's
+    * representability checks, so neither can drift from [[parse]]'s
+    * strip/split class. */
+  def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** `parse(line).isDefined`, allocation-free: a line is a record iff it
-    * contains any char outside java-regex `\s` = [ \t\n\x0B\f\r] — the
-    * exact class [[parse]]'s strip/split use, restated here so the cheap
-    * count path cannot drift from the parse rule. */
+    * contains any char outside `\s`. */
   def isRecordLine(line: String): Boolean = {
     var i = 0
     while (i < line.length) {
-      val c = line.charAt(i)
-      if (c != ' ' && c != '\t' && c != '\n' && c != '\u000B' && c != '\f' && c != '\r')
-        return true
+      if (!isSpace(line.charAt(i))) return true
       i += 1
     }
     false
@@ -157,7 +160,14 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead wit
   * engine sink, here through the connector API). Final shard names carry
   * a zero-padded millis prefix, so sequential append jobs produce
   * lexicographically increasing names — the compliant producer for
-  * [[KvMicroBatchStream]]'s monotone-naming contract. Line rule is the
+  * [[KvMicroBatchStream]]'s monotone-naming contract. Staging is
+  * per-job (`_temp/<jobToken>/`) so concurrent jobs cannot clobber each
+  * other's staged files, rename failures raise instead of reporting
+  * success over lost data, and empty partitions commit no shard. Rows
+  * the line format cannot represent — null/empty/whitespace-bearing
+  * keys, values with a leading `\s` or embedded line terminator — are
+  * REJECTED at write time (silently writing them would shift keys or
+  * split records on read-back). Line rule is the
   * engine sink's `concat_ws(" ", key, value)` (an empty value writes a
   * trailing space; values with LEADING whitespace are not representable
   * in the reference format — `iss >> key` swallows the run). */
@@ -199,15 +209,30 @@ private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends Bat
         fs.delete(new Path(p.asInstanceOf[KvInputPartition].file), false)
       }
     }
-    messages.foreach { case KvCommitMessage(staged, finalName) =>
-      fs.rename(new Path(staged), new Path(root, finalName))
+    messages.foreach {
+      // empty partitions commit a no-op message — no empty shard litters
+      // the directory (each would cost a whole task on every later read)
+      case KvCommitMessage("", _) => ()
+      case KvCommitMessage(staged, finalName) =>
+        // rename FAILURE is a boolean, not an exception — ignoring it
+        // would delete the staged bytes below and report success over
+        // silently lost data
+        if (!fs.rename(new Path(staged), new Path(root, finalName)))
+          throw new java.io.IOException(
+            s"graft-kv commit: rename $staged -> $finalName failed")
     }
-    fs.delete(new Path(root, "_temp"), true)
+    // only THIS job's staging dir: a concurrent job's staged files under
+    // its own token must survive our commit; the shared _temp parent is
+    // removed best-effort once no job is staging in it
+    fs.delete(new Path(root, s"_temp/$jobToken"), true)
+    val tempRoot = new Path(root, "_temp")
+    if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty) fs.delete(tempRoot, false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    root.getFileSystem(new Configuration()).delete(new Path(root, "_temp"), true)
+    root.getFileSystem(new Configuration())
+      .delete(new Path(root, s"_temp/$jobToken"), true)
   }
 }
 
@@ -220,23 +245,40 @@ private[sources] class KvWriterFactory(path: String, jobToken: String)
 private[sources] class KvDataWriter(
     path: String, jobToken: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val staged = new Path(new Path(path, "_temp"), s"$jobToken-p$partitionId-t$taskId")
+  private val staged =
+    new Path(new Path(path, s"_temp/$jobToken"), s"p$partitionId-t$taskId")
   private val fs = staged.getFileSystem(new Configuration())
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(staged, true), StandardCharsets.UTF_8))
+  private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     val k = row.getUTF8String(0)
     val v = row.getUTF8String(1)
-    out.write(if (k == null) "" else k.toString)
+    // fail LOUD on rows the line format cannot represent — writing them
+    // would silently shift keys, split records, or drop rows on read-back
+    require(k != null && v != null, "graft-kv: null key or value is not representable")
+    val ks = k.toString
+    val vs = v.toString
+    require(ks.nonEmpty && !ks.exists(KvDirSource.isSpace),
+      s"graft-kv: key must be non-empty with no whitespace, got '$ks'")
+    require(vs.isEmpty || !KvDirSource.isSpace(vs.charAt(0)),
+      s"graft-kv: value must not start with whitespace (the separator swallows it): '$vs'")
+    require(!vs.exists(c => c == '\n' || c == '\r'),
+      s"graft-kv: value must not contain line terminators: '$vs'")
+    out.write(ks)
     out.write(' ')
-    if (v != null) out.write(v.toString)
+    out.write(vs)
     out.write('\n')
+    rows += 1L
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    KvCommitMessage(staged.toString, f"part-$jobToken-p$partitionId%05d")
+    if (rows == 0L) {
+      fs.delete(staged, false)
+      KvCommitMessage("", "")
+    } else KvCommitMessage(staged.toString, f"part-$jobToken-p$partitionId%05d")
   }
 
   override def abort(): Unit = {
@@ -451,7 +493,10 @@ private[sources] class KvMicroBatchStream(
       case Some(t) => maxName(t, prev.lastFile)
       case None => mx
     }
-    KvOffset(target, files.count(_ <= target).toLong max prev.nBelow)
+    // NOT maxed with prev.nBelow: keeping a stale high count after a
+    // truncate/retention mass-delete would permanently desensitize the
+    // tripwire (new below-watermark files would hide under the old count)
+    KvOffset(target, files.count(_ <= target).toLong)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KvOffset].lastFile

@@ -194,6 +194,29 @@ class KvDirSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
       Seq(("a", "1"), ("a", "3")))
+    // the e2e result alone can't distinguish scan-side filtering from
+    // Catalyst's residual Filter — drive the micro-batch reader directly
+    // and assert the STREAM READER itself drops non-matching rows
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val b = new KvScanBuilder(dir.toString)
+    b.pushFilters(Array[Filter](EqualTo("key", "a")))
+    val stream = b.build().toMicroBatchStream("/unused").asInstanceOf[KvMicroBatchStream]
+    val parts = stream.planInputPartitions(
+      stream.initialOffset(),
+      stream.latestOffset(
+        stream.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
+    val factory = stream.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (r.next()) buf += ((r.get().getUTF8String(0).toString,
+        r.get().getUTF8String(1).toString))
+      r.close()
+      buf
+    }
+    assert(rows.sorted.toSeq === Seq(("a", "1"), ("a", "3")),
+      "stream reader did not apply the pushed key filter")
   }
 
   test("a file landing below the stream watermark fails loudly instead of silently skipping") {
@@ -251,6 +274,21 @@ class KvDirSourceSpec extends SparkSpec {
     Seq(("x", "1")).toDF("key", "value")
       .write.format("graft-kv").mode("overwrite").save(dir)
     assert(back() === Seq(("x", "1")))
+    // empty partitions commit NO shard (each empty file would cost a
+    // task on every later read)
+    val before = shards()
+    spark.emptyDataFrame.selectExpr("'' AS key", "'' AS value").filter(lit(false))
+      .repartition(4).write.format("graft-kv").mode("append").save(dir)
+    assert(shards() === before, "empty write littered shards")
+    // rows the line format cannot represent are rejected loudly
+    val bad = Seq(("a b", "v")).toDF("key", "value")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.write.format("graft-kv").mode("append").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("whitespace")),
+      s"expected the representability error, got: $e")
+    assert(back() === Seq(("x", "1")), "failed write must leave no partial shards")
   }
 
   test("isRecordLine equals parse.isDefined for arbitrary whitespace-laced lines") {
