@@ -315,10 +315,21 @@ object Dedup {
     * counts — so admission decisions are IDENTICAL to recomputing from
     * scratch. Same edge definition as [[qDedupApply]] — one admission bar
     * across batch and incremental modes. */
-  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val (shT, dfT, szT, fpT) = ensureIncrementalIndex(s, d)
+  /** Batch-incident near-dup EDGES at the admission semantics, probing
+    * the stored index: (corpus→batch edges, batch↔batch edges). Shared
+    * by [[qDedupIncremental]] (which needs only the corpus-side drops)
+    * and [[qDedupClustersIncremental]] (which stitches both into the
+    * stored clustering) — one edge rule across the incremental mode.
+    * Corpus-batch and batch-batch edges are EXACT vs a from-scratch
+    * corpus+batch run: the combined df cap (df_t ≤ maxDF) and the
+    * knocked-out size adjustment reproduce the total-df-capped sets for
+    * every batch-incident pair (df_t ≤ cap ⟹ df_c ≤ cap, so the stored
+    * index minus knocks IS the total-capped corpus set). */
+  private[operators] def incrementalEdges(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (shT, dfT, szT, _) = ensureIncrementalIndex(s, d)
     val idx = s.table(shT)
-    // batch-side shingles: the only tokenization this query runs
+    // batch-side shingles: the only tokenization this path runs
     val batchSh = Tables.documents(s, d)
       .filter(isNewBatch(col("doc_id")))
       .filter(size(toks(col("text"))) >= 3)
@@ -334,7 +345,7 @@ object Dedup {
         (coalesce(col("df_c"), lit(0L)) + col("df_b")).as("df_t"))
       .cache()
     val okSh = shStatus.filter(col("df_t") <= IncMaxDF).select("sh")
-    val cappedBatch = batchSh.join(okSh, "sh")
+    val cappedBatch = batchSh.join(okSh, "sh").cache()
     val nbSizes = cappedBatch.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     // shingles the batch pushed over the cap: subtract from stored sizes
     val knockSh = shStatus
@@ -345,14 +356,31 @@ object Dedup {
       .join(cappedBatch.as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    val nearDrops = pairs
+    val cb = pairs
       .join(s.table(szT).select(col("doc_id").as("da"), col("n_c")), "da")
       .join(knocks.select(col("doc_id").as("da"), col("kn")), Seq("da"), "left")
       .join(nbSizes.select(col("doc_id").as("db"), col("nb")), "db")
       .withColumn("na", col("n_c") - coalesce(col("kn"), lit(0L)))
       .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
-      .select(col("db").as("doc_id"))
-      .distinct()
+      .select("da", "db")
+    val bbPairs = cappedBatch.as("a")
+      .join(
+        cappedBatch.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val bb = bbPairs
+      .join(nbSizes.select(col("doc_id").as("da"), col("nb").as("na")), "da")
+      .join(nbSizes.select(col("doc_id").as("db"), col("nb")), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+      .select("da", "db")
+    (cb, bb)
+  }
+
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, fpT) = ensureIncrementalIndex(s, d)
+    val (cb, _) = incrementalEdges(s, d)
+    val nearDrops = cb.select(col("db").as("doc_id")).distinct()
     val newDocs = Tables.documents(s, d).filter(isNewBatch(col("doc_id")))
     val exactDrops = newDocs
       .select(col("doc_id"), fingerprint(col("text")).as("f"))
@@ -595,6 +623,166 @@ object Dedup {
        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1)
        |SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
+  /** Build-once stored clustering of the CORPUS slice: converged CC
+    * labels over corpus-only near-dup edges at the stored index's
+    * semantics (df_c-capped sets — [[ensureIncrementalIndex]]). This is
+    * the nightly clustering job; [[qDedupClustersIncremental]] only
+    * READS it. */
+  private[operators] def ensureCorpusCc(s: SparkSession, d: String): String = {
+    import graft.sources.Warehouse
+    val t = Warehouse.tableName("graft_inc_cc", d)
+    val (shT, _, szT, _) = ensureIncrementalIndex(s, d)
+    Warehouse.ensure(s, t, "id") {
+      val idx = s.table(shT)
+      val pairs = idx.as("a")
+        .join(
+          idx.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = s.table(szT)
+      val edges = pairs
+        .join(sz.select(col("doc_id").as("da"), col("n_c").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n_c").as("nb")), "db")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+        .select("da", "db")
+      ccLabelsFrom(edges)
+    }
+    t
+  }
+
+  /** Incremental CLUSTER maintenance — what today's batch does to the
+    * dedup landscape, at daily cost ∝ batch neighborhood: the corpus
+    * clustering is a STORED table ([[ensureCorpusCc]], the nightly job),
+    * and the batch stitches into it through the SUPERNODE graph — each
+    * stored component collapses to its label (its min doc id), each
+    * corpus singleton and batch doc is its own node, and the CC fixpoint
+    * runs over batch-incident edges only ([[incrementalEdges]]), never
+    * over the corpus pair graph. The converged super-label IS the true
+    * min doc id of the merged cluster (each supernode already carries
+    * its component's min).
+    *
+    * Semantics, stated precisely: corpus-batch and batch-batch edges are
+    * EXACT vs a full corpus+batch rebuild (see [[incrementalEdges]]);
+    * corpus-CORPUS edges stay FROZEN at the index build's df_c-capped
+    * sets — a shingle the batch pushes over the cap could only REMOVE
+    * corpus-corpus edges in a rebuild, so incremental merges are
+    * conservative (never missed, possibly kept where a rebuild would
+    * unlink). That freeze is the production contract (FAISS-style
+    * build-once, rebuild-offline); the DuckDB twin replays the frozen
+    * semantics exactly, and the spec additionally checks the freeze is
+    * vacuous on this corpus. Output: one row per cluster CONTAINING a
+    * batch doc — (cluster_id = min doc id, batch members, corpus
+    * members, stored components absorbed). Edge-free batch docs (truly
+    * novel content) are not "clusters" and don't appear. */
+  def qDedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val stored = s.table(ensureCorpusCc(s, d)) // (id, label)
+    val (cb, bb) = incrementalEdges(s, d)
+    val cbSuper = cb
+      .join(stored.withColumnRenamed("id", "da"), Seq("da"), "left")
+      .select(coalesce(col("label"), col("da")).as("da"), col("db"))
+    val superLabels = ccLabelsFrom(cbSuper.union(bb))
+    val storedSizes = stored.groupBy("label").agg(count(lit(1)).as("csz"))
+    val corpusCounts = superLabels
+      .filter(!isNewBatch(col("id")))
+      .join(storedSizes.withColumnRenamed("label", "id"), Seq("id"), "left")
+      .groupBy("label")
+      .agg(
+        sum(coalesce(col("csz"), lit(1L))).as("n_corpus"),
+        count(lit(1)).as("n_merged_components"))
+    superLabels
+      .filter(isNewBatch(col("id")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_batch"))
+      .join(corpusCounts, Seq("label"), "left")
+      .select(
+        col("label").as("cluster_id"),
+        col("n_batch"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_merged_components"), lit(0L)).as("n_merged_components"))
+      .orderBy("cluster_id")
+  }
+
+  private val qDedupClustersIncrementalSql = {
+    val t = TextOps.tokensSql
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, $t AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+       |  FROM tk WHERE len(t) >= 3),
+       |ctri AS (SELECT * FROM tri WHERE doc_id % 5 <> 4),
+       |dfc AS (SELECT sh, count(*) AS df_c FROM ctri GROUP BY 1),
+       |cidx AS (SELECT c.doc_id, c.sh FROM ctri c JOIN dfc USING (sh) WHERE df_c <= $IncMaxDF),
+       |csz AS (SELECT doc_id, count(*) AS n_c FROM cidx GROUP BY 1),
+       |cpairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM cidx a JOIN cidx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cedges AS (
+       |  SELECT da, db FROM cpairs
+       |  JOIN csz sa ON da = sa.doc_id JOIN csz sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n_c + sb.n_c - inter) >= $NearDupBar),
+       |cbi AS (SELECT da AS src, db AS dst FROM cedges
+       |        UNION ALL SELECT db, da FROM cedges),
+       |cwalk AS (
+       |  SELECT src AS id, src AS label FROM cbi
+       |  UNION
+       |  SELECT cbi.dst AS id, cwalk.label FROM cwalk JOIN cbi ON cbi.src = cwalk.id),
+       |ccc AS (SELECT id, min(label) AS label FROM cwalk GROUP BY 1),
+       |btri AS (SELECT * FROM tri WHERE doc_id % 5 = 4),
+       |dfb AS (SELECT sh, count(*) AS df_b FROM btri GROUP BY 1),
+       |dft AS (
+       |  SELECT b.sh, COALESCE(c.df_c, 0) AS df_c0, COALESCE(c.df_c, 0) + b.df_b AS df_t
+       |  FROM dfb b LEFT JOIN dfc c USING (sh)),
+       |bcap AS (SELECT b.doc_id, b.sh FROM btri b JOIN dft USING (sh) WHERE df_t <= $IncMaxDF),
+       |bsz AS (SELECT doc_id, count(*) AS nb FROM bcap GROUP BY 1),
+       |kn AS (
+       |  SELECT doc_id, count(*) AS kn FROM cidx
+       |  WHERE sh IN (SELECT sh FROM dft WHERE df_t > $IncMaxDF AND df_c0 <= $IncMaxDF)
+       |  GROUP BY 1),
+       |cbp AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM cidx a JOIN bcap b ON a.sh = b.sh GROUP BY 1, 2),
+       |cbe AS (
+       |  SELECT da, db FROM cbp
+       |  JOIN csz ON da = csz.doc_id
+       |  LEFT JOIN kn ON da = kn.doc_id
+       |  JOIN bsz ON db = bsz.doc_id
+       |  WHERE inter / ((csz.n_c - COALESCE(kn.kn, 0)) + bsz.nb - inter) >= $NearDupBar),
+       |bbp AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM bcap a JOIN bcap b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |bbe AS (
+       |  SELECT da, db FROM bbp
+       |  JOIN bsz sa ON da = sa.doc_id JOIN bsz sb ON db = sb.doc_id
+       |  WHERE inter / (sa.nb + sb.nb - inter) >= $NearDupBar),
+       |sedges AS (
+       |  SELECT COALESCE(ccc.label, cbe.da) AS src, cbe.db AS dst
+       |  FROM cbe LEFT JOIN ccc ON ccc.id = cbe.da
+       |  UNION ALL SELECT da, db FROM bbe),
+       |sbi AS (SELECT src, dst FROM sedges WHERE src <> dst
+       |        UNION ALL SELECT dst, src FROM sedges WHERE src <> dst),
+       |swalk AS (
+       |  SELECT src AS id, src AS label FROM sbi
+       |  UNION
+       |  SELECT sbi.dst AS id, swalk.label FROM swalk JOIN sbi ON sbi.src = swalk.id),
+       |scc AS (SELECT id, min(label) AS label FROM swalk GROUP BY 1),
+       |cszl AS (SELECT label, count(*) AS csz FROM ccc GROUP BY 1),
+       |corpusc AS (
+       |  SELECT s.label, CAST(sum(COALESCE(cszl.csz, 1)) AS BIGINT) AS n_corpus,
+       |    count(*)::BIGINT AS n_merged_components
+       |  FROM scc s LEFT JOIN cszl ON cszl.label = s.id
+       |  WHERE s.id % 5 <> 4 GROUP BY 1),
+       |batchc AS (SELECT label, count(*)::BIGINT AS n_batch FROM scc WHERE id % 5 = 4 GROUP BY 1)
+       |SELECT b.label AS cluster_id, b.n_batch,
+       |  COALESCE(c.n_corpus, 0) AS n_corpus,
+       |  COALESCE(c.n_merged_components, 0) AS n_merged_components
+       |FROM batchc b LEFT JOIN corpusc c USING (label)
+       |ORDER BY cluster_id""".stripMargin
   }
 
   /** Leakage-safe train/val/test split: assign each DUP GROUP — a
@@ -1620,6 +1808,7 @@ object Dedup {
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
     Q("q_dedup_substrings", qDedupSubstrings, Some(qDedupSubstringsSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    Q("q_dedup_clusters_inc", qDedupClustersIncremental, Some(qDedupClustersIncrementalSql)),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallSql), headline = false),
     Q("q_dedup_simhash", qSimHash, None),

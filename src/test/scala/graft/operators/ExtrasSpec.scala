@@ -314,6 +314,24 @@ class ExtrasSpec extends SparkSpec {
     assert(got === expect.toMap)
   }
 
+  test("incremental cluster card equals the full-rebuild clustering on batch-containing clusters") {
+    // The one frozen degree of freedom (corpus-corpus edges at the index
+    // build's df cap) must be VACUOUS on this corpus: stitching the
+    // batch into the stored clustering yields exactly the clusters a
+    // from-scratch corpus+batch rebuild assigns wherever a batch doc is
+    // involved. (n_merged_components is incremental-only and not
+    // comparable.)
+    val full = Dedup.qDedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.groupBy(_._2).collect {
+      case (cid, ms) if ms.exists(_._1 % 5 == 4) =>
+        (cid, ms.count(_._1 % 5 == 4).toLong, ms.count(_._1 % 5 != 4).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.qDedupClustersIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("DP release reproduces the binomial-mechanism noise computed off-Spark") {
     // Third opinion: group sizes from plain Scala, noise from
     // MessageDigest md5 + Long.bitCount — no Spark expressions, no

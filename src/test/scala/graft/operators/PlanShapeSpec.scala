@@ -678,6 +678,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(rawScans === 1, s"expected exactly 1 raw embeddings scan (the batch), got $rawScans:\n$p")
   }
 
+  test("incremental clusters read the STORED corpus clustering, no cartesian") {
+    // the corpus pair graph must never be recomputed at query time: the
+    // corpus side of the final plan is the stored labels table (the
+    // batch-incident edge probe is checkpointed into the CC loop)
+    val p = plan(Dedup.qDedupClustersIncremental(spark, sfDir))
+    assert(p.contains("graft_inc_cc"), s"stored corpus clustering not in plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in incremental clusters:\n$p")
+  }
+
   test("trimmed stats: histogram windows stay event_type-partitioned; cut lookups broadcast") {
     val qe = Analytics.qTrimmedStats(spark, sfDir).queryExecution
     val windows = qe.optimizedPlan.collect {
