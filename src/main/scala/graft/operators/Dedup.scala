@@ -92,14 +92,21 @@ object Dedup {
 
   /** The tk/tri/capped/sizes CTE prefix (the shingle inverted index) —
     * shared by [[shinglePairsSqlCtes]] and the incremental oracle. */
-  private def shingleIndexSqlCtes: String = {
+  /** The tk/tri (doc -> distinct trigram shingles) CTE prefix — ONE
+    * definition for every shingle oracle, the incremental-cluster twin
+    * included, so the trigram rule cannot silently fork. */
+  private def triSqlCtes: String = {
     val t = TextOps.tokensSql
     s"""tk AS (SELECT doc_id, $t AS t FROM documents),
        |tri AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(1, len(t) - 1),
        |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
+       |  FROM tk WHERE len(t) >= 3)""".stripMargin
+  }
+
+  private def shingleIndexSqlCtes: String = {
+    s"""$triSqlCtes,
        |capped AS (
        |  SELECT * FROM tri
        |  WHERE sh IN (SELECT sh FROM tri GROUP BY sh HAVING count(*) <= 20)),
@@ -295,26 +302,6 @@ object Dedup {
     (shT, dfT, szT, fpT)
   }
 
-  /** Incremental batch admission — the daily-crawl refresh shape: dedup a
-    * NEW batch (doc_id ≡ 4 mod 5, a deterministic 20% slice) against the
-    * EXISTING corpus (the other 80%) without re-deduping the corpus
-    * itself. A new doc is dropped if it exact-matches a corpus
-    * fingerprint or is a near-dup (capped-shingle Jaccard ≥
-    * [[NearDupBar]]) of any corpus doc; intra-batch duplicates are NOT
-    * dropped here — that is the normal pipeline's job on the batch alone.
-    *
-    * The corpus side is a PRE-BUILT stored index
-    * ([[ensureIncrementalIndex]]): the probe never re-tokenizes or
-    * re-shingles the corpus, and every probe-time aggregate is keyed by
-    * batch shingles — daily compute is proportional to the BATCH, with
-    * corpus cost reduced to the bucketed index scan. The maxDF cap is
-    * defined over corpus+batch df exactly like the one-shot pipeline
-    * (`df_total = df_c + df_b ≤` [[IncMaxDF]]): stored corpus DF stats
-    * are combined with batch DF at probe time, and corpus-doc set sizes
-    * are adjusted by the (batch-vocabulary-bounded) knocked-out shingle
-    * counts — so admission decisions are IDENTICAL to recomputing from
-    * scratch. Same edge definition as [[qDedupApply]] — one admission bar
-    * across batch and incremental modes. */
   /** Batch-incident near-dup EDGES at the admission semantics, probing
     * the stored index: (corpus→batch edges, batch↔batch edges). Shared
     * by [[qDedupIncremental]] (which needs only the corpus-side drops)
@@ -377,6 +364,26 @@ object Dedup {
     (cb, bb)
   }
 
+  /** Incremental batch admission — the daily-crawl refresh shape: dedup a
+    * NEW batch (doc_id ≡ 4 mod 5, a deterministic 20% slice) against the
+    * EXISTING corpus (the other 80%) without re-deduping the corpus
+    * itself. A new doc is dropped if it exact-matches a corpus
+    * fingerprint or is a near-dup (capped-shingle Jaccard ≥
+    * [[NearDupBar]]) of any corpus doc; intra-batch duplicates are NOT
+    * dropped here — that is the normal pipeline's job on the batch alone.
+    *
+    * The corpus side is a PRE-BUILT stored index
+    * ([[ensureIncrementalIndex]]): the probe never re-tokenizes or
+    * re-shingles the corpus, and every probe-time aggregate is keyed by
+    * batch shingles — daily compute is proportional to the BATCH, with
+    * corpus cost reduced to the bucketed index scan. The maxDF cap is
+    * defined over corpus+batch df exactly like the one-shot pipeline
+    * (`df_total = df_c + df_b ≤` [[IncMaxDF]]): stored corpus DF stats
+    * are combined with batch DF at probe time, and corpus-doc set sizes
+    * are adjusted by the (batch-vocabulary-bounded) knocked-out shingle
+    * counts — so admission decisions are IDENTICAL to recomputing from
+    * scratch. Same edge definition as [[qDedupApply]] — one admission bar
+    * across batch and incremental modes. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, fpT) = ensureIncrementalIndex(s, d)
     val (cb, _) = incrementalEdges(s, d)
@@ -667,16 +674,20 @@ object Dedup {
     * Semantics, stated precisely: corpus-batch and batch-batch edges are
     * EXACT vs a full corpus+batch rebuild (see [[incrementalEdges]]);
     * corpus-CORPUS edges stay FROZEN at the index build's df_c-capped
-    * sets — a shingle the batch pushes over the cap could only REMOVE
-    * corpus-corpus edges in a rebuild, so incremental merges are
-    * conservative (never missed, possibly kept where a rebuild would
-    * unlink). That freeze is the production contract (FAISS-style
-    * build-once, rebuild-offline); the DuckDB twin replays the frozen
-    * semantics exactly, and the spec additionally checks the freeze is
-    * vacuous on this corpus. Output: one row per cluster CONTAINING a
-    * batch doc — (cluster_id = min doc id, batch members, corpus
-    * members, stored components absorbed). Edge-free batch docs (truly
-    * novel content) are not "clusters" and don't appear. */
+    * sets. The freeze cuts BOTH ways: a shingle the batch pushes over
+    * the cap shrinks both corpus sets in a rebuild, which can remove an
+    * edge (smaller intersection) OR add one (same intersection over a
+    * smaller union raises Jaccard) — so incremental clusters are
+    * neither a superset nor a subset of a rebuild's in general. The
+    * contract is simply "yesterday's index semantics hold until the
+    * offline rebuild" (FAISS-style build-once); the DuckDB twin replays
+    * the frozen semantics exactly, and the spec additionally checks the
+    * freeze is vacuous on this corpus. Output: one row per cluster
+    * CONTAINING a batch doc — (cluster_id = min doc id, batch members,
+    * corpus members, STORED components absorbed — corpus singletons
+    * joining a cluster count toward n_corpus but not toward
+    * n_merged_components). Edge-free batch docs (truly novel content)
+    * are not "clusters" and don't appear. */
   def qDedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
     val stored = s.table(ensureCorpusCc(s, d)) // (id, label)
     val (cb, bb) = incrementalEdges(s, d)
@@ -691,7 +702,9 @@ object Dedup {
       .groupBy("label")
       .agg(
         sum(coalesce(col("csz"), lit(1L))).as("n_corpus"),
-        count(lit(1)).as("n_merged_components"))
+        // only STORED components count as "merged" — a corpus singleton
+        // joining a cluster is new linkage, not an absorbed component
+        sum(when(col("csz").isNotNull, 1L).otherwise(0L)).as("n_merged_components"))
     superLabels
       .filter(isNewBatch(col("id")))
       .groupBy("label")
@@ -706,13 +719,7 @@ object Dedup {
   }
 
   private val qDedupClustersIncrementalSql = {
-    val t = TextOps.tokensSql
-    s"""WITH RECURSIVE tk AS (SELECT doc_id, $t AS t FROM documents),
-       |tri AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-       |  FROM tk WHERE len(t) >= 3),
+    s"""WITH RECURSIVE $triSqlCtes,
        |ctri AS (SELECT * FROM tri WHERE doc_id % 5 <> 4),
        |dfc AS (SELECT sh, count(*) AS df_c FROM ctri GROUP BY 1),
        |cidx AS (SELECT c.doc_id, c.sh FROM ctri c JOIN dfc USING (sh) WHERE df_c <= $IncMaxDF),
@@ -774,7 +781,8 @@ object Dedup {
        |cszl AS (SELECT label, count(*) AS csz FROM ccc GROUP BY 1),
        |corpusc AS (
        |  SELECT s.label, CAST(sum(COALESCE(cszl.csz, 1)) AS BIGINT) AS n_corpus,
-       |    count(*)::BIGINT AS n_merged_components
+       |    CAST(sum(CASE WHEN cszl.csz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_merged_components
        |  FROM scc s LEFT JOIN cszl ON cszl.label = s.id
        |  WHERE s.id % 5 <> 4 GROUP BY 1),
        |batchc AS (SELECT label, count(*)::BIGINT AS n_batch FROM scc WHERE id % 5 = 4 GROUP BY 1)

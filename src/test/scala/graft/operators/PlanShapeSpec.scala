@@ -678,13 +678,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(rawScans === 1, s"expected exactly 1 raw embeddings scan (the batch), got $rawScans:\n$p")
   }
 
-  test("incremental clusters read the STORED corpus clustering, no cartesian") {
-    // the corpus pair graph must never be recomputed at query time: the
-    // corpus side of the final plan is the stored labels table (the
-    // batch-incident edge probe is checkpointed into the CC loop)
+  test("incremental clusters: stored labels in the final plan, stored index in the probe plans") {
+    // two layers, because localCheckpoint erases the CC loop's inputs
+    // from the final plan: (1) the final aggregation reads the STORED
+    // corpus clustering; (2) the edge PROBES (inspected before any
+    // checkpoint) read the stored shingle index and never re-shingle
+    // the corpus — a corpus recompute would surface as a NOT(batch)
+    // filter over raw documents in the probe plans
     val p = plan(Dedup.qDedupClustersIncremental(spark, sfDir))
     assert(p.contains("graft_inc_cc"), s"stored corpus clustering not in plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in incremental clusters:\n$p")
+    val (cb, bb) = Dedup.incrementalEdges(spark, sfDir)
+    Seq("corpus-batch" -> plan(cb), "batch-batch" -> plan(bb)).foreach { case (what, ep) =>
+      assert(ep.contains("graft_inc_"), s"$what probe does not read the stored index:\n$ep")
+      assert(!ep.contains("NOT ((doc_id"),
+        s"$what probe re-derives the corpus side from raw documents:\n$ep")
+      assert(!ep.contains("CartesianProduct"), s"cartesian in $what probe:\n$ep")
+    }
+    spark.catalog.clearCache()
   }
 
   test("trimmed stats: histogram windows stay event_type-partitioned; cut lookups broadcast") {
