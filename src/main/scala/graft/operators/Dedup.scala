@@ -632,6 +632,65 @@ object Dedup {
        |FROM cc ORDER BY cluster_id, doc_id""".stripMargin
   }
 
+  /** Duplicate-mass distribution — the dedup data card: how many
+    * clusters of each size exist and how many documents they hold,
+    * including the size-1 row (docs in NO near-dup edge) so the doc
+    * column sums to the corpus. A pipeline reads this before choosing
+    * dedup aggressiveness: mass concentrated in big clusters means
+    * boilerplate/mirrors (safe to collapse); a long size-2 tail means
+    * paraphrase-level pairs where collapsing costs diversity. Reuses the
+    * SAME converged labels as [[qDedupClusters]]; the singleton row is
+    * corpus total − linked docs via two 1-row broadcast aggregates —
+    * no extra pass over documents beyond the count. */
+  def qClusterSizeHist(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabels(s, d)
+    val multi = labels
+      .groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_linked"))))
+      .select(
+        lit(1L).as("cluster_size"),
+        (col("n_total") - col("n_linked")).as("n_clusters"),
+        (col("n_total") - col("n_linked")).as("n_docs"))
+    singles.unionByName(multi).orderBy("cluster_size")
+  }
+
+  private val qClusterSizeHistSql =
+    s"""WITH RECURSIVE ${shinglePairsSqlCtes(minInter = 1)},
+       |edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |walk AS (
+       |  SELECT src AS id, src AS label FROM bi
+       |  UNION
+       |  SELECT bi.dst AS id, walk.label FROM walk JOIN bi ON bi.src = walk.id),
+       |cc AS (SELECT id, min(label) AS label FROM walk GROUP BY 1),
+       |cs AS (SELECT label, count(*) AS cluster_size FROM cc GROUP BY 1),
+       |multi AS (
+       |  SELECT cluster_size, count(*) AS n_clusters,
+       |    cluster_size * count(*) AS n_docs
+       |  FROM cs GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM documents),
+       |lnk AS (SELECT count(*) AS n_linked FROM cc)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(n_docs AS BIGINT) AS n_docs
+       |FROM (
+       |  SELECT 1 AS cluster_size, n_total - n_linked AS n_clusters,
+       |    n_total - n_linked AS n_docs FROM tot, lnk
+       |  UNION ALL SELECT cluster_size, n_clusters, n_docs FROM multi)
+       |ORDER BY cluster_size""".stripMargin
+
   /** Build-once stored clustering of the CORPUS slice: converged CC
     * labels over corpus-only near-dup edges at the stored index's
     * semantics (df_c-capped sets — [[ensureIncrementalIndex]]). This is
@@ -1817,6 +1876,8 @@ object Dedup {
     Q("q_dedup_substrings", qDedupSubstrings, Some(qDedupSubstringsSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     Q("q_dedup_clusters_inc", qDedupClustersIncremental, Some(qDedupClustersIncrementalSql)),
+    // same converged fixpoint as q_dedup_clusters — benchmarked there
+    Q("q_cluster_size_hist", qClusterSizeHist, Some(qClusterSizeHistSql), headline = false),
     Q("q_dedup_minhash_lsh", qMinHashLsh, None),
     Q("q_minhash_recall", qMinhashRecall, Some(qMinhashRecallSql), headline = false),
     Q("q_dedup_simhash", qSimHash, None),
