@@ -311,7 +311,16 @@ object Dedup {
     * corpus+batch run: the combined df cap (df_t ≤ maxDF) and the
     * knocked-out size adjustment reproduce the total-df-capped sets for
     * every batch-incident pair (df_t ≤ cap ⟹ df_c ≤ cap, so the stored
-    * index minus knocks IS the total-capped corpus set). */
+    * index minus knocks IS the total-capped corpus set).
+    *
+    * Cache lifecycle (CALLER-OWNED): batchSh/shStatus/cappedBatch back
+    * the RETURNED lazy frames, so this function cannot unpersist them —
+    * they must live until the caller's consuming action completes. The
+    * caller (or harness; Verify/Bench `clearCache()` per query) releases
+    * them afterwards. Storage does not accumulate across repeated daily
+    * probes in one session: the plans are deterministic in (session,
+    * dir), so `cache()` re-resolves to the SAME canonicalized
+    * InMemoryRelation rather than registering a fresh one. */
   private[operators] def incrementalEdges(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val (shT, dfT, szT, _) = ensureIncrementalIndex(s, d)
@@ -1743,6 +1752,42 @@ object Dedup {
   private val SemMinCells = 16
   private val SemTargetCell = 512
   private val SemBar = 0.3
+  private val SemCentChunk = 65536
+
+  /** Join-based nearest-centroid assignment: cell = argmax over the
+    * centroid TABLE of (cos, -cid) — data flowing through a join, never a
+    * driver collect or a codegen literal. The centroid set is sliced into
+    * cid-range chunks; each chunk is rolled into a ONE-ROW array-of-struct
+    * aggregate, broadcast, crossJoined (fan-out exactly 1 per corpus row),
+    * and folded into a running best via `transform` + `array_max` — the
+    * same (cos, -cid) struct-max [[Similarity.nearestCell]] uses, so the
+    * row_number(ORDER BY cos DESC, cid)=1 oracle tie-break is preserved
+    * bit-for-bit. The whole assignment is map-only (a chain of 1-row
+    * broadcast joins, no shuffle), driver memory is O(1), and plan size is
+    * O(k / chunk) — at k = 2M centroids that is 31 chunk joins of ≤16 MB
+    * each, where the old literal chain was a multi-GB collect plus
+    * generated code past the JVM 64 KB method limit. */
+  private[graft] def assignCells(e: DataFrame, k: Long, chunk: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val nChunks = ((k + chunk - 1) / chunk).toInt
+    val withBest = (0 until nChunks).foldLeft(e) { (acc, i) =>
+      val part = cents
+        .filter(col("cid") >= i.toLong * chunk && col("cid") < (i + 1).toLong * chunk)
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val chunkBest = array_max(transform(col("cents"), c =>
+        struct(
+          graft.functions.NativeExprs.cosineSim(col("v"), c.getField("cv")).as("cos"),
+          (-c.getField("cid")).as("negid"))))
+      val folded =
+        if (i == 0) chunkBest
+        else array_max(array(col("best"), chunkBest))
+      acc.crossJoin(broadcast(part)).withColumn("best", folded).drop("cents")
+    }
+    withBest
+      .withColumn("cell", (-col("best").getField("negid")).cast("long"))
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
 
   /** SEMANTIC dedup, SemDeDup-shaped (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, call two documents
@@ -1765,21 +1810,25 @@ object Dedup {
     * identical downstream plumbing. Component canonicalization reuses
     * the [[ccLabelsFrom]] min-label fixpoint — within-cell duplicate
     * components are dense, so O(diameter) rounds is the right CC
-    * variant. At test SFs k stays 16, so results are SF-stable. */
-  def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    * variant. At test SFs k stays 16, so results are SF-stable.
+    *
+    * Assignment is the join-based [[assignCells]] — k adapts to the
+    * corpus, so unlike the fixed-k=16 IVF queries it must NOT collect
+    * centroids to the driver or embed them as literals (k ≈ 2M at 10⁹
+    * vectors would be a multi-GB collect and uncompilable codegen). */
+  def qSemDedup(s: SparkSession, d: String): DataFrame =
+    semDedupImpl(s, d, SemTargetCell, SemCentChunk)
+
+  /** targetCell / centChunk parameterized so specs can force k >
+    * SemMinCells and multiple centroid chunks on a small corpus. */
+  private[graft] def semDedupImpl(
+      s: SparkSession, d: String, targetCell: Int, centChunk: Int): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
     val n = e.count()
-    val k = math.max(SemMinCells, ((n + SemTargetCell - 1) / SemTargetCell).toInt)
-    val cents: Array[(Int, Seq[Double])] = e
-      .filter(col("vec_id") < k)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
+    val k = math.max(SemMinCells.toLong, (n + targetCell - 1) / targetCell)
     // cached: read by both sides of the edge self-join and the survivor
     // anti-join; the harness clearCache()s after each query
-    val assigned = e
-      .withColumn("cell", Similarity.nearestCell(cents, col("v")).cast("long"))
-      .cache()
+    val assigned = assignCells(e, k, centChunk).cache()
     val edges = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -707,8 +707,10 @@ object Relational {
     * product. The emitted ratio is ppm OFFSET BY +10⁶:
     * r_ppm1m = (num+den)·10⁶ div den ∈ [0, 2·10⁶] — num ≥ −den by
     * Cauchy–Schwarz, so the dividend is non-negative and Spark's
-    * truncating `div` equals DuckDB's flooring `//` (they diverge on
-    * negatives; the offset removes negatives by construction).
+    * truncating `div` equals DuckDB's `//` (measured: `//` also
+    * truncates toward zero, -7//2 = -3 — see Similarity's PCA note — so
+    * the two agree on negatives too; the offset keeps the dividend
+    * non-negative anyway as belt-and-suspenders).
     * Precision bound: den·10⁶ ≤ 38 digits requires c·n_hour ≲ 10¹⁴ —
     * same envelope as [[qAnomalyHours]], documented there.
     *
@@ -1551,9 +1553,10 @@ object Relational {
     * segment, the group count, the attained k (min group size), and how
     * many groups/rows fall below the bar. The balance bucket is computed
     * on exact cents OFFSET to non-negative (min balance −999.99 ⇒
-    * cents+10⁵ ≥ 1) so Spark's truncating `div` and DuckDB's flooring
-    * `//` agree — never integer-divide a possibly-negative number in
-    * compared output. Scale: one shuffle on the QI triple with map-side
+    * cents+10⁵ ≥ 1). DuckDB's `//` measurably truncates toward zero like
+    * Spark's `div` (-7//2 = -3), so they agree on negatives too; the
+    * offset is belt-and-suspenders against either engine changing its
+    * negative-division convention. Scale: one shuffle on the QI triple with map-side
     * combine, then a second tiny agg over group counts. */
   def qKAnonymity(s: SparkSession, d: String): DataFrame = {
     val k = 5
@@ -1696,8 +1699,9 @@ object Relational {
     *     = Σ_{v∈group} (|c_vg·N − C_v·n_g| − C_v·n_g) + N·n_g
     * (absent values contribute C_v·n_g, and Σ_domain C_v = N), so the sum
     * runs only over PRESENT (group, value) rows. tvd_ppm = that sum
-    * ·10⁶ div (2·n_g·N) — non-negative throughout, so Spark's truncating
-    * `div` and DuckDB's flooring `//` agree. Products are widened to
+    * ·10⁶ div (2·n_g·N) — non-negative throughout (and DuckDB's `//`
+    * truncates toward zero exactly like Spark's `div` even on negatives;
+    * measured, see Similarity's PCA note). Products are widened to
     * DECIMAL(38,0): c_vg·N wraps BIGINT once both factors pass ~3·10⁹
     * (the q_anomaly_hours lesson — overflow must fail loudly or be
     * impossible, never silent).

@@ -759,7 +759,8 @@ object TextOps {
     * not be graded on the dominant language's scale.
     *
     * Per-doc metric: avg_ppm = score_sum_ppm div n_trigrams (both
-    * non-negative, so Spark's truncating div == DuckDB's flooring //).
+    * non-negative; DuckDB's // matches Spark's div by truncating toward
+    * zero even on negatives — measured, see Similarity's PCA note).
     * Tertile boundaries use the exact value-histogram rank rule (the
     * [[Relational.qPercentileHist]] machinery — shuffles carry distinct
     * values, never rows): b_k = min value whose cumulative count reaches
@@ -771,7 +772,11 @@ object TextOps {
     * bucket stage adds one histogram groupBy on (lang, avg_ppm) and a
     * broadcast-size boundary join. The scored per-doc table is cached —
     * it feeds both the boundary computation and the final classification,
-    * and re-deriving it would re-run the whole scoring join chain. */
+    * and re-deriving it would re-run the whole scoring join chain. The
+    * cache backs the RETURNED lazy frame, so its lifecycle is
+    * caller-owned (Verify/Bench `clearCache()` per query); repeat calls
+    * in one session re-resolve to the same canonicalized
+    * InMemoryRelation, so storage does not accumulate. */
   def qPplBuckets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val av = lmDocScores(s, d)

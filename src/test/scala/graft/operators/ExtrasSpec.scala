@@ -1597,4 +1597,92 @@ class ExtrasSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(1) === kanon(r.getString(0)),
       s"${r.getString(0)}: t-closeness and k-anonymity disagree on n_groups"))
   }
+
+  test("semantic dedup at forced k>16 / multi-chunk assignment stays literal-free") {
+    // The 100 TB claim for qSemDedup: k adapts to the corpus, so the
+    // centroid assignment must be a JOIN against centroid data, not a
+    // driver collect + codegen literal chain. This forces both failure
+    // modes the old shape had: k > SemMinCells (targetCell=4 → k=30 on a
+    // 120-vector corpus) and k > one chunk (centChunk=8 → 4 chunk joins),
+    // and cross-checks the full query against an in-JVM union-find truth.
+    val dim = 4
+    val nv = 120
+    // 3 well-separated directions + deterministic jitter → real dup pairs
+    def vecOf(id: Long): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      val g = (id % 3).toInt
+      a(g) = 1.0f
+      a((g + 1) % dim) = (0.05 * ((id / 3) % 5)).toFloat
+      a(3) = (0.01 * (id % 7)).toFloat
+      a
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semk-").toString
+    locally {
+      import spark.implicits._
+      (0L until nv).map(id => (id, vecOf(id).toSeq)).toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    // in-JVM truth, mirroring CosineSim's accumulation order on the
+    // float-rounded values the query actually reads
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = (0L until nv).map(id => id -> vecOf(id))
+    val k = math.max(16, (nv + 3) / 4) // targetCell = 4
+    assert(k == 30, "spec must force k beyond SemMinCells")
+    val cents = vecs.filter(_._1 < k)
+    def cellOf(v: Array[Float]): Long = {
+      var best = -1L; var bestCos = Double.NegativeInfinity
+      for ((cid, cv) <- cents) {
+        val c = cos(cv, v)
+        if (c > bestCos || (c == bestCos && (best < 0 || cid < best))) {
+          bestCos = c; best = cid
+        }
+      }
+      best
+    }
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }.toMap
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r
+    }
+    for {
+      i <- vecs.indices; j <- (i + 1) until nv
+      if cells(vecs(i)._1) == cells(vecs(j)._1)
+      if math.floor(cos(vecs(i)._2, vecs(j)._2) * 1e6 + 0.5) / 1e6 >= 0.3
+    } {
+      val (ra, rb) = (find(vecs(i)._1), find(vecs(j)._1))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = vecs.map(_._1).filter(id => find(id) == id)
+      .map(id => (id, cells(id))).toSet
+    assert(expected.size < nv, "no semantic duplicates planted — test is vacuous")
+
+    val got = Dedup.semDedupImpl(spark, tmp, 4, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"forced-k semantic dedup diverges: ${got.size} kept vs ${expected.size}")
+
+    // chunk structure: exactly ceil(30/8)=4 one-row broadcast joins, and
+    // the join count is the ONLY thing that grows with k — plan size at
+    // k=30 vs k=16 (same single-chunk config) stays flat where a literal
+    // chain would grow by ~14 × dim embedded vectors
+    val e = graft.Tables.embeddings(spark, tmp)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // AQE prints Final + Initial copies of the same tree — count in the
+    // final-plan section only
+    val pChunked = Dedup.assignCells(e, 30, 8)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pChunked).size == 4,
+      s"expected 4 centroid-chunk joins:\n$pChunked")
+    val p16 = Dedup.assignCells(e, 16, 65536).queryExecution.executedPlan.toString
+    val p30 = Dedup.assignCells(e, 30, 65536).queryExecution.executedPlan.toString
+    assert(math.abs(p30.length - p16.length) < 200,
+      s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
+  }
 }

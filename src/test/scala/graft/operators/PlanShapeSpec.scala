@@ -537,10 +537,16 @@ class PlanShapeSpec extends SparkSpec {
     // The SemDeDup scale claim: pairwise work is blocked by the cluster
     // cell, so the candidate join must key on `cell` (hash or sort-merge
     // equi-join) and never degenerate to a cartesian / nested-loop over
-    // the corpus.
+    // the corpus. The ONE nested-loop join allowed is the centroid
+    // assignment's 1-row broadcast-array crossJoin (fan-out exactly 1 per
+    // corpus row) — at test SF k=16 fits a single chunk, so exactly one.
     val p = plan(Dedup.qSemDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"cartesian appeared:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join appeared:\n$p")
+    // AQE prints Final + Initial copies — count in the final section only
+    val bnlj = "BroadcastNestedLoopJoin".r
+      .findAllIn(p.split("== Initial Plan ==").head).size
+    assert(bnlj == 1,
+      s"expected exactly the 1-row centroid crossJoin, saw $bnlj nested-loop joins:\n$p")
     assert(p.contains("cell"), s"cell blocking key missing from the plan:\n$p")
   }
 
