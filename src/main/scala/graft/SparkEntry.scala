@@ -30,8 +30,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-/plane-dependent sketches
     * (q_dedup_minhash_lsh, q_dedup_simhash, q_dedup_embedding_lsh,
     * q_sim_ann_lsh, q_sim_bucketed_pairs), the k-means/PQ-fit indexes
-    * (q_sim_ivf_kmeans, q_sim_pq, q_sim_ivfpq) and the raw approx
-    * sketches (q_approx_distinct, q_approx_percentiles) → driver records
+    * (q_sim_ivf_kmeans, q_sim_pq, q_sim_ivfpq), the raw approx
+    * sketches (q_approx_distinct, q_approx_percentiles), and
+    * q_bpe_train_full (32k-round trainer — its 8-rule prefix is
+    * hash-gated through q_bpe_train's unrolled-CTE oracle and the
+    * agreement spec pins the rest) → driver records
     * a rows-only check; their correctness oracles are the
     * planted-ground-truth / recall ScalaTest specs in SketchSpec PLUS
     * the oracle-gated companion rows (q_minhash_recall,

@@ -730,26 +730,19 @@ object Analytics {
     val edges = und
       .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
       .localCheckpoint()
-    var cur = edges.select(col("ia").as("node")).distinct().localCheckpoint()
-    var n = cur.count()
-    var round = 0
-    var converged = false
-    while (!converged && round < KcoreMaxRounds) {
-      round += 1
-      val alive = edges
-        .join(cur, col("ia") === col("node"), "leftsemi")
-        .join(cur.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")
-      val next = alive
+    val cur0 = edges.select(col("ia").as("node")).distinct()
+    val cur = Iterate.fixpoint(cur0, KcoreMaxRounds) { (curr, _) =>
+      edges
+        .join(curr, col("ia") === col("node"), "leftsemi")
+        .join(curr.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")
         .groupBy("ia")
         .agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= KcoreK)
         .select(col("ia").as("node"))
-        .localCheckpoint()
-      val m = next.count()
-      converged = m == n
-      cur = next
-      n = m
-    }
+    } { (prev, next) =>
+      // peeling only shrinks: progress = how many nodes this round shed
+      prev.count() - next.count()
+    }.state
     val core = edges
       .join(cur, col("ia") === col("node"), "leftsemi")
       .join(cur.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")

@@ -46,6 +46,56 @@ object Dedup {
     sh.join(rare.select("sh"), "sh")
   }
 
+  private val AdaptiveCapFloor = 4
+
+  /** [[cappedShingles]] with the cap DERIVED from the corpus: cap =
+    * max([[AdaptiveCapFloor]], exact median df over shingle TYPES) by the
+    * value-histogram rank rule (smallest df whose cumulative type count
+    * reaches half the types — the [[Relational.qPercentileHist]]
+    * machinery, so the DuckDB twin replays it exactly). A fixed cap is
+    * the wrong knob across corpora: far below the typical df it empties
+    * the sets, far above it lets hot-shingle posting lists quadratically
+    * dominate the candidate join (a df-d shingle contributes d² cooc
+    * rows). Pinning to the type median keeps posting lists ≤ the
+    * distribution's own midpoint however the corpus is shaped. The
+    * histogram groupBy carries one row per DISTINCT df value (≪ types);
+    * its cumulative window is over that tiny table, and the 1-row cap
+    * broadcasts back into the filter — no corpus-scale window anywhere. */
+  private[operators] def cappedShinglesAdaptive(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val hist = dfs.groupBy("df").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("df")))
+    val cap = cum.crossJoin(broadcast(hist.agg(sum("cnt").as("total"))))
+      .agg(greatest(
+        lit(AdaptiveCapFloor.toLong),
+        min(when(col("cum") * 2 >= col("total"), col("df")))).as("cap"))
+    sh.join(dfs, "sh")
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("cap"))
+      .select("doc_id", "sh")
+  }
+
+  /** Oracle CTEs for the adaptive cap — tri → df table → df HISTOGRAM →
+    * rank-rule median (floored) → capped/sizes, mirroring
+    * [[cappedShinglesAdaptive]] term for term. */
+  private def adaptiveIndexSqlCtes: String =
+    s"""$triSqlCtes,
+       |adfs AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+       |dfhist AS (SELECT df, count(*) AS cnt FROM adfs GROUP BY df),
+       |dcap AS (
+       |  SELECT greatest($AdaptiveCapFloor, min(df)) AS cap FROM (
+       |    SELECT df, sum(cnt) OVER (ORDER BY df) AS cum, sum(cnt) OVER () AS total
+       |    FROM dfhist)
+       |  WHERE cum * 2 >= total),
+       |capped AS (
+       |  SELECT t.doc_id, t.sh FROM tri t JOIN adfs USING (sh)
+       |  WHERE df <= (SELECT cap FROM dcap)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id)""".stripMargin
+
   /** Shared candidate machinery over the capped-shingle inverted index:
     * `capped` (cached — every caller reads it at least twice; the
     * harness clearCache()s per query), per-doc shingle-set `sizes`, and
@@ -458,6 +508,11 @@ object Dedup {
     * [[qSplitLeakageSafe]] feeds it the near-dup ∪ exact-dup union. Only
     * ids that appear in an edge get a row; singletons coalesce to their
     * own id at the call site. */
+  /** Backstop only — min-label needs O(component diameter) rounds and
+    * near-dup components are diameter ~2; a graph that legitimately
+    * needs more than this belongs on [[ccLabelsStarFrom]]. */
+  private val CcMaxRounds = 1000
+
   private[operators] def ccLabelsFrom(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("da", "db")
     // undirected: propagate both ways; materialized once, read every round
@@ -465,28 +520,24 @@ object Dedup {
       .union(p.select(col("db"), col("da")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges
+    val labels0 = edges
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    Iterate.fixpoint(labels0, CcMaxRounds) { (labels, _) =>
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nb_min"))
-      val next = labels
+      labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
+    } { (prev, next) =>
+      next
+        .join(prev.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .count()
-      labels = next
-    }
-    labels
+    }.state
   }
 
   /** Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris
@@ -519,11 +570,8 @@ object Dedup {
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
-    var edges = canon(pairs.toDF("a", "b").filter(col("a") =!= col("b"))).localCheckpoint()
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
-      rounds += 1
+    val edges0 = canon(pairs.toDF("a", "b").filter(col("a") =!= col("b")))
+    val fp = Iterate.fixpoint(edges0, CcMaxRounds) { (edges, _) =>
       // large-star over the bidirectional neighborhood view
       val bidir = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         .toDF("u", "v")
@@ -543,10 +591,11 @@ object Dedup {
         .select(col("m"), explode(array(col("v"), col("u"))).as("x"))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b"))
-      val next = canon(small).localCheckpoint()
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
-      edges = next
+      canon(small)
+    } { (prev, next) =>
+      next.exceptAll(prev).count() + prev.exceptAll(next).count()
     }
+    val (edges, rounds) = (fp.state, fp.rounds)
     // converged stars, canonicalized (a = least): a is the component
     // minimum on every edge
     val starLabels = edges.select(col("a").as("id"), col("a").as("label"))
@@ -1311,19 +1360,21 @@ object Dedup {
     * J < t), so the candidate set is exact, and it is much smaller than
     * the full-index join's: prefixes are short AND skewed toward rare
     * shingles with tiny posting lists, and PPJoin's size + positional
-    * filters prune per co-occurrence row before any pair materializes
-    * (measured at sf0.1: 189k candidate pairs after filters vs 1.12M
-    * from the full capped index — 5.9×; the win grows wherever the df
-    * cap must be loosened, since prefix rarity bounds hot-shingle
-    * fan-out that an uncapped index can't). Candidates are
-    * then verified with
-    * the exact capped-set Jaccard — same threshold and shingle
-    * definition as [[nearDupEdges]], so the oracle is the existing
-    * inverted-index CTE machinery: two different candidate generators
-    * must produce the identical pair set. The spec additionally pins
-    * candidates(prefix) < candidates(full index). */
+    * filters prune per co-occurrence row before any pair materializes.
+    * The stop-shingle cap is the ADAPTIVE type-median rule
+    * ([[cappedShinglesAdaptive]]) rather than a fixed df ≤ 20: a df-d
+    * shingle contributes d² co-occurrence rows, so on corpora whose df
+    * distribution sits well below a fixed cap (this synthetic
+    * 31-word-vocabulary corpus: median df 9 vs cap 20) the fixed cap
+    * admits 4-5× the candidate mass the distribution's own midpoint
+    * would. Candidates are then verified with the exact capped-set
+    * Jaccard at the same threshold and shingle definition as
+    * [[nearDupEdges]]; the oracle twin derives the identical cap from
+    * the identical histogram-rank rule, and the spec pins the
+    * generator-equality property (prefix candidates ≡ full-index edges
+    * at the SAME cap) plus candidates(prefix) < candidates(full). */
   def qPrefixJaccard(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedShingles(s, d, maxDF = 20).cache()
+    val capped = cappedShinglesAdaptive(s, d).cache()
     val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
     // cached: BOTH sides of the self-join read it, and the window stage
     // (global-rarity ranking) is the expensive part of building it
@@ -1388,7 +1439,11 @@ object Dedup {
   }
 
   private val qPrefixJaccardSql =
-    s"""WITH ${shinglePairsSqlCtes(minInter = 1)}
+    s"""WITH $adaptiveIndexSqlCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
        |SELECT da, db,
        |  floor((inter / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
        |FROM pairs

@@ -422,13 +422,13 @@ object TextOps {
     // filter the zero-width-split artifacts (Spark split keeps trailing
     // empty strings at limit -1) — a phantom '' symbol would corrupt
     // every pair count
-    var types = types0
+    val start = types0
       .select(col("freq"), expr("filter(split(w, ''), x -> x <> '')").as("syms"))
-      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 1
-    var done = false
-    while (r <= rounds && !done) {
+    // the per-round 1-row argmax collect IS the merge rule (driver state
+    // by definition); `exhausted` routes its emptiness into the probe
+    var exhausted = false
+    Iterate.fixpoint(start, rounds) { (types, r) =>
       val top = types
         .filter(size(col("syms")) >= 2)
         .select(
@@ -441,17 +441,127 @@ object TextOps {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
-      if (top.isEmpty) done = true
+      if (top.isEmpty) { exhausted = true; types }
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r.toLong, a, b, cnt))
-        types = types
-          .select(col("freq"), mergePass("syms", a, b).as("syms"))
-          .localCheckpoint() // truncate the per-round lineage
-        r += 1
+        merges += ((r + 1L, a, b, cnt))
+        types.select(col("freq"), mergePass("syms", a, b).as("syms"))
+      }
+    } { (_, _) => if (exhausted) 0L else 1L }
+    merges.toSeq
+  }
+
+  private val BpeFullMerges = 32768
+  private val BpeMaxTrainTypes = 65536
+
+  /** In-JVM greedy merge pass — the reference semantics [[mergePass]]'s
+    * HOF fold mirrors; shared by the collected trainer and specs. */
+  private[operators] def mergePassJvm(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (x <- syms) {
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toArray
+  }
+
+  /** REALISTIC-depth BPE trainer: the merge loop runs in-JVM over the
+    * COLLECTED vocabulary with incrementally-maintained pair counts, so
+    * 32k merges cost 32k cheap map updates instead of 32k Spark jobs
+    * ([[bpeTrainFrom]]'s one-job-per-round shape is the right spec
+    * cross-check but caps out at demo round counts). This is the
+    * standard distributed-BPE architecture (subword-nmt / SentencePiece
+    * trainers): the CORPUS-scale work — the wordcount building the type
+    * table — stays distributed; the merge loop touches only the bounded
+    * type table. Tie-break identical to [[bpeTrainFrom]]: (cnt DESC,
+    * a ASC, b ASC).
+    *
+    * Incremental maintenance: global pair→count map plus a pair→word-set
+    * index; a merge reprocesses only the words CONTAINING the winning
+    * pair (subtract their pair contributions, run the merge pass, re-add)
+    * — the index is maintained lazily (membership re-checked at merge
+    * time), which keeps updates O(affected words × word length). The
+    * per-round argmax is a linear scan of the live pair map — fine to
+    * ~10⁵ pairs × 32k rounds; a production trainer at larger vocabularies
+    * would sit a heap over it (same semantics, pure optimization). */
+  private[operators] def bpeTrainCollected(
+      types0: Array[(String, Long)], maxRounds: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val freqs = types0.map(_._2)
+    val words: Array[Array[String]] =
+      types0.map(_._1.toCharArray.map(_.toString))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(i: Int, sign: Long): Unit = {
+      val syms = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) occurs.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
       }
     }
+    def containsPair(syms: Array[String], a: String, b: String): Boolean = {
+      var j = 0
+      while (j < syms.length - 1) {
+        if (syms(j) == a && syms(j + 1) == b) return true
+        j += 1
+      }
+      false
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    while (r <= maxRounds && counts.nonEmpty) {
+      var bp: (String, String) = null
+      var bc = Long.MinValue
+      for ((p, c) <- counts)
+        if (c > bc || (c == bc &&
+            (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) { bp = p; bc = c }
+      val (a, b) = bp
+      merges += ((r.toLong, a, b, bc))
+      // occurs is LAZY (stale word ids survive un-merges), so re-check
+      // membership before paying the reprocess
+      for (i <- occurs.getOrElse(bp, mutable.BitSet.empty))
+        if (containsPair(words(i), a, b)) {
+          addWord(i, -1L)
+          words(i) = mergePassJvm(words(i), a, b)
+          addWord(i, 1L)
+        }
+      occurs.remove(bp)
+      r += 1
+    }
     merges.toSeq
+  }
+
+  /** BPE training at PRODUCTION merge depth (32k rounds): distributed
+    * type-table build (the only corpus-scale work — one combiner-backed
+    * wordcount), then the [[bpeTrainCollected]] in-JVM merge loop. The
+    * driver pull is explicitly bounded to the [[BpeMaxTrainTypes]] =
+    * 64k most frequent types ((freq DESC, w) — deterministic), the
+    * standard trainer truncation (rare types carry negligible pair mass
+    * and real trainers min-freq/cap them anyway); this keeps the pull
+    * inside SCALE.md's ≤64k-row driver policy at ANY corpus size. Runs
+    * to pair exhaustion when the vocabulary supports fewer than 32k
+    * merges. First [[BpeMerges]] rules provably equal [[qBpeTrain]]'s
+    * (agreement spec) — deterministic but loop-carried, so no SQL
+    * oracle at this depth; the 8-round prefix is hash-gated through
+    * q_bpe_train's unrolled-CTE oracle. */
+  def qBpeTrainFull(s: SparkSession, d: String): DataFrame = {
+    val types = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(BpeMaxTrainTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeTrainCollected(types, BpeFullMerges)
+    import s.implicits._
+    merges.toDF("rank", "left_sym", "right_sym", "cnt").orderBy("rank")
   }
 
   /** BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
@@ -464,10 +574,10 @@ object TextOps {
     * arrays with [[mergePass]]. At 100 TB that's ~1e7 type rows per
     * round against ~1e12 corpus tokens — the loop never rescans the
     * corpus, which is what makes distributed BPE training tractable.
-    * Iterative data-dependent argmax → not SQL-expressible as one query;
-    * correctness is pinned by an independent in-JVM reference
-    * implementation on the real corpus plus a planted-vocabulary spec
-    * with hand-computable merges (ExtrasSpec). */
+    * Oracle: the fixed round count lets the iterative argmax UNROLL into
+    * chained CTEs ([[bpeCtesSql]]) — a full independent DuckDB replay,
+    * so the merge table is hash-gated end to end; ExtrasSpec adds the
+    * planted-vocabulary spec with hand-computable merges. */
   def qBpeTrain(s: SparkSession, d: String): DataFrame = {
     val types0 = Tables.documents(s, d)
       .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
@@ -487,9 +597,10 @@ object TextOps {
     * tiny passes over distinct types, never the corpus), and the
     * resulting word → piece-count map BROADCASTS to the corpus token
     * stream (plan-guarded) — the 1e12-token stream is scanned once and
-    * never shuffles for the join. Iterative data-dependent merges → no
-    * SQL oracle; ExtrasSpec recomputes the whole pipeline in-JVM
-    * (independent merge/apply code) and checks exact equality. */
+    * never shuffles for the join. Oracle: the unrolled-round DuckDB
+    * replay ([[bpeCtesSql]]) carries the fertility aggregation too, so
+    * this is hash-gated; ExtrasSpec additionally recomputes the whole
+    * pipeline in-JVM (independent merge/apply code). */
   def qBpeApply(s: SparkSession, d: String): DataFrame = {
     val types0 = Tables.documents(s, d)
       .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
@@ -512,6 +623,65 @@ object TextOps {
       .withColumn("fertility_ppm", expr("n_subtokens * 1000000 div n_words"))
       .orderBy("source")
   }
+
+  /** One DuckDB merge round r: argmax pair over the round-(r−1) type
+    * table (same (cnt DESC, a, b) tie-break as [[bpeTrainFrom]]), then
+    * the greedy left-to-right merge pass as a `list_reduce` fold.
+    * DuckDB's `list_reduce` has no initial-accumulator form — it seeds
+    * with the first element — so symbols are wrapped `[s]` first: the
+    * seed `[s1]` is exactly what an empty-init fold would produce after
+    * its first step (out empty → append). Slicing is 1-based INCLUSIVE
+    * (`acc[:-1]` keeps the last element!), hence `acc[:len(acc)-1]`. */
+  private def bpeMergeRoundSql(r: Int): String = {
+    val prev = s"t${r - 1}"
+    s"""pc$r AS (
+       |  SELECT p['a'] AS a, p['b'] AS b, sum(freq)::BIGINT AS cnt
+       |  FROM (SELECT freq,
+       |          unnest(list_transform(range(1, len(syms)),
+       |                 i -> {'a': syms[i], 'b': syms[i+1]})) AS p
+       |        FROM $prev WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2),
+       |m$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |t$r AS (
+       |  SELECT w, freq,
+       |    list_reduce(list_transform(syms, s -> [s]),
+       |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.a AND x[1] = m.b
+       |                  THEN acc[:len(acc)-1] || [m.a || m.b] ELSE acc || x END) AS syms
+       |  FROM $prev CROSS JOIN m$r m)""".stripMargin
+  }
+
+  /** Shared CTE chain for both BPE oracles: vocabulary build + char
+    * split + [[BpeMerges]] unrolled merge rounds. The unroll is what
+    * makes iterative BPE SQL-expressible without recursion: the round
+    * count is a compile-time constant, so each round is a plain CTE
+    * referencing the previous one — a genuinely independent replay
+    * (list_reduce fold vs Spark's `aggregate` HOF, DuckDB wordcount vs
+    * the combiner wordcount) that hash-gates the whole training loop. */
+  private def bpeCtesSql: String =
+    s"""vocab AS (
+       |  SELECT w, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+       |t0 AS (SELECT w, freq,
+       |         list_filter(string_split(w, ''), x -> x <> '') AS syms
+       |       FROM vocab),
+       |${(1 to BpeMerges).map(bpeMergeRoundSql).mkString(",\n")}""".stripMargin
+
+  private val qBpeTrainSql: String =
+    s"""WITH $bpeCtesSql
+       |SELECT * FROM (
+       |  ${(1 to BpeMerges)
+            .map(r => s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, cnt FROM m$r")
+            .mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
+  private val qBpeApplySql: String =
+    s"""WITH $bpeCtesSql,
+       |wp AS (SELECT w, len(syms)::BIGINT AS n_sub FROM t$BpeMerges),
+       |stream AS (SELECT source, unnest($tokensSql) AS w FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_words, sum(n_sub)::BIGINT AS n_subtokens,
+       |  (sum(n_sub)::BIGINT * 1000000) // count(*)::BIGINT AS fertility_ppm
+       |FROM stream JOIN wp USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Distributed BPE-style pair counting — the inner statistic of one
     * byte-pair-encoding tokenizer-training merge round: count adjacent
@@ -1028,19 +1198,15 @@ object TextOps {
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    var r = deg.select(col("src").as("node"), lit(1000000L).as("r")).localCheckpoint()
-    var it = 0
-    var moved = 1L
-    while (moved > 0 && it < PrMaxIters) {
-      val next = prStep(edges, deg, r).localCheckpoint()
-      moved = next
-        .join(r.withColumnRenamed("r", "prev"), "node")
+    val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    Iterate.fixpoint(r0, PrMaxIters) { (r, _) =>
+      prStep(edges, deg, r)
+    } { (prev, next) =>
+      next
+        .join(prev.withColumnRenamed("r", "prev"), "node")
         .filter(abs(col("r") - col("prev")) > PrTolMicro)
         .count()
-      r = next
-      it += 1
-    }
-    r.orderBy(col("r").desc, col("node"))
+    }.state.orderBy(col("r").desc, col("node"))
   }
 
   private val qPagerankSql =
@@ -1229,24 +1395,22 @@ object TextOps {
     * (src, dst), `seed` (node, lvl=0) rows. Returns (node, lvl) for
     * every node reachable within [[BfsMaxDepth]]. */
   private[operators] def bfsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
-    var visited = seed.localCheckpoint()
-    var frontier = visited
-    var lvl = 0L
-    var frontierSize = frontier.count()
-    while (frontierSize > 0 && lvl < BfsMaxDepth) {
-      lvl += 1
-      val next = frontier
+    // state = visited (node, lvl); round r expands the lvl == r frontier,
+    // so no separate frontier variable needs threading through the loop
+    Iterate.fixpoint(seed, BfsMaxDepth.toInt) { (visited, round) =>
+      val next = visited
+        .filter(col("lvl") === round.toLong)
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"))
         .distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("lvl", lit(lvl))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
-      frontier = next
-      frontierSize = next.count()
-    }
-    visited
+        .withColumn("lvl", lit(round + 1L))
+      visited.union(next)
+    } { (prev, next) =>
+      // progress = frontier emptiness: both frames are materialized
+      // checkpoints, so the two counts are metadata-cheap
+      next.count() - prev.count()
+    }.state
   }
 
   private val qBfsLevelsSql =
@@ -1926,8 +2090,9 @@ object TextOps {
     Q("q_pii_redact", qPiiRedact, Some(qPiiRedactSql)),
     Q("q_tfidf", qTfidf, Some(qTfidfSql)),
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
-    Q("q_bpe_train", qBpeTrain, None),
-    Q("q_bpe_apply", qBpeApply, None),
+    Q("q_bpe_train", qBpeTrain, Some(qBpeTrainSql)),
+    Q("q_bpe_train_full", qBpeTrainFull, None),
+    Q("q_bpe_apply", qBpeApply, Some(qBpeApplySql)),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),

@@ -12,8 +12,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -142,9 +143,10 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead wit
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    new KvScanBuilder(path, KvScanBuilder.maxFilesPerTrigger(options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info)
 }
@@ -170,7 +172,14 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead wit
   * split records on read-back). Line rule is the
   * engine sink's `concat_ws(" ", key, value)` (an empty value writes a
   * trailing space; values with LEADING whitespace are not representable
-  * in the reference format — `iss >> key` swallows the run). */
+  * in the reference format — `iss >> key` swallows the run).
+  *
+  * Like the reader, the writer resolves its Hadoop FileSystem from a
+  * default `Configuration()` (staging, rename, truncate all go through
+  * it); a cluster deployment with non-default FS settings must thread
+  * the session's Hadoop conf into BOTH paths via Spark's
+  * `SerializableConfiguration` pattern — local and default-HDFS setups
+  * are unaffected. */
 private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -185,6 +194,66 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
 
 private[sources] class KvWrite(path: String, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new KvBatchWrite(path, truncate)
+  override def toStreaming: StreamingWrite = new KvStreamingWrite(path)
+}
+
+private[sources] object KvStreamingWrite {
+  /** Epoch → staging token AND final-shard prefix: zero-padded so shard
+    * names are lexicographically monotone in the epoch — a graft-kv
+    * OUTPUT dir is itself a contract-compliant producer for a downstream
+    * graft-kv STREAM (do not mix batch and streaming writers into one
+    * watched dir: their name families interleave arbitrarily). */
+  def token(epochId: Long): String = f"e$epochId%012d"
+}
+
+/** Streaming (micro-batch) write path — `df.writeStream.format("graft-kv")`.
+  * Exactly-once rests on two legs: Spark's v2 contract accepts ONE commit
+  * message per partition per epoch (a speculative/retried task attempt
+  * never surfaces a duplicate shard — same staging story as
+  * [[KvBatchWrite]]), and the final shard name is DETERMINISTIC in
+  * (epoch, partition), so an epoch REPLAYED after a mid-commit crash
+  * re-commits idempotently: targets that already landed keep the
+  * committed bytes (the fresh staged copy is dropped), the rest rename
+  * into place — the union is exactly one shard per non-empty partition
+  * however many times the epoch replays. */
+private[sources] class KvStreamingWrite(path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new KvStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    messages.foreach {
+      case KvCommitMessage("", _) => ()
+      case KvCommitMessage(staged, finalName) =>
+        val target = new Path(root, finalName)
+        if (fs.exists(target)) {
+          // epoch replay: this (epoch, partition) already committed —
+          // keep the landed shard, drop the equal re-staged copy
+          fs.delete(new Path(staged), false)
+        } else if (!fs.rename(new Path(staged), target)) {
+          throw new java.io.IOException(
+            s"graft-kv stream commit: rename $staged -> $finalName failed")
+        }
+    }
+    fs.delete(new Path(root, s"_temp/${KvStreamingWrite.token(epochId)}"), true)
+    val tempRoot = new Path(root, "_temp")
+    if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty) fs.delete(tempRoot, false)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    root.getFileSystem(new Configuration())
+      .delete(new Path(root, s"_temp/${KvStreamingWrite.token(epochId)}"), true)
+  }
+}
+
+private[sources] class KvStreamingWriterFactory(path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, KvStreamingWrite.token(epochId), partitionId, taskId)
 }
 
 private[sources] case class KvCommitMessage(staged: String, finalName: String)
@@ -206,7 +275,13 @@ private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends Bat
     val fs = root.getFileSystem(new Configuration())
     if (truncate) {
       KvScan.listPartitions(path).foreach { p =>
-        fs.delete(new Path(p.asInstanceOf[KvInputPartition].file), false)
+        val old = new Path(p.asInstanceOf[KvInputPartition].file)
+        // delete FAILURE is a boolean, not an exception (same API wart as
+        // rename below) — ignoring it would leave the stale shard visible
+        // next to the new write and still report success
+        if (!fs.delete(old, false) && fs.exists(old))
+          throw new java.io.IOException(
+            s"graft-kv truncate: delete of stale shard $old failed")
       }
     }
     messages.foreach {
@@ -289,7 +364,22 @@ private[sources] class KvDataWriter(
   override def close(): Unit = ()
 }
 
-private[sources] class KvScanBuilder(path: String)
+private[sources] object KvScanBuilder {
+  /** FileStreamSource's rate-limit option, same spelling: bounds how many
+    * files one micro-batch ingests (whole files stay the admission unit —
+    * this source never subdivides a file). */
+  def maxFilesPerTrigger(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = options.get("maxFilesPerTrigger")
+    if (v == null) None
+    else {
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      Some(n)
+    }
+  }
+}
+
+private[sources] class KvScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -356,7 +446,7 @@ private[sources] class KvScanBuilder(path: String)
 
   override def build(): Scan =
     if (countPushed) new KvCountScan(path, keyEquals, accepted)
-    else new KvScan(path, required, keyEquals, accepted)
+    else new KvScan(path, required, keyEquals, accepted, maxFilesPerTrigger)
 }
 
 /** COUNT(*)-pushed scan: same file enumeration, but each partition reader
@@ -401,7 +491,8 @@ private[sources] class KvCountPartitionReader(file: String, keyEquals: Option[St
 }
 
 private[sources] class KvScan(
-    path: String, required: StructType, keyEquals: Option[String], pushed: Array[Filter])
+    path: String, required: StructType, keyEquals: Option[String], pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -412,7 +503,7 @@ private[sources] class KvScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(required.fieldNames, keyEquals)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KvMicroBatchStream(path, required.fieldNames, keyEquals)
+    new KvMicroBatchStream(path, required.fieldNames, keyEquals, maxFilesPerTrigger)
 }
 
 /** Streaming offset for the KV directory: the lexicographic watermark of
@@ -460,7 +551,8 @@ private[sources] object KvOffset {
   * drains exactly the backlog and terminates even while a producer
   * keeps appending. */
 private[sources] class KvMicroBatchStream(
-    path: String, fields: Array[String], keyEquals: Option[String])
+    path: String, fields: Array[String], keyEquals: Option[String],
+    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def visibleFiles(): Array[String] =
     KvScan.listPartitions(path).map(_.asInstanceOf[KvInputPartition].file)
@@ -470,10 +562,26 @@ private[sources] class KvMicroBatchStream(
     availableNowTarget = Some(visibleFiles().foldLeft("")(maxName))
   override def initialOffset(): Offset = KvOffset("", 0L)
   // SupportsAdmissionControl routes all offset requests through the
-  // 2-arg form (the 1-arg variant must not be called on such sources);
-  // every file is ingested whole, so read limits don't subdivide here
+  // 2-arg form (the 1-arg variant must not be called on such sources)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** Admission control: whole FILES are the admission unit (this source
+    * never subdivides one), so `maxFilesPerTrigger` bounds each batch to
+    * the n smallest-named pending files — a backlog drains in ⌈N/n⌉
+    * watermark-monotone batches instead of one giant catch-up batch
+    * (composes with AvailableNow, which pins the catch-up ceiling while
+    * the per-batch cap paces the drain). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesOf).reduceOption(_ min _)
+    case _ => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[KvOffset]
     val files = visibleFiles()
@@ -485,18 +593,21 @@ private[sources] class KvMicroBatchStream(
         s"graft-kv $path: ${belowNow - prev.nBelow} file(s) appeared at or below the " +
           s"ingestion watermark '${prev.lastFile}' — producer violated the " +
           "monotone-naming contract (use a per-batch subdirectory)")
+    // pending = above the committed watermark, inside the AvailableNow
+    // catch-up ceiling when one is pinned; a rate limit takes the n
+    // SMALLEST names so the watermark stays an exact ingestion frontier
+    val pending = files
+      .filter(f => f > prev.lastFile && availableNowTarget.forall(f <= _))
+      .sorted
+    val taken = maxFilesOf(limit).fold(pending)(pending.take)
     // never regress the watermark: a listing that lost its max file
     // (retention) keeps the committed offset, so a reappearing name
     // cannot be re-ingested
-    val mx = maxName(files.foldLeft("")(maxName), prev.lastFile)
-    val target = availableNowTarget match {
-      case Some(t) => maxName(t, prev.lastFile)
-      case None => mx
-    }
+    val last = if (taken.isEmpty) prev.lastFile else maxName(taken.last, prev.lastFile)
     // NOT maxed with prev.nBelow: keeping a stale high count after a
     // truncate/retention mass-delete would permanently desensitize the
     // tripwire (new below-watermark files would hide under the old count)
-    KvOffset(target, files.count(_ <= target).toLong)
+    KvOffset(last, files.count(_ <= last).toLong)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KvOffset].lastFile

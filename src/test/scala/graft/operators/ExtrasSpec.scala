@@ -995,17 +995,27 @@ class ExtrasSpec extends SparkSpec {
 
   test("prefix filtering shrinks the candidate set and loses no qualifying pair") {
     // sf0.01 (the suite default corpus has no qualifying pairs): the
-    // PPJoin result must equal the full-inverted-index edge set exactly,
-    // while generating strictly fewer candidate pairs
+    // PPJoin result must equal the full-inverted-index edge set AT THE
+    // SAME adaptive cap exactly — two different candidate generators,
+    // one pair set — while generating strictly fewer candidate pairs
     val d = "/root/testdata/sf0.01"
     val got = Dedup.qPrefixJaccard(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = Dedup.nearDupEdges(spark, d).collect()
+    // full-index generator over the SAME adaptive capped sets
+    val capped = Dedup.cappedShinglesAdaptive(spark, d).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val want = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want, s"prefix join diverged: extra=${got -- want} missing=${want -- got}")
     assert(got.nonEmpty, "no qualifying pairs — vacuous equality")
     // candidate volumes: prefix self-join vs full-index self-join
-    val capped = Dedup.cappedShingles(spark, d, maxDF = 20).cache()
     val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefix = Dedup.prefixShingles(capped, dfs)
     def pairCount(rows: org.apache.spark.sql.DataFrame): Long = rows.as("a")
@@ -1157,6 +1167,43 @@ class ExtrasSpec extends SparkSpec {
     val overlap = TextOps.bpeTrainFrom(spark, Seq(("aaaa", 1L)).toDF("w", "freq"), 8)
     assert(overlap === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)),
       s"overlap merges diverge: $overlap")
+  }
+
+  test("collected-vocab BPE trainer agrees with the distributed loop and exhausts") {
+    // qBpeTrainFull's in-JVM incremental-pair-count loop must be
+    // merge-for-merge identical to the distributed bpeTrainFrom where
+    // the two overlap, and actually run to pair exhaustion at depth.
+    val planted = Array(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+    val expected = Seq(
+      (1L, "u", "g", 20L), (2L, "u", "n", 16L), (3L, "h", "ug", 15L),
+      (4L, "p", "un", 12L), (5L, "hug", "s", 5L), (6L, "p", "ug", 5L),
+      (7L, "b", "un", 4L))
+    assert(TextOps.bpeTrainCollected(planted, 8) === expected,
+      "collected trainer diverges on the planted vocabulary")
+    // greedy-overlap semantics must match the HOF fold
+    assert(TextOps.bpeTrainCollected(Array(("aaaa", 1L)), 8) ===
+      Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+
+    // real corpus: the full trainer's first 8 rules == the distributed
+    // 8-round (oracle-gated) table — same wordcount, same tie-breaks
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val full = rows(TextOps.qBpeTrainFull(spark, sfDir))
+    assert(full.take(8) === rows(TextOps.qBpeTrain(spark, sfDir)),
+      "full trainer's 8-rule prefix diverges from the distributed loop")
+
+    // exhaustion: 32k rounds is far past this corpus's vocabulary, so
+    // the loop must stop early with every type fully merged
+    assert(full.size < 32768, "trainer did not stop at pair exhaustion")
+    val types = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    types.foreach { w =>
+      val end = full.foldLeft(w.split("").filter(_.nonEmpty)) {
+        case (syms, (_, a, b, _)) => TextOps.mergePassJvm(syms, a, b)
+      }
+      assert(end.length == 1, s"type '$w' not fully merged at exhaustion: ${end.toSeq}")
+    }
   }
 
   test("BPE training matches an independent in-JVM reference on the real corpus") {
