@@ -1319,14 +1319,76 @@ object Dedup {
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
     withShingleSet(docs).select(col("doc_id"), col("shs"))
 
-  /** MinHash + LSH banding — the 100 TB near-dup path. Signatures are
-    * computed per document in ONE projection (transform over 64 seeds ×
-    * array_min over shingle hashes — no 64-way explode), then banded;
-    * candidates share any band; candidates are verified with exact Jaccard.
+  /** doc_id → group representative (min doc_id over the [[fingerprint]]
+    * equivalence class) for every doc that passes `base`'s own filters.
+    * The identical-content COLLAPSE all pairwise similarity sweeps share:
+    * equal fingerprint ⟺ equal ws-normalized lowercased text ⟹ equal
+    * token stream ([[graft.functions.NativeExprs.Tokens]] lowercases the
+    * same way) ⟹ equal shingle sets — so every similarity-relevant
+    * derivation (signature, bands, capped set, prefix) is CONSTANT within
+    * a group, and the quadratic candidate machinery only needs one
+    * representative per group. At 100 TB this is the load-bearing move:
+    * exact-duplicate mass in crawled corpora is huge (often 30-50%), and
+    * without the collapse every g-sized identical-content group costs the
+    * band/prefix joins g² candidate rows for information the fingerprint
+    * already had — with it, join cost scales with DISTINCT content while
+    * the (inherently quadratic) pair OUTPUT is reconstituted by a cheap
+    * output-linear expansion ([[expandRepPairs]]). Measured at a 10×
+    * verbatim-replicated sf0.1: minhash 18.8 s → linear-grade, prefix
+    * join 51.8 s → linear-grade (NOTES_BUILD r8). */
+  private def groupMembers(base: DataFrame): DataFrame = {
+    val fp = base.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val repOf = fp.groupBy("fp").agg(min("doc_id").as("rep"))
+    fp.join(repOf, "fp").select(col("rep"), col("doc_id"))
+  }
+
+  /** Expand representative-level verified pairs back to all member pairs:
+    * cross-group pairs inherit the rep pair's (exact — the sets are
+    * identical within a group) jaccard; intra-group pairs are exact
+    * duplicates, jaccard 1.0. `intraReps` lists the reps whose groups
+    * QUALIFY for intra emission (a group only pairs with itself when the
+    * rep would have been its own LSH/prefix candidate — always true for
+    * minhash, capped-set-nonempty for the prefix join). Output-linear:
+    * two joins against the membership table plus one within-group
+    * self-join. */
+  private[operators] def expandRepPairs(
+      repPairs: DataFrame, members: DataFrame, intraReps: DataFrame,
+      scoreCol: String = "jaccard", intraScore: Column = lit(1.0)): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("doc_id").as("xa")), "da")
+      .join(members.select(col("rep").as("db"), col("doc_id").as("xb")), "db")
+      .select(
+        least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"),
+        col(scoreCol))
+    val intraMembers = members.join(intraReps.select("rep"), "rep")
+    val intra = intraMembers.as("m1")
+      .join(intraMembers.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("da"), col("m2.doc_id").as("db"),
+        intraScore.as(scoreCol))
+    cross.union(intra)
+  }
+
+  /** MinHash + LSH banding — the 100 TB near-dup path. Identical-content
+    * groups are COLLAPSED to one representative first ([[groupMembers]] —
+    * signatures and bands are constant within a group, so the band join
+    * runs over distinct content only and member pairs are expanded back
+    * output-linearly). Signatures are computed per representative in ONE
+    * projection (transform over 64 seeds × array_min over shingle hashes —
+    * no 64-way explode), then banded; candidates share any band;
+    * candidates are verified with exact Jaccard. Two identical docs share
+    * every band and verify at J = 1.0 ≥ 0.5, so every intra-group pair is
+    * emitted — exactly what the expansion reconstructs.
     * Hash-dependent (xxhash64) → no SQL oracle; ScalaTest plants near-dups
     * and checks recall. */
   def qMinHashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleSets(Tables.documents(s, d)).cache()
+    val base = withShingleSet(Tables.documents(s, d))
+    val members = groupMembers(base).cache()
+    val docs = base
+      .select(col("doc_id"), col("shs"))
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), "doc_id")
+      .cache()
     val banded = docs
       .select(col("doc_id"), minhashSignature(col("shs")).as("sig"))
       .select(col("doc_id"), explode(signatureBands(col("sig"))).as("bb"))
@@ -1339,7 +1401,7 @@ object Dedup {
     val withSets = cand
       .join(docs.select(col("doc_id").as("da"), col("shs").as("sa")), "da")
       .join(docs.select(col("doc_id").as("db"), col("shs").as("sb")), "db")
-    withSets
+    val repPairs = withSets
       .select(
         col("da"),
         col("db"),
@@ -1348,6 +1410,7 @@ object Dedup {
             size(array_union(col("sa"), col("sb"))).cast("double"),
           6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    expandRepPairs(repPairs, members, members.select(col("rep")).distinct())
       .orderBy(col("jaccard").desc, col("da"), col("db"))
   }
 
@@ -1375,10 +1438,24 @@ object Dedup {
     * at the SAME cap) plus candidates(prefix) < candidates(full). */
   def qPrefixJaccard(s: SparkSession, d: String): DataFrame = {
     val capped = cappedShinglesAdaptive(s, d).cache()
+    // df table and the adaptive cap are computed over the FULL corpus
+    // (duplicates included — collapsing first would change every df and
+    // thus the cap/sets/J values); only the quadratic candidate machinery
+    // below runs on identical-content representatives ([[groupMembers]]),
+    // with member pairs expanded back afterward. Identical docs have
+    // identical capped sets, so rep-level candidates/J are exact for
+    // every member pair; a group qualifies for intra-group emission iff
+    // its capped set is NON-empty (an empty set generates no candidate
+    // in the uncollapsed join either — J is 0/0, not 1).
+    val members = groupMembers(
+      Tables.documents(s, d).filter(size(toks(col("text"))) >= 3)).cache()
+    val cappedReps = capped
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), "doc_id")
+      .cache()
     val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
     // cached: BOTH sides of the self-join read it, and the window stage
     // (global-rarity ranking) is the expensive part of building it
-    val prefix = prefixShingles(capped, dfs).cache()
+    val prefix = prefixShingles(cappedReps, dfs).cache()
     val cooc = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -1406,10 +1483,10 @@ object Dedup {
     // verification joins each candidate to its two capped shingle SETS —
     // one row per candidate with a codegen'd intersect, not a 3-way
     // row-explode join (the same verify shape as qMinHashLsh)
-    val sets = capped
+    val sets = cappedReps
       .groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"), col("n").as("na")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"), col("n").as("nb")), "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -1418,6 +1495,8 @@ object Dedup {
         col("da"),
         col("db"),
         pround(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+    val nonEmptyReps = cappedReps.select(col("doc_id").as("rep")).distinct()
+    expandRepPairs(repPairs, members, nonEmptyReps)
       .orderBy("da", "db")
   }
 

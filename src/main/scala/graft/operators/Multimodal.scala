@@ -617,12 +617,27 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.map { case (id, bytes) => (id, dHash(PngCodec.decode(bytes))) })
       .toDF("doc_id", "dhash")
-    val banded = dh.select(
+      .cache()
+    // identical-dhash collapse (the [[Dedup.expandRepPairs]] move): every
+    // derivation the banded join uses — band keys, XOR distance — is a
+    // function of the 64-bit dhash alone, so docs sharing a dhash are
+    // interchangeable and the Hamming-LSH self-join only needs one
+    // representative per distinct hash. Visually-duplicated images are
+    // the NORM in crawled corpora (the same logo/thumbnail under millions
+    // of URLs), and without the collapse a g-sized identical-hash group
+    // costs the band join g² candidate rows; with it the join scales with
+    // distinct hashes while member pairs expand back output-linearly
+    // (intra-group Hamming is identically 0 ≤ 2, so whole groups always
+    // qualify against themselves).
+    val groups = dh.groupBy("dhash").agg(min("doc_id").as("rep"))
+    val members = dh.join(groups, "dhash").select(col("rep"), col("doc_id")).cache()
+    val reps = dh.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val banded = reps.select(
       col("doc_id"),
       col("dhash"),
       explode(expr(DHashBandsExpr)).as("bb"))
       .select(col("doc_id"), col("dhash"), col("bb.band"), col("bb.bkey"))
-    banded.as("x")
+    val repPairs = banded.as("x")
       .join(banded.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
@@ -633,7 +648,10 @@ object Multimodal {
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= 2)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("doc_a").as("da"), col("doc_b").as("db"), col("hamming"))
+    Dedup.expandRepPairs(repPairs, members,
+        members.select("rep").distinct(), "hamming", lit(0L))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 

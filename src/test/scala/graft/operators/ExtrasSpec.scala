@@ -1367,6 +1367,54 @@ class ExtrasSpec extends SparkSpec {
     assert(expected.nonEmpty, "no near-dup image pairs in corpus — test is vacuous")
   }
 
+  test("image dedup's identical-dhash collapse reconstructs all pairs on planted collisions") {
+    // The synthetic image formula is periodic in doc_id with period 768
+    // (lcm of the 48/32 dim cycles and the ×31 mod 256 intensity cycle),
+    // so ids 768 apart decode to IDENTICAL images. The gate corpus
+    // (sf0.01, ids 0..499) never hits the period — this plants collision
+    // GROUPS so the rep-collapse/expansion path does real work: intra
+    // pairs (hamming 0), cross-expanded pairs, and a group of size 3.
+    def dhashOf(id: Long): Long = {
+      val w = (id % 48 + 32).toInt; val h = (id % 32 + 24).toInt
+      var v = 0L
+      for (j <- 0 until 8; i <- 0 until 7) {
+        val sy = j * h / 8
+        val p0 = ((i * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        val p1 = (((i + 1) * w / 8) * 7L + sy * 13L + id * 31L) % 256L
+        if (p1 > p0) v |= 1L << (j * 7 + i)
+      }
+      v
+    }
+    val ids = Seq(0L, 768L, 1536L, 5L, 773L, 10L, 20L, 33L, 47L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(id => org.apache.spark.sql.Row(id, s"doc $id", "en", "planted", 6L))),
+      schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgdup-").toString
+    df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val hs = ids.map(id => id -> dhashOf(id)).toMap
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = math.min(ids(i), ids(j)); b = math.max(ids(i), ids(j))
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if hd <= 2
+    } yield (a, b, hd.toLong)).toSet
+    assert(expected.contains((0L, 768L, 0L)) && expected.contains((0L, 1536L, 0L)) &&
+      expected.contains((5L, 773L, 0L)), "planted collisions missing — formula drifted")
+    val got = Multimodal.qImageDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"collapsed image dedup diverges: extra=${got -- expected} missing=${expected -- got}")
+    spark.catalog.clearCache()
+  }
+
   test("audio silence runs match a sequential in-JVM segmenter over the formula") {
     // Independent algorithm: a single sequential pass with a run-state
     // machine, vs the query's gaps-and-islands window trick.

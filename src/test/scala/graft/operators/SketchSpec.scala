@@ -85,6 +85,75 @@ class SketchSpec extends SparkSpec {
     assert(pairs.contains((7L, 200L)), s"missing dup (7,200) in $pairs")
   }
 
+  test("identical-content collapse reconstructs the exact pair set on a replicated corpus") {
+    // 3× verbatim replication: every doc gains 2 identical twins, so the
+    // rep-collapse path (groupMembers/expandRepPairs) does real work —
+    // intra-group pairs, cross-group expansion, AND a near-dup whose
+    // whole group must pair with its base's whole group. The collapsed
+    // queries must equal independent non-collapsed sweeps exactly.
+    // (The sf0.01 gate corpus has ZERO identical texts — without this
+    // spec the expansion logic would only ever run its trivial path.)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def doc(): String = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.tabulate(12)(i => (i.toLong, doc()))
+    val nd = bases(2)._2.split(" ").updated(7, "yyy").mkString(" ")
+    val docs0 = bases ++ Seq((50L, nd))
+    val rows = for { r <- 0 until 3; (id, t) <- docs0 } yield (id + 1000L * r, t)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t) => Row(id, t, "en", "planted", t.length.toLong) }),
+      schema)
+    val dir = Files.createTempDirectory("graft-replicated-").toString
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+    // minhash vs the exhaustive uncollapsed Jaccard sweep (every true pair
+    // here is J = 1.0 or ≥ 0.9 — banding recall is 1 at those levels)
+    val lsh = Dedup.qMinHashLsh(spark, dir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ss = Dedup.shingleSets(graft.Tables.documents(spark, dir)).cache()
+    val truth = ss.select(col("doc_id").as("da"), col("shs").as("sa"))
+      .crossJoin(ss.select(col("doc_id").as("db"), col("shs").as("sb")))
+      .filter(col("da") < col("db"))
+      .filter(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") >=
+          lit(0.5) * size(array_union(col("sa"), col("sb"))).cast("double"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ss.unpersist()
+    assert(lsh === truth,
+      s"collapse diverged: extra=${lsh -- truth} missing=${truth -- lsh}")
+    // non-vacuity: intra-group (0,1000), cross-replica (1000,2000), and a
+    // rep-to-rep pair all present
+    assert(truth.contains((0L, 1000L)) && truth.contains((1000L, 2000L)))
+
+    // prefix join vs the uncollapsed full-index generator at the SAME
+    // adaptive cap — the PPJoin result is exact, so set equality is exact
+    val ppj = Dedup.qPrefixJaccard(spark, dir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.cappedShinglesAdaptive(spark, dir).cache()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val want = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= Dedup.NearDupBar)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped.unpersist()
+    assert(ppj === want,
+      s"prefix collapse diverged: extra=${ppj -- want} missing=${want -- ppj}")
+    assert(ppj.exists { case (a, b) => b - a == 1000L },
+      "no intra-replica pair in the prefix result — vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("MinHash LSH recall vs the exhaustive Jaccard sweep on the REAL sf0.01 corpus") {
     // Planted-pair specs prove the machinery; this measures recall where it
     // matters — against the exhaustive all-pairs sweep over the actual
