@@ -731,6 +731,10 @@ object Analytics {
       .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
       .localCheckpoint()
     val cur0 = edges.select(col("ia").as("node")).distinct()
+    // peeling only shrinks: progress = how many nodes this round shed;
+    // the previous round's count is memoized so each round pays ONE
+    // count scan, not two
+    var prevCount = -1L
     val cur = Iterate.fixpoint(cur0, KcoreMaxRounds) { (curr, _) =>
       edges
         .join(curr, col("ia") === col("node"), "leftsemi")
@@ -740,8 +744,10 @@ object Analytics {
         .filter(col("dg") >= KcoreK)
         .select(col("ia").as("node"))
     } { (prev, next) =>
-      // peeling only shrinks: progress = how many nodes this round shed
-      prev.count() - next.count()
+      val p = if (prevCount >= 0) prevCount else prev.count()
+      val n = next.count()
+      prevCount = n
+      p - n
     }.state
     val core = edges
       .join(cur, col("ia") === col("node"), "leftsemi")

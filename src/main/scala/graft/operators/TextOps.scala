@@ -1397,6 +1397,7 @@ object TextOps {
   private[operators] def bfsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     // state = visited (node, lvl); round r expands the lvl == r frontier,
     // so no separate frontier variable needs threading through the loop
+    var prevCount = -1L
     Iterate.fixpoint(seed, BfsMaxDepth.toInt) { (visited, round) =>
       val next = visited
         .filter(col("lvl") === round.toLong)
@@ -1407,9 +1408,12 @@ object TextOps {
         .withColumn("lvl", lit(round + 1L))
       visited.union(next)
     } { (prev, next) =>
-      // progress = frontier emptiness: both frames are materialized
-      // checkpoints, so the two counts are metadata-cheap
-      next.count() - prev.count()
+      // progress = frontier emptiness (visited only grows); the previous
+      // round's count is memoized so each round pays one count scan
+      val p = if (prevCount >= 0) prevCount else prev.count()
+      val n = next.count()
+      prevCount = n
+      n - p
     }.state
   }
 

@@ -5,12 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Scratch scale-up generator (not part of the driver contract): builds
   * an N×-replicated copy of a testdata SF dir for scaling measurements —
-  * `runMain graft.tools.MakeScale <srcDir> <dstDir> [reps]`. Fact-table
-  * ids are offset per replica (offset ≡ 0 mod 5, so documents'
+  * `runMain graft.tools.MakeScale <srcDir> <dstDir> [reps] [salt]`.
+  * Fact-table ids are offset per replica (offset ≡ 0 mod 5, so documents'
   * deterministic mod-5 batch slice survives); dimension tables copy
   * verbatim, which preserves every FK and 10×es the facts-per-dim fanout
-  * exactly like a real SF step. TESTDATA.md's dirs stay untouched — this
-  * writes only under the given destination (target/, typically). */
+  * exactly like a real SF step.
+  *
+  * Two document modes, two scaling questions:
+  *   - verbatim (default): every doc gains reps−1 IDENTICAL twins —
+  *     duplicate mass grows quadratically, the ADVERSARIAL shape for the
+  *     pairwise dedup sweeps (what exposed the pre-collapse cliffs);
+  *   - `salt`: every token is suffixed `~r` per replica, so replicas
+  *     share NO shingles — each replica keeps the source corpus's own
+  *     dup structure, i.e. dup density stays CONSTANT as the corpus
+  *     grows, the realistic linear-scaling shape (n_chars is recomputed
+  *     so text-derived stats stay consistent).
+  * TESTDATA.md's dirs stay untouched — this writes only under the given
+  * destination (target/, typically). */
 object MakeScale {
   private val Off = 1000000000L
 
@@ -18,6 +29,7 @@ object MakeScale {
     val src = args(0)
     val dst = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    val salt = args.length > 3 && args(3) == "salt"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -42,7 +54,16 @@ object MakeScale {
 
     rep("lineitem")((d, o) => d.withColumn("l_orderkey", col("l_orderkey") + o))
     rep("orders")((d, o) => d.withColumn("o_orderkey", col("o_orderkey") + o))
-    rep("documents")((d, o) => d.withColumn("doc_id", col("doc_id") + o))
+    rep("documents") { (d, o) =>
+      val base = d.withColumn("doc_id", col("doc_id") + o)
+      if (!salt) base
+      else base
+        .withColumn("text",
+          array_join(
+            transform(split(col("text"), "\\s+"),
+              w => concat(w, lit("~"), col("__r"))), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
     rep("embeddings")((d, o) => d.withColumn("vec_id", col("vec_id") + o))
     rep("events")((d, o) => d
       .withColumn("event_id", col("event_id") + o)
