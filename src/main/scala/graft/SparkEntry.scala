@@ -39,8 +39,9 @@ object SparkEntry {
     * planted-ground-truth / recall ScalaTest specs in SketchSpec PLUS
     * the oracle-gated companion rows (q_minhash_recall,
     * q_simhash_complete, q_approx_distinct_check,
-    * q_approx_percentiles_check) that turn each no-oracle claim the
-    * driver CAN check into a hash-compared row. */
+    * q_approx_percentiles_check, q_sim_pq_check, q_sim_ivfpq_check)
+    * that turn each no-oracle claim the driver CAN check into a
+    * hash-compared row. */
   def oracleSql: Map[String, String] =
     all.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
 

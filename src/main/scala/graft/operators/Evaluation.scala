@@ -30,14 +30,15 @@ object Evaluation {
     * and it cancels exactly in every distance: (q+OFF)−(c+OFF) = q−c. */
   private val CentroidOff = 1L << 22
 
-  /** Nearest-centroid predictions over (vec_id, label, embedding) rows —
-    * the evaluation twin of [[Similarity.qEmbedCentroids]]'s pooling:
-    * class prototype = per-dimension integer mean of the micro-scaled
-    * (⌊v·10⁶+0.5⌋) vectors, prediction = argmin of the EXACT integer
-    * squared L2 distance (tie → smaller label). Everything after the
+  /** Exact integer squared L2 distance of every vector to every class
+    * centroid — the shared (vec_id, label_true, label, d2) scoring table
+    * the prediction argmin AND the calibration margins both read. Class
+    * prototype = per-dimension integer mean of the micro-scaled
+    * (⌊v·10⁶+0.5⌋) vectors (the evaluation twin of
+    * [[Similarity.qEmbedCentroids]]'s pooling). Everything after the
     * initial scaling is integer arithmetic, so Spark and DuckDB cannot
-    * diverge on a single prediction — unlike cosine-to-a-float-mean,
-    * where partitioned float summation makes near-ties engine-dependent.
+    * diverge on a single distance — unlike cosine-to-a-float-mean, where
+    * partitioned float summation makes near-ties engine-dependent.
     *
     * Scale shape: the flattened view is cached (it feeds both the
     * centroid fit and the distance join); centroids are nlabels×dim rows
@@ -47,7 +48,7 @@ object Evaluation {
     * leave-one-out correction would need a per-vector centroid. At 100 TB
     * the per-dim sums outgrow BIGINT past ~10¹² vectors — swap the sum
     * accumulator to DECIMAL(38,0), same plan. */
-  private[operators] def centroidPredictionsFrom(emb: DataFrame): DataFrame = {
+  private[operators] def centroidDistancesFrom(emb: DataFrame): DataFrame = {
     val x = emb
       .select(
         col("vec_id"),
@@ -66,10 +67,15 @@ object Evaluation {
     x.join(broadcast(cents), "pos")
       .groupBy("vec_id", "label_true", "label")
       .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+  }
+
+  /** Nearest-centroid predictions: argmin of the exact integer squared L2
+    * distance over [[centroidDistancesFrom]] (tie → smaller label). */
+  private[operators] def centroidPredictionsFrom(emb: DataFrame): DataFrame =
+    centroidDistancesFrom(emb)
       .groupBy("vec_id", "label_true")
       .agg(min(struct(col("d2"), col("label"))).as("m"))
       .select(col("vec_id"), col("label_true"), col("m.label").as("label_pred"))
-  }
 
   /** Shared DuckDB CTE prefix replaying [[centroidPredictionsFrom]]
     * (x/c/d/p: p has (vec_id, label_true, label_pred)). The argmin is a
@@ -161,6 +167,76 @@ object Evaluation {
        |  (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm,
        |  (2 * tp * 1000000) // greatest(2 * tp + fp + fn, 1) AS f1_ppm
        |FROM j ORDER BY label""".stripMargin
+
+  /** Calibration / reliability table for the nearest-centroid classifier:
+    * per-vector CONFIDENCE = the relative margin between the best and
+    * second-best centroid distance (margin_pm = (d₂−d₁)·1000 div d₂ — 0
+    * for a coin-flip tie, →1000 when the winner is unambiguous), binned
+    * at 10-permille width with everything ≥ 90‰ in the top bin — this
+    * near-centroid-equidistant corpus concentrates margins under 100‰
+    * (sf0.01 median 16‰), so full-range deciles would collapse the table
+    * to one row; per bin, the empirical accuracy in exact ppm. A
+    * trustworthy quality classifier shows accuracy rising monotonically
+    * with margin — the card a pipeline checks before using classifier
+    * scores as sampling weights (the reliability-diagram / ECE audit,
+    * margin-based since the centroid model emits distances, not
+    * probabilities).
+    *
+    * Everything after the micro-scaling is integer arithmetic. Overflow
+    * envelope: d2 ≤ dim·(2·1.2·10⁶)² ≈ 3.7·10¹⁴, so the ·1000 margin
+    * numerator peaks at ~3.7·10¹⁷ < 2⁶³; a ppm margin would overflow,
+    * hence permille. The rank-2 window is partitioned by vec_id (≤ nlabels
+    * rows per partition — no global window at any corpus size), and the
+    * margin arithmetic rides the same broadcast-join scoring table as the
+    * confusion matrix: one shuffle of n·nlabels partial d2 aggregates,
+    * then a bins-sized result. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("label"))
+    val top2 = centroidDistancesFrom(Tables.embeddings(s, d))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id", "label_true")
+      .agg(
+        max(when(col("rn") === 1, col("label"))).as("label_pred"),
+        max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("dd2"))
+    top2
+      .select(
+        expr("((coalesce(dd2, d1) - d1) * 1000) div greatest(coalesce(dd2, d1), 1)")
+          .as("margin_pm"),
+        when(col("label_pred") === col("label_true"), 1L).otherwise(0L).as("ok"))
+      .groupBy(least(expr("margin_pm div 10"), lit(9L)).as("bin"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("ok").as("n_correct"),
+        expr("(sum(ok) * 1000000) div count(1)").as("acc_ppm"),
+        sum("margin_pm").as("sum_margin_pm"))
+      .orderBy("bin")
+  }
+
+  private val qCalibrationSql =
+    s"""WITH $centroidPredSqlCtes,
+       |r AS (
+       |  SELECT vec_id, label_true, label, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |  FROM d),
+       |t AS (
+       |  SELECT vec_id, label_true,
+       |    max(CASE WHEN rn = 1 THEN label END) AS label_pred,
+       |    max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+       |    max(CASE WHEN rn = 2 THEN d2 END) AS dd2
+       |  FROM r WHERE rn <= 2 GROUP BY 1, 2),
+       |b AS (
+       |  SELECT ((COALESCE(dd2, d1) - d1) * 1000) // greatest(COALESCE(dd2, d1), 1)
+       |           AS margin_pm,
+       |         CASE WHEN label_pred = label_true THEN 1 ELSE 0 END AS ok
+       |  FROM t)
+       |SELECT least(margin_pm // 10, 9)::BIGINT AS bin,
+       |  count(*)::BIGINT AS n_vecs, sum(ok)::BIGINT AS n_correct,
+       |  ((sum(ok) * 1000000) // count(*))::BIGINT AS acc_ppm,
+       |  sum(margin_pm)::BIGINT AS sum_margin_pm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------- data contract
 
@@ -522,6 +598,7 @@ object Evaluation {
   val queries: Seq[Q] = Seq(
     Q("q_centroid_confusion", qCentroidConfusion, Some(qCentroidConfusionSql)),
     Q("q_classifier_metrics", qClassifierMetrics, Some(qClassifierMetricsSql)),
+    Q("q_calibration", qCalibration, Some(qCalibrationSql)),
     Q("q_data_contract", qDataContract, Some(qDataContractSql)),
     Q("q_bool_search", qBoolSearch, Some(qBoolSearchSql)),
     Q("q_ab_test", qAbTest, Some(qAbTestSql)))

@@ -1159,6 +1159,17 @@ object Similarity {
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
     Q("q_sim_pq", qSimPq, None),
     Q("q_sim_ivfpq", qSimIvfPq, None),
+    // Gate rows turning the PQ no-oracle claims into hash-compared rows, the
+    // qMinhashRecall pattern: at the driver's verification SF the measured
+    // recall@10 of both ADC→exact-rerank stacks is exactly 1.0 (SketchSpec
+    // measures it; verified by direct output diff at sf0.01), so the exact
+    // brute-force top-10 IS the correct answer and the DuckDB baseline
+    // oracle pins ids AND cosines — a codebook/ADC/rerank regression now
+    // breaks the hash gate instead of hiding in a no-oracle row. SketchSpec
+    // holds the ≥0.9 recall floor at the other SFs, where near-tied
+    // boundary neighbors can legitimately drop below full recovery.
+    Q("q_sim_pq_check", qSimPq, Some(qTopKExactSql), headline = false),
+    Q("q_sim_ivfpq_check", qSimIvfPq, Some(qTopKExactSql), headline = false),
     Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)),
     Q("q_embed_quantize", qEmbedQuantize, Some(qEmbedQuantizeSql)),
     Q("q_embed_outliers", qEmbedOutliers, Some(qEmbedOutliersSql)),

@@ -96,6 +96,41 @@ class EvaluationSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum === Tables.embeddings(spark, sfDir).count())
   }
 
+  test("calibration bins replay in plain JVM integer arithmetic on the real corpus") {
+    val off = 1L << 22
+    def q(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong + off
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    val dims = rows.head._3.length
+    val cents: Map[Int, Array[Long]] = rows.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(dims) { i =>
+        Math.floorDiv(vs.map(r => q(r._3(i))).sum, vs.size.toLong)
+      }
+    }
+    // per vector: distances to every centroid sorted by (d2, label), then
+    // the same permille margin / decile bin arithmetic as the operator
+    val per = rows.map { case (_, lt, v) =>
+      val ds = cents.toSeq.map { case (l, c) =>
+        ((0 until dims).map { i => val d = q(v(i)) - c(i); d * d }.sum, l.toLong)
+      }.sorted
+      val (d1, predicted) = ds.head
+      val dd2 = ds(1)._1
+      val margin = Math.floorDiv((dd2 - d1) * 1000L, math.max(dd2, 1L))
+      (math.min(margin / 10L, 9L), if (predicted == lt.toLong) 1L else 0L, margin)
+    }
+    val want = per.groupBy(_._1).map { case (bin, xs) =>
+      val n = xs.size.toLong
+      val ok = xs.map(_._2).sum
+      bin -> (n, ok, ok * 1000000L / n, xs.map(_._3).sum)
+    }
+    val got = Evaluation.qCalibration(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum === rows.length.toLong)
+    assert(got.size >= 2, "corpus produced a single margin bin — vacuous calibration table")
+  }
+
   // ------------------------------------------------------- data contract
 
   test("every contract check fires on planted violations with exact counts") {

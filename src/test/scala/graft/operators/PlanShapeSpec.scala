@@ -603,6 +603,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"centroid join shuffled:\n$p")
   }
 
+  test("calibration rides the broadcast scoring join; its rank-2 window is vec_id-partitioned") {
+    // same scoring table contract as the confusion matrix, plus: the
+    // margin ranking must stay a per-vector window (≤ nlabels rows per
+    // partition) — an unpartitioned window here would drag the whole
+    // n·nlabels distance table through one task
+    val qe = Evaluation.qCalibration(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"centroid join shuffled:\n$p")
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "rank-2 window missing from the plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"margin ranking lost its vec_id partitioning (single-partition window):\n$w")
+    }
+  }
+
   test("concurrency sweep runs its running sum partitioned by day, not one global window") {
     // the two-phase prefix sum: the delta-level running sum must be
     // partitioned (parallel) — only the day-level offset window (one row
