@@ -224,6 +224,88 @@ object Dedup {
        |ORDER BY jaccard DESC, da, db LIMIT 50""".stripMargin
   }
 
+  /** Candidate Jaccard bars for [[qThresholdSweep]], in exact percent. */
+  private val SweepBarsPct = Seq(50L, 60L, 70L, 80L, 90L)
+
+  /** Dedup-threshold tuning card: pair volume, affected docs, and docs
+    * dropped (keep-lowest policy, = distinct higher endpoints — the same
+    * rule as `near_drops`) at each candidate Jaccard bar, from ONE pass
+    * over the shared shingle-pair candidate table. The sweep a pipeline
+    * runs BEFORE committing to a near-dup threshold: it shows where the
+    * dup mass falls off, so the bar is chosen from data instead of folklore.
+    * Every bar is compared in exact integers (J ≥ t/100 ⟺ 100·inter ≥
+    * t·union) — no float ever decides membership. The 5-row threshold
+    * table broadcasts into a nested-loop join against the bounded
+    * candidate pairs (≤5× replication of an already-capped table), then
+    * ONE grouped aggregation (Spark expands the two distinct aggregates
+    * internally) — no cached intermediate, no second candidate scan,
+    * cost independent of how many bars ride it. */
+  def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val (_, sizes, pairs) = shinglePairs(s, d, minInter = 1)
+    thresholdSweepFrom(
+      s,
+      withEndpointSizes(pairs, sizes).select(
+        col("da"),
+        col("db"),
+        (col("inter") * 100).as("num"),
+        (col("na") + col("nb") - col("inter")).as("den")))
+  }
+
+  /** The sweep body over a scored (da, db, num, den) pair table — seam
+    * for the planted-Jaccard spec. Each surviving (bar, pair) row is
+    * exploded into its two endpoints tagged with which side they are
+    * (`db` is the dropped higher id under keep-lowest), so pair count,
+    * affected-doc count and dropped-doc count all come out of a single
+    * groupBy over one scan of the candidate join — nothing is cached. */
+  private[operators] def thresholdSweepFrom(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    val tDf = SweepBarsPct.toDF("t_pct")
+    val endpoints = broadcast(tDf)
+      .join(scored, col("num") >= col("t_pct") * col("den"))
+      .select(
+        col("t_pct"),
+        explode(array(
+          struct(lit(false).as("is_b"), col("da").as("doc")),
+          struct(lit(true).as("is_b"), col("db").as("doc")))).as("e"))
+      .select(col("t_pct"), col("e.is_b").as("is_b"), col("e.doc").as("doc"))
+    val agg = endpoints.groupBy("t_pct").agg(
+      count(when(col("is_b"), lit(1))).as("n_pairs"),
+      countDistinct(col("doc")).as("n_docs_affected"),
+      countDistinct(when(col("is_b"), col("doc"))).as("n_docs_dropped"))
+    tDf
+      .join(agg, Seq("t_pct"), "left")
+      .select(
+        col("t_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+      .orderBy("t_pct")
+  }
+
+  private val qThresholdSweepSql =
+    s"""WITH ${shinglePairsSqlCtes(minInter = 1)},
+       |sc AS (
+       |  SELECT da, db, inter * 100 AS num, sa.n + sb.n - inter AS den
+       |  FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id
+       |  JOIN sizes sb ON db = sb.doc_id),
+       |ts(t_pct) AS (VALUES (50), (60), (70), (80), (90)),
+       |hit AS (SELECT t_pct, da, db FROM ts JOIN sc ON num >= t_pct * den),
+       |pa AS (
+       |  SELECT t_pct, count(*) AS n_pairs, count(DISTINCT db) AS n_docs_dropped
+       |  FROM hit GROUP BY 1),
+       |en AS (
+       |  SELECT t_pct, count(DISTINCT doc) AS n_docs_affected
+       |  FROM (SELECT t_pct, da AS doc FROM hit
+       |        UNION ALL SELECT t_pct, db FROM hit)
+       |  GROUP BY 1)
+       |SELECT t.t_pct::BIGINT AS t_pct,
+       |  COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+       |  COALESCE(en.n_docs_affected, 0)::BIGINT AS n_docs_affected,
+       |  COALESCE(pa.n_docs_dropped, 0)::BIGINT AS n_docs_dropped
+       |FROM ts t LEFT JOIN pa USING (t_pct) LEFT JOIN en USING (t_pct)
+       |ORDER BY t_pct""".stripMargin
+
   /** Edit-distance near-dup: Levenshtein over whitespace-normalized text,
     * but ONLY on candidate pairs from the shingle inverted index (≥ 4
     * shared rare trigrams — a pair inside the 20 % edit band of any
@@ -2064,6 +2146,7 @@ object Dedup {
     Q("q_split_leakage_safe", qSplitLeakageSafe, Some(qSplitLeakageSafeSql)),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),
+    Q("q_dedup_threshold_sweep", qThresholdSweep, Some(qThresholdSweepSql)),
     Q("q_dedup_prefix_jaccard", qPrefixJaccard, Some(qPrefixJaccardSql)),
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),

@@ -1780,4 +1780,42 @@ class ExtrasSpec extends SparkSpec {
     assert(math.abs(p30.length - p16.length) < 200,
       s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
   }
+
+  test("threshold sweep: planted exact-Jaccard pairs land on the right side of every bar") {
+    import spark.implicits._
+    // num = 100·inter, den = union; J = num / (100·den) chosen to sit ON
+    // and AROUND the bars: 0.70 exactly (boundary must be inclusive),
+    // 0.50 exactly, 0.85 (kills the 90 bar → exercises the zero-row
+    // coalesce), 0.45 (below every bar).
+    val scored = Seq(
+      (1L, 2L, 700L, 10L),
+      (1L, 3L, 500L, 10L),
+      (2L, 3L, 1700L, 20L),
+      (4L, 5L, 900L, 20L)).toDF("da", "db", "num", "den")
+    val got = Dedup
+      .thresholdSweepFrom(spark, scored)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (50L, 3L, 3L, 2L),
+      (60L, 2L, 3L, 2L),
+      (70L, 2L, 3L, 2L), // J = 0.70 is IN at the 70 bar
+      (80L, 1L, 2L, 1L),
+      (90L, 0L, 0L, 0L)))
+  }
+
+  test("threshold sweep: 60% row reproduces the near-dup edge set; counts fall as the bar rises") {
+    val sweep = Dedup.qThresholdSweep(spark, sfDir).collect()
+    assert(sweep.map(_.getLong(0)).toSeq === Seq(50L, 60L, 70L, 80L, 90L))
+    // the 60 bar IS NearDupBar (3/5): its pair count must equal the edge
+    // set every dedup operator shares
+    val at60 = sweep.find(_.getLong(0) == 60L).get
+    assert(at60.getLong(1) === Dedup.nearDupEdges(spark, sfDir).count())
+    // all three counts are monotone non-increasing in the bar
+    for (c <- 1 to 3) {
+      val col = sweep.map(_.getLong(c)).toSeq
+      assert(col === col.sorted.reverse, s"column $c not monotone: $col")
+    }
+  }
 }
