@@ -1082,18 +1082,28 @@ object Dedup {
     * All-integer output. At 100 TB: one shuffle on the span fingerprint
     * for the counts, one join back on the same key, one shuffle on
     * doc_id for the rollup. */
-  def qLineDedup(s: SparkSession, d: String): DataFrame = {
-    val lines = Tables.documents(s, d)
+  /** Fingerprinted 10-token spans per doc — ONE span-table definition
+    * shared by [[qLineDedup]] (global span dedup) and [[qBoilerplate]]
+    * (per-source boilerplate rule), so the two cleaners can't drift on
+    * what a "line" is. Emits (doc_id, source, f); callers that don't
+    * group by source just project it away (column pruning removes it
+    * from the scan). Spark's `sequence(0, -1)` yields a DESCENDING
+    * sequence, so 0-token docs are dropped before the span index is
+    * built. */
+  private def docSpans(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("tk", toks(col("text")))
-      // guard: Spark's sequence(0, -1) yields a DESCENDING sequence, so
-      // a 0-token doc must be dropped before the span index is built
       .filter(size(col("tk")) >= 1)
       .select(
         col("doc_id"),
+        col("source"),
         explode(expr(
           "transform(sequence(0, (size(tk)+9) div 10 - 1)," +
             " i -> concat_ws(' ', slice(tk, i*10+1, 10)))")).as("line"))
-      .select(col("doc_id"), md5(col("line")).as("f"))
+      .select(col("doc_id"), col("source"), md5(col("line")).as("f"))
+
+  def qLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lines = docSpans(s, d).select("doc_id", "f")
     val counts = lines.groupBy("f").agg(count(lit(1)).as("cnt"))
     lines
       .join(counts, "f")
@@ -1115,6 +1125,74 @@ object Dedup {
        |  count(*) FILTER (WHERE cnt > 1) AS n_dup_spans
        |FROM lines JOIN counts USING (f)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** A span is boilerplate when ≥ this many DISTINCT docs of one source
+    * contain it (headers/footers/nav chrome repeat across a site's pages;
+    * real pipelines raise this to a fraction of the source's doc count —
+    * the rule and the plan are unchanged, only this literal moves). */
+  private val BoilerMinDocs = 2
+
+  /** Per-source boilerplate report (RefinedWeb-style line dedup, scoped
+    * to the source): a span shared by ≥ [[BoilerMinDocs]] distinct docs
+    * of the SAME source is template chrome, not content — repeats of a
+    * span inside one doc are NOT boilerplate (that's
+    * [[TextOps.qGopherRep]]'s job), and the same span on two different
+    * sources is coincidence,
+    * not a template. Reports, per source: docs with ≥1 span, span
+    * instances, distinct boilerplate spans, docs a cleaner would touch,
+    * and span instances it would strip. Rides the [[docSpans]] table
+    * [[qLineDedup]] uses, so "line" means the same thing in both
+    * cleaners. Plan: one shuffle to (source, f, doc_id) instance counts,
+    * one window shuffle on (source, f) for the distinct-doc frequency,
+    * one rollup shuffle on source — every key fixed-width, nothing
+    * pairwise, no collect. */
+  def qBoilerplate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDocSpan = docSpans(s, d)
+      .groupBy("source", "f", "doc_id")
+      .agg(count(lit(1)).as("inst"))
+    val flagged = perDocSpan.withColumn(
+      "doc_df", count(lit(1)).over(Window.partitionBy("source", "f")))
+    flagged
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("inst").as("n_spans"),
+        countDistinct(when(col("doc_df") >= BoilerMinDocs, col("f")))
+          .as("n_boiler_spans"),
+        countDistinct(when(col("doc_df") >= BoilerMinDocs, col("doc_id")))
+          .as("n_affected_docs"),
+        coalesce(
+          sum(when(col("doc_df") >= BoilerMinDocs, col("inst"))), lit(0L))
+          .as("n_removed_spans"))
+      .orderBy("source")
+  }
+
+  private val qBoilerplateSql = {
+    val t = TextOps.tokensSql
+    s"""WITH tk AS (SELECT doc_id, source, $t AS t FROM documents),
+       |lines AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' ')) AS f
+       |  FROM (SELECT doc_id, source, t,
+       |        unnest(range(0, (len(t)+9)//10)) AS i FROM tk)),
+       |pds AS (
+       |  SELECT source, f, doc_id, count(*) AS inst
+       |  FROM lines GROUP BY 1, 2, 3),
+       |fl AS (
+       |  SELECT *, count(*) OVER (PARTITION BY source, f) AS doc_df
+       |  FROM pds)
+       |SELECT source,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  sum(inst)::BIGINT AS n_spans,
+       |  (count(DISTINCT f) FILTER (WHERE doc_df >= $BoilerMinDocs))::BIGINT
+       |    AS n_boiler_spans,
+       |  (count(DISTINCT doc_id) FILTER (WHERE doc_df >= $BoilerMinDocs))::BIGINT
+       |    AS n_affected_docs,
+       |  COALESCE(sum(inst) FILTER (WHERE doc_df >= $BoilerMinDocs), 0)::BIGINT
+       |    AS n_removed_spans
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Sliding-window size (tokens) for cross-document exact-substring
@@ -2151,6 +2229,7 @@ object Dedup {
     Q("q_dedup_edit_distance", qEditDistance, Some(qEditDistanceSql)),
     Q("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     Q("q_dedup_lines", qLineDedup, Some(qLineDedupSql)),
+    Q("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),
     Q("q_dedup_substrings", qDedupSubstrings, Some(qDedupSubstringsSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
     Q("q_dedup_clusters_inc", qDedupClustersIncremental, Some(qDedupClustersIncrementalSql)),

@@ -1296,6 +1296,70 @@ object TextOps {
        |x AS (SELECT unnest([a, b, c]) AS node FROM tri)
        |SELECT node, count(*) AS n_triangles FROM x GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Per-node local clustering coefficient over the word-adjacency
+    * graph, in exact ppm: cc(v) = 2·tri(v)·10⁶ div (deg(v)·(deg(v)−1)),
+    * with degree-1 nodes pinned to 0 (no wedge to close). Triangle
+    * counts reuse the degree-oriented wedge enumeration of
+    * [[qTriangles]] (Σ C(outdeg,2) candidates — hub-immune); degrees
+    * come from one scan of the undirected edge set; a left join keeps
+    * triangle-free nodes in the card with cc 0. Everything is integer —
+    * both dividends are non-negative, so Spark `div` and the oracle's
+    * `//` agree bit for bit. The oracle counts triangles by an
+    * unoriented 3-way self-join — a different enumeration of the same
+    * set. */
+  def qClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    // cached: und feeds orientation + degrees; dir both wedge sides +
+    // the closing probe; harness clearCache()s per query
+    val und = adjacencyEdges(s, d).cache()
+    val dir = orientByDegree(und).cache()
+    val tri = orientedWedges(dir).join(
+      dir.select(col("u"), col("v")),
+      col("b") === col("u") && col("c") === col("v"),
+      "leftsemi")
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+    val deg = und
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("degree"))
+    deg
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_tri"), lit(0L)))
+      .select(
+        col("node"),
+        col("degree"),
+        col("n_triangles"),
+        when(
+          col("degree") >= 2,
+          expr("2 * n_triangles * 1000000 div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+      .orderBy("node")
+  }
+
+  private val qClusteringCoefSql =
+    s"""WITH $adjacencySqlCtes,
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+       |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |tpn AS (
+       |  SELECT node, count(*) AS n_tri
+       |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1),
+       |deg AS (
+       |  SELECT node, count(*) AS degree
+       |  FROM (SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+       |  GROUP BY 1)
+       |SELECT d.node, d.degree::BIGINT AS degree,
+       |  COALESCE(t.n_tri, 0)::BIGINT AS n_triangles,
+       |  (CASE WHEN d.degree >= 2
+       |    THEN (2 * COALESCE(t.n_tri, 0) * 1000000)
+       |         // (d.degree * (d.degree - 1))
+       |    ELSE 0 END)::BIGINT AS cc_ppm
+       |FROM deg d LEFT JOIN tpn t USING (node)
+       |ORDER BY node""".stripMargin
+
   /** Per-edge neighborhood Jaccard over the word-adjacency graph — the
     * classic link-prediction / graph-similarity score: for every edge
     * (a,b), |Γa∩Γb| / |Γa∪Γb| with open neighborhoods, as an exact
@@ -2103,6 +2167,7 @@ object TextOps {
     Q("q_bm25", qBm25, Some(qBm25Sql)),
     Q("q_pagerank", qPagerank, Some(qPagerankSql)),
     Q("q_triangles", qTriangles, Some(qTrianglesSql)),
+    Q("q_clustering_coef", qClusteringCoef, Some(qClusteringCoefSql)),
     Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
     Q("q_bfs_levels", qBfsLevels, Some(qBfsLevelsSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),

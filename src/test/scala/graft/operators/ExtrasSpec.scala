@@ -1781,6 +1781,70 @@ class ExtrasSpec extends SparkSpec {
       s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
   }
 
+  test("clustering coefficient: planted triangle / path / star-with-chord graphs") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    // each planted bigram must clear the corpus-wide ≥40 edge-frequency
+    // bar; 41 repeats because the WRAPAROUND bigram of a cyclic walk
+    // (z-x in "x y z x y z …") occurs only reps−1 times
+    val rep = (walk: String) => (walk + " ") * 41
+    val docs = Seq(
+      // triangle via wraparound: x-y, y-z, z-x → cc = 1.0 at every node
+      (1L, rep("x y z"), "en", "srcA", 0L),
+      // path m-n-o built from two SEPARATE docs (a single "m n o" walk
+      // would close m-o on the wrap): cc = 0 everywhere
+      (2L, rep("m n"), "en", "srcA", 0L),
+      (3L, rep("n o"), "en", "srcA", 0L),
+      // star n0-{a,b,c} plus chord a-b: n0 closes 1 of its 3 wedges
+      (4L, rep("n0 a"), "en", "srcA", 0L),
+      (5L, rep("n0 b"), "en", "srcA", 0L),
+      (6L, rep("n0 c"), "en", "srcA", 0L),
+      (7L, rep("a b"), "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc-").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qClusteringCoef(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      ("a", 2L, 1L, 1000000L),
+      ("b", 2L, 1L, 1000000L),
+      ("c", 1L, 0L, 0L),
+      ("m", 1L, 0L, 0L),
+      ("n", 2L, 0L, 0L),
+      ("n0", 3L, 1L, 333333L), // 2·1·10⁶ div (3·2) — div truncates
+      ("o", 1L, 0L, 0L),
+      ("x", 2L, 1L, 1000000L),
+      ("y", 2L, 1L, 1000000L),
+      ("z", 2L, 1L, 1000000L)))
+  }
+
+  test("boilerplate: per-source span rule — cross-source and intra-doc repeats are NOT chrome") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    // spans are FIXED 10-token windows from position 0, so a planted
+    // 10-token header aligns to exactly one span
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")
+    val u = (n: Int) => (1 to 10).map(i => s"u${n}x$i").mkString(" ")
+    val docs = Seq(
+      // srcA: header shared by docs 1+2 → boilerplate there
+      (1L, s"$header ${u(1)}", "en", "srcA", 0L),
+      (2L, s"$header ${u(2)}", "en", "srcA", 0L),
+      // doc 3 repeats ITS OWN span twice: inst=2 but doc_df=1 → not chrome
+      (3L, s"${u(3)} ${u(3)}", "en", "srcA", 0L),
+      // srcB has the SAME header once: per-source scoping keeps it clean
+      (4L, s"$header ${u(4)}", "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler-").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = Dedup.qBoilerplate(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got === Seq(
+      ("srcA", 3L, 6L, 1L, 2L, 2L),
+      ("srcB", 1L, 2L, 0L, 0L, 0L)))
+  }
+
   test("threshold sweep: planted exact-Jaccard pairs land on the right side of every bar") {
     import spark.implicits._
     // num = 100·inter, den = union; J = num / (100·den) chosen to sit ON
