@@ -2029,9 +2029,10 @@ object Dedup {
     * through the dedup shuffle); candidates verified with exact cosine
     * against the same ≥ 0.3 near-dup bar as the label-blocked oracle
     * variant, so the two results are directly comparable (LSH recall =
-    * this row count / the exhaustive count). Plane-dependent candidates →
-    * no SQL oracle; SketchSpec asserts the planted near-identical pair
-    * survives. */
+    * this row count / the exhaustive count). The seed-fixed planes ride
+    * into the oracle as literals, so the candidate set replays exactly in
+    * DuckDB (hash-gated); SketchSpec additionally asserts the planted
+    * near-identical pair survives. */
   def qEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
     // cached: scanned for banding + twice more to re-attach vectors to the
     // candidate pairs; the harness clearCache()s after each query
@@ -2053,6 +2054,34 @@ object Dedup {
         pround(graft.functions.NativeExprs.cosineSim(col("xa"), col("xb")), 6).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy(col("cos").desc, col("va"), col("vb"))
+  }
+
+  /** Banded twin of [[Similarity.planesSqlValues]]: the 4×8 seed-fixed
+    * plane matrix rides into DuckDB as literals, so the band buckets —
+    * and therefore the exact candidate set — replay bit-for-bit. */
+  private lazy val qEmbeddingNearDupLshSql = {
+    val rows = Similarity.bandPlanes.zipWithIndex.flatMap { case (ps, b) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        s"($b, $i, ${p.mkString("[", ", ", "]")}::DOUBLE[])"
+      }
+    }
+    s"""WITH pl(band, pid, p) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |bk AS (
+       |  SELECT e.vec_id, pl.band,
+       |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+       |        THEN (1::BIGINT << pl.pid) ELSE 0 END)::BIGINT AS bkey
+       |  FROM embeddings e CROSS JOIN pl GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.vec_id < b.vec_id)
+       |SELECT c.va, c.vb,
+       |  floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000.0 AS cos
+       |FROM cand c JOIN embeddings ea ON c.va = ea.vec_id
+       |  JOIN embeddings eb ON c.vb = eb.vec_id
+       |WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000.0 >= 0.3
+       |ORDER BY cos DESC, va, vb""".stripMargin
   }
 
   private val SemMinCells = 16
@@ -2240,7 +2269,7 @@ object Dedup {
     Q("q_dedup_simhash", qSimHash, None),
     Q("q_simhash_complete", qSimhashComplete, Some(qSimhashCompleteSql), headline = false),
     Q("q_dedup_embedding", qEmbeddingNearDup, Some(qEmbeddingNearDupSql), headline = false),
-    Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, None),
+    Q("q_dedup_embedding_lsh", qEmbeddingNearDupLsh, Some(qEmbeddingNearDupLshSql)),
     Q("q_dedup_semantic", qSemDedup, Some(qSemDedupSql)),
     Q("q_contamination", qContamination, Some(qContaminationSql)),
     Q("q_snippet_containment", qSnippetContainment, Some(qSnippetContainmentSql)),

@@ -16,19 +16,22 @@ import org.apache.spark.sql.functions._
   *     candidates are a partition-pruned fraction ~1/2^H of the data.
   *
   * Hyperplanes are generated driver-side from a fixed seed and shipped as
-  * literals — deterministic across runs, no hash-function dependence on the
-  * engine, but still not ANSI-SQL-portable (the oracle for ANN is the
-  * ScalaTest recall-vs-brute-force spec, not DuckDB).
+  * literals — deterministic across runs, no hash-function dependence on
+  * the engine. Because the planes are literals, they ALSO ride into the
+  * DuckDB oracles verbatim ([[planesSqlValues]]): the plane-LSH queries
+  * (ann_lsh, bucketed_pairs, and Dedup's banded near-dup) are fully
+  * hash-gated; only the float-ITERATIVE stacks (k-means, PQ) keep
+  * recall-spec + paired `_check`-row verification instead.
   */
 object Similarity {
 
   private val Dim = 64
-  private val NumPlanes = 8
+  private[operators] val NumPlanes = 8
 
   /** First `h` pseudo-random hyperplanes of the fixed seed-42 stream —
     * prefix-stable: planesFor(8) is exactly the first 8 of planesFor(24),
     * so growing `h` refines buckets without re-randomizing them. */
-  private def planesFor(h: Int): Seq[Seq[Double]] = {
+  private[operators] def planesFor(h: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(h)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
@@ -52,7 +55,7 @@ object Similarity {
     * near-dup blocking: a pair collides if it shares ANY band's bucket,
     * boosting recall over a single 8-plane bucket the same way MinHash
     * bands do over one long signature. */
-  private lazy val bandPlanes: Seq[Seq[Seq[Double]]] =
+  private[operators] lazy val bandPlanes: Seq[Seq[Seq[Double]]] =
     Seq.tabulate(NearDupBands) { b =>
       val rnd = new scala.util.Random(1000 + b)
       Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
@@ -65,6 +68,19 @@ object Similarity {
     array(bandPlanes.zipWithIndex.map { case (ps, b) =>
       struct(lit(b).as("band"), bucketWith(ps, v).as("bkey"))
     }: _*)
+
+  /** `(pid, [plane])` VALUES rows for a plane matrix. The seed-fixed
+    * hyperplanes are DATA, not randomness — so the DuckDB twin receives
+    * them as literals and replays the sign-bit bucketing exactly:
+    * `Double.toString` round-trips to the identical double, and both
+    * engines accumulate the 64-term dot product left-to-right in
+    * doubles, so the `>= 0` sign test cannot disagree. This is what
+    * turns the "hash-dependent, no oracle" LSH queries into fully
+    * hash-gated rows. */
+  private[operators] def planesSqlValues(ps: Seq[Seq[Double]]): String =
+    ps.zipWithIndex.map { case (p, i) =>
+      s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n")
 
   /** Exact top-10 cosine neighbors of vec_id 0 (the brute-force baseline).
     * DuckDB oracle uses list_cosine_similarity over the same DOUBLE[] data. */
@@ -111,6 +127,30 @@ object Similarity {
       .limit(10)
   }
 
+  private lazy val qAnnLshSql =
+    s"""WITH pl(pid, p) AS (VALUES
+       |${planesSqlValues(planes)}),
+       |bk AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+       |        THEN (1::BIGINT << pl.pid) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl GROUP BY 1),
+       |qq AS (
+       |  SELECT b.bucket AS qbucket, e.embedding::DOUBLE[] AS qv
+       |  FROM bk b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+       |probes AS (
+       |  SELECT qbucket AS bucket FROM qq
+       |  UNION
+       |  SELECT xor(qbucket, (1::BIGINT << i))
+       |  FROM qq, (SELECT unnest(range(0, $NumPlanes)) AS i)),
+       |cand AS (
+       |  SELECT vec_id FROM bk
+       |  WHERE bucket IN (SELECT bucket FROM probes) AND vec_id <> 0)
+       |SELECT c.vec_id,
+       |  floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv) * 1000000 + 0.5) / 1000000.0 AS cos
+       |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN qq q
+       |ORDER BY cos DESC, c.vec_id LIMIT 10""".stripMargin
+
   /** Target mean bucket occupancy for the all-pairs sweep: candidate pairs
     * ≈ n·TargetBucket/2 — linear in corpus size. */
   private val TargetBucket = 64L
@@ -146,6 +186,38 @@ object Similarity {
       .orderBy(col("cos").desc, col("va"), col("vb"))
       .limit(100)
   }
+
+  /** The oracle embeds the first [[BucketedOracleMaxH]] planes of the
+    * prefix-stable stream and re-derives the adaptive h from its own
+    * count — valid to 64·2¹⁶ ≈ 4M vectors, past which it raises via
+    * `error()` instead of silently diverging. */
+  private val BucketedOracleMaxH = 16
+
+  private lazy val qBucketedPairsSql =
+    s"""WITH pl(pid, p) AS (VALUES
+       |${planesSqlValues(planesFor(BucketedOracleMaxH))}),
+       |hh AS (
+       |  SELECT CASE WHEN h > $BucketedOracleMaxH
+       |      THEN error('bucketed-pairs oracle embeds $BucketedOracleMaxH planes; corpus needs ' || h)
+       |      ELSE h END AS h
+       |  FROM (
+       |    SELECT greatest($NumPlanes, CASE WHEN nb <= 1 THEN 0
+       |        ELSE ceil(log2(nb::DOUBLE))::INT END) AS h
+       |    FROM (SELECT greatest(1, (SELECT count(*) FROM embeddings) // $TargetBucket) AS nb))),
+       |bk AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) >= 0
+       |        THEN (1::BIGINT << pl.pid) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl CROSS JOIN hh
+       |  WHERE pl.pid < hh.h GROUP BY 1),
+       |sc AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000 + 0.5) / 1000000.0 AS cos
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON a.vec_id = ea.vec_id
+       |  JOIN embeddings eb ON b.vec_id = eb.vec_id)
+       |SELECT va, vb, cos FROM sc WHERE cos >= 0.25
+       |ORDER BY cos DESC, va, vb LIMIT 100""".stripMargin
 
   private val IvfCells = 16
   private val IvfProbes = 2
@@ -1152,8 +1224,8 @@ object Similarity {
     Q("q_pca_project", qPcaProject, Some(qPcaProjectSql)),
     Q("q_bitext_mine", qBitextMine, Some(qBitextMineSql)),
     Q("q_knn_classify", qKnnClassify, Some(qKnnClassifySql)),
-    Q("q_sim_ann_lsh", qAnnLsh, None),
-    Q("q_sim_bucketed_pairs", qBucketedPairs, None),
+    Q("q_sim_ann_lsh", qAnnLsh, Some(qAnnLshSql)),
+    Q("q_sim_bucketed_pairs", qBucketedPairs, Some(qBucketedPairsSql)),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
     Q("q_sim_ivf_append", qIvfAppend, Some(qIvfAppendSql)),
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
