@@ -27,9 +27,12 @@ object SparkEntry {
     all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-/plane-dependent sketches
-    * (q_dedup_minhash_lsh, q_dedup_simhash, q_dedup_embedding_lsh,
-    * q_sim_ann_lsh, q_sim_bucketed_pairs), the k-means/PQ-fit indexes
+    * the same parquet tables. The plane-LSH queries are NOT omitted: the
+    * seed-fixed hyperplanes ride into their oracles as literals, so
+    * q_dedup_embedding_lsh / q_sim_ann_lsh / q_sim_bucketed_pairs are
+    * hash-gated. Omitted only for the xxhash64 sketches
+    * (q_dedup_minhash_lsh, q_dedup_simhash — DuckDB has no xxhash64 and
+    * the byte-level loop is not SQL-expressible), the k-means/PQ-fit indexes
     * (q_sim_ivf_kmeans, q_sim_pq, q_sim_ivfpq), the raw approx
     * sketches (q_approx_distinct, q_approx_percentiles), and
     * q_bpe_train_full (32k-round trainer — its 8-rule prefix is

@@ -614,7 +614,7 @@ object Dedup {
     // size; the previous round's sum is memoized, so each round costs
     // ONE scan).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // empty frame sums to null
     }
     var prevSum: java.math.BigDecimal = null

@@ -595,8 +595,51 @@ object Evaluation {
 
   // ------------------------------------------------------------- registry
 
+  /** The profiled columns of the events table, in output order. */
+  private val ProfileCols =
+    Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+
+  /** Column-profile card — the DISCOVERY side of the data-contract audit
+    * (the contract asserts known predicates; the profile is what you run
+    * first, on a table you don't know yet): per column, null count and
+    * exact distinct cardinality, plus the row count. One aggregation
+    * pass; the multiple distinct aggregates expand into per-column
+    * streams of the same scan (Spark's Expand — cost ∝ columns, not
+    * extra scans). At 100 TB the exact countDistinct swaps for
+    * approx_count_distinct (HLL — same plan shape, bounded state;
+    * the exact/approx pairing is demonstrated by q_approx_distinct +
+    * its _check row); null counts are plain combiner-backed conditional
+    * counts either way. */
+  def qColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val aggs =
+      count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+        Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"))
+      }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(
+          s"stack(${ProfileCols.size}, " + ProfileCols
+            .map(c => s"'$c', ${c}__nulls, ${c}__distinct")
+            .mkString(", ") + ") AS (col_name, n_nulls, n_distinct)"),
+        col("n_rows"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct")
+      .orderBy("col_name")
+  }
+
+  private val qColumnProfileSql =
+    ProfileCols
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct FROM events""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Seq[Q] = Seq(
     Q("q_centroid_confusion", qCentroidConfusion, Some(qCentroidConfusionSql)),
+    Q("q_column_profile", qColumnProfile, Some(qColumnProfileSql)),
     Q("q_classifier_metrics", qClassifierMetrics, Some(qClassifierMetricsSql)),
     Q("q_calibration", qCalibration, Some(qCalibrationSql)),
     Q("q_data_contract", qDataContract, Some(qDataContractSql)),

@@ -277,4 +277,29 @@ class EvaluationSpec extends SparkSpec {
       assert(r.getLong(5) === jvmSig(ca, na, cb, nb))
     }
   }
+
+  test("column profile: planted nulls and duplicates land in the right cells") {
+    // the gate corpus has zero nulls, so the n_nulls path would be
+    // vacuous without this plant
+    import org.apache.spark.sql.SaveMode
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, ts0, 10L, "view", 1.5, "{}"),
+      (2L, ts0, 10L, "view", 1.5, null),
+      (3L, ts0, 20L, null, 2.5, null),
+      (4L, ts0, 20L, "click", 2.5, "{\"a\":1}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prof-").toString
+    rows.write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Evaluation.qColumnProfile(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      ("event_id", 4L, 0L, 4L),
+      ("event_type", 4L, 1L, 2L), // countDistinct ignores the null
+      ("props", 4L, 2L, 2L),
+      ("ts", 4L, 0L, 1L),
+      ("user_id", 4L, 0L, 2L),
+      ("value", 4L, 0L, 2L)))
+  }
 }

@@ -90,6 +90,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"distinct exchange not reused:\n$p")
   }
 
+  test("threshold sweep: bars broadcast into ONE candidate pass — no per-bar rescan") {
+    // the 5-row bar table must ride a broadcast nested-loop join against
+    // the candidate pairs (that nested loop is the DESIGN — ≤5×
+    // replication of a bounded table), and the three per-bar counts must
+    // come from one aggregation chain, not one candidate scan per bar:
+    // exactly as many documents FileScans as the shared shingle-pair
+    // machinery itself needs (= what q_dedup_ngram_jaccard does)
+    val sweep = plan(Dedup.qThresholdSweep(spark, sfDir))
+    assert(sweep.contains("BroadcastNestedLoopJoin"),
+      s"bar table not broadcast into the candidate join:\n$sweep")
+    def docScans(p: String) = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    val baseline = docScans(plan(Dedup.qNgramJaccard(spark, sfDir)))
+    assert(docScans(sweep) == baseline,
+      s"sweep scans documents ${docScans(sweep)}x vs $baseline for the pair table alone")
+  }
+
+  test("boilerplate: aggregation-shaped — no join wider than the span rollup, windows partitioned") {
+    // template-chrome detection must never go pairwise: no cartesian or
+    // nested loop, and the distinct-doc frequency window must stay
+    // partitioned on (source, f) — a SinglePartition window would funnel
+    // the corpus through one task
+    val p = plan(Dedup.qBoilerplate(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in boilerplate:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in boilerplate:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage in boilerplate:\n$p")
+  }
+
   test("substring dedup blocks through the window fingerprint — no pair enumeration") {
     // the Lee-et-al pass must stay linear: dup detection is an aggregate
     // on the fixed-width window hash plus a semi join back on the same
