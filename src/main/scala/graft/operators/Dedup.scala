@@ -592,7 +592,12 @@ object Dedup {
     * own id at the call site. */
   /** Backstop only — min-label needs O(component diameter) rounds and
     * near-dup components are diameter ~2; a graph that legitimately
-    * needs more than this belongs on [[ccLabelsStarFrom]]. */
+    * needs more than this belongs on [[ccLabelsStarFrom]]. Both CC
+    * variants run through `fixpointConverged`, which RAISES if this cap
+    * ever cuts the loop mid-flight: labels decide what gets dropped, and
+    * a half-propagated label set would split components and mis-dedup
+    * with no symptom (the DuckDB oracles recurse to true convergence, so
+    * the capped state could never hash-match either). */
   private val CcMaxRounds = 1000
 
   private[operators] def ccLabelsFrom(pairs: DataFrame): DataFrame = {
@@ -618,7 +623,7 @@ object Dedup {
       if (v == null) java.math.BigDecimal.ZERO else v // empty frame sums to null
     }
     var prevSum: java.math.BigDecimal = null
-    Iterate.fixpoint(labels0, CcMaxRounds) { (labels, _) =>
+    Iterate.fixpointConverged(labels0, CcMaxRounds) { (labels, _) =>
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -665,7 +670,7 @@ object Dedup {
       e.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
     val edges0 = canon(pairs.toDF("a", "b").filter(col("a") =!= col("b")))
-    val fp = Iterate.fixpoint(edges0, CcMaxRounds) { (edges, _) =>
+    val fp = Iterate.fixpointConverged(edges0, CcMaxRounds) { (edges, _) =>
       // large-star over the bidirectional neighborhood view
       val bidir = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         .toDF("u", "v")

@@ -513,6 +513,23 @@ object TextOps {
       false
     }
     words.indices.foreach(addWord(_, 1L))
+    // tie-break in UTF-8 BYTE order — Spark's orderBy compares
+    // UTF8String bytes, and Java String `<` (UTF-16 code units) orders
+    // supplementary characters (surrogate lead 0xD800) BELOW
+    // U+E000..U+FFFF while UTF-8 orders them above; the agreement
+    // contract with the distributed trainer is byte order
+    def ltUtf8(x: String, y: String): Boolean = {
+      val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(bx.length, by.length)
+      while (i < n) {
+        val c = (bx(i) & 0xff) - (by(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      bx.length < by.length
+    }
     val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     while (r <= maxRounds && counts.nonEmpty) {
@@ -520,7 +537,8 @@ object TextOps {
       var bc = Long.MinValue
       for ((p, c) <- counts)
         if (c > bc || (c == bc &&
-            (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) { bp = p; bc = c }
+            (ltUtf8(p._1, bp._1) ||
+              (p._1 == bp._1 && ltUtf8(p._2, bp._2))))) { bp = p; bc = c }
       val (a, b) = bp
       merges += ((r.toLong, a, b, bc))
       // occurs is LAZY (stale word ids survive un-merges), so re-check
@@ -634,14 +652,17 @@ object TextOps {
     * (`acc[:-1]` keeps the last element!), hence `acc[:len(acc)-1]`. */
   private def bpeMergeRoundSql(r: Int): String = {
     val prev = s"t${r - 1}"
-    s"""pc$r AS (
+    s"""pc$r AS MATERIALIZED (
        |  SELECT p['a'] AS a, p['b'] AS b, sum(freq)::BIGINT AS cnt
        |  FROM (SELECT freq,
        |          unnest(list_transform(range(1, len(syms)),
        |                 i -> {'a': syms[i], 'b': syms[i+1]})) AS p
        |        FROM $prev WHERE len(syms) >= 2)
        |  GROUP BY 1, 2),
-       |m$r AS (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS (
+       |  (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1)
+       |  UNION ALL
+       |  (SELECT NULL, NULL, NULL WHERE NOT EXISTS (SELECT 1 FROM pc$r))),
        |t$r AS (
        |  SELECT w, freq,
        |    list_reduce(list_transform(syms, s -> [s]),
@@ -670,7 +691,9 @@ object TextOps {
     s"""WITH $bpeCtesSql
        |SELECT * FROM (
        |  ${(1 to BpeMerges)
-            .map(r => s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, cnt FROM m$r")
+            .map(r =>
+              s"SELECT $r::BIGINT AS rank, a AS left_sym, b AS right_sym, cnt" +
+                s" FROM m$r WHERE a IS NOT NULL")
             .mkString(" UNION ALL ")})
        |ORDER BY rank""".stripMargin
 

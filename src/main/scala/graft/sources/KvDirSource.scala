@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
@@ -194,7 +194,18 @@ private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
 
 private[sources] class KvWrite(path: String, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new KvBatchWrite(path, truncate)
-  override def toStreaming: StreamingWrite = new KvStreamingWrite(path)
+  override def toStreaming: StreamingWrite = {
+    // Complete output mode reaches here as truncate=true (the builder
+    // advertises SupportsTruncate for the BATCH overwrite path). The
+    // streaming sink is append-shaped — epoch shards accumulate — so
+    // accepting truncate would silently union every epoch's snapshot.
+    // Refuse loudly instead of corrupting.
+    if (truncate)
+      throw new UnsupportedOperationException(
+        "graft-kv streaming write supports Append output only " +
+          "(per-epoch truncate would leave prior epochs' shards in place)")
+    new KvStreamingWrite(path)
+  }
 }
 
 private[sources] object KvStreamingWrite {

@@ -1010,7 +1010,9 @@ class ExtrasSpec extends SparkSpec {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      // the SAME bar qPrefixJaccard verifies at — a literal here would
+      // silently drift if the shared constant moved
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= Dedup.NearDupBar)
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want, s"prefix join diverged: extra=${got -- want} missing=${want -- got}")
@@ -1779,6 +1781,26 @@ class ExtrasSpec extends SparkSpec {
     val p30 = Dedup.assignCells(e, 30, 65536).queryExecution.executedPlan.toString
     assert(math.abs(p30.length - p16.length) < 200,
       s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
+  }
+
+  test("fixpointConverged raises when the cap cuts a still-progressing loop") {
+    import spark.implicits._
+    val s0 = Seq(0L).toDF("v")
+    val step = (st: org.apache.spark.sql.DataFrame, _: Int) =>
+      st.select((col("v") + 1).as("v"))
+    // plain fixpoint reports the capped state honestly…
+    val fp = Iterate.fixpoint(s0, 3)(step)((_, _) => 1L)
+    assert(fp.rounds === 3 && !fp.converged)
+    // …but the convergence-shaped entry point refuses to return it —
+    // CC labels decide what gets DROPPED, so a half-propagated state
+    // must never flow onward silently
+    intercept[IllegalStateException] {
+      Iterate.fixpointConverged(s0, 3)(step)((_, _) => 1L)
+    }
+    // and a loop that does converge passes through with converged=true
+    val ok = Iterate.fixpointConverged(s0, 3)(step)((_, next) =>
+      if (next.head().getLong(0) >= 2L) 0L else 1L)
+    assert(ok.converged && ok.rounds === 2)
   }
 
   test("clustering coefficient: planted triangle / path / star-with-chord graphs") {

@@ -358,6 +358,32 @@ class KvDirSourceSpec extends SparkSpec {
     assert(!new java.io.File(out, "_temp").exists(), "staging dir survived the stream")
   }
 
+  test("streaming write refuses Complete mode instead of silently unioning epoch snapshots") {
+    // Complete mode reaches the sink as truncate=true; the streaming
+    // shard layout is append-only (epoch shards accumulate), so
+    // accepting it would re-emit the whole aggregate every epoch NEXT TO
+    // the previous epochs' shards and the directory would read as the
+    // union of all snapshots. The sink must fail the query loudly.
+    val src = Files.createTempDirectory("graft-kv-cm-src-")
+    Files.write(src.resolve("part-000"), "k0 v0".getBytes(StandardCharsets.UTF_8))
+    val out = Files.createTempDirectory("graft-kv-cm-out-").toString
+    val ckpt = Files.createTempDirectory("graft-kv-cm-ckpt-").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft-kv").load(src.toString)
+        .groupBy("key").agg(max("value").as("value"))
+        .writeStream.format("graft-kv")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected the sink's UnsupportedOperationException, got: $ex")
+  }
+
   test("streaming epoch re-commit is idempotent (mid-commit crash replay)") {
     // Deterministic replay simulation: stage+commit an epoch, then
     // re-stage the SAME epoch (what the engine does when it replays an
