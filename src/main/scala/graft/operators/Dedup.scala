@@ -728,7 +728,11 @@ object Dedup {
     * canonical doc per CLUSTER (a doc is dropped iff its converged CC
     * label differs from its own id). Same cost shape as
     * [[qDedupClusters]] — the CC fixpoint plus one anti join. */
-  def qDedupApplyCc(s: SparkSession, d: String): DataFrame = {
+  /** The combined drop set — near-dup CC keep-min plus exact fingerprint
+    * keep-first — ONE definition behind [[qDedupApplyCc]] and
+    * [[qDedupRateBySource]], so the apply and its per-source impact
+    * report can never disagree on who gets dropped. */
+  private def ccDropSet(s: SparkSession, d: String): DataFrame = {
     val nearDrops = ccLabels(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -739,16 +743,46 @@ object Dedup {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
       .filter(col("doc_id") =!= col("keep"))
       .select("doc_id")
+    nearDrops.union(exactDrops).distinct()
+  }
+
+  def qDedupApplyCc(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .join(nearDrops.union(exactDrops).distinct(), Seq("doc_id"), "left_anti")
+      .join(ccDropSet(s, d), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
+
+  /** Per-source dedup impact report — the "which sources are redundant"
+    * card a pipeline reads before re-weighting its mixture: for each
+    * source, total docs, docs the [[qDedupApplyCc]] drop rule removes
+    * (near-dup CC keep-min ∪ exact keep-first — the SAME [[ccDropSet]]
+    * definition, shared), and the survival rate in exact ppm
+    * ((kept·10⁶) div total, non-negative so div ≡ //). Shape: the drop
+    * set left-joins onto documents (doc_id-keyed hash join) and
+    * collapses into one combiner-backed per-source rollup — the CC
+    * fixpoint is the only iterative cost, identical to the apply's. */
+  def qDedupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val drops = ccDropSet(s, d).withColumn("dropped", lit(1L))
+    Tables.documents(s, d)
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum("dropped"), lit(0L)).as("n_dropped"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_dropped"),
+        expr("(n_docs - n_dropped) * 1000000 div n_docs").as("survival_ppm"))
+      .orderBy("source")
   }
 
   /** Twin of [[qDedupApplyCc]]: the recursive-CTE reachability CC (a
     * different algorithm than label propagation) drives the keep rule. */
-  private val qDedupApplyCcSql =
-    s"""WITH RECURSIVE ${shinglePairsSqlCtes(minInter = 1)},
+  /** Shared oracle CTE chain for the CC drop set — the SQL twin of
+    * [[ccDropSet]], used by both the apply and the per-source report. */
+  private lazy val ccDropCtesSql =
+    s"""${shinglePairsSqlCtes(minInter = 1)},
        |cc_edges AS (
        |  SELECT da AS src, db AS dst FROM pairs
        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
@@ -764,11 +798,24 @@ object Dedup {
        |  SELECT doc_id FROM (
        |    SELECT doc_id, min(doc_id) OVER (
        |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
-       |    FROM documents) WHERE doc_id <> keep)
+       |    FROM documents) WHERE doc_id <> keep),
+       |drops AS (SELECT doc_id FROM near_drops_cc
+       |          UNION SELECT doc_id FROM exact_drops)""".stripMargin
+
+  private lazy val qDedupApplyCcSql =
+    s"""WITH RECURSIVE $ccDropCtesSql
        |SELECT doc_id, lang, source, n_chars FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM near_drops_cc
-       |                     UNION SELECT doc_id FROM exact_drops)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
        |ORDER BY doc_id""".stripMargin
+
+  private lazy val qDedupRateBySourceSql =
+    s"""WITH RECURSIVE $ccDropCtesSql
+       |SELECT d.source,
+       |  count(*)::BIGINT AS n_docs,
+       |  count(dr.doc_id)::BIGINT AS n_dropped,
+       |  ((count(*) - count(dr.doc_id)) * 1000000) // count(*) AS survival_ppm
+       |FROM documents d LEFT JOIN drops dr USING (doc_id)
+       |GROUP BY 1 ORDER BY source""".stripMargin
 
   /** DuckDB twin: reachability via a recursive CTE (every label a vertex
     * can reach; component id = min) — a different algorithm arriving at
@@ -2255,6 +2302,8 @@ object Dedup {
   val queries: Seq[Q] = Seq(
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
+    // same CC fixpoint + drop set as q_dedup_apply_cc — benchmarked there
+    Q("q_dedup_rate_by_source", qDedupRateBySource, Some(qDedupRateBySourceSql), headline = false),
     Q("q_split_leakage_safe", qSplitLeakageSafe, Some(qSplitLeakageSafeSql)),
     Q("q_dedup_exact", qExact, Some(qExactSql)),
     Q("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = false),

@@ -1783,6 +1783,20 @@ class ExtrasSpec extends SparkSpec {
       s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
   }
 
+  test("dedup rate by source: kept mass reconciles with the cluster-canonical apply") {
+    val report = Dedup.qDedupRateBySource(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val kept = report.map { case (_, n, d, _) => n - d }.sum
+    assert(kept === Dedup.qDedupApplyCc(spark, sfDir).count(),
+      "per-source kept mass != the apply's surviving row count")
+    val total = report.map(_._2).sum
+    assert(total === graft.Tables.documents(spark, sfDir).count(),
+      "n_docs does not partition the corpus")
+    report.foreach { case (src, n, d, ppm) =>
+      assert(ppm === (n - d) * 1000000L / n, s"ppm formula drifted for $src")
+    }
+  }
+
   test("fixpointConverged raises when the cap cuts a still-progressing loop") {
     import spark.implicits._
     val s0 = Seq(0L).toDF("v")
