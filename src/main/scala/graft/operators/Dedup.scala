@@ -37,11 +37,18 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(graft.functions.NativeExprs.normalizeWs(text))
 
-  /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
-  private[operators] def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
-    val sh = Tables.documents(s, d)
+  /** doc_id → exploded distinct trigram shingles, uncapped — the ONE
+    * construction both cap rules ([[cappedShingles]],
+    * [[cappedShinglesAdaptive]]) filter, so the shingle definition and
+    * the ≥3-token guard cannot fork between them. */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
+  private[operators] def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
+    val sh = explodedShingles(s, d)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
     sh.join(rare.select("sh"), "sh")
   }
@@ -63,9 +70,7 @@ object Dedup {
     * broadcasts back into the filter — no corpus-scale window anywhere. */
   private[operators] def cappedShinglesAdaptive(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(s, d)
-      .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = explodedShingles(s, d)
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val hist = dfs.groupBy("df").agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("df")))
@@ -619,8 +624,18 @@ object Dedup {
     // size; the previous round's sum is memoized, so each round costs
     // ONE scan).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v // empty frame sums to null
+      val r = df.agg(count(lit(1)), sum(col("label").cast("decimal(38,0)"))).head()
+      val v = r.getDecimal(1)
+      // null means EITHER an empty frame OR (ANSI off) decimal(38)
+      // overflow — and overflow must never read as "converged": two
+      // overflowed rounds would compare ZERO == ZERO and hand back
+      // half-propagated labels, precisely what fixpointConverged exists
+      // to prevent. Disambiguate with the row count from the same scan.
+      if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO
+      else if (v == null)
+        throw new ArithmeticException(
+          "CC convergence probe: label sum overflowed decimal(38,0)")
+      else v
     }
     var prevSum: java.math.BigDecimal = null
     Iterate.fixpointConverged(labels0, CcMaxRounds) { (labels, _) =>
@@ -1560,11 +1575,19 @@ object Dedup {
     * output-linear expansion ([[expandRepPairs]]). Measured at a 10×
     * verbatim-replicated sf0.1: minhash 18.8 s → linear-grade, prefix
     * join 51.8 s → linear-grade (NOTES_BUILD r8). */
-  private def groupMembers(base: DataFrame): DataFrame = {
-    val fp = base.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val repOf = fp.groupBy("fp").agg(min("doc_id").as("rep"))
-    fp.join(repOf, "fp").select(col("rep"), col("doc_id"))
+  /** Membership table (rep, doc_id) for identical-KEY groups — rep =
+    * min(doc_id) per distinct key. ONE collapse construction for every
+    * identical-content sweep: the text paths key by content fingerprint
+    * ([[groupMembers]]); [[Multimodal.qImageDedup]] keys by the 64-bit
+    * dhash itself. */
+  private[operators] def groupMembersBy(base: DataFrame, key: Column): DataFrame = {
+    val k = base.select(col("doc_id"), key.as("gk"))
+    val repOf = k.groupBy("gk").agg(min("doc_id").as("rep"))
+    k.join(repOf, "gk").select(col("rep"), col("doc_id"))
   }
+
+  private def groupMembers(base: DataFrame): DataFrame =
+    groupMembersBy(base, fingerprint(col("text")))
 
   /** Expand representative-level verified pairs back to all member pairs:
     * cross-group pairs inherit the rep pair's (exact — the sets are

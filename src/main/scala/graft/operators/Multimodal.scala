@@ -632,9 +632,9 @@ object Multimodal {
     // distinct hashes while member pairs expand back output-linearly
     // (intra-group Hamming is identically 0 ≤ 2, so whole groups always
     // qualify against themselves).
-    val groups = dh.groupBy("dhash").agg(min("doc_id").as("rep"))
-    val members = dh.join(groups, "dhash").select(col("rep"), col("doc_id")).cache()
-    val reps = dh.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val members = Dedup.groupMembersBy(dh, col("dhash")).cache()
+    val reps = dh.join(
+      members.filter(col("rep") === col("doc_id")).select("doc_id"), "doc_id")
     val banded = reps.select(
       col("doc_id"),
       col("dhash"),

@@ -489,8 +489,14 @@ object TextOps {
       types0: Array[(String, Long)], maxRounds: Int): Seq[(Long, String, String, Long)] = {
     import scala.collection.mutable
     val freqs = types0.map(_._2)
+    // split by CODE POINT, not UTF-16 code unit: Spark's split(w, '')
+    // and DuckDB's string_split(w, '') both keep supplementary
+    // characters whole, and toCharArray would shear them into lone
+    // surrogates (diverging pair counts AND corrupting the UTF-8
+    // tie-break, which encodes lone surrogates as '?')
     val words: Array[Array[String]] =
-      types0.map(_._1.toCharArray.map(_.toString))
+      types0.map(_._1.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
     val counts = mutable.HashMap.empty[(String, String), Long]
     val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
     def addWord(i: Int, sign: Long): Unit = {

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import java.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -235,22 +235,8 @@ private[sources] class KvStreamingWrite(path: String) extends StreamingWrite {
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
-    messages.foreach {
-      case KvCommitMessage("", _) => ()
-      case KvCommitMessage(staged, finalName) =>
-        val target = new Path(root, finalName)
-        if (fs.exists(target)) {
-          // epoch replay: this (epoch, partition) already committed —
-          // keep the landed shard, drop the equal re-staged copy
-          fs.delete(new Path(staged), false)
-        } else if (!fs.rename(new Path(staged), target)) {
-          throw new java.io.IOException(
-            s"graft-kv stream commit: rename $staged -> $finalName failed")
-        }
-    }
-    fs.delete(new Path(root, s"_temp/${KvStreamingWrite.token(epochId)}"), true)
-    val tempRoot = new Path(root, "_temp")
-    if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty) fs.delete(tempRoot, false)
+    KvCommitOps.commitStaged(fs, root, messages, idempotentReplay = true)
+    KvCommitOps.cleanupStaging(fs, root, KvStreamingWrite.token(epochId))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -269,6 +255,49 @@ private[sources] class KvStreamingWriterFactory(path: String)
 
 private[sources] case class KvCommitMessage(staged: String, finalName: String)
     extends WriterCommitMessage
+
+/** The commit machinery both write paths share — ONE definition of the
+  * rename-or-fail rule and the staging cleanup, so a fix to either (the
+  * boolean-returning FS API warts, the shared `_temp` lifecycle, the
+  * default-`Configuration()` deployment note on [[KvWriteBuilder]])
+  * lands in both paths at once. */
+private[sources] object KvCommitOps {
+
+  /** Rename every staged shard into place. Empty partitions commit a
+    * no-op message (no empty shard litters the directory — each would
+    * cost a whole task on every later read). Rename FAILURE is a
+    * boolean, not an exception — ignoring it would drop staged bytes at
+    * cleanup and report success over silently lost data.
+    * `idempotentReplay` is the streaming epoch-replay contract: a target
+    * that already landed keeps its committed bytes and the equal
+    * re-staged copy is dropped. The batch path passes false — its shard
+    * names carry a fresh job token, so an existing target is impossible
+    * rather than a replay. */
+  def commitStaged(
+      fs: FileSystem, root: Path, messages: Array[WriterCommitMessage],
+      idempotentReplay: Boolean): Unit =
+    messages.foreach {
+      case KvCommitMessage("", _) => ()
+      case KvCommitMessage(staged, finalName) =>
+        val target = new Path(root, finalName)
+        if (idempotentReplay && fs.exists(target)) {
+          fs.delete(new Path(staged), false)
+        } else if (!fs.rename(new Path(staged), target)) {
+          throw new java.io.IOException(
+            s"graft-kv commit: rename $staged -> $finalName failed")
+        }
+    }
+
+  /** Remove only THIS job/epoch's staging dir (a concurrent job's staged
+    * files under its own token must survive); the shared `_temp` parent
+    * goes best-effort once nobody is staging in it. */
+  def cleanupStaging(fs: FileSystem, root: Path, token: String): Unit = {
+    fs.delete(new Path(root, s"_temp/$token"), true)
+    val tempRoot = new Path(root, "_temp")
+    if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty)
+      fs.delete(tempRoot, false)
+  }
+}
 
 private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
   // millis prefix keeps sequential jobs' shard names monotone; the
@@ -295,24 +324,8 @@ private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends Bat
             s"graft-kv truncate: delete of stale shard $old failed")
       }
     }
-    messages.foreach {
-      // empty partitions commit a no-op message — no empty shard litters
-      // the directory (each would cost a whole task on every later read)
-      case KvCommitMessage("", _) => ()
-      case KvCommitMessage(staged, finalName) =>
-        // rename FAILURE is a boolean, not an exception — ignoring it
-        // would delete the staged bytes below and report success over
-        // silently lost data
-        if (!fs.rename(new Path(staged), new Path(root, finalName)))
-          throw new java.io.IOException(
-            s"graft-kv commit: rename $staged -> $finalName failed")
-    }
-    // only THIS job's staging dir: a concurrent job's staged files under
-    // its own token must survive our commit; the shared _temp parent is
-    // removed best-effort once no job is staging in it
-    fs.delete(new Path(root, s"_temp/$jobToken"), true)
-    val tempRoot = new Path(root, "_temp")
-    if (fs.exists(tempRoot) && fs.listStatus(tempRoot).isEmpty) fs.delete(tempRoot, false)
+    KvCommitOps.commitStaged(fs, root, messages, idempotentReplay = false)
+    KvCommitOps.cleanupStaging(fs, root, jobToken)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

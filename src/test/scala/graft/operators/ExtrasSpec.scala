@@ -1186,6 +1186,20 @@ class ExtrasSpec extends SparkSpec {
     assert(TextOps.bpeTrainCollected(Array(("aaaa", 1L)), 8) ===
       Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
 
+    // supplementary characters: the in-JVM split must be by CODE POINT
+    // like Spark's split(w,'') — toCharArray would shear 😀 (U+1F600)
+    // into lone surrogates and learn different (unrepresentable) merges
+    import spark.implicits._
+    val emoji = new String(Character.toChars(0x1F600))
+    val nonBmp = Array((s"a${emoji}b", 3L))
+    val gotNb = TextOps.bpeTrainCollected(nonBmp, 8)
+    val wantNb = TextOps.bpeTrainFrom(
+      spark, Seq((s"a${emoji}b", 3L)).toDF("w", "freq"), 8)
+    assert(gotNb === wantNb,
+      s"non-BMP merges diverge: jvm=$gotNb distributed=$wantNb")
+    assert(gotNb.head._2 == "a" && gotNb.head._3 == emoji,
+      s"first merge must pair 'a' with the WHOLE emoji: $gotNb")
+
     // real corpus: the full trainer's first 8 rules == the distributed
     // 8-round (oracle-gated) table — same wordcount, same tie-breaks
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
