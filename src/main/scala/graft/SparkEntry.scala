@@ -42,7 +42,8 @@ object SparkEntry {
     * planted-ground-truth / recall ScalaTest specs in SketchSpec PLUS
     * the oracle-gated companion rows (q_minhash_recall,
     * q_simhash_complete, q_approx_distinct_check,
-    * q_approx_percentiles_check, q_sim_pq_check, q_sim_ivfpq_check)
+    * q_approx_percentiles_check, q_sim_pq_check, q_sim_ivfpq_check,
+    * q_sim_kmeans_check — the recall floor as a hash-compared verdict)
     * that turn each no-oracle claim the driver CAN check into a
     * hash-compared row. */
   def oracleSql: Map[String, String] =

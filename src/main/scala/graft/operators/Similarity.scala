@@ -494,6 +494,30 @@ object Similarity {
     }
   }
 
+  /** Driver-visible gate row for the k-means IVF stack — the one
+    * approximate path whose result can't be pinned to the exact top-10
+    * (its probed cells legitimately miss a boundary neighbor even at the
+    * gate SF: measured 9/10). The floor SketchSpec holds (recall@10 ≥
+    * 0.9) is emitted as a hash-compared row instead: the oracle pins
+    * (n_exact, floor_met=true), so a fit/probe/assignment regression
+    * that drops recall below the spec'd floor now breaks the driver's
+    * gate, not just the local test run. */
+  def qKmeansRecallCheck(s: SparkSession, d: String): DataFrame = {
+    val approx = qIvfKmeans(s, d).select("vec_id")
+    val exact = qTopKExact(s, d).select("vec_id")
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nR = exact.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_rec"))
+    nE.crossJoin(nR)
+      .select(
+        col("n_exact"),
+        (col("n_rec") * 10 >= col("n_exact") * 9).as("floor_met"))
+  }
+
+  private val qKmeansRecallCheckSql =
+    s"""SELECT count(*)::BIGINT AS n_exact, true AS floor_met
+       |FROM ($qTopKExactSql)""".stripMargin
+
   private val PqSubspaces = 8
   private val PqSubDim = Dim / PqSubspaces
   private val PqCodes = 32
@@ -1242,6 +1266,7 @@ object Similarity {
     // boundary neighbors can legitimately drop below full recovery.
     Q("q_sim_pq_check", qSimPq, Some(qTopKExactSql), headline = false),
     Q("q_sim_ivfpq_check", qSimIvfPq, Some(qTopKExactSql), headline = false),
+    Q("q_sim_kmeans_check", qKmeansRecallCheck, Some(qKmeansRecallCheckSql), headline = false),
     Q("q_embed_centroids", qEmbedCentroids, Some(qEmbedCentroidsSql)),
     Q("q_embed_quantize", qEmbedQuantize, Some(qEmbedQuantizeSql)),
     Q("q_embed_outliers", qEmbedOutliers, Some(qEmbedOutliersSql)),
