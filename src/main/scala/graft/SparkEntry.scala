@@ -43,7 +43,8 @@ object SparkEntry {
     * the oracle-gated companion rows (q_minhash_recall,
     * q_simhash_complete, q_approx_distinct_check,
     * q_approx_percentiles_check, q_sim_pq_check, q_sim_ivfpq_check,
-    * q_sim_kmeans_check — the recall floor as a hash-compared verdict)
+    * q_sim_kmeans_check — the recall floor as a hash-compared verdict —
+    * and q_bpe_train_full_check — the 8-rule-prefix agreement likewise)
     * that turn each no-oracle claim the driver CAN check into a
     * hash-compared row. */
   def oracleSql: Map[String, String] =

@@ -588,6 +588,25 @@ object TextOps {
     merges.toDF("rank", "left_sym", "right_sym", "cnt").orderBy("rank")
   }
 
+  /** Driver-visible gate row for [[qBpeTrainFull]] (the kmeans-check
+    * pattern): the 32k-round collected-vocab trainer's first
+    * [[BpeMerges]] rules must equal the distributed 8-round table that
+    * IS hash-gated through the unrolled-CTE oracle — same wordcount,
+    * same (cnt DESC, pair ASC) tie-break, code-point split. The oracle
+    * pins prefix_match=true, so a trainer divergence breaks the
+    * driver's gate instead of only the local agreement spec. */
+  def qBpeTrainFullCheck(s: SparkSession, d: String): DataFrame = {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val ok = rows(qBpeTrainFull(s, d)).take(BpeMerges) ==
+      rows(qBpeTrain(s, d))
+    import s.implicits._
+    Seq(ok).toDF("prefix_match")
+  }
+
+  private val qBpeTrainFullCheckSql = "SELECT true AS prefix_match"
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
     * learn the first R merge rules. The corpus-scale work is exactly ONE
     * combiner-backed wordcount producing the vocabulary (distinct word,
@@ -2189,6 +2208,7 @@ object TextOps {
     Q("q_bpe_pairs", qBpePairs, Some(qBpePairsSql)),
     Q("q_bpe_train", qBpeTrain, Some(qBpeTrainSql)),
     Q("q_bpe_train_full", qBpeTrainFull, None),
+    Q("q_bpe_train_full_check", qBpeTrainFullCheck, Some(qBpeTrainFullCheckSql), headline = false),
     Q("q_bpe_apply", qBpeApply, Some(qBpeApplySql)),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
