@@ -6,6 +6,7 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -42,10 +43,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition (matching the reference's file-per-split model — files there
   * are output shards, already sized by the writing job's parallelism).
   * Readers stream lines through a buffered decoder — constant memory per
-  * partition. The reader resolves its Hadoop FileSystem from a default
-  * `Configuration()`; a cluster deployment with non-default FS settings
-  * broadcasts the job conf instead (Spark's `SerializableConfiguration`
-  * pattern) — local and default-HDFS setups are unaffected.
+  * partition. FileSystem resolution uses the SESSION's Hadoop conf
+  * everywhere: driver-side code (listing, commit, truncate) reads it
+  * directly, and every reader/writer factory captures it as a
+  * `SerializableConfiguration` at plan time — non-default FS settings
+  * reach the executors on a real cluster.
   */
 class KvDirSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
@@ -61,6 +63,17 @@ class KvDirSource extends TableProvider with DataSourceRegister {
 }
 
 object KvDirSource {
+
+  /** The session's Hadoop conf, resolved ON THE DRIVER (planning,
+    * commit, truncate, listing). Executor-side code must never call
+    * this — it receives a [[SerializableConfiguration]] captured here
+    * at factory-construction time instead, so non-default FS settings
+    * (core-site, spark.hadoop.*, per-session overrides) reach every
+    * open/create/rename on a real cluster. */
+  private[sources] def driverHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
   val Schema: StructType =
     StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
 
@@ -96,14 +109,15 @@ object KvDirSource {
 
 /** Shared line-record machinery for the row and count readers: one
   * file-open recipe and ONE application of the parse + key-filter rule,
-  * so the two scan shapes cannot diverge on the same file. (A cluster
-  * deployment swapping the default `Configuration()` for a broadcast
-  * SerializableConfiguration changes exactly this class.) */
-private[sources] final class KvRecords(file: String, keyEquals: Option[String]) {
+  * so the two scan shapes cannot diverge on the same file. Runs on
+  * EXECUTORS: the Hadoop conf arrives serialized from the driver's
+  * session, never from a default `Configuration()`. */
+private[sources] final class KvRecords(
+    file: String, keyEquals: Option[String], conf: Configuration) {
   private val path = new Path(file)
   private val reader = new BufferedReader(
     new InputStreamReader(
-      path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8))
+      path.getFileSystem(conf).open(path), StandardCharsets.UTF_8))
 
   /** Next filter-surviving (key, value) record, or null at EOF. */
   def nextRecord(): (String, String) = {
@@ -174,12 +188,11 @@ private[sources] class KvTable(path: String) extends Table with SupportsRead wit
   * trailing space; values with LEADING whitespace are not representable
   * in the reference format — `iss >> key` swallows the run).
   *
-  * Like the reader, the writer resolves its Hadoop FileSystem from a
-  * default `Configuration()` (staging, rename, truncate all go through
-  * it); a cluster deployment with non-default FS settings must thread
-  * the session's Hadoop conf into BOTH paths via Spark's
-  * `SerializableConfiguration` pattern — local and default-HDFS setups
-  * are unaffected. */
+  * Like the reader, the writer resolves its Hadoop FileSystem from the
+  * SESSION's conf: truncate/commit/abort run on the driver and read it
+  * directly, and the writer factories ship it to executor tasks as a
+  * `SerializableConfiguration` — staging, rename, and truncate all see
+  * the deployment's real FS settings. */
 private[sources] class KvWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -230,27 +243,30 @@ private[sources] object KvStreamingWrite {
 private[sources] class KvStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new KvStreamingWriterFactory(path)
+    new KvStreamingWriterFactory(
+      path, new SerializableConfiguration(KvDirSource.driverHadoopConf()))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(KvDirSource.driverHadoopConf())
     KvCommitOps.commitStaged(fs, root, messages, idempotentReplay = true)
     KvCommitOps.cleanupStaging(fs, root, KvStreamingWrite.token(epochId))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    root.getFileSystem(new Configuration())
+    root.getFileSystem(KvDirSource.driverHadoopConf())
       .delete(new Path(root, s"_temp/${KvStreamingWrite.token(epochId)}"), true)
   }
 }
 
-private[sources] class KvStreamingWriterFactory(path: String)
+private[sources] class KvStreamingWriterFactory(
+    path: String, conf: SerializableConfiguration)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, KvStreamingWrite.token(epochId), partitionId, taskId)
+    new KvDataWriter(
+      path, KvStreamingWrite.token(epochId), partitionId, taskId, conf)
 }
 
 private[sources] case class KvCommitMessage(staged: String, finalName: String)
@@ -308,11 +324,13 @@ private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends Bat
     f"${System.currentTimeMillis()}%013d-${util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, jobToken)
+    new KvWriterFactory(
+      path, jobToken,
+      new SerializableConfiguration(KvDirSource.driverHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(KvDirSource.driverHadoopConf())
     if (truncate) {
       KvScan.listPartitions(path).foreach { p =>
         val old = new Path(p.asInstanceOf[KvInputPartition].file)
@@ -330,23 +348,25 @@ private[sources] class KvBatchWrite(path: String, truncate: Boolean) extends Bat
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
-    root.getFileSystem(new Configuration())
+    root.getFileSystem(KvDirSource.driverHadoopConf())
       .delete(new Path(root, s"_temp/$jobToken"), true)
   }
 }
 
-private[sources] class KvWriterFactory(path: String, jobToken: String)
+private[sources] class KvWriterFactory(
+    path: String, jobToken: String, conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, jobToken, partitionId, taskId)
+    new KvDataWriter(path, jobToken, partitionId, taskId, conf)
 }
 
 private[sources] class KvDataWriter(
-    path: String, jobToken: String, partitionId: Int, taskId: Long)
+    path: String, jobToken: String, partitionId: Int, taskId: Long,
+    conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
   private val staged =
     new Path(new Path(path, s"_temp/$jobToken"), s"p$partitionId-t$taskId")
-  private val fs = staged.getFileSystem(new Configuration())
+  private val fs = staged.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(staged, true), StandardCharsets.UTF_8))
   private var rows = 0L
@@ -487,19 +507,22 @@ private[sources] class KvCountScan(
   override def planInputPartitions(): Array[InputPartition] =
     KvScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvCountReaderFactory(keyEquals)
+    new KvCountReaderFactory(
+      keyEquals, new SerializableConfiguration(KvDirSource.driverHadoopConf()))
 }
 
-private[sources] class KvCountReaderFactory(keyEquals: Option[String])
+private[sources] class KvCountReaderFactory(
+    keyEquals: Option[String], conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvCountPartitionReader(
-      partition.asInstanceOf[KvInputPartition].file, keyEquals)
+      partition.asInstanceOf[KvInputPartition].file, keyEquals, conf)
 }
 
-private[sources] class KvCountPartitionReader(file: String, keyEquals: Option[String])
+private[sources] class KvCountPartitionReader(
+    file: String, keyEquals: Option[String], conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val records = new KvRecords(file, keyEquals)
+  private val records = new KvRecords(file, keyEquals, conf.value)
   private var emitted = false
   private var current: InternalRow = _
 
@@ -525,7 +548,9 @@ private[sources] class KvScan(
   override def planInputPartitions(): Array[InputPartition] =
     KvScan.listPartitions(path)
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required.fieldNames, keyEquals)
+    new KvReaderFactory(
+      required.fieldNames, keyEquals,
+      new SerializableConfiguration(KvDirSource.driverHadoopConf()))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KvMicroBatchStream(path, required.fieldNames, keyEquals, maxFilesPerTrigger)
 }
@@ -642,7 +667,9 @@ private[sources] class KvMicroBatchStream(
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(fields, keyEquals)
+    new KvReaderFactory(
+      fields, keyEquals,
+      new SerializableConfiguration(KvDirSource.driverHadoopConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def deserializeOffset(json: String): Offset = KvOffset.fromJson(json)
@@ -662,7 +689,7 @@ private[sources] object KvScan {
   /** One partition per visible file — shared by the row and count scans. */
   def listPartitions(path: String): Array[InputPartition] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(KvDirSource.driverHadoopConf())
     fs.listStatus(root)
       .filter(_.isFile)
       .map(_.getPath)
@@ -676,17 +703,19 @@ private[sources] object KvScan {
 private[sources] case class KvInputPartition(file: String) extends InputPartition
 
 private[sources] class KvReaderFactory(
-    fields: Array[String], keyEquals: Option[String])
+    fields: Array[String], keyEquals: Option[String],
+    conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(
-      partition.asInstanceOf[KvInputPartition].file, fields, keyEquals)
+      partition.asInstanceOf[KvInputPartition].file, fields, keyEquals, conf)
 }
 
 private[sources] class KvPartitionReader(
-    file: String, fields: Array[String], keyEquals: Option[String])
+    file: String, fields: Array[String], keyEquals: Option[String],
+    conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val records = new KvRecords(file, keyEquals)
+  private val records = new KvRecords(file, keyEquals, conf.value)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -395,7 +395,11 @@ class KvDirSourceSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-kv-replay-").toString
     val w = new KvStreamingWrite(out)
     def stage(epoch: Long, pid: Int, rows: Seq[(String, String)]) = {
-      val dw = new KvStreamingWriterFactory(out).createWriter(pid, taskId = pid.toLong, epoch)
+      val dw = new KvStreamingWriterFactory(
+        out,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+        .createWriter(pid, taskId = pid.toLong, epoch)
       rows.foreach { case (k, v) =>
         dw.write(InternalRow(UTF8String.fromString(k), UTF8String.fromString(v)))
       }
