@@ -803,6 +803,98 @@ object TextOps {
        |FROM tok LEFT JOIN vocab ON tok.w = vocab.w
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source vocabulary-DRIFT card (χ²-shaped distribution shift vs
+    * the corpus): bucket the token stream into the fixed top-V corpus
+    * vocabulary (same (count DESC, w) cut as [[qOovRate]]) plus one
+    * `<other>` residual so every source's distribution sums to its
+    * token count, express both distributions as exact ppm shares
+    * (truncated div — non-negative dividends, so Spark `div` ≡ DuckDB
+    * `//`), and score each bucket (o_ppm − c_ppm)² div max(c_ppm, 1) —
+    * the χ² term with per-term truncated integer division, the
+    * q_autocorr-established pattern that makes the statistic replay
+    * bit-for-bit in both engines. The drift score is the bucket-term
+    * sum (integer, order-free); `top_word` is the argmax bucket under
+    * (term DESC, word) — the first thing a pipeline operator looks at
+    * when a source starts drifting. Plan: one token-stream scan into a
+    * broadcast vocab join, three combiner-backed rollups over
+    * sources × ≤V+1 buckets, every later join broadcast-small. ppm
+    * magnitudes bound every product under 10¹³ at ANY corpus size;
+    * only the two share divisions' `count·10⁶` numerators outgrow
+    * BIGINT past ~9·10¹² tokens — swap those two to DECIMAL(38) at
+    * that scale, same plan. */
+  def qVocabDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(OovVocabSize)
+      .select(col("w"), lit(1).as("iv"))
+    val bucketed = tok.join(broadcast(vocab), Seq("w"), "left")
+      .select(
+        col("source"),
+        when(col("iv").isNotNull, col("w")).otherwise(lit("<other>")).as("b"))
+    val corpus = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+    val totals = bucketed.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val obs = bucketed.groupBy("source", "b").agg(count(lit(1)).as("o"))
+    val terms = totals
+      .crossJoin(broadcast(corpus)) // dense grid: zero-observation buckets score too
+      .join(obs, Seq("source", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(corpus.agg(sum("c").as("t"))))
+      .withColumn("c_ppm", expr("c * 1000000 div t"))
+      .withColumn("o_ppm", expr("o * 1000000 div n_tokens"))
+      .withColumn(
+        "term",
+        expr("(o_ppm - c_ppm) * (o_ppm - c_ppm) div greatest(c_ppm, 1)"))
+    val agg = terms.groupBy("source")
+      .agg(max("n_tokens").as("n_tokens"), sum("term").as("drift_score"))
+    val top = terms
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("source").orderBy(col("term").desc, col("b"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("b").as("top_word"))
+    agg.join(top, "source")
+      .select("source", "n_tokens", "drift_score", "top_word")
+      .orderBy("source")
+  }
+
+  private val qVocabDriftSql =
+    s"""WITH tok AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+       |    FROM tok GROUP BY w) WHERE rn <= $OovVocabSize),
+       |bk AS (
+       |  SELECT source, CASE WHEN v.w IS NULL THEN '<other>' ELSE tok.w END AS b
+       |  FROM tok LEFT JOIN vocab v ON tok.w = v.w),
+       |corpus AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+       |tt AS (SELECT sum(c) AS t FROM corpus),
+       |totals AS (SELECT source, count(*) AS n_tokens FROM bk GROUP BY 1),
+       |obs AS (SELECT source, b, count(*) AS o FROM bk GROUP BY 1, 2),
+       |tm AS (
+       |  SELECT g.source, g.b, g.n_tokens,
+       |    ((g.o_ppm - g.c_ppm) * (g.o_ppm - g.c_ppm)) // greatest(g.c_ppm, 1) AS term
+       |  FROM (
+       |    SELECT totals.source, corpus.b, totals.n_tokens,
+       |      (corpus.c * 1000000) // (SELECT t FROM tt) AS c_ppm,
+       |      (COALESCE(obs.o, 0) * 1000000) // totals.n_tokens AS o_ppm
+       |    FROM totals CROSS JOIN corpus
+       |    LEFT JOIN obs ON obs.source = totals.source AND obs.b = corpus.b) g),
+       |ag AS (
+       |  SELECT source, max(n_tokens) AS n_tokens, sum(term) AS drift_score
+       |  FROM tm GROUP BY 1),
+       |tp AS (
+       |  SELECT source, b FROM (
+       |    SELECT source, b,
+       |      row_number() OVER (PARTITION BY source ORDER BY term DESC, b) AS rn
+       |    FROM tm) WHERE rn = 1)
+       |SELECT ag.source, ag.n_tokens::BIGINT AS n_tokens,
+       |  ag.drift_score::BIGINT AS drift_score, tp.b AS top_word
+       |FROM ag JOIN tp USING (source) ORDER BY source""".stripMargin
+
   /** Per-document bigram novelty: how many of a document's distinct
     * bigrams appear in NO other document — the memorization/duplication
     * risk signal (a doc whose bigrams are all corpus-common is boilerplate;
@@ -2211,6 +2303,7 @@ object TextOps {
     Q("q_bpe_train_full_check", qBpeTrainFullCheck, Some(qBpeTrainFullCheckSql), headline = false),
     Q("q_bpe_apply", qBpeApply, Some(qBpeApplySql)),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
+    Q("q_vocab_drift", qVocabDrift, Some(qVocabDriftSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),
     Q("q_quality_gate", qQualityGate, Some(qQualityGateSql)),
     Q("q_bm25", qBm25, Some(qBm25Sql)),

@@ -1797,6 +1797,33 @@ class ExtrasSpec extends SparkSpec {
       s"plan grew with k (${p16.length} -> ${p30.length} chars) — literal chain is back")
   }
 
+  test("vocab drift: hand-computed χ² terms on a planted 2-source corpus; ×10-replication invariant") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    // corpus: x appears 3×, y 1× (T=4) → c_ppm x=750000, y=250000.
+    // srcA "x y": o_ppm 500000/500000 → terms 250000²div750000=83333,
+    // 250000²div250000=250000. srcB "x x": o_ppm 1000000/0 → the same
+    // two terms. <other> bucket: c=0, o=0 → term 0 via the max(c,1)
+    // guard. drift = 333333 for both, top_word = y (250000 > 83333).
+    def corpus(rep: Int) = (0 until rep).flatMap { r =>
+      Seq((r * 2 + 1L, "x y", "en", "srcA", 0L), (r * 2 + 2L, "x x", "en", "srcB", 0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def run(rep: Int): Seq[(String, Long, Long, String)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+      corpus(rep).write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+      TextOps.qVocabDrift(spark, tmp).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    }
+    assert(run(1) === Seq(
+      ("srcA", 2L, 333333L, "y"),
+      ("srcB", 2L, 333333L, "y")))
+    // ppm shares are scale-free: replicating every doc 10× changes no row
+    // except the token counts
+    assert(run(10) === Seq(
+      ("srcA", 20L, 333333L, "y"),
+      ("srcB", 20L, 333333L, "y")))
+  }
+
   test("dedup rate by source: kept mass reconciles with the cluster-canonical apply") {
     val report = Dedup.qDedupRateBySource(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
