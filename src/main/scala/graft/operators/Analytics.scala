@@ -899,6 +899,56 @@ object Analytics {
        |FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------------------- HLL sketch rollup
+
+  /** Sketch RE-AGGREGATION — the pattern that makes distinct counting
+    * tractable at 100 TB: build per-(event_type, day) HLL sketches in one
+    * pass (Datasketches `hll_sketch_agg`, lgK=14 → ~0.8% rsd), then roll
+    * them up to per-type totals by UNIONING THE SKETCHES
+    * (`hll_union_agg`) — a register-wise max, so the rollup touches only
+    * |types|×|days| sketch rows, never the raw events again. That is the
+    * materialized-daily-cube story: the fine-grain sketch table is what a
+    * pipeline persists, and any coarser grain (weekly, all-time,
+    * per-type) merges from it without a rescan; exact distinct at the
+    * coarse grain would instead re-shuffle every (type, user) pair of the
+    * full history. The card pins the sketch against the truth the way
+    * q_approx_distinct_check does: exact per-type distincts + day counts
+    * (hash-compared) and a within-5% verdict on the merged estimate —
+    * integer inequality ·20, no float on the hash; register max is
+    * order-independent so the flag is deterministic under any partition
+    * or merge schedule, and 5% ≈ 6σ at lgK=14 makes it stable at every
+    * SF (below ~12k users/type the sketch is still in exact sparse
+    * mode). The exact twin aggregates DISTINCT once per type — a
+    * two-phase distinct, broadcast-joined to the |types|-row sketch
+    * side. */
+  def qHllRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("exact_users"))
+    exact
+      .join(broadcast(merged), Seq("event_type"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        col("n_days"),
+        (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users")).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  private val qHllRollupSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ registry
 
   val queries: Seq[Q] = Seq(
@@ -912,5 +962,6 @@ object Analytics {
     Q("q_ewma_forecast", qEwmaForecast, Some(qEwmaForecastSql)),
     Q("q_item_cf", qItemCf, Some(qItemCfSql)),
     Q("q_kcore", qKcore, Some(qKcoreSql)),
-    Q("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)))
+    Q("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
+    Q("q_hll_rollup", qHllRollup, Some(qHllRollupSql)))
 }

@@ -2168,6 +2168,75 @@ object TextOps {
        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
        |FROM uc GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source READABILITY battery — the Flesch reading-ease family
+    * (Flesch 1948, the gate most curation recipes pair with the Gopher
+    * battery to catch both legalese walls and telegraphic fragments),
+    * integer-exact: per doc, words = shared-tokenizer token count,
+    * sentences = max(1, count of [.!?] terminators), syllables = per
+    * token max(1, vowel-group count) — the standard orthographic
+    * syllable estimator ([aeiou]+ runs; both regex engines agree on
+    * this alphabet-only class). The per-source row carries the raw sums
+    * plus the milli-scaled Flesch score 206835 − (1015·W) div S −
+    * (84600·Y) div W with truncating division on non-negative operands
+    * (Spark `div` ≡ DuckDB `//` there — the measured semantics, see
+    * qAutocorr). Overflow envelope: 84600·Y wraps BIGINT only past
+    * ~10¹⁴ per-source syllables (~0.5 PB of text in ONE source) —
+    * DECIMAL(38) escape hatch applies, same plan. On this synthetic
+    * punctuation-free corpus every doc collapses to one sentence (the
+    * fallback), which the card exposes honestly (sum_sents = n_docs)
+    * while the syllable/word terms still discriminate sources — same
+    * deliberate non-vacuity stance as q_langid_eval. Plan: ONE
+    * documents scan; words/syllables/sentences are per-row array
+    * expressions (no explode — the token array folds in place), the
+    * rollup is a combiner-backed groupBy on `source`; nothing shuffles
+    * but ≤|sources| partial rows. */
+  def qReadability(s: SparkSession, d: String): DataFrame =
+    readabilityFrom(Tables.documents(s, d))
+
+  /** DataFrame-first seam: any (source, text) relation. */
+  private[operators] def readabilityFrom(docs: DataFrame): DataFrame = {
+    val t = graft.functions.NativeExprs.tokens(col("text"))
+    val perDoc = docs.select(
+      col("source"),
+      size(t).cast("long").as("words"),
+      aggregate(
+        transform(t, w => greatest(lit(1), size(regexp_extract_all(w, lit("[aeiou]+"), lit(0))))),
+        lit(0L),
+        (acc, x) => acc + x.cast("long")).as("sylls"),
+      greatest(lit(1L), regexp_count(col("text"), lit("[.!?]")).cast("long")).as("sents"))
+      .filter(col("words") > 0)
+    perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("words").as("sum_words"),
+        sum("sents").as("sum_sents"),
+        sum("sylls").as("sum_sylls"))
+      .withColumn(
+        "fre_milli",
+        expr("206835 - (1015 * sum_words) div sum_sents - (84600 * sum_sylls) div sum_words"))
+      .orderBy("source")
+  }
+
+  private val qReadabilitySql =
+    s"""WITH tk AS (
+       |  SELECT source, $tokensSql AS t,
+       |    len(regexp_extract_all(text, '[.!?]')) AS np
+       |  FROM documents),
+       |pd AS (
+       |  SELECT source, len(t) AS words,
+       |    list_sum(list_transform(t,
+       |      w -> greatest(1, len(regexp_extract_all(w, '[aeiou]+'))))) AS sylls,
+       |    greatest(1, np) AS sents
+       |  FROM tk WHERE len(t) > 0)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(words) AS BIGINT) AS sum_words,
+       |  CAST(sum(sents) AS BIGINT) AS sum_sents,
+       |  CAST(sum(sylls) AS BIGINT) AS sum_sylls,
+       |  CAST(206835 - (1015 * sum(words)) // sum(sents)
+       |    - (84600 * sum(sylls)) // sum(words) AS BIGINT) AS fre_milli
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
   /** Zipf coverage curve: the top-50 terms by corpus frequency with each
     * rank's CUMULATIVE token coverage in exact ppm — the data card that
     * answers "how many vocabulary entries cover X% of the corpus"
@@ -2315,5 +2384,6 @@ object TextOps {
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
     Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)),
-    Q("q_vocab_growth", qVocabGrowth, Some(qVocabGrowthSql)))
+    Q("q_vocab_growth", qVocabGrowth, Some(qVocabGrowthSql)),
+    Q("q_readability", qReadability, Some(qReadabilitySql)))
 }

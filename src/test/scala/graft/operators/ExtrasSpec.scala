@@ -1959,4 +1959,44 @@ class ExtrasSpec extends SparkSpec {
       assert(col === col.sorted.reverse, s"column $c not monotone: $col")
     }
   }
+
+  test("readability battery matches hand-computed Flesch components on a planted corpus") {
+    import spark.implicits._
+    // srcA: 7 words, 3 sentence terminators; vowel-group syllables per
+    // token (punctuation rides inside the token but [aeiou]+ skips it):
+    // the→1, cat→1, sat.→1, it→1, ran→1, away!→2 (a, a), really?→1 (ea)
+    // ⇒ 8 syllables
+    val docs = Seq(
+      (1L, "the cat sat. it ran away! really?", "en", "srcA", 33L),
+      // srcB: no terminators → sentence fallback max(1, 0) = 1; a token
+      // with no vowels ("tv") floors at 1 syllable:
+      // tv→1 (floor), screens→1 (ee), glow→1 (o) ⇒ 3 syllables
+      (2L, "tv screens glow", "en", "srcB", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.readabilityFrom(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("srcA") === ((1L, 7L, 3L, 8L,
+      206835L - (1015L * 7) / 3 - (84600L * 8) / 7)))
+    assert(out("srcB") === ((1L, 3L, 1L, 3L,
+      206835L - (1015L * 3) / 1 - (84600L * 3) / 3)))
+  }
+
+  test("HLL rollup: merged daily sketches agree with one global sketch and sit within 5% of exact") {
+    val rows = Analytics.qHllRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), s"${r.getString(0)} estimate outside 5%"))
+    // register-max associativity: the union of per-day sketches must give
+    // the SAME estimate as sketching the whole column once per type
+    val ev = graft.Tables.events(spark, sfDir)
+    val global = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === global)
+  }
 }
