@@ -725,15 +725,57 @@ object Analytics {
     kcoreFrom(copurchasePairs(s, d).select("ia", "ib"))
 
   /** The peeling loop itself, seam for specs: `und` is the undirected
-    * (ia, ib) edge list. Returns (node, core_deg) for the k-core. */
+    * (ia, ib) edge list. Returns (node, core_deg) for the k-core.
+    *
+    * DELTA-PEELING: the loop state is the alive set WITH each node's
+    * degree among alive nodes, plus a flag marking the nodes that just
+    * fell below k (this round's delta). A step decrements survivor
+    * degrees by the edges INTO the delta — so each round's join output
+    * is sized by the delta's incidence, not the surviving graph, and
+    * the decrement work summed over ALL rounds is bounded by E (each
+    * edge decrements at most once, when its second endpoint dies). The
+    * earlier formulation re-filtered the full edge list through two
+    * survivor semi-joins every round — O(rounds·E) shuffled — and then
+    * paid the same two joins once more to recover core degrees; here
+    * the converged state already carries the exact within-core degree
+    * (agreement-spec'd against the rescan formulation on planted
+    * fixtures and real data). The probe counts flagged rows — peeling
+    * stops the round after no node falls. */
   private[operators] def kcoreFrom(und: DataFrame): DataFrame = {
     val edges = und
       .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
       .localCheckpoint()
+    val state0 = edges
+      .groupBy("ia")
+      .agg(count(lit(1)).as("dg"))
+      .select(col("ia").as("node"), col("dg"))
+      .withColumn("dead", col("dg") < KcoreK)
+    val fp = Iterate.fixpoint(state0, KcoreMaxRounds) { (state, _) =>
+      val delta = state.filter(col("dead")).select(col("node").as("nb"))
+      val dec = edges
+        .join(delta, col("ib") === col("nb"))
+        .groupBy("ia")
+        .agg(count(lit(1)).as("dc"))
+      state
+        .filter(!col("dead"))
+        .join(dec, col("node") === col("ia"), "left")
+        .select(col("node"), (col("dg") - coalesce(col("dc"), lit(0L))).as("dg"))
+        .withColumn("dead", col("dg") < KcoreK)
+    } { (_, next) => next.filter(col("dead")).count() }
+    fp.state
+      .select(col("node"), col("dg").as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** The original rescan formulation (re-filter full edge list through
+    * survivor semi-joins per round), kept as the agreement-spec twin of
+    * the delta-peeling [[kcoreFrom]] — two independent constructions of
+    * the same unique maximal min-degree-≥k subgraph. */
+  private[operators] def kcoreRescanFrom(und: DataFrame): DataFrame = {
+    val edges = und
+      .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
+      .localCheckpoint()
     val cur0 = edges.select(col("ia").as("node")).distinct()
-    // peeling only shrinks: progress = how many nodes this round shed;
-    // the previous round's count is memoized so each round pays ONE
-    // count scan, not two
     var prevCount = -1L
     val cur = Iterate.fixpoint(cur0, KcoreMaxRounds) { (curr, _) =>
       edges

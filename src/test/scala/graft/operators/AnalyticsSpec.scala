@@ -272,6 +272,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (0 until 5).map(i => (s"c$i", 2L)))
   }
 
+  test("delta-peeling k-core agrees with the rescan formulation on a layered graph") {
+    // K4 core, a 5-cycle grafted to it, pendant paths off both, and an
+    // isolated edge — exercises multi-round deltas, the degree
+    // decrement path, and full-component elimination
+    import spark.implicits._
+    val k4 = for (i <- 0 until 4; j <- i + 1 until 4) yield (s"k$i", s"k$j")
+    val cyc = (0 until 5).map(i => (s"y$i", s"y${(i + 1) % 5}")) :+ (("k0", "y0"))
+    val tails = Seq(("k1", "a1"), ("a1", "a2"), ("y2", "b1"), ("b1", "b2"), ("b2", "b3"))
+    val iso = Seq(("z1", "z2"))
+    val und = (k4 ++ cyc ++ tails ++ iso)
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .toDF("ia", "ib")
+    val delta = Analytics.kcoreFrom(und).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rescan = Analytics.kcoreRescanFrom(und).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(delta === rescan)
+    assert(delta.nonEmpty && delta.forall(_._2 >= 2))
+  }
+
   test("BFS levels are exact hop distances on a synthetic path + hub graph") {
     // path 0-1-2-...-9 plus a hub h connected to node 0 via 3 spokes
     import spark.implicits._
