@@ -941,6 +941,105 @@ object Analytics {
        |FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------------ rolling distinct actives
+
+  private val RollWindowDays = 7
+
+  /** 7-day rolling distinct active users (WAU) per calendar day — the
+    * product-health series every events pipeline publishes. A sliding
+    * DISTINCT cannot ride a window frame (distinct is not algebraic
+    * over frame slides), and per-day re-scans of the trailing week
+    * would read the corpus |days| times; instead each distinct
+    * (user, day) pair EXPANDS to the ≤7 window days it serves
+    * (`sequence` + explode — the contribution-expansion shape the
+    * sweep-line card established), and one two-phase distinct per
+    * window day finishes the job. Shuffle volume is a flat 7× the
+    * user-day table — linear at any corpus size, no global window, no
+    * repeated scans; the day grid is a broadcast semi-join that also
+    * drops contributions past the observed horizon. The DuckDB twin
+    * computes the same series as a day-range join — a genuinely
+    * different plan arriving at the same integers. (For approximate
+    * variants at extreme cardinalities, the per-day HLL sketches of
+    * [[qHllRollup]] union across any window without re-expansion.) */
+  def qRollingActive(s: SparkSession, d: String): DataFrame =
+    rollingActiveFrom(
+      Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day")))
+
+  /** DataFrame-first seam: any (user_id, day) activity relation
+    * (duplicates fine — the distinct here absorbs them). */
+  private[operators] def rollingActiveFrom(activity: DataFrame): DataFrame = {
+    val ud = activity.distinct()
+    val grid = ud.select(col("day").as("gday")).distinct()
+    ud
+      .select(
+        col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), RollWindowDays - 1))).as("gday"))
+      .join(broadcast(grid), Seq("gday"), "leftsemi")
+      .groupBy("gday")
+      .agg(countDistinct(col("user_id")).as("wau_7d"))
+      .select(date_format(col("gday"), "yyyy-MM-dd").as("day"), col("wau_7d"))
+      .orderBy("day")
+  }
+
+  private val qRollingActiveSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |grid AS (SELECT DISTINCT day FROM ud)
+      |SELECT strftime(g.day, '%Y-%m-%d') AS day,
+      |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau_7d
+      |FROM grid g JOIN ud u ON u.day BETWEEN g.day - 6 AND g.day
+      |GROUP BY g.day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------- audience overlap
+
+  /** Audience-overlap matrix: for every event-type pair, how many users
+    * did BOTH, with the exact Jaccard overlap in ppm (truncating
+    * integer division, non-negative operands). The Spark plan avoids
+    * the quadratic self-join entirely: one distinct pass to
+    * (user, type), then each user's type SET (bounded by the type
+    * DOMAIN — a schema property, not a data size; `collect_set` here
+    * can never exceed it) explodes into its ≤C(|types|,2) ordered
+    * pairs, and a combiner-backed count per pair finishes — linear in
+    * users at any scale. Totals for the Jaccard denominator ride a
+    * broadcast |types|-row join. The DuckDB twin IS the self-join
+    * formulation — the shape this plan exists to avoid — making the
+    * agreement a real two-algorithm check. */
+  def qAudienceOverlap(s: SparkSession, d: String): DataFrame =
+    audienceOverlapFrom(Tables.events(s, d).select("user_id", "event_type"))
+
+  /** DataFrame-first seam: any (user_id, event_type) relation. */
+  private[operators] def audienceOverlapFrom(ue0: DataFrame): DataFrame = {
+    val ue = ue0.distinct()
+    val tot = ue.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ue
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ets"))
+      .select(explode(col("ets")).as("et_a"), col("ets"))
+      .select(col("et_a"), explode(col("ets")).as("et_b"))
+      .filter(col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b")
+      .agg(count(lit(1)).as("users_both"))
+      .join(broadcast(tot.select(col("event_type").as("et_a"), col("n").as("na"))), "et_a")
+      .join(broadcast(tot.select(col("event_type").as("et_b"), col("n").as("nb"))), "et_b")
+      .select(
+        col("et_a"), col("et_b"), col("users_both"),
+        expr("(users_both * 1000000) div (na + nb - users_both)").as("jaccard_ppm"))
+      .orderBy("et_a", "et_b")
+  }
+
+  private val qAudienceOverlapSql =
+    """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+      |tot AS (SELECT event_type, count(*) AS n FROM ue GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS users_both
+      |  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.et_a, pr.et_b, CAST(pr.users_both AS BIGINT) AS users_both,
+      |  CAST((pr.users_both * 1000000) // (ta.n + tb.n - pr.users_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pr JOIN tot ta ON ta.event_type = pr.et_a
+      |JOIN tot tb ON tb.event_type = pr.et_b
+      |ORDER BY et_a, et_b""".stripMargin
+
   // ------------------------------------------------------- HLL sketch rollup
 
   /** Sketch RE-AGGREGATION — the pattern that makes distinct counting
@@ -1005,5 +1104,7 @@ object Analytics {
     Q("q_item_cf", qItemCf, Some(qItemCfSql)),
     Q("q_kcore", qKcore, Some(qKcoreSql)),
     Q("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
-    Q("q_hll_rollup", qHllRollup, Some(qHllRollupSql)))
+    Q("q_hll_rollup", qHllRollup, Some(qHllRollupSql)),
+    Q("q_rolling_active", qRollingActive, Some(qRollingActiveSql)),
+    Q("q_audience_overlap", qAudienceOverlap, Some(qAudienceOverlapSql)))
 }

@@ -292,6 +292,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(delta.nonEmpty && delta.forall(_._2 >= 2))
   }
 
+  test("rolling 7-day actives match hand-computed windows on a planted activity log") {
+    import spark.implicits._
+    // March 2024: u1 active days 1,5,12; u2 days 1,2; u3 day 12; u4 day 5.
+    // Observed grid {1, 2, 5, 12}; 7-day windows count distinct users:
+    //   day 1  [Feb 24..1]: u1, u2        = 2
+    //   day 2  [Feb 25..2]: u1, u2        = 2
+    //   day 5  [Feb 28..5]: u1, u2, u4    = 3
+    //   day 12 [6..12]:     u1, u3        = 2  (u2's last activity, day 2,
+    //                                          has aged out of the window)
+    val act = Seq(
+      (1L, "2024-03-01"), (1L, "2024-03-05"), (1L, "2024-03-12"),
+      (2L, "2024-03-01"), (2L, "2024-03-02"),
+      (3L, "2024-03-12"),
+      (4L, "2024-03-05"), (4L, "2024-03-05")) // duplicate absorbed
+      .toDF("user_id", "day_s")
+      .select(col("user_id"), to_date(col("day_s")).as("day"))
+    val got = Analytics.rollingActiveFrom(act).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      ("2024-03-01", 2L), ("2024-03-02", 2L), ("2024-03-05", 3L), ("2024-03-12", 2L)))
+  }
+
+  test("audience overlap counts and Jaccard match a planted user-type log") {
+    import spark.implicits._
+    // types: u1 {a,b}, u2 {a,b,c}, u3 {a}, u4 {c}
+    // pairs: (a,b): u1,u2 = 2; (a,c): u2 = 1; (b,c): u2 = 1
+    // totals: a=3, b=2, c=2
+    // jaccard_ppm: (a,b) 2*1e6 // (3+2-2) = 666666; (a,c) 1e6 // 4 = 250000;
+    //              (b,c) 1e6 // 3 = 333333
+    val ue = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (4L, "c"), (1L, "a")) // duplicate absorbed
+      .toDF("user_id", "event_type")
+    val got = Analytics.audienceOverlapFrom(ue).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 250000L), ("b", "c", 1L, 333333L)))
+  }
+
   test("BFS levels are exact hop distances on a synthetic path + hub graph") {
     // path 0-1-2-...-9 plus a hub h connected to node 0 via 3 spokes
     import spark.implicits._
