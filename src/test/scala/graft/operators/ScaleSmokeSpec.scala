@@ -534,6 +534,47 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("readability card under 10x replication: sums x10, Flesch score invariant") {
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-read-").toString
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def card(dir: String) = TextOps.qReadability(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val base = card(sfDir)
+    val scaled = card(tmp)
+    assert(scaled.keySet === base.keySet)
+    base.foreach { case (src, (nd, w, s, y, fre)) =>
+      // extensive components scale exactly; the score is a ratio of two
+      // x10 sums — the SAME rational, so its truncation is bit-identical
+      assert(scaled(src) === ((nd * rep, w * rep, s * rep, y * rep, fre)), src)
+    }
+  }
+
+  test("distinct-shaped event cards are bit-invariant under 10x event replication") {
+    // Replicating event ROWS (same users, same timestamps) changes no
+    // distinct set: WAU series, audience overlap, and the HLL rollup's
+    // exact+verdict columns must all reproduce exactly — catches any
+    // accidental dependence on raw row counts in what claims to be
+    // distinct-shaped
+    val rep = 10
+    val tmp = Files.createTempDirectory("graft-scale-dist-").toString
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(rep))
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    assert(Analytics.qRollingActive(spark, tmp).collect().toSeq ===
+      Analytics.qRollingActive(spark, sfDir).collect().toSeq)
+    assert(Analytics.qAudienceOverlap(spark, tmp).collect().toSeq ===
+      Analytics.qAudienceOverlap(spark, sfDir).collect().toSeq)
+    assert(Analytics.qHllRollup(spark, tmp).collect().toSeq ===
+      Analytics.qHllRollup(spark, sfDir).collect().toSeq)
+  }
+
   test("autocorrelation card is exactly invariant under 10x replicated events") {
     // Row replication multiplies every hourly count by rep, so dev scales
     // by rep and num/den both by rep² — the ratio is the SAME rational,
