@@ -605,8 +605,59 @@ object Dedup {
     * the capped state could never hash-match either). */
   private val CcMaxRounds = 1000
 
+  /** PARTITION-LOCAL CONTRACTION pre-pass: one `mapPartitions` union-find
+    * over each partition's edges, emitting a spanning STAR per local
+    * component (root = local min id; every tracked node gets a
+    * (root, node) row, roots as self-rows so isolated-after-contraction
+    * ids survive). Connectivity is exactly preserved — within a
+    * partition through the shared root, across partitions through the
+    * nodes the partitions share — so the min-label fixpoint downstream
+    * computes IDENTICAL labels (agreement-spec'd on planted graphs and
+    * the real near-dup graph). What changes is the fixpoint's per-round
+    * cost: near-dup components are clique-shaped, so raw E is quadratic
+    * in cluster size while the contracted edge count is bounded by the
+    * per-partition NODE count — the repeated-shuffle volume drops from
+    * O(rounds·E) to O(E + rounds·V) (one full pass to contract, stars
+    * thereafter). Worst-case contracted diameter is ~2× a local
+    * diameter (two nodes now route via their root), so the round count
+    * can grow by 1-2 on tiny-diameter graphs — pennies against the
+    * per-round volume cut once clusters are big. Memory: the union-find
+    * holds one LongMap entry per DISTINCT node in the partition — the
+    * same working-set class as a per-partition hash aggregate, sized by
+    * `spark.sql.files.maxPartitionBytes`/shuffle partitioning like
+    * every other hash-backed stage. */
+  private def contractLocal(p: DataFrame): DataFrame = {
+    val ss = p.sparkSession
+    import ss.implicits._
+    p.select(col("da").cast("long"), col("db").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression keeps the amortized cost near-constant
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        // snapshot the key set: emission runs find() (which path-compresses,
+        // i.e. writes values) — don't iterate the live map while doing so
+        parent.keys.toArray.iterator.map(n => (find(n), n))
+      }
+      .toDF("da", "db")
+  }
+
   private[operators] def ccLabelsFrom(pairs: DataFrame): DataFrame = {
-    val p = pairs.toDF("da", "db")
+    val p = contractLocal(pairs.toDF("da", "db"))
     // undirected: propagate both ways; materialized once, read every round
     val edges = p
       .union(p.select(col("db"), col("da")))

@@ -1133,6 +1133,25 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("CC local-contraction pre-pass: exact labels when components straddle partitions") {
+    import spark.implicits._
+    // a 100-node path (worst case for contraction quality), a 12-clique
+    // (the shape contraction exists FOR), and an isolated edge — shuffled
+    // across 7 partitions so every local union-find sees fragments only
+    val path = (0L until 100L).map(i => (i, i + 1))
+    val clique = for (i <- 0 until 12; j <- i + 1 until 12) yield (1000L + i, 1000L + j)
+    val iso = Seq((5000L, 5001L))
+    val pairs = spark.createDataset(new scala.util.Random(42).shuffle((path ++ clique ++ iso).toSeq))
+      .toDF("da", "db")
+      .repartition(7)
+    val got = Dedup.ccLabelsFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (0L to 100L).map(_ -> 0L) ++
+      (0 until 12).map(i => (1000L + i) -> 1000L) ++
+      Seq(5000L -> 5000L, 5001L -> 5000L)
+    assert(got === want.toMap)
+  }
+
   test("star-contraction CC matches min-label propagation; logarithmic on a path graph") {
     import spark.implicits._
     def labelSet(df: org.apache.spark.sql.DataFrame) =
