@@ -1152,6 +1152,12 @@ class ExtrasSpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("CC on an empty edge set stays empty through the contraction path") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.ccLabelsFrom(empty).collect().isEmpty)
+  }
+
   test("star-contraction CC matches min-label propagation; logarithmic on a path graph") {
     import spark.implicits._
     def labelSet(df: org.apache.spark.sql.DataFrame) =
