@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator properties for the distributed graph kernels that
+  * were re-derived for scale (CC with the partition-local contraction
+  * pre-pass; delta-peeling k-core): for ARBITRARY random graphs and
+  * ARBITRARY partition counts, each must equal a small in-JVM reference
+  * implementing the published definition directly. The planted fixtures
+  * pin known shapes; these pin the shapes nobody thought to plant —
+  * especially partition boundaries slicing components in adversarial
+  * ways, which is exactly the surface the contraction pre-pass added.
+  *
+  * (Generators are sampled with fixed seeds rather than through the
+  * scalatest-plus bridge, which isn't on the offline classpath.)
+  */
+class GraphProperties extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default.withSize(40), Seed(seed))
+
+  /** Random simple undirected graph: node ids are SPARSE (×1000 + offset)
+    * so accidental id-arithmetic bugs can't hide behind dense 0..n ids. */
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 120)
+    m <- Gen.chooseNum(1, 300)
+    raw <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, n - 1L)
+      b <- Gen.chooseNum(0L, n - 1L)
+    } yield (a, b))
+  } yield raw
+    .filter { case (a, b) => a != b }
+    .map { case (a, b) => (math.min(a, b) * 1000 + 7, math.max(a, b) * 1000 + 7) }
+    .distinct
+
+  private def adjacency(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    adj.toMap
+  }
+
+  /** Reference CC: min node id per component, BFS from each node. */
+  private def refCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = adjacency(edges)
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { root =>
+      if (!label.contains(root)) {
+        var frontier = Set(root)
+        val seen = scala.collection.mutable.Set(root)
+        while (frontier.nonEmpty) {
+          frontier.foreach(n => label(n) = root)
+          frontier = frontier.flatMap(adj).filterNot(seen)
+          seen ++= frontier
+        }
+      }
+    }
+    label.toMap
+  }
+
+  /** Reference k=2 core with the SAME 16-round cap as the operator (the
+    * oracle's unrolled-stage contract): peel nodes of degree < 2 among
+    * survivors, at most 16 rounds, then report within-survivor degrees. */
+  private def refKcore(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = adjacency(edges)
+    var cur = adj.keySet
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 16) {
+      val next = cur.filter(n => (adj(n) & cur).size >= 2)
+      changed = next != cur
+      cur = next
+      rounds += 1
+    }
+    cur.iterator.map(n => n -> (adj(n) & cur).size.toLong).toMap
+  }
+
+  test("CC labels equal the BFS reference on random graphs across random partitionings") {
+    import spark.implicits._
+    (1L to 6L).foreach { s =>
+      val edges = sample(graphGen, s * 131)
+      val parts = 1 + (s % 7).toInt
+      val df = edges.toDF("da", "db").repartition(parts)
+      val got = Dedup.ccLabelsFrom(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === refCc(edges), s"seed $s parts $parts edges ${edges.size}")
+    }
+  }
+
+  test("delta-peeling k-core equals the capped peeling reference on random graphs") {
+    import spark.implicits._
+    (1L to 6L).foreach { s =>
+      val edges = sample(graphGen, s * 977)
+      val parts = 1 + ((s + 3) % 7).toInt
+      val df = edges.toDF("ia", "ib").repartition(parts)
+      val got = Analytics.kcoreFrom(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === refKcore(edges), s"seed $s parts $parts edges ${edges.size}")
+    }
+  }
+}
