@@ -742,8 +742,12 @@ object Analytics {
     * fixtures and real data). The probe counts flagged rows — peeling
     * stops the round after no node falls. */
   private[operators] def kcoreFrom(und: DataFrame): DataFrame = {
-    val edges = und
-      .union(und.select(col("ib").as("ia"), col("ia").as("ib")))
+    // checkpoint BEFORE the both-directions union so the caller's edge
+    // derivation (the basket self-join) materializes once, not once per
+    // union branch
+    val u = und.localCheckpoint()
+    val edges = u
+      .union(u.select(col("ib").as("ia"), col("ia").as("ib")))
       .localCheckpoint()
     val state0 = edges
       .groupBy("ia")

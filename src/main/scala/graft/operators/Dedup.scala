@@ -657,12 +657,14 @@ object Dedup {
   }
 
   private[operators] def ccLabelsFrom(pairs: DataFrame): DataFrame = {
-    val p = contractLocal(pairs.toDF("da", "db"))
-    // undirected: propagate both ways; materialized once, read every round
+    // checkpoint the contraction BEFORE the both-directions union: the
+    // union's two branches would otherwise each re-execute the whole
+    // upstream (contraction + the caller's edge derivation — the shingle
+    // join for the dedup family); materialized once, read every round
+    val p = contractLocal(pairs.toDF("da", "db")).localCheckpoint()
     val edges = p
       .union(p.select(col("db"), col("da")))
       .toDF("src", "dst")
-      .localCheckpoint()
     val labels0 = edges
       .select(col("src").as("id"))
       .distinct()

@@ -1333,7 +1333,9 @@ object TextOps {
   }
 
   def qPagerank(s: SparkSession, d: String): DataFrame = {
-    val und = adjacencyEdges(s, d)
+    // checkpoint BEFORE doubling: the union's branches would each re-run
+    // the adjacency derivation (bigram join + agg) otherwise
+    val und = adjacencyEdges(s, d).localCheckpoint()
     val edges = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -1583,7 +1585,8 @@ object TextOps {
     * connected component only — exactly the rows the oracle's recursive
     * CTE (min level per node under the same depth cap) produces. */
   def qBfsLevels(s: SparkSession, d: String): DataFrame = {
-    val und = adjacencyEdges(s, d)
+    // same pre-doubling checkpoint as qPagerank: adjacency runs once
+    val und = adjacencyEdges(s, d).localCheckpoint()
     val edges = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
