@@ -1485,6 +1485,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[qPipelineClean]] instrumented with Spark `observe` metrics — the
+    * run-accounting counters a production pipeline publishes with every
+    * cleaning run (survivor count, kept character mass, id range).
+    * `CollectMetrics` rides the EXISTING plan as accumulator-backed
+    * side-state: the numbers materialize with whatever action the caller
+    * already executes (the survivors write), costing zero extra scans —
+    * the same answers as a follow-up aggregation query, minus its whole
+    * job. At 100 TB that difference is a full pass over the survivors.
+    * Observe constraints honored: no distinct aggregates (their merge
+    * isn't accumulator-shaped); the spec cross-checks every metric
+    * against an independent aggregation of the same frame. */
+  def pipelineCleanObserved(
+      s: SparkSession, d: String,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    qPipelineClean(s, d).observe(
+      obs,
+      count(lit(1)).as("n_survivors"),
+      sum("n_chars").as("chars_kept"),
+      min("doc_id").as("min_doc"),
+      max("doc_id").as("max_doc"))
+
   /** Pipeline DROP AUDIT — the observability twin of [[qPipelineClean]]:
     * one row per DROPPED document with a 0/1 flag per reason (near-dup,
     * exact-dup, contamination, quality floor) and the reason count. A

@@ -1152,6 +1152,17 @@ class ExtrasSpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("observed pipeline-clean metrics equal an independent aggregation, zero extra scan") {
+    val obs = org.apache.spark.sql.Observation("clean_metrics")
+    val df = Dedup.pipelineCleanObserved(spark, sfDir, obs)
+    val rows = df.collect() // the one action; metrics ride it
+    val got = obs.get
+    assert(got("n_survivors") === rows.length.toLong)
+    assert(got("chars_kept") === rows.map(_.getLong(3)).sum)
+    assert(got("min_doc") === rows.map(_.getLong(0)).min)
+    assert(got("max_doc") === rows.map(_.getLong(0)).max)
+  }
+
   test("CC on an empty edge set stays empty through the contraction path") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")
