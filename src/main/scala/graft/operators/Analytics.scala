@@ -971,19 +971,57 @@ object Analytics {
 
   /** DataFrame-first seam: any (user_id, day) activity relation
     * (duplicates fine — the distinct here absorbs them). */
-  private[operators] def rollingActiveFrom(activity: DataFrame): DataFrame = {
+  private[operators] def rollingActiveFrom(activity: DataFrame): DataFrame =
+    rollingDistinctFrom(activity, RollWindowDays, "wau_7d").orderBy("day")
+
+  /** The generalized n-day rolling distinct (unordered; callers order):
+    * contribution expansion sized by the window, grid-restricted. */
+  private[operators] def rollingDistinctFrom(
+      activity: DataFrame, windowDays: Int, out: String): DataFrame = {
     val ud = activity.distinct()
     val grid = ud.select(col("day").as("gday")).distinct()
     ud
       .select(
         col("user_id"),
-        explode(sequence(col("day"), date_add(col("day"), RollWindowDays - 1))).as("gday"))
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("gday"))
       .join(broadcast(grid), Seq("gday"), "leftsemi")
       .groupBy("gday")
-      .agg(countDistinct(col("user_id")).as("wau_7d"))
-      .select(date_format(col("gday"), "yyyy-MM-dd").as("day"), col("wau_7d"))
+      .agg(countDistinct(col("user_id")).as(out))
+      .select(date_format(col("gday"), "yyyy-MM-dd").as("day"), col(out))
+  }
+
+  /** DAU/MAU STICKINESS — the engagement ratio product teams track
+    * daily: per observed day, distinct actives that day (window 1),
+    * distinct actives over the trailing 30 days (window 30), and the
+    * exact ppm ratio. Both series come from the SAME contribution-
+    * expansion seam as the WAU card at different window sizes (1× and
+    * 30× fan-out — still flat multiples of the user-day table, no
+    * global window, no per-day rescans), joined on the bounded day
+    * grid. Truncating div on non-negative counts; dau ≤ mau by
+    * construction so the ratio lives in [0, 10⁶]. */
+  def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    rollingDistinctFrom(act, 1, "dau")
+      .join(rollingDistinctFrom(act, 30, "mau"), "day")
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
       .orderBy("day")
   }
+
+  private val qStickinessSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |grid AS (SELECT DISTINCT day FROM ud),
+      |dau AS (
+      |  SELECT g.day, count(DISTINCT u.user_id) AS dau
+      |  FROM grid g JOIN ud u ON u.day = g.day GROUP BY g.day),
+      |mau AS (
+      |  SELECT g.day, count(DISTINCT u.user_id) AS mau
+      |  FROM grid g JOIN ud u ON u.day BETWEEN g.day - 29 AND g.day
+      |  GROUP BY g.day)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+      |  CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau AS BIGINT) AS mau,
+      |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_ppm
+      |FROM dau JOIN mau ON mau.day = dau.day
+      |ORDER BY day""".stripMargin
 
   private val qRollingActiveSql =
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1110,5 +1148,6 @@ object Analytics {
     Q("q_rfm_segments", qRfmSegments, Some(qRfmSegmentsSql)),
     Q("q_hll_rollup", qHllRollup, Some(qHllRollupSql)),
     Q("q_rolling_active", qRollingActive, Some(qRollingActiveSql)),
+    Q("q_stickiness", qStickiness, Some(qStickinessSql)),
     Q("q_audience_overlap", qAudienceOverlap, Some(qAudienceOverlapSql)))
 }

@@ -314,6 +314,32 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-03-01", 2L), ("2024-03-02", 2L), ("2024-03-05", 3L), ("2024-03-12", 2L)))
   }
 
+  test("DAU/MAU stickiness matches hand-computed windows on the planted activity log") {
+    import spark.implicits._
+    // same fixture as the WAU spec: u1 days 1,5,12; u2 days 1,2; u3 day
+    // 12; u4 day 5 — all March 2024, so every 30-day window reaches back
+    // past the first activity:
+    //   day 1:  dau {u1,u2}=2        mau {u1,u2}=2        → 1000000
+    //   day 2:  dau {u2}=1           mau {u1,u2}=2        → 500000
+    //   day 5:  dau {u1,u4}=2        mau {u1,u2,u4}=3     → 666666
+    //   day 12: dau {u1,u3}=2        mau all 4            → 500000
+    val act = Seq(
+      (1L, "2024-03-01"), (1L, "2024-03-05"), (1L, "2024-03-12"),
+      (2L, "2024-03-01"), (2L, "2024-03-02"),
+      (3L, "2024-03-12"), (4L, "2024-03-05"))
+      .toDF("user_id", "day_s")
+      .select(col("user_id"), to_date(col("day_s")).as("day"))
+    val got = Analytics.rollingDistinctFrom(act, 1, "dau")
+      .join(Analytics.rollingDistinctFrom(act, 30, "mau"), "day")
+      .withColumn("ppm", expr("dau * 1000000 div mau"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("2024-03-01", 2L, 2L, 1000000L), ("2024-03-02", 1L, 2L, 500000L),
+      ("2024-03-05", 2L, 3L, 666666L), ("2024-03-12", 2L, 4L, 500000L)))
+  }
+
   test("audience overlap counts and Jaccard match a planted user-type log") {
     import spark.implicits._
     // types: u1 {a,b}, u2 {a,b,c}, u3 {a}, u4 {c}
