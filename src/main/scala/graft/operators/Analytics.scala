@@ -754,7 +754,12 @@ object Analytics {
       .agg(count(lit(1)).as("dg"))
       .select(col("ia").as("node"), col("dg"))
       .withColumn("dead", col("dg") < KcoreK)
-    val fp = Iterate.fixpoint(state0, KcoreMaxRounds) { (state, _) =>
+    // fixpointConverged, not fixpoint: k-core membership is correctness-
+    // bearing (a capped mid-peel state would emit dead-flagged rows with
+    // core_deg < k as core members, and the rescan twin would disagree).
+    // Measured peel depth on the real graph is ≤ 6 vs a cap of 16, so
+    // the raise is a tripwire, never the expected path.
+    val fp = Iterate.fixpointConverged(state0, KcoreMaxRounds) { (state, _) =>
       val delta = state.filter(col("dead")).select(col("node").as("nb"))
       val dec = edges
         .join(delta, col("ib") === col("nb"))
@@ -781,7 +786,7 @@ object Analytics {
       .localCheckpoint()
     val cur0 = edges.select(col("ia").as("node")).distinct()
     var prevCount = -1L
-    val cur = Iterate.fixpoint(cur0, KcoreMaxRounds) { (curr, _) =>
+    val cur = Iterate.fixpointConverged(cur0, KcoreMaxRounds) { (curr, _) =>
       edges
         .join(curr, col("ia") === col("node"), "leftsemi")
         .join(curr.select(col("node").as("nb")), col("ib") === col("nb"), "leftsemi")
@@ -1121,15 +1126,27 @@ object Analytics {
         col("event_type"),
         col("exact_users"),
         col("n_days"),
-        (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users")).as("within_5pct"))
+        (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users")).as("within_5pct"),
+        // the error SIZE, not just the verdict: floor(|err|/exact in 5%
+        // steps) — 0 iff within 5%, and when the bound ever breaks the
+        // gate shows HOW FAR off the sketch was (1 = 5-10%, 2 = 10-15%,
+        // …) instead of a bare false. Integer division, hash-stable.
+        expr("(abs(approx - exact_users) * 20) div greatest(exact_users, 1)")
+          .as("err_5pct_steps"))
       .orderBy("event_type")
   }
 
+  /** The DuckDB twin cannot build a Datasketches HLL, so the sketch-side
+    * columns are asserted, not recomputed: the oracle claims the verdict
+    * (TRUE) and the error bucket (0), and any Spark-side estimate drifting
+    * past 5% breaks the hash gate with the bucket showing the magnitude.
+    * exact_users / n_days ARE independently recomputed. */
   private val qHllRollupSql =
     """SELECT event_type,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
       |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-      |  TRUE AS within_5pct
+      |  TRUE AS within_5pct,
+      |  CAST(0 AS BIGINT) AS err_5pct_steps
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------ registry

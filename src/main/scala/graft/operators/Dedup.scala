@@ -629,6 +629,20 @@ object Dedup {
   private def contractLocal(p: DataFrame): DataFrame = {
     val ss = p.sparkSession
     import ss.implicits._
+    // The union-find below keys on Long, so the id columns must already
+    // be integral — a widening cast is exact, but casting a string or
+    // fractional id would truncate silently and could merge DISTINCT
+    // nodes (two doc ids 3.2 and 3.7 both becoming 3). Every current
+    // caller passes long doc/vec ids; this guard turns a future
+    // non-integral caller into a loud error instead of a wrong dedup.
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    p.schema.fields.filter(f => f.name == "da" || f.name == "db").foreach { f =>
+      require(
+        integral.contains(f.dataType),
+        s"contractLocal requires integral node ids; column ${f.name} is ${f.dataType.sql}")
+    }
     p.select(col("da").cast("long"), col("db").cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -662,9 +676,13 @@ object Dedup {
     // upstream (contraction + the caller's edge derivation — the shingle
     // join for the dedup family); materialized once, read every round
     val p = contractLocal(pairs.toDF("da", "db")).localCheckpoint()
+    // the doubled union is read by EVERY fixpoint round's join —
+    // checkpoint it too (p's checkpoint keeps the union's two branches
+    // from re-running the upstream while THIS one materializes)
     val edges = p
       .union(p.select(col("db"), col("da")))
       .toDF("src", "dst")
+      .localCheckpoint()
     val labels0 = edges
       .select(col("src").as("id"))
       .distinct()
