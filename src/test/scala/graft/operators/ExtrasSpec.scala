@@ -1576,6 +1576,37 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("incremental MV merge equals a direct full-join recompute (same engine, no slicing)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableRound.asScaled
+    val inc = Maintenance.qMvIncremental(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val full = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        (sum((asScaled(col("l_extendedprice"), 2) *
+          (lit(100L) - asScaled(col("l_discount"), 2))).cast("decimal(38,0)"))
+          .cast("double") / lit(10000.0)).as("revenue"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(inc.keySet === full.keySet, "group sets diverge")
+    inc.foreach { case (k, v) => assert(v === full(k), s"group $k diverges") }
+    assert(inc.nonEmpty)
+    // the distinct-count state really is batch-partitioned: both slices
+    // contribute orders (the merge exercised the sum, not a copy-through)
+    val nBatch = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 5 === 4).count()
+    assert(nBatch > 0, "batch slice empty — the incremental path was vacuous")
+    assert(nBatch < graft.Tables.orders(spark, sfDir).count(), "corpus slice empty")
+  }
+
   test("FK audit: star schema is referentially intact and counts are coherent") {
     val rows = Maintenance.qFkAudit(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -145,6 +145,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental MV merge reads the STORED partials — fact scans are batch-sliced") {
+    // the join-view maintenance claim as a plan property: corpus-side
+    // states come from the persisted graft_mv_rev table, and every
+    // orders/lineitem scan left in the plan carries the batch slice —
+    // a full-recompute plan would scan the facts unsliced
+    val df = Maintenance.qMvIncremental(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("graft_mv_rev"), s"stored MV partials not in plan:\n$p")
+    val factScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        (l.contains("orders.parquet") || l.contains("lineitem.parquet")))
+      .toSeq
+    assert(factScans.nonEmpty, s"no batch-side fact scan?\n$p")
+    factScans.foreach { l =>
+      assert(l.contains("% 5) = 4"), s"corpus-side (unsliced) fact scan:\n$l")
+    }
+    // the delta join keeps the dims broadcast (nation hinted, customer
+    // chosen) — the daily job must not shuffle the corpus-scale customer
+    assert(!p.contains("CartesianProduct"), s"cartesian in MV merge:\n$p")
+  }
+
   test("incremental dedup joins only through hash/broadcast — no nested-loop anywhere") {
     val df = Dedup.qDedupIncremental(spark, sfDir)
     val p = plan(df)
