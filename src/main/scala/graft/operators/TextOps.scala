@@ -1280,7 +1280,12 @@ object TextOps {
   /** The word-adjacency graph: undirected (src < dst) edges between
     * words appearing adjacent ≥ [[PrMinEdgeFreq]] times corpus-wide.
     * ONE definition shared by [[qPagerank]] and [[qTriangles]]. */
-  private def adjacencyEdges(s: SparkSession, d: String): DataFrame = {
+  private def adjacencyEdges(s: SparkSession, d: String): DataFrame =
+    adjacencyCounted(s, d).select("src", "dst")
+
+  /** [[adjacencyEdges]] with the co-occurrence count kept — the weighted
+    * view [[qSssp]] derives its edge lengths from. */
+  private def adjacencyCounted(s: SparkSession, d: String): DataFrame = {
     val tk = Tables.documents(s, d)
       .select(graft.functions.NativeExprs.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -1294,10 +1299,12 @@ object TextOps {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= PrMinEdgeFreq)
-      .select("src", "dst")
   }
 
-  /** DuckDB twin of [[adjacencyEdges]] (tk/bg/und CTE prefix). */
+  /** DuckDB twin of [[adjacencyEdges]] (tk/bg/und CTE prefix). `und`
+    * carries the co-occurrence count so the weighted-graph oracle
+    * ([[qSssp]]) derives lengths from the same CTE; unweighted consumers
+    * just never select it. */
   private def adjacencySqlCtes: String =
     s"""tk AS (SELECT $tokensSql AS t FROM documents),
        |bg AS (
@@ -1305,7 +1312,7 @@ object TextOps {
        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
        |  WHERE len(t) >= 2),
        |und AS (
-       |  SELECT least(wa, wb) AS src, greatest(wa, wb) AS dst
+       |  SELECT least(wa, wb) AS src, greatest(wa, wb) AS dst, count(*) AS cnt
        |  FROM bg WHERE wa <> wb
        |  GROUP BY 1, 2 HAVING count(*) >= $PrMinEdgeFreq)""".stripMargin
 
@@ -1638,6 +1645,91 @@ object TextOps {
        |  WHERE b.lvl < $BfsMaxDepth)
        |SELECT node, CAST(min(lvl) AS BIGINT) AS lvl
        |FROM bfs GROUP BY 1 ORDER BY lvl, node""".stripMargin
+
+  /** Synchronous-relaxation round cap. The word graph's weighted
+    * diameter is a handful of hops; 64 is a tripwire, not a schedule —
+    * [[Iterate.fixpointConverged]] raises if it ever binds. */
+  private[operators] val SsspMaxRounds = 64
+
+  /** WEIGHTED single-source shortest paths over the word-adjacency
+    * graph — [[qBfsLevels]]'s hop count generalized to edge lengths.
+    * Edge length is integer by construction (1 + 10⁶ div co-occurrence
+    * count: frequent adjacency = short edge), so distances are exact
+    * BIGINTs and the oracle is a DuckDB recursive iteration table, not a
+    * float-tolerance spec. The loop is label-correcting (per-round
+    * Bellman-Ford relaxation): dist ← min(dist, min over in-edges of
+    * dist(src) + w), state only REACHED nodes — one join + combiner-
+    * backed min aggregate per round, the same per-round shuffle shape
+    * as [[qPagerank]], converging in weighted-diameter rounds. The
+    * convergence probe is one aggregate scan per frame ((count, Σdist)
+    * memoized across rounds: the reached set only grows and dists only
+    * fall, so pair-equality ⟺ fixpoint — no per-round id join, no
+    * collect). The oracle replays 64 synchronous rounds and takes each
+    * node's min over iterations — monotone per-node values make that
+    * exactly the converged state. Source = max-degree node (ties by
+    * name), the [[qBfsLevels]] convention. */
+  def qSssp(s: SparkSession, d: String): DataFrame = {
+    val und = adjacencyCounted(s, d)
+      .select(col("src"), col("dst"), (lit(1L) + expr("1000000L div cnt")).as("w"))
+      .localCheckpoint()
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seed = deg
+      .orderBy(col("deg").desc, col("src"))
+      .limit(1)
+      .select(col("src").as("node"), lit(0L).as("dmin"))
+    ssspFrom(edges, seed).orderBy("dmin", "node")
+  }
+
+  /** The relaxation loop, seam for specs: `edges` BOTH directions
+    * (src, dst, w), `seed` (node, dmin=0) rows. Returns (node, dmin)
+    * for every node reachable from the seed. */
+  private[operators] def ssspFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("dmin").cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prevStats: (Long, java.math.BigDecimal) = null
+    Iterate.fixpointConverged(seed, SsspMaxRounds) { (dist, _) =>
+      val relaxed = edges
+        .join(dist, col("src") === col("node"))
+        .select(col("dst").as("n"), (col("dmin") + col("w")).as("cand"))
+      dist
+        .select(col("node").as("n"), col("dmin").as("cand"))
+        .union(relaxed)
+        .groupBy("n")
+        .agg(min("cand").as("dmin"))
+        .withColumnRenamed("n", "node")
+    } { (prev, next) =>
+      val p = if (prevStats != null) prevStats else stats(prev)
+      val n = stats(next)
+      prevStats = n
+      if (p._1 == n._1 && p._2.compareTo(n._2) == 0) 0L else 1L
+    }.state
+  }
+
+  private val qSsspSql =
+    s"""WITH RECURSIVE
+       |$adjacencySqlCtes,
+       |wedges AS (
+       |  SELECT src, dst, 1 + 1000000 // cnt AS w FROM und
+       |  UNION ALL SELECT dst, src, 1 + 1000000 // cnt FROM und),
+       |deg AS (SELECT src, count(*) AS deg FROM wedges GROUP BY 1),
+       |seed AS (SELECT src FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |sp(it, node, d) AS (
+       |  SELECT 0, src, CAST(0 AS BIGINT) FROM seed
+       |  UNION ALL
+       |  SELECT it + 1, node, min(d) FROM (
+       |    SELECT s.it AS it, e.dst AS node, s.d + e.w AS d
+       |    FROM sp s JOIN wedges e ON e.src = s.node
+       |    UNION ALL
+       |    SELECT it, node, d FROM sp) u
+       |  WHERE it < $SsspMaxRounds
+       |  GROUP BY it, node)
+       |SELECT node, CAST(min(d) AS BIGINT) AS dmin
+       |FROM sp GROUP BY 1 ORDER BY dmin, node""".stripMargin
 
   /** Count-min-sketch heavy hitters, gate-checked: the exact top-20
     * token counts (oracle side) each probed against a corpus-wide CMS
@@ -2384,6 +2476,7 @@ object TextOps {
     Q("q_clustering_coef", qClusteringCoef, Some(qClusteringCoefSql)),
     Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
     Q("q_bfs_levels", qBfsLevels, Some(qBfsLevelsSql)),
+    Q("q_sssp", qSssp, Some(qSsspSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
     Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)),

@@ -99,4 +99,46 @@ class GraphProperties extends SparkSpec {
       assert(got === refKcore(edges), s"seed $s parts $parts edges ${edges.size}")
     }
   }
+
+  /** Reference SSSP: textbook Dijkstra over the doubled weighted edges. */
+  private def refSssp(edges: Seq[(Long, Long, Long)], src: Long): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    edges.foreach { case (a, b, w) => adj(a) ::= (b, w); adj(b) ::= (a, w) }
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, src))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d0, n) = pq.dequeue()
+      if (d0 == dist(n))
+        adj(n).foreach { case (m, w) =>
+          if (dist.get(m).forall(_ > d0 + w)) { dist(m) = d0 + w; pq.enqueue((d0 + w, m)) }
+        }
+    }
+    dist.toMap
+  }
+
+  test("relaxation SSSP equals Dijkstra on random weighted graphs across partitionings") {
+    import spark.implicits._
+    (1L to 6L).foreach { s =>
+      val und = sample(graphGen, s * 457)
+        .zipWithIndex.map { case ((a, b), i) => (a, b, 1L + (i * 37 + s) % 19) }
+      val parts = 1 + ((s + 5) % 7).toInt
+      val src = und.map(_._1).min
+      val edges = (und ++ und.map { case (a, b, w) => (b, a, w) })
+        .toDF("src", "dst", "w").repartition(parts)
+      val seed = Seq((src, 0L)).toDF("node", "dmin")
+      val got = TextOps.ssspFrom(edges, seed).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === refSssp(und, src), s"seed $s parts $parts edges ${und.size}")
+    }
+  }
+
+  test("SSSP takes a cheap multi-hop detour over a heavy direct edge (weighted, not BFS)") {
+    import spark.implicits._
+    // 1 --100-- 4 ; 1 -1- 2 -1- 3 -1- 4 : dist(4) must be 3, lvl would be 1
+    val und = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val edges = (und ++ und.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val got = TextOps.ssspFrom(edges, Seq((1L, 0L)).toDF("node", "dmin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
