@@ -46,6 +46,7 @@ object NativeExprs {
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
   def cdcChunks(text: Column): Column = c(CdcChunks(e(text)))
   def normalizeWs(text: Column): Column = c(NormalizeWs(e(text)))
+  def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
   def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
     c(PqNearestCode(e(sv), codebook))
   def int8Quant(v: Column): Column = c(Int8Quant(e(v)))
@@ -602,6 +603,95 @@ object CdcChunks {
   * space, leading/trailing runs included) — exactly
   * `regexp_replace(lower(text), "\\s+", " ")` without the regex engine.
   * Feeds the md5 content fingerprint. */
+/** Jaro-Winkler similarity, the record-linkage scorer: Jaro with match
+  * window ⌊max(|a|,|b|)/2⌋−1 and half-transpositions, plus the Winkler
+  * common-prefix boost (≤ 4 code points · 0.1) applied only when the
+  * Jaro score exceeds 0.7. Semantics — including sim("","") = 0, the
+  * strict > 0.7 boost gate, and arithmetic order — mirror DuckDB's
+  * `jaro_winkler_similarity` (rapidfuzz lineage), validated BITWISE
+  * against it over 5000 random word-pair samples when this expression
+  * was written; the q_entity_match oracle re-checks the equality on
+  * every gate run through the 4-decimal rounded score. Operates on RAW
+  * UTF-8 BYTES — that is what DuckDB compares (probed: sim("café",
+  * "cafe") = 0.8483…, the 5-vs-4-BYTE answer, not the 4-vs-4-code-point
+  * 0.8833…), and it makes the kernel a zero-copy loop over the
+  * UTF8String buffers. O(|a|·window) per pair — the blocking join
+  * around it must bound candidates, exactly like the Levenshtein path. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+
+  def kernel(a: UTF8String, b: UTF8String): Double =
+    JaroWinkler.simBytes(a.getBytes, b.getBytes)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("jwExpr", this, classOf[JaroWinkler].getName)
+      s"${ev.value} = $ref.kernel($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_jaro_winkler"
+}
+
+object JaroWinkler {
+  /** String convenience for specs; the expression path stays on bytes. */
+  def sim(s1: String, s2: String): Double =
+    simBytes(
+      s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def simBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    // DuckDB's empty rule first: "" vs anything (itself included) is 0
+    if (a.length == 0 || b.length == 0) return 0.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
+    val l1 = a.length
+    val l2 = b.length
+    val win = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2, i + win + 1)
+      var j = math.max(0, i - win)
+      var unmatched = true
+      while (j < hi && unmatched) {
+        if (!m2(j) && b(j) == a(i)) { m1(i) = true; m2(j) = true; m += 1; unmatched = false }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val cap = math.min(math.min(l1, l2), 4)
+      var l = 0
+      while (l < cap && a(l) == b(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
 case class NormalizeWs(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
   override def dataType: DataType = StringType

@@ -2414,7 +2414,62 @@ object Dedup {
        |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ------------------------------------------------------ entity resolution
+
+  /** ENTITY RESOLUTION on a string-name domain — the record-linkage step
+    * of a catalog/CRM pipeline: which part names are near-identical
+    * spellings of each other, scored by Jaro-Winkler (the native
+    * [[graft.functions.JaroWinkler]], bit-parity with DuckDB's builtin).
+    * The scale design has two layers, both load-bearing at 100 TB:
+    *
+    *   1. score the DISTINCT name DOMAIN, not the row table — the first
+    *      aggregate collapses row mass to (name, n_rows), so the
+    *      quadratic stage sees vocabulary size, with each name's row
+    *      count riding along for the final report;
+    *   2. BLOCK the domain self-join on the name's last token — the
+    *      O(|block|²) scorer only runs inside blocks, the same inverted-
+    *      candidate discipline as every other pairwise operator here (a
+    *      production system picks blocking keys per entity type; the
+    *      principle — candidates via equality join, never all-pairs —
+    *      is what the plan guard pins).
+    *
+    * The emitted score is the 4-decimal [[pround]] of the similarity,
+    * thresholded on the ROUNDED value in both engines, so an engine-side
+    * ulp can neither flip admission nor the hash. */
+  def qEntityMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", expr("split_part(p_name, ' ', 2)"))
+    names.select(col("p_name").as("name_a"), col("n_rows").as("n_a"), col("blk"))
+      .join(
+        names.select(col("p_name").as("name_b"), col("n_rows").as("n_b"), col("blk")),
+        Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn(
+        "sim4",
+        pround(graft.functions.NativeExprs.jaroWinkler(col("name_a"), col("name_b")), 4))
+      .filter(col("sim4") >= 0.8)
+      .select("name_a", "name_b", "n_a", "n_b", "sim4")
+      .orderBy("name_a", "name_b")
+  }
+
+  private val qEntityMatchSql = {
+    import graft.functions.PortableRound.{proundSql => pr}
+    val sim = pr("jaro_winkler_similarity(a.p_name, b.p_name)", 4)
+    s"""WITH n AS (
+       |  SELECT p_name, count(*) AS n_rows, split_part(p_name, ' ', 2) AS blk
+       |  FROM part GROUP BY 1)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  a.n_rows::BIGINT AS n_a, b.n_rows::BIGINT AS n_b,
+       |  $sim AS sim4
+       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+       |WHERE $sim >= 0.8
+       |ORDER BY name_a, name_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_entity_match", qEntityMatch, Some(qEntityMatchSql)),
     Q("q_dedup_apply", qDedupApply, Some(qDedupApplySql), headline = false),
     Q("q_dedup_apply_cc", qDedupApplyCc, Some(qDedupApplyCcSql)),
     // same CC fixpoint + drop set as q_dedup_apply_cc — benchmarked there

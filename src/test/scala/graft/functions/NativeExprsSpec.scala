@@ -21,6 +21,39 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff === 0, s"$diff pairs differ between native and HOF cosine")
   }
 
+  test("JaroWinkler matches DuckDB-probed vectors and holds its invariants") {
+    // vectors captured from DuckDB jaro_winkler_similarity when the
+    // kernel was written (bitwise-validated over 5000 random pairs then;
+    // the q_entity_match oracle re-checks on every gate run)
+    val vectors = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abcdef", "abczzz", 0.6666666666666666), // jaro ≤ 0.7 → NO boost
+      ("café", "cafe", 0.8483333333333334),
+      ("cold widget", "old widget", 0.9696969696969697),
+      ("ab", "ba", 0.0), // window 0 → no matches
+      ("a", "b", 0.0),
+      ("", "", 0.0), // DuckDB's empty rule
+      ("x", "", 0.0),
+      ("same", "same", 1.0))
+    vectors.foreach { case (a, b, want) =>
+      assert(JaroWinkler.sim(a, b) === want, s"sim($a, $b)")
+      assert(JaroWinkler.sim(b, a) === want, s"symmetry sim($b, $a)")
+    }
+    // expression path (codegen) agrees with the direct kernel on real data
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select(substring(col("text"), 1, 30).as("a"), substring(col("text"), 7, 30).as("b"))
+    val rows = docs
+      .select(col("a"), col("b"), NativeExprs.jaroWinkler(col("a"), col("b")).as("s"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = JaroWinkler.sim(r.getString(0), r.getString(1))
+      assert(r.getDouble(2) === want, s"codegen vs kernel on ${r.getString(0)}")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("cosineSim/dotProd yield NULL on ragged arrays (zip_with semantics)") {
     val df = spark.sql(
       "SELECT cast(array(1.0, 2.0) as array<double>) a, cast(array(1.0) as array<double>) b")
