@@ -1242,7 +1242,125 @@ object Similarity {
        |  min(p)::BIGINT AS min_proj, max(p)::BIGINT AS max_proj
        |FROM proj GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------------ MMR re-rank
+
+  private[operators] val MmrK = 10
+  private[operators] val MmrCand = 50
+
+  /** The greedy MMR selection over a BOUNDED candidate set, all-integer:
+    * round r picks argmax of 7·qcos_µ(i) − 3·max_{j∈picked} cos_µ(i,j)
+    * (λ = 0.7 as exact integer weights; score in deci-micro units), ties
+    * to the smaller id; the first pick's penalty term is 0 (empty set).
+    * Pure function of the integer inputs — the determinism the DuckDB
+    * recursive twin replays exactly. */
+  private[operators] def mmrGreedy(
+      ids: Array[Long], qm: Array[Long], pm: (Int, Int) => Long,
+      k: Int): Seq[(Long, Long, Long, Long)] = {
+    val n = ids.length
+    val used = new Array[Boolean](n)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var rank = 1L
+    while (rank <= math.min(k, n)) {
+      var best = -1
+      var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          var pen = 0L
+          if (picked.nonEmpty) {
+            pen = Long.MinValue
+            picked.foreach(j => pen = math.max(pen, pm(i, j)))
+          }
+          val sc = 7L * qm(i) - 3L * pen
+          if (sc > bestScore || (sc == bestScore && (best < 0 || ids(i) < ids(best)))) {
+            best = i; bestScore = sc
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      picked += best
+      out += ((rank, ids(best), qm(best), bestScore))
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-rank — the diversity layer every
+    * retrieval stack puts between ANN and the consumer: from the exact
+    * top-[[MmrCand]] cosine candidates of query vec 0, greedily select
+    * [[MmrK]] results trading relevance against similarity to what is
+    * already selected ([[mmrGreedy]]). Scale split, and why each side
+    * lives where it does: the CORPUS-sized work (scan → cosine →
+    * top-50) is a distributed TakeOrdered over the full embeddings
+    * table; the candidate set that crosses to the driver is bounded by
+    * construction (MmrCand rows per query — the client-side reranker
+    * pattern, far inside SCALE.md's ≤64k-row pull policy), and the
+    * O(k·|C|) greedy runs on those 50. All scores are integer
+    * micro-cosines (floor(cos·10⁶ + ½) — the repo's pround convention),
+    * so the greedy's argmax chain is exact integer arithmetic in both
+    * engines: the DuckDB twin replays it as a recursive selection over
+    * the same rounded values, and the hash gate compares the full
+    * (rank, id, relevance, score) trace, not just the id set. */
+  def qMmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("v").as("qv")))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(
+        col("vec_id"), col("v"),
+        floor(graft.functions.NativeExprs.cosineSim(col("v"), col("qv")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("qm"))
+      .orderBy(col("qm").desc, col("vec_id"))
+      .limit(MmrCand)
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val vecs = cands.map(_.getSeq[Double](1))
+    val qms = cands.map(_.getLong(2))
+    val n = ids.length
+    val pm = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0L
+      else math.floor(cosScala(vecs(i), vecs(j)) * 1000000.0 + 0.5).toLong
+    }
+    mmrGreedy(ids, qms, (i, j) => pm(i)(j), MmrK)
+      .toDF("rank", "vec_id", "qcos_micro", "mmr_dm")
+      .orderBy("rank")
+  }
+
+  private val qMmrRerankSql =
+    """WITH RECURSIVE cand AS (
+      |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+      |    CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)*1000000 + 0.5) AS BIGINT) AS qm
+      |  FROM embeddings e,
+      |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0
+      |  ORDER BY qm DESC, e.vec_id LIMIT 50),
+      |pc AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    CAST(floor(list_cosine_similarity(a.v, b.v)*1000000 + 0.5) AS BIGINT) AS pm
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      |sel(it, vec_id, qm, score, picked) AS (
+      |  SELECT 1, vec_id, qm, 7*qm, [vec_id]
+      |  FROM (SELECT * FROM cand ORDER BY qm DESC, vec_id LIMIT 1)
+      |  UNION ALL
+      |  SELECT s.it + 1, w.vec_id, w.qm, w.score, list_append(s.picked, w.vec_id)
+      |  FROM sel s, LATERAL (
+      |    SELECT c.vec_id, c.qm,
+      |      7*c.qm - 3*coalesce((SELECT max(pm) FROM pc
+      |                           WHERE pc.ia = c.vec_id
+      |                             AND list_contains(s.picked, pc.ib)), 0) AS score
+      |    FROM cand c WHERE NOT list_contains(s.picked, c.vec_id)
+      |    ORDER BY score DESC, c.vec_id LIMIT 1) w
+      |  WHERE s.it < 10)
+      |SELECT CAST(it AS BIGINT) AS rank, vec_id, qm AS qcos_micro,
+      |  CAST(score AS BIGINT) AS mmr_dm
+      |FROM sel ORDER BY rank""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q_mmr_rerank", qMmrRerank, Some(qMmrRerankSql)),
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
     Q("q_pca_project", qPcaProject, Some(qPcaProjectSql)),

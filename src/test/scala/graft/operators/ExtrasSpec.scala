@@ -1576,6 +1576,30 @@ class ExtrasSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("MMR greedy: defers near-clones of picked items, breaks ties by id, caps at k") {
+    // 3 items: id 1 most relevant; id 2 a near-clone of 1 (pm ~ 1.0);
+    // id 3 less relevant but diverse → selection order 1, 3, 2
+    val ids = Array(1L, 2L, 3L)
+    val qm = Array(900000L, 890000L, 500000L)
+    val pmm = Map(
+      (0, 1) -> 999000L, (1, 0) -> 999000L,
+      (0, 2) -> 10000L, (2, 0) -> 10000L,
+      (1, 2) -> 10000L, (2, 1) -> 10000L)
+    val got = Similarity.mmrGreedy(ids, qm, (i, j) => pmm((i, j)), 3)
+    assert(got.map(_._2) === Seq(1L, 3L, 2L))
+    // rank-1 score is pure relevance (7·qm, empty penalty)
+    assert(got.head._4 === 7L * 900000L)
+    // rank-2: id 2 scores 7·890000−3·999000 = 3233000 < id 3's
+    // 7·500000−3·10000 = 3470000 — diversity beat raw relevance
+    assert(got(1)._4 === 3470000L)
+    // ties break to the smaller id
+    val tied = Similarity.mmrGreedy(
+      Array(7L, 5L), Array(100L, 100L), (_, _) => 0L, 2)
+    assert(tied.map(_._2) === Seq(5L, 7L))
+    // k caps the output
+    assert(Similarity.mmrGreedy(ids, qm, (i, j) => pmm((i, j)), 2).length === 2)
+  }
+
   test("incremental MV merge equals a direct full-join recompute (same engine, no slicing)") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableRound.asScaled
