@@ -508,6 +508,72 @@ object Maintenance {
       .orderBy("n_name", "o_year")
   }
 
+  /** MV maintenance under DELETES — the TPC-H RF2-shaped retraction
+    * path append-only maintenance lacks: retiring a batch of orders
+    * (their lineitems with them) updates the stored view by SUBTRACTING
+    * the batch's partials, never touching the surviving corpus. The
+    * same monoid that merges partials in retracts them: every state is
+    * a group (sum / count with inverses), and n_orders subtracts for
+    * the same order-atomicity reason it adds ([[mvRevPartials]]).
+    * Groups whose last order leaves are dropped (n_items = 0 — the
+    * retraction-to-empty case a naive LEFT JOIN merge silently keeps
+    * as zero rows). Here the RETIRED batch is the mod-5 slice and the
+    * stored MV covers the FULL table, so the oracle is a recompute
+    * over the survivors; daily cost ∝ batch, plan-guarded like the
+    * insert path. */
+  def qMvRetract(s: SparkSession, d: String): DataFrame = {
+    val t = Warehouse.tableName("graft_mv_rev_full", d)
+    Warehouse.ensure(s, t, "n_name", nBuckets = 4) {
+      // the nightly full-view partials this daily retraction maintains:
+      // corpus + batch slices = the whole fact table, built ONCE
+      mvRevPartials(s, d, newBatch = false)
+        .unionByName(mvRevPartials(s, d, newBatch = true))
+        .groupBy("n_name", "o_year")
+        .agg(
+          sum("n_orders").as("n_orders"),
+          sum("n_items").as("n_items"),
+          sum("rev_c4").as("rev_c4"))
+    }
+    mvRetractMerge(s.table(t), mvRevPartials(s, d, newBatch = true))
+      .select(
+        col("n_name"), col("o_year"), col("n_orders"), col("n_items"),
+        (col("rev_c4").cast("double") / lit(10000.0)).as("revenue"))
+      .orderBy("n_name", "o_year")
+  }
+
+  /** The retraction merge itself, seam for specs: subtract `deleted`
+    * partials from `base` partials and drop groups retracted to empty
+    * (at the gate SF no group empties — the planted spec covers that
+    * branch). */
+  private[operators] def mvRetractMerge(base: DataFrame, deleted: DataFrame): DataFrame =
+    base
+      .unionByName(deleted.select(
+        col("n_name"), col("o_year"),
+        (-col("n_orders")).as("n_orders"),
+        (-col("n_items")).as("n_items"),
+        (-col("rev_c4")).as("rev_c4")))
+      .groupBy("n_name", "o_year")
+      .agg(
+        sum("n_orders").as("n_orders"),
+        sum("n_items").as("n_items"),
+        sum("rev_c4").as("rev_c4"))
+      .filter(col("n_items") > 0)
+
+  private val qMvRetractSql = {
+    import graft.functions.PortableRound.asScaledSql
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  sum(${asScaledSql("l_extendedprice", 2)} *
+       |      (100 - ${asScaledSql("l_discount", 2)})) / 10000.0 AS revenue
+       |FROM orders
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE o_orderkey % 5 <> 4
+       |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin
+  }
+
   private val qMvIncrementalSql = {
     import graft.functions.PortableRound.asScaledSql
     s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -525,6 +591,7 @@ object Maintenance {
   val queries: Seq[Q] = Seq(
     Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     Q("q_mv_incremental", qMvIncremental, Some(qMvIncrementalSql)),
+    Q("q_mv_retract", qMvRetract, Some(qMvRetractSql)),
     Q("q_scd2_history", qScd2History, Some(qScd2HistorySql)),
     Q("q_fk_audit", qFkAudit, Some(qFkAuditSql)),
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),

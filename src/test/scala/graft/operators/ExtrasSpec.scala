@@ -1600,6 +1600,28 @@ class ExtrasSpec extends SparkSpec {
     assert(Similarity.mmrGreedy(ids, qm, (i, j) => pmm((i, j)), 2).length === 2)
   }
 
+  test("MV retraction drops a group retracted to empty and subtracts exactly elsewhere") {
+    import org.apache.spark.sql.functions.col
+    def partials(rows: Seq[(String, Long, Long, Long, Long)]) = {
+      import spark.implicits._
+      rows.toDF("n_name", "o_year", "n_orders", "n_items", "c4")
+        .select(col("n_name"), col("o_year"), col("n_orders"), col("n_items"),
+          col("c4").cast("decimal(38,0)").as("rev_c4"))
+    }
+    val base = partials(Seq(
+      ("FRANCE", 1995L, 2L, 5L, 1000L),
+      ("GERMANY", 1995L, 1L, 2L, 400L)))
+    val deleted = partials(Seq(
+      ("FRANCE", 1995L, 1L, 2L, 300L),
+      ("GERMANY", 1995L, 1L, 2L, 400L))) // retracts GERMANY to empty
+    val got = Maintenance.mvRetractMerge(base, deleted).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact()))
+      .toMap
+    assert(got === Map(("FRANCE", 1995L) -> (1L, 3L, 700L)),
+      "exact subtraction + empty-group drop")
+  }
+
   test("incremental MV merge equals a direct full-join recompute (same engine, no slicing)") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableRound.asScaled
