@@ -235,12 +235,24 @@ object Analytics {
       df: DataFrame,
       keys: Seq[String],
       v: String,
+      ranks: Seq[(String, Int, Int)]): DataFrame =
+    histRankMinsFromHist(
+      df.groupBy((keys :+ v).map(col): _*).agg(count(lit(1)).as("cnt")),
+      keys, v, ranks)
+
+  /** The rank read-off over an ALREADY-AGGREGATED (keys, v, cnt) value
+    * histogram — the seam that lets PERSISTED histogram partials (the
+    * mergeable percentile state, [[Maintenance.qPercentileIncremental]])
+    * share the exact rank rule with the one-shot [[histRankMins]]. */
+  private[operators] def histRankMinsFromHist(
+      hist0: DataFrame,
+      keys: Seq[String],
+      v: String,
       ranks: Seq[(String, Int, Int)]): DataFrame = {
     val part = keys.map(col)
     val wCum = Window.partitionBy(part: _*).orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = df.groupBy((keys :+ v).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val hist = hist0
       .withColumn("cum", sum("cnt").over(wCum))
       .withColumn("n", sum("cnt").over(Window.partitionBy(part: _*)))
     val aggs = ranks.map { case (a, num, den) =>

@@ -588,8 +588,68 @@ object Maintenance {
        |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin
   }
 
+  // -------------------------------------------- mergeable percentile state
+
+  /** Per-(returnflag, quantity) counts of a lineitem slice — the
+    * MERGEABLE PERCENTILE STATE: a value histogram merges across slices
+    * by summing counts, and any rank statistic reads off the merged
+    * histogram exactly. This is the exact-percentile analogue of
+    * [[qStatsIncremental]]'s min/max/sum monoid and the reason a
+    * bounded-domain percentile never needs a sketch: the state is
+    * |keys|×|distinct values| — a schema/domain property, not a data
+    * size. */
+  private def qtyHist(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+
+  private[operators] def ensureQtyHist(s: SparkSession, d: String): String = {
+    val t = Warehouse.tableName("graft_hist_qty", d)
+    Warehouse.ensure(s, t, "l_returnflag", nBuckets = 2) {
+      qtyHist(Tables.lineitem(s, d).filter(!isNewOrderBatch(col("l_orderkey"))))
+    }
+    t
+  }
+
+  /** INCREMENTAL EXACT PERCENTILES — the third leg of the persisted-
+    * partials trilogy (algebraic stats, join-aggregate MV, now rank
+    * statistics): p50/p90/p99 of lineitem quantity per returnflag,
+    * computed by merging the STORED corpus value histogram with the
+    * batch's histogram and reading ranks off the merged counts
+    * ([[Analytics.histRankMinsFromHist]] — the same rank rule as the
+    * one-shot q_percentile_hist, shared seam, cannot drift). The daily
+    * job scans the batch plus a histogram-sized stored table; the
+    * result is row-identical to the full recompute (the oracle). */
+  def qPercentileIncremental(s: SparkSession, d: String): DataFrame = {
+    val stored = s.table(ensureQtyHist(s, d))
+    val merged = stored
+      .unionByName(qtyHist(Tables.lineitem(s, d).filter(isNewOrderBatch(col("l_orderkey")))))
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(sum("cnt").as("cnt"))
+    Analytics
+      .histRankMinsFromHist(
+        merged, Seq("l_returnflag"), "l_quantity",
+        Seq(("p50_qty", 1, 2), ("p90_qty", 9, 10), ("p99_qty", 99, 100)))
+      .orderBy("l_returnflag")
+  }
+
+  private val qPercentileIncrementalSql =
+    """WITH hist AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+      |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM hist)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum * 2 >= n THEN l_quantity END) AS p50_qty,
+      |  min(CASE WHEN cum * 10 >= n * 9 THEN l_quantity END) AS p90_qty,
+      |  min(CASE WHEN cum * 100 >= n * 99 THEN l_quantity END) AS p99_qty,
+      |  CAST(max(n) AS BIGINT) AS n
+      |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    Q("q_percentile_incremental", qPercentileIncremental, Some(qPercentileIncrementalSql)),
     Q("q_mv_incremental", qMvIncremental, Some(qMvIncrementalSql)),
     Q("q_mv_retract", qMvRetract, Some(qMvRetractSql)),
     Q("q_scd2_history", qScd2History, Some(qScd2HistorySql)),

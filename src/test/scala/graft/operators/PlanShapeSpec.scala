@@ -166,6 +166,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in MV merge:\n$p")
   }
 
+  test("MV retraction and incremental percentiles read stored state; fact scans batch-sliced") {
+    for ((name, df, stored) <- Seq(
+        ("retract", Maintenance.qMvRetract(spark, sfDir), "graft_mv_rev_full"),
+        ("pct_inc", Maintenance.qPercentileIncremental(spark, sfDir), "graft_hist_qty"))) {
+      val p = plan(df)
+      assert(p.contains(stored), s"$name: stored table $stored not in plan:\n$p")
+      val factScans = p.linesIterator
+        .filter(l => l.contains("FileScan parquet") &&
+          (l.contains("orders.parquet") || l.contains("lineitem.parquet")))
+        .toSeq
+      assert(factScans.nonEmpty, s"$name: no batch-side fact scan?\n$p")
+      factScans.foreach { l =>
+        assert(l.contains("% 5) = 4"), s"$name: corpus-side (unsliced) fact scan:\n$l")
+      }
+    }
+  }
+
   test("incremental dedup joins only through hash/broadcast — no nested-loop anywhere") {
     val df = Dedup.qDedupIncremental(spark, sfDir)
     val p = plan(df)
