@@ -1710,6 +1710,75 @@ object TextOps {
     }.state
   }
 
+  /** Fixed synchronous LPA schedule — label propagation is a
+    * SCHEDULE-shaped loop (it oscillates on bipartite structures and has
+    * no monotone convergence measure), so both engines run exactly this
+    * many rounds and compare the resulting labeling, the
+    * [[Iterate.fixpoint]] scaladoc's "fixed merge-round budget" case. */
+  private[operators] val LpaRounds = 4
+
+  /** COMMUNITY DETECTION by synchronous label propagation over the word
+    * graph — the clustering family between connected components (which
+    * merges everything reachable) and k-core (which thresholds): each
+    * round, every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label (binary string order — both
+    * engines' default collation). Determinism is the whole design: the
+    * classic async/random-order LPA is irreproducible by construction;
+    * the synchronous min-tiebreak variant is a pure function of the
+    * graph, so the DuckDB twin replays all [[LpaRounds]] rounds and the
+    * gate hash-compares the full labeling. Per round: one edges⋈labels
+    * join + count aggregate + a node-keyed rank window — the same
+    * shuffle class as the PageRank iteration, hub skew AQE-splittable. */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val und = adjacencyEdges(s, d).localCheckpoint()
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    lpaFrom(edges).orderBy("node")
+  }
+
+  /** The LPA loop itself, seam for specs: `edges` BOTH directions
+    * (src, dst). Returns the (node, lab) labeling after [[LpaRounds]]
+    * synchronous rounds. */
+  private[operators] def lpaFrom(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels0 = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("lab"))
+    Iterate.fixpoint(labels0, LpaRounds) { (labels, _) =>
+      edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy("node").orderBy(col("cnt").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select("node", "lab")
+    } { (_, _) => 1L } // fixed schedule: no convergence probe, run all rounds
+      .state
+  }
+
+  private val qLabelPropSql =
+    s"""WITH RECURSIVE
+       |$adjacencySqlCtes,
+       |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+       |lp(it, node, lab) AS (
+       |  SELECT 0, src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION ALL
+       |  SELECT it + 1, node, lab FROM (
+       |    SELECT q.it AS it, q.node AS node, q.lab AS lab, q.cnt AS cnt,
+       |      max(q.cnt) OVER (PARTITION BY q.it, q.node) AS mx,
+       |      min(q.lab) OVER (PARTITION BY q.it, q.node, q.cnt) AS minlab_at_cnt
+       |    FROM (
+       |      SELECT l.it AS it, e.dst AS node, l.lab AS lab, count(*) AS cnt
+       |      FROM lp l JOIN edges e ON e.src = l.node
+       |      GROUP BY 1, 2, 3) q) w
+       |  WHERE cnt = mx AND lab = minlab_at_cnt AND it < $LpaRounds)
+       |SELECT node, lab FROM lp WHERE it = $LpaRounds ORDER BY node""".stripMargin
+
   private val qSsspSql =
     s"""WITH RECURSIVE
        |$adjacencySqlCtes,
@@ -2477,6 +2546,7 @@ object TextOps {
     Q("q_edge_jaccard", qEdgeJaccard, Some(qEdgeJaccardSql)),
     Q("q_bfs_levels", qBfsLevels, Some(qBfsLevelsSql)),
     Q("q_sssp", qSssp, Some(qSsspSql)),
+    Q("q_label_prop", qLabelProp, Some(qLabelPropSql)),
     Q("q_phrase_search", qPhraseSearch, Some(qPhraseSearchSql)),
     Q("q_pmi_pairs", qPmiPairs, Some(qPmiPairsSql)),
     Q("q_zipf_coverage", qZipfCoverage, Some(qZipfCoverageSql)),

@@ -132,6 +132,18 @@ class GraphProperties extends SparkSpec {
     }
   }
 
+  test("LPA separates two planted triangles joined by a bridge (DuckDB-replayed labeling)") {
+    import spark.implicits._
+    // expected labels computed by replaying the identical 4-round
+    // synchronous min-tiebreak recursion in DuckDB when the card was
+    // written — an independent engine, same pure function
+    val und = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("4", "5"), ("5", "6"), ("4", "6"), ("3", "4"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = TextOps.lpaFrom(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("1" -> "1", "2" -> "1", "3" -> "1", "4" -> "3", "5" -> "3", "6" -> "3"))
+  }
+
   test("SSSP takes a cheap multi-hop detour over a heavy direct edge (weighted, not BFS)") {
     import spark.implicits._
     // 1 --100-- 4 ; 1 -1- 2 -1- 3 -1- 4 : dist(4) must be 3, lvl would be 1
