@@ -50,6 +50,7 @@ object NativeExprs {
   def pqNearestCode(sv: Column, codebook: Seq[Seq[Double]]): Column =
     c(PqNearestCode(e(sv), codebook))
   def int8Quant(v: Column): Column = c(Int8Quant(e(v)))
+  def int8Codes(v: Column): Column = c(Int8Codes(e(v)))
   def gopherRep(text: Column): Column = c(GopherRep(e(text)))
 
   /** Unicode CODE POINT count — what DuckDB's `length()` counts. Any
@@ -858,6 +859,65 @@ case class Int8Quant(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Int8Quant =
     copy(child = newChild)
   override def prettyName: String = "graft_int8_quant"
+}
+
+/** The int8 CODES themselves (as exact small integers in doubles —
+  * |q| ≤ 127, so doubles hold them losslessly and [[DotProd]]'s codegen
+  * loop composes directly for integer-exact quantized dot products).
+  * Same per-row scale rule as [[Int8Quant]] (q = floor(x·127/m + ½),
+  * m = max |lane|, zero vector → all-zero codes, NULL lane → NULL row);
+  * the two expressions must stay semantics-identical — Int8Quant audits
+  * the codes this expression materializes for search. */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int8_codes expects array<float|double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def kernel(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("int8CodesExpr", this, classOf[Int8Codes].getName)
+      s"""${ev.value} = $ref.kernel($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = elemType
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val a = math.abs(VecCodegen.elemEval(arr, i, et))
+      if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val x = VecCodegen.elemEval(arr, i, et)
+      out(i) = if (m == 0.0) 0.0 else math.floor(x * 127.0 / m + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Codes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_int8_codes"
 }
 
 /** The Gopher repetition-filter battery (Rae et al. 2021, table A1) in

@@ -1359,8 +1359,53 @@ object Similarity {
       |  CAST(score AS BIGINT) AS mmr_dm
       |FROM sel ORDER BY rank""".stripMargin
 
+  // ----------------------------------------------------- int8 quantized search
+
+  /** QUANTIZED similarity search — top-10 by integer int8 dot product,
+    * the search-side consumer of the [[graft.functions.Int8Quant]]
+    * storage audit: every vector is quantized per-row (q = floor(x·127/
+    * max|lane| + ½), [[graft.functions.Int8Codes]]) and scored against
+    * the query's codes with a codegen'd dot product over exact small
+    * integers — 4× less scan bandwidth than float32 at 100 TB, the
+    * standard memory/recall trade. Unlike the PQ/IVF rows (recall-
+    * spec'd), this one is FULLY hash-gated: quantization and dot are
+    * bit-replayable in SQL (fixed expression shape, integer-exact sums
+    * ≤ 64·127² per pair), so the DuckDB twin reproduces the exact
+    * top-10 and its integer scores. Scan shape = [[qTopKExact]]'s
+    * (distributed scan → TakeOrdered), codes never materialize beyond
+    * the projection. */
+  def qSimInt8Topk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.NativeExprs.int8Codes(col("embedding").cast("array<double>")).as("c"))
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("c").as("qc")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(
+        col("vec_id"),
+        graft.functions.NativeExprs.dotProd(col("c"), col("qc")).cast("long").as("iscore"))
+      .orderBy(col("iscore").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val qSimInt8TopkSql =
+    """WITH codes AS (
+      |  SELECT vec_id,
+      |    CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+      |         ELSE list_transform(v, x -> floor(x * 127.0 / m + 0.5)) END AS c
+      |  FROM (
+      |    SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+      |    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))),
+      |q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(list_dot_product(e.c, q.qc) AS BIGINT) AS iscore
+      |FROM codes e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY iscore DESC, e.vec_id LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_mmr_rerank", qMmrRerank, Some(qMmrRerankSql)),
+    Q("q_sim_int8_topk", qSimInt8Topk, Some(qSimInt8TopkSql)),
     Q("q_sim_topk_exact", qTopKExact, Some(qTopKExactSql)),
     Q("q_pca_power", qPcaPower, Some(qPcaPowerSql)),
     Q("q_pca_project", qPcaProject, Some(qPcaProjectSql)),

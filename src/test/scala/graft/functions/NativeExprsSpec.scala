@@ -159,6 +159,24 @@ class NativeExprsSpec extends SparkSpec {
     assert(d.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("Int8Codes materializes exactly the codes Int8Quant audits (stats recomputed agree)") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(
+        NativeExprs.int8Codes(col("embedding").cast("array<double>")).as("c"),
+        NativeExprs.int8Quant(col("embedding").cast("array<double>")).as("st"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getSeq[Double](0)
+      val st = r.getStruct(1)
+      assert(c.length.toLong === st.getLong(0), "n_dims")
+      assert(c.map(_.toLong).sum === st.getLong(1), "q_sum from codes")
+      assert(c.map(x => math.abs(x.toLong)).sum === st.getLong(2), "q_l1 from codes")
+      assert(c.count(x => math.abs(x.toLong) == 127L).toLong === st.getLong(3), "n_sat")
+      assert(c.forall(x => x == math.floor(x) && math.abs(x) <= 127.0), "codes are int8-range integers")
+    }
+  }
+
   test("Int8Quant edge semantics: zero vector, NULL lane, saturation") {
     val df = spark.sql(
       "SELECT cast(array(0.0, 0.0) as array<double>) z, " +
