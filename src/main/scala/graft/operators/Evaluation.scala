@@ -593,6 +593,298 @@ object Evaluation {
        |FROM wide ORDER BY metric""".stripMargin
   }
 
+  // ------------------------------------------------- distribution drift
+
+  /** Two-sample Kolmogorov–Smirnov over a BOUNDED value domain, computed
+    * entirely in cross-multiplied integers: for groups a and b with
+    * histograms c_a(v), c_b(v) and totals n_a, n_b, the KS statistic is
+    * D = max_v |F_a(v) − F_b(v)| = M / (n_a·n_b) with
+    * M = max_v |cum_a(v)·n_b − cum_b(v)·n_a| — no float CDF anywhere, so
+    * Spark and DuckDB cannot diverge on a near-tie. Input seam takes any
+    * (group, v) pairs; the grid (all groups × all observed values, both
+    * bounded) left-joins the histogram so each CDF is evaluated at every
+    * jump point of EITHER sample — the textbook sup over the pooled
+    * support.
+    *
+    * Scale shape: one combiner-backed histogram aggregation over the fact
+    * table (output bounded by groups × value domain), then windows
+    * partitioned per group over ≤|domain| rows and a self-join of two
+    * bounded frames — nothing downstream of the first aggregate is
+    * data-sized. Overflow envelope: M ≤ n_a·n_b and the significance test
+    * squares it, so products ride DECIMAL(38,0) — exact to ~10⁹ rows per
+    * group; past that, pre-scale the histogram counts by a common 10^k
+    * (D is invariant up to the flooring of bin counts, ≤10⁻³ relative
+    * once bins hold ≥10³·10^k rows). */
+  private[operators] def ksPairsFrom(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = obs.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val grid = obs.select("grp").distinct()
+      .crossJoin(obs.select("v").distinct())
+    val cum = grid
+      .join(h, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn(
+        "cum",
+        sum("c").over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    val a = cum.select(
+      col("grp").as("grp_a"), col("v"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cum.select(
+      col("grp").as("grp_b"), col("v").as("v_b"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, col("v") === col("v_b") && col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b", "n_a", "n_b")
+      .agg(max(abs(
+        col("cum_a").cast("decimal(38,0)") * col("n_b") -
+          col("cum_b").cast("decimal(38,0)") * col("n_a"))).as("m"))
+      .select(
+        col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("m").cast("long").as("ks_num"),
+        expr("cast(m * 1000000 div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("d_ppm"),
+        // reject H₀ (same distribution) at α=0.05 ⟺ D > c·√((n_a+n_b)/(n_a·n_b)),
+        // c = 1.358 — squared and cross-multiplied: 10⁶·M² > 1358²·n_a·n_b·(n_a+n_b)
+        when(
+          col("m") * col("m") * lit(1000000) >
+            lit(1844164L).cast("decimal(38,0)") * col("n_a") * col("n_b") *
+              (col("n_a") + col("n_b")),
+          1L).otherwise(0L).as("significant"))
+  }
+
+  /** KS drift card: does the l_quantity distribution differ across return
+    * flags? Every flag pair gets the exact D (ppm) and the α=0.05
+    * verdict. On this generator quantity is uniform within every flag, so
+    * `significant` should be (and is) 0 — the arithmetic itself is pinned
+    * by the planted-shift spec, which drives [[ksPairsFrom]] with a
+    * distribution shifted both just-under and well-over the α bar. */
+  def qKsTest(s: SparkSession, d: String): DataFrame =
+    ksPairsFrom(
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("v")))
+      .orderBy("grp_a", "grp_b")
+
+  private val qKsTestSql =
+    """WITH obs AS (
+      |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      |h AS (SELECT grp, v, count(*)::BIGINT AS c FROM obs GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.grp, vv.v
+      |  FROM (SELECT DISTINCT grp FROM obs) g, (SELECT DISTINCT v FROM obs) vv),
+      |cum AS (
+      |  SELECT grid.grp, grid.v, COALESCE(h.c, 0) AS c,
+      |    sum(COALESCE(h.c, 0)) OVER (PARTITION BY grid.grp ORDER BY grid.v)
+      |      ::BIGINT AS cum,
+      |    sum(COALESCE(h.c, 0)) OVER (PARTITION BY grid.grp)::BIGINT AS n
+      |  FROM grid LEFT JOIN h ON grid.grp = h.grp AND grid.v = h.v),
+      |m AS (
+      |  SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+      |    max(abs(CAST(a.cum AS HUGEINT) * b.n - CAST(b.cum AS HUGEINT) * a.n)) AS m
+      |  FROM cum a JOIN cum b ON a.v = b.v AND a.grp < b.grp
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT grp_a, grp_b, n_a, n_b, CAST(m AS BIGINT) AS ks_num,
+      |  CAST(m * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm,
+      |  CAST(CASE WHEN m * m * 1000000 >
+      |    CAST(1844164 AS HUGEINT) * n_a * n_b * (n_a + n_b)
+      |  THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM m ORDER BY grp_a, grp_b""".stripMargin
+
+  /** Month-over-month total-variation drift of the order-priority mix —
+    * the categorical-distribution drift monitor a pipeline runs on every
+    * ingest batch. TVD(p, q) = ½·Σ_bins |p_i − q_i| is an exact rational:
+    * tvd_ppm = 10⁶·Σ|c_a(i)·n_b − c_b(i)·n_a| div (2·n_a·n_b) — unlike
+    * PSI/JS it needs no logarithm, so the card stays integer-exact (the
+    * repo-wide house rule; a PSI twin would hang on libm ln ulps).
+    * `top_bin` names the priority contributing the largest cross-
+    * multiplied gap (tie → lexicographically smallest), the "what moved"
+    * drill-down.
+    *
+    * Scale shape: one histogram aggregate bounded by months × priorities,
+    * a row_number over the bounded month table to pair consecutive
+    * months, and grid joins of bounded frames — past the first aggregate
+    * nothing is data-sized. Same DECIMAL(38,0) envelope as
+    * [[ksPairsFrom]]. */
+  def qTvDrift(s: SparkSession, d: String): DataFrame =
+    tvDriftFrom(
+      Tables.orders(s, d)
+        .select(
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_orderpriority").as("bin")))
+      .orderBy("month_a")
+
+  /** Seam over (month, bin) observations — consecutive-period TVD. */
+  private[operators] def tvDriftFrom(ord: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = ord.groupBy("month", "bin").agg(count(lit(1)).as("c"))
+    val grid = ord.select("month").distinct()
+      .crossJoin(ord.select("bin").distinct())
+    val full = grid
+      .join(h, Seq("month", "bin"), "left")
+      .select(col("month"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("month")))
+    val rn = ord.select("month").distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("month")))
+    val a = full.join(rn, "month")
+      .select(
+        col("month").as("month_a"), col("rn"), col("bin"),
+        col("c").as("c_a"), col("n").as("n_a"))
+    val b = full.join(rn.withColumn("rn", col("rn") - 1), "month")
+      .select(
+        col("month").as("month_b"), col("rn").as("rn_b"), col("bin").as("bin_b"),
+        col("c").as("c_b"), col("n").as("n_b"))
+    a.join(b, col("rn") === col("rn_b") && col("bin") === col("bin_b"))
+      .withColumn(
+        "gap",
+        abs(col("c_a").cast("decimal(38,0)") * col("n_b") -
+          col("c_b").cast("decimal(38,0)") * col("n_a")))
+      .groupBy("month_a", "month_b", "n_a", "n_b")
+      .agg(
+        sum("gap").as("sg"),
+        min(struct(negate(col("gap")), col("bin"))).as("tb"))
+      .select(
+        col("month_a"), col("month_b"), col("n_a"), col("n_b"),
+        expr("cast(sg * 1000000 div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("tvd_ppm"),
+        col("tb.bin").as("top_bin"))
+  }
+
+  private val qTvDriftSql =
+    """WITH ord AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    o_orderpriority AS bin
+      |  FROM orders),
+      |h AS (SELECT month, bin, count(*)::BIGINT AS c FROM ord GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT m.month, b.bin
+      |  FROM (SELECT DISTINCT month FROM ord) m, (SELECT DISTINCT bin FROM ord) b),
+      |full_h AS (
+      |  SELECT grid.month, grid.bin, COALESCE(h.c, 0)::BIGINT AS c,
+      |    sum(COALESCE(h.c, 0)) OVER (PARTITION BY grid.month)::BIGINT AS n
+      |  FROM grid LEFT JOIN h ON grid.month = h.month AND grid.bin = h.bin),
+      |rn AS (
+      |  SELECT month, row_number() OVER (ORDER BY month) AS rn
+      |  FROM (SELECT DISTINCT month FROM ord)),
+      |pairs AS (
+      |  SELECT a.month AS month_a, b.month AS month_b, a.bin,
+      |    a.n AS n_a, b.n AS n_b,
+      |    abs(CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n) AS gap
+      |  FROM (SELECT f.*, r.rn FROM full_h f JOIN rn r USING (month)) a
+      |  JOIN (SELECT f.*, r.rn FROM full_h f JOIN rn r USING (month)) b
+      |    ON b.rn = a.rn + 1 AND a.bin = b.bin)
+      |SELECT month_a, month_b, n_a, n_b,
+      |  CAST(sum(gap) * 1000000 // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |    AS tvd_ppm,
+      |  min(struct_pack(g := -gap, bin := bin)).bin AS top_bin
+      |FROM pairs GROUP BY 1, 2, 3, 4 ORDER BY month_a""".stripMargin
+
+  /** χ² critical values at α=0.05 in milli units, df 1..8 — a fixed
+    * constant table shared verbatim by both engines (no incomplete-gamma
+    * at query time). */
+  private val Chi2CritMilli: Seq[(Int, Long)] = Seq(
+    1 -> 3841L, 2 -> 5991L, 3 -> 7815L, 4 -> 9488L,
+    5 -> 11070L, 6 -> 12592L, 7 -> 14067L, 8 -> 15507L)
+
+  /** Pearson χ² independence test over two BOUNDED categorical columns,
+    * per-cell: χ² = Σ (o·N − r·c)² / (r·c·N). Each cell's contribution is
+    * a truncating integer division to milli units — floor-per-term, so
+    * the sum is deterministic in both engines (the house pattern; an
+    * exact rational sum would need Π r·c as common denominator). The
+    * verdict compares against the fixed α=0.05 critical-value table
+    * above; because every term is floored the statistic under-reads by
+    * < cells/1000 — an on-the-boundary decision flips identically in
+    * both engines since both floor the same integers.
+    *
+    * Scale shape: one contingency aggregate bounded by |A|×|B|, then
+    * arithmetic over that bounded frame (row/col totals are windows over
+    * ≤|A|·|B| rows); the DECIMAL(38,0) numerator holds to N ≈ 5·10⁸
+    * rows — past that, floor-divide all cell counts by a common 10^k and
+    * compare against crit·10^k (χ² scales linearly in the counts). */
+  private[operators] def chiSquareCells(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // grid the full |A|×|B| cell space: an UNOBSERVED cell still
+    // contributes (0·N − r·c)²/(r·c·N) = r·c·1000 div N to the statistic —
+    // dropping it would under-read χ² exactly where dependence is starkest
+    val h = obs.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val cells = obs.select("a").distinct().crossJoin(obs.select("b").distinct())
+      .join(h, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+      .withColumn("r", sum("o").over(Window.partitionBy("a")))
+      .withColumn("c", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn(
+        "term_milli",
+        expr("""cast(
+          |  (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+          |  * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+          |  * 1000 div (cast(r as decimal(38,0)) * c * n) as bigint)""".stripMargin))
+    val tot = cells.agg(
+      sum("term_milli").as("chi2_milli"),
+      ((countDistinct("a") - 1) * (countDistinct("b") - 1)).as("df"))
+    val crit = Chi2CritMilli.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, v)) => when(col("df") === k, v).otherwise(acc)
+    }
+    cells
+      .crossJoin(broadcast(tot))
+      .select(
+        col("a"), col("b"), col("o").as("observed"),
+        expr("cast(cast(r as decimal(38,0)) * c * 1000 div n as bigint)")
+          .as("expected_milli"),
+        col("term_milli"), col("chi2_milli"), col("df"),
+        when(col("chi2_milli") > crit, 1L).otherwise(0L).as("significant"))
+  }
+
+  /** χ² independence card: is l_returnflag independent of l_linestatus?
+    * On this generator the two are drawn independently (χ²_milli ≈ 92 at
+    * sf0.01, far under the df=2 bar of 5991), so `significant` = 0 — the
+    * decision arithmetic on BOTH sides of the bar is pinned by the
+    * planted spec (a diagonal-heavy table that must fire, an exactly
+    * proportional one that must not). Per-cell observed/expected rows
+    * with the shared statistic and verdict on every row. */
+  def qChiSquare(s: SparkSession, d: String): DataFrame =
+    chiSquareCells(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("a"), col("l_linestatus").as("b")))
+      .orderBy("a", "b")
+
+  private val qChiSquareSql = {
+    val crit = Chi2CritMilli
+      .map { case (k, v) => s"WHEN df = $k THEN $v" }
+      .mkString(" ")
+    s"""WITH h AS (
+       |  SELECT l_returnflag AS a, l_linestatus AS b, count(*)::BIGINT AS o
+       |  FROM lineitem GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT g.a, g.b, COALESCE(h.o, 0)::BIGINT AS o
+       |  FROM (SELECT aa.a, bb.b
+       |        FROM (SELECT DISTINCT l_returnflag AS a FROM lineitem) aa,
+       |             (SELECT DISTINCT l_linestatus AS b FROM lineitem) bb) g
+       |  LEFT JOIN h ON g.a = h.a AND g.b = h.b),
+       |x AS (
+       |  SELECT a, b, o,
+       |    sum(o) OVER (PARTITION BY a)::BIGINT AS r,
+       |    sum(o) OVER (PARTITION BY b)::BIGINT AS c,
+       |    sum(o) OVER ()::BIGINT AS n
+       |  FROM cells),
+       |t AS (
+       |  SELECT a, b, o, r, c, n,
+       |    CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+       |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+       |      * 1000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS term_milli
+       |  FROM x),
+       |tot AS (
+       |  SELECT sum(term_milli)::BIGINT AS chi2_milli,
+       |    ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS df
+       |  FROM t)
+       |SELECT a, b, o AS observed,
+       |  CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS expected_milli,
+       |  term_milli, chi2_milli, df,
+       |  CAST(CASE WHEN chi2_milli > (CASE $crit END) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS significant
+       |FROM t, tot ORDER BY a, b""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   /** The profiled columns of the events table, in output order. */
@@ -644,5 +936,8 @@ object Evaluation {
     Q("q_calibration", qCalibration, Some(qCalibrationSql)),
     Q("q_data_contract", qDataContract, Some(qDataContractSql)),
     Q("q_bool_search", qBoolSearch, Some(qBoolSearchSql)),
-    Q("q_ab_test", qAbTest, Some(qAbTestSql)))
+    Q("q_ab_test", qAbTest, Some(qAbTestSql)),
+    Q("q_ks_test", qKsTest, Some(qKsTestSql)),
+    Q("q_tv_drift", qTvDrift, Some(qTvDriftSql)),
+    Q("q_chi_square", qChiSquare, Some(qChiSquareSql)))
 }

@@ -302,4 +302,109 @@ class EvaluationSpec extends SparkSpec {
       ("user_id", 4L, 0L, 2L),
       ("value", 4L, 0L, 2L)))
   }
+
+  // ------------------------------------------------- distribution drift
+
+  test("KS: planted shift fires, identical distributions don't, and the α boundary splits exactly") {
+    // boundary construction at n_a = n_b = 200: reject ⟺
+    // 10⁶·M² > 1844164·200·200·400 = 2.95066e13 ⟺ M > 5432.03.
+    // Group b puts k rows on value 0 (a has none), rest on 1 —
+    // M = 200·k, so k = 27 (M = 5400) must NOT fire, k = 28 (M = 5600) must.
+    def fixture(k: Int) = {
+      val a = Seq.fill(200)(("a", 1L))
+      val b = Seq.fill(k)(("b", 0L)) ++ Seq.fill(200 - k)(("b", 1L))
+      (a ++ b).toDF("grp", "v")
+    }
+    def row(k: Int) = Evaluation.ksPairsFrom(fixture(k)).collect().head
+    val under = row(27)
+    assert(under.getAs[Long]("ks_num") === 5400L)
+    assert(under.getAs[Long]("significant") === 0L)
+    val over = row(28)
+    assert(over.getAs[Long]("ks_num") === 5600L)
+    assert(over.getAs[Long]("significant") === 1L)
+    // identical distributions: M = 0, never significant
+    val same = Evaluation.ksPairsFrom(
+      (Seq.fill(50)(("a", 3L)) ++ Seq.fill(50)(("b", 3L))).toDF("grp", "v"))
+      .collect().head
+    assert(same.getAs[Long]("ks_num") === 0L)
+    assert(same.getAs[Long]("significant") === 0L)
+    // gross shift (disjoint supports): D = 1 ⟹ d_ppm = 10⁶, fires
+    val gross = Evaluation.ksPairsFrom(
+      (Seq.fill(100)(("a", 1L)) ++ Seq.fill(100)(("b", 9L))).toDF("grp", "v"))
+      .collect().head
+    assert(gross.getAs[Long]("d_ppm") === 1000000L)
+    assert(gross.getAs[Long]("significant") === 1L)
+  }
+
+  test("KS against a JVM recompute on the real corpus") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("grp"), col("l_quantity").cast("long").as("v"))
+    val rows = li.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Evaluation.ksPairsFrom(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("ks_num"))
+      .toMap
+    val grps = rows.map(_._1).distinct.sorted
+    val vals = rows.map(_._2).distinct.sorted
+    for (Seq(ga, gb) <- grps.combinations(2)) {
+      val ca = rows.filter(_._1 == ga).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cb = rows.filter(_._1 == gb).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      var (cuma, cumb, m) = (0L, 0L, 0L)
+      vals.foreach { v =>
+        cuma += ca.getOrElse(v, 0L); cumb += cb.getOrElse(v, 0L)
+        m = math.max(m, math.abs(cuma * nb - cumb * na))
+      }
+      assert(got((ga, gb)) === m, s"pair ($ga,$gb)")
+    }
+  }
+
+  test("TVD: hand-computed month pair, gap tie breaks to the smaller bin") {
+    import java.sql.Date
+    val m1 = Date.valueOf("2024-01-01")
+    val m2 = Date.valueOf("2024-02-01")
+    val rows =
+      Seq.fill(6)((m1, "A")) ++ Seq.fill(4)((m1, "B")) ++
+        Seq.fill(2)((m2, "A")) ++ Seq.fill(8)((m2, "B"))
+    val got = Evaluation.tvDriftFrom(rows.toDF("month", "bin")).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // TVD = ½(|0.6−0.2| + |0.4−0.8|) = 0.4; both bins gap |6·10−2·10| = 40 → tie → 'A'
+    assert(r.getAs[Long]("tvd_ppm") === 400000L)
+    assert(r.getAs[String]("top_bin") === "A")
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) === ((10L, 10L)))
+  }
+
+  test("TVD: a bin present only in one month still counts (grid fill)") {
+    import java.sql.Date
+    val m1 = Date.valueOf("2024-01-01")
+    val m2 = Date.valueOf("2024-02-01")
+    val rows = Seq.fill(10)((m1, "A")) ++ Seq.fill(5)((m2, "A")) ++ Seq.fill(5)((m2, "Z"))
+    val r = Evaluation.tvDriftFrom(rows.toDF("month", "bin")).collect().head
+    // p = (1, 0), q = (0.5, 0.5) → TVD = 0.5; the moved mass is on both
+    // bins equally (gap 50 each) → tie → 'A'
+    assert(r.getAs[Long]("tvd_ppm") === 500000L)
+    assert(r.getAs[String]("top_bin") === "A")
+  }
+
+  test("chi-square: proportional table scores 0, diagonal-heavy fires, zero cells contribute") {
+    // exactly proportional 2×2 (independence): χ² = 0, must not fire
+    val indep =
+      Seq.fill(20)(("x", "u")) ++ Seq.fill(20)(("x", "w")) ++
+        Seq.fill(10)(("y", "u")) ++ Seq.fill(10)(("y", "w"))
+    val ri = Evaluation.chiSquareCells(indep.toDF("a", "b")).collect()
+    assert(ri.forall(_.getAs[Long]("chi2_milli") === 0L))
+    assert(ri.forall(_.getAs[Long]("significant") === 0L))
+    // perfectly dependent 2×2 with EMPTY off-diagonal cells: the grid must
+    // materialize them (o=0 contributes r·c·1000 div N each); full χ² = N
+    val dep = Seq.fill(30)(("x", "u")) ++ Seq.fill(30)(("y", "w"))
+    val rd = Evaluation.chiSquareCells(dep.toDF("a", "b")).collect()
+    assert(rd.length === 4, "2×2 grid incl. the two unobserved cells")
+    // χ² for a perfect 2×2 association = N = 60 → 60000 milli (df=1 crit 3841)
+    assert(rd.head.getAs[Long]("chi2_milli") === 60000L)
+    assert(rd.forall(_.getAs[Long]("df") === 1L))
+    assert(rd.forall(_.getAs[Long]("significant") === 1L))
+    val zeroCell = rd.find(r => r.getAs[String]("a") == "x" && r.getAs[String]("b") == "w").get
+    assert(zeroCell.getAs[Long]("observed") === 0L)
+    assert(zeroCell.getAs[Long]("term_milli") === 15000L) // r·c·1000 div N = 30·30·1000/60
+  }
 }
