@@ -647,8 +647,263 @@ object Maintenance {
       |  CAST(max(n) AS BIGINT) AS n
       |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------- optimizer statistics audit
+
+  /** The join pairs the cardinality audit covers: star-schema FKs of both
+    * fan-out shapes (N:1 dimension joins and the 1:N fact side). */
+  private val CardJoins: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** Join-cardinality estimation audit — the optimizer-statistics card: for
+    * each FK join, the textbook uniform-containment estimate
+    * |L ⋈ R| ≈ n_l·n_r div max(d_l, d_r) from per-side (row count,
+    * distinct-key) stats, side by side with the TRUE join cardinality and
+    * the signed error in ppm. This is exactly the arithmetic a
+    * cost-based optimizer (and Spark's own CBO under
+    * `spark.sql.cbo.enabled`) runs from ANALYZE TABLE stats before
+    * choosing join order/strategy — surfaced as data so a pipeline can
+    * SEE where uniformity assumptions break (skewed keys under-estimate).
+    *
+    * Scale shape: per-side stats are single aggregates (exact
+    * countDistinct here; the 100 TB variant swaps in
+    * approx_count_distinct, the same swap ANALYZE makes — plan shape
+    * unchanged). The true count is one shuffle join on the key, counted —
+    * no row payload survives the count aggregate. The estimate product
+    * rides DECIMAL(38,0): n_l·n_r overflows BIGINT past ~3·10⁹ rows per
+    * side. */
+  def qJoinCardEst(s: SparkSession, d: String): DataFrame = {
+    val rows = CardJoins.map { case (name, lt, lk, rt, rk) =>
+      val l = Tables.t(s, d, lt).agg(
+        count(lit(1)).as("n_l"), countDistinct(col(lk)).as("d_l"))
+      val r = Tables.t(s, d, rt).agg(
+        count(lit(1)).as("n_r"), countDistinct(col(rk)).as("d_r"))
+      val actual = Tables.t(s, d, lt).select(col(lk).as("k"))
+        .join(Tables.t(s, d, rt).select(col(rk).as("k")), "k")
+        .agg(count(lit(1)).as("actual_rows"))
+      l.crossJoin(r).crossJoin(actual)
+        .select(
+          lit(name).as("join_name"),
+          col("n_l"), col("d_l"), col("n_r"), col("d_r"),
+          expr("cast(cast(n_l as decimal(38,0)) * n_r div greatest(d_l, d_r) as bigint)")
+            .as("est_rows"),
+          col("actual_rows"))
+        .withColumn(
+          "err_ppm",
+          expr("((est_rows - actual_rows) * 1000000) div greatest(actual_rows, 1)"))
+    }
+    rows.reduce(_ unionByName _).orderBy("join_name")
+  }
+
+  private val qJoinCardEstSql = CardJoins
+    .map { case (name, lt, lk, rt, rk) =>
+      s"""SELECT '$name' AS join_name, n_l, d_l, n_r, d_r,
+         |  CAST(CAST(n_l AS HUGEINT) * n_r // greatest(d_l, d_r) AS BIGINT)
+         |    AS est_rows,
+         |  actual_rows,
+         |  ((CAST(CAST(n_l AS HUGEINT) * n_r // greatest(d_l, d_r) AS BIGINT)
+         |    - actual_rows) * 1000000) // greatest(actual_rows, 1) AS err_ppm
+         |FROM (SELECT count(*)::BIGINT AS n_l, count(DISTINCT $lk)::BIGINT AS d_l
+         |      FROM $lt),
+         |     (SELECT count(*)::BIGINT AS n_r, count(DISTINCT $rk)::BIGINT AS d_r
+         |      FROM $rt),
+         |     (SELECT count(*)::BIGINT AS actual_rows
+         |      FROM $lt JOIN $rt ON $lt.$lk = $rt.$rk)""".stripMargin
+    }
+    .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+
+  // --------------------------------------------------- right to be forgotten
+
+  /** The deterministic forget set: ~1% of customers, selected by hash so
+    * any engine (and any future batch) replays the same set. */
+  private def isForgotten(custkey: Column): Column =
+    graft.functions.PortableHash
+      .md5PrefixLong(concat(lit("forget:"), custkey), 10) % 97 === 0
+
+  /** GDPR right-to-be-forgotten cascade — the deletion-accounting card a
+    * training-data pipeline must produce when purging users: a hash-chosen
+    * ~1% of customers is forgotten, the delete cascades over the FK chain
+    * (customer → orders → lineitem), and each table reports
+    * (rows_before, rows_deleted, rows_after) plus an order-independent
+    * bit_xor digest of the SURVIVING rows — the audit artifact proving
+    * both that the victims are gone and that nothing else was touched
+    * (the same digest convention as q_table_checksum, so a replayed purge
+    * can be compared checksum-to-checksum without row-level diffing).
+    *
+    * Scale shape: the cascade is two semi-join hops keyed on the FK chain
+    * (victims is ~1% of a dimension — broadcast at any realistic scale;
+    * the orders_del key set stays delete-sized). Survivors are anti-joins
+    * on the same keys; the digest is a combiner-backed XOR aggregate, no
+    * sort, no order dependence. Deleted-row payloads never shuffle —
+    * only their keys do. */
+  def qForgetCascade(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash.md5PrefixLong
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val victims = cust.filter(isForgotten(col("c_custkey"))).select("c_custkey")
+    val ordDel = ord.join(victims, col("o_custkey") === col("c_custkey"), "left_semi")
+    val ordKeep = ord.join(victims, col("o_custkey") === col("c_custkey"), "left_anti")
+    val liDel = li.join(
+      ordDel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val liKeep = li.join(
+      ordDel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+    // `kept` is the surviving rows projected to their digest column `h`
+    def card(name: String, full: DataFrame, kept: DataFrame): DataFrame = {
+      val n = full.agg(count(lit(1)).as("rows_before"))
+      kept
+        .agg(
+          count(lit(1)).as("rows_after"),
+          expr("bit_xor(h)").as("survivor_checksum"))
+        .crossJoin(n)
+        .select(
+          lit(name).as("table_name"),
+          col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"),
+          col("rows_after"),
+          col("survivor_checksum"))
+    }
+    val custC = card(
+      "customer", cust,
+      cust.filter(!isForgotten(col("c_custkey")))
+        .select(md5PrefixLong(col("c_custkey").cast("string"), 14).as("h")))
+    val ordC = card(
+      "orders", ord,
+      ordKeep.select(
+        md5PrefixLong(concat_ws("|", col("o_orderkey"), col("o_custkey")), 14).as("h")))
+    val liC = card(
+      "lineitem", li,
+      liKeep.select(
+        md5PrefixLong(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")),
+          14).as("h")))
+    custC.unionByName(ordC).unionByName(liC).orderBy("table_name")
+  }
+
+  private val qForgetCascadeSql = {
+    import graft.functions.PortableHash.md5PrefixLongSql
+    val forgotten = md5PrefixLongSql("'forget:' || c_custkey", 10) + " % 97 = 0"
+    s"""WITH victims AS (
+       |  SELECT c_custkey FROM customer WHERE $forgotten),
+       |ord_del AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+       |cards AS (
+       |  SELECT 'customer' AS table_name,
+       |    (SELECT count(*) FROM customer)::BIGINT AS rows_before,
+       |    count(*)::BIGINT AS rows_after,
+       |    bit_xor(${md5PrefixLongSql("CAST(c_custkey AS VARCHAR)", 14)}) AS survivor_checksum
+       |  FROM customer WHERE NOT ($forgotten)
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    (SELECT count(*) FROM orders)::BIGINT,
+       |    count(*)::BIGINT,
+       |    bit_xor(${md5PrefixLongSql("o_orderkey || '|' || o_custkey", 14)})
+       |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)
+       |  UNION ALL
+       |  SELECT 'lineitem',
+       |    (SELECT count(*) FROM lineitem)::BIGINT,
+       |    count(*)::BIGINT,
+       |    bit_xor(${md5PrefixLongSql(
+          "l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey", 14)})
+       |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ord_del))
+       |SELECT table_name, rows_before,
+       |  (rows_before - rows_after)::BIGINT AS rows_deleted,
+       |  rows_after, survivor_checksum
+       |FROM cards ORDER BY table_name""".stripMargin
+  }
+
+  // ------------------------------------------------------ snapshot reconcile
+
+  /** Snapshot diff / reconciliation — the "what changed between table
+    * versions" card (the audit a lakehouse time-travel DIFF produces,
+    * re-derived on plain parquet): two deterministic versions of `orders`
+    * are compared by a single full-outer join on the primary key with a
+    * value digest per side, classifying every key as added / deleted /
+    * changed / unchanged; per class: row count, an order-independent
+    * bit_xor key digest, and the total absolute money drift of changed
+    * rows in exact cents. The versions derive from the one physical
+    * table so the oracle can replay them: v_old omits keys ≡3 (mod 10)
+    * ("inserted since") and carries a 5.00-lower price on keys ≡7
+    * ("corrected since"); v_new omits keys ≡4 ("deleted since").
+    *
+    * Scale shape: ONE full-outer shuffle join keyed on the PK — the same
+    * cost class as the merge-upsert card — then a 4-row aggregate;
+    * per-row digests are computed map-side, so no payload wider than
+    * (key, digest, cents) ever shuffles. At 100 TB both sides would be
+    * bucketed by the PK and the join exchange-free. */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.asScaled
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      asScaled(col("o_totalprice"), 2).as("cents"),
+      col("o_orderstatus").as("st"))
+    val old = base
+      .filter(col("k") % 10 =!= 3)
+      .select(
+        col("k"),
+        when(col("k") % 10 === 7, col("cents") - 500).otherwise(col("cents"))
+          .as("cents_old"),
+        col("st").as("st_old"))
+    val nw = base.filter(col("k") % 10 =!= 4)
+      .select(col("k"), col("cents").as("cents_new"), col("st").as("st_new"))
+    old.join(nw, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        when(col("cents_old").isNull, "added")
+          .when(col("cents_new").isNull, "deleted")
+          .when(
+            col("cents_old") =!= col("cents_new") || col("st_old") =!= col("st_new"),
+            "changed")
+          .otherwise("unchanged")
+          .as("status"),
+        coalesce(abs(col("cents_new") - col("cents_old")), lit(0L)).as("drift"),
+        graft.functions.PortableHash.md5PrefixLong(col("k").cast("string"), 14).as("h"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("key_checksum"),
+        sum("drift").as("cents_drift"))
+      .orderBy("status")
+  }
+
+  private val qSnapshotDiffSql = {
+    import graft.functions.PortableHash.md5PrefixLongSql
+    import graft.functions.PortableRound.asScaledSql
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, ${asScaledSql("o_totalprice", 2)} AS cents,
+       |    o_orderstatus AS st
+       |  FROM orders),
+       |old AS (
+       |  SELECT k,
+       |    CASE WHEN k % 10 = 7 THEN cents - 500 ELSE cents END AS cents_old,
+       |    st AS st_old
+       |  FROM base WHERE k % 10 <> 3),
+       |nw AS (
+       |  SELECT k, cents AS cents_new, st AS st_new FROM base WHERE k % 10 <> 4),
+       |diff AS (
+       |  SELECT COALESCE(old.k, nw.k) AS k,
+       |    CASE WHEN old.k IS NULL THEN 'added'
+       |         WHEN nw.k IS NULL THEN 'deleted'
+       |         WHEN old.cents_old <> nw.cents_new OR old.st_old <> nw.st_new
+       |           THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    COALESCE(abs(nw.cents_new - old.cents_old), 0)::BIGINT AS drift
+       |  FROM old FULL OUTER JOIN nw ON old.k = nw.k)
+       |SELECT status, count(*)::BIGINT AS n_rows,
+       |  bit_xor(${md5PrefixLongSql("CAST(k AS VARCHAR)", 14)}) AS key_checksum,
+       |  sum(drift)::BIGINT AS cents_drift
+       |FROM diff GROUP BY 1 ORDER BY status""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
+    Q("q_join_card_est", qJoinCardEst, Some(qJoinCardEstSql)),
+    Q("q_forget_cascade", qForgetCascade, Some(qForgetCascadeSql)),
+    Q("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     Q("q_percentile_incremental", qPercentileIncremental, Some(qPercentileIncrementalSql)),
     Q("q_mv_incremental", qMvIncremental, Some(qMvIncrementalSql)),
     Q("q_mv_retract", qMvRetract, Some(qMvRetractSql)),

@@ -2112,4 +2112,100 @@ class ExtrasSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === global)
   }
+
+  // ---------------------------------------------------- maintenance: r9 cards
+
+  /** JVM twin of PortableHash.md5PrefixLong — independent of both engines. */
+  private def jvmMd5Prefix(s: String, nHex: Int): Long = {
+    import java.security.MessageDigest
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(nHex), 16)
+  }
+
+  test("join cardinality estimate: planted skew breaks the uniformity assumption, visibly") {
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-card-").toString
+    // lineitem keys [1×9, 2×1]; orders keys [1×1, 2×9]:
+    // est = 10·10 div 2 = 50, actual = 9·1 + 1·9 = 18 → 32/18 over-estimate
+    (Seq.fill(9)(1L) ++ Seq(2L)).map(k => (k, 1L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    (Seq(1L) ++ Seq.fill(9)(2L)).map(k => (k, 1L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    Seq(1L).toDF("p_partkey").write.mode(SaveMode.Overwrite).parquet(s"$tmp/part.parquet")
+    Seq(1L).toDF("s_suppkey").write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    Seq(1L).toDF("c_custkey").write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    val got = Maintenance.qJoinCardEst(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("est_rows"), r.getAs[Long]("actual_rows"), r.getAs[Long]("err_ppm")))
+      .toMap
+    assert(got("lineitem_orders") === ((50L, 18L, (50L - 18L) * 1000000L / 18L)))
+    // degenerate single-key sides estimate exactly
+    assert(got("lineitem_part") === ((10L, 10L, 0L)))
+    assert(got("orders_customer") === ((10L, 10L, 0L)))
+  }
+
+  test("forget cascade replays in plain JVM: victims, FK closure, survivor XOR") {
+    // sf0.01: the 1/97 hash rule leaves sf0.001's 150 customers empty-set
+    // prone; at 1500 customers the victim set is reliably non-trivial
+    val dir = "/root/testdata/sf0.01"
+    val cust = graft.Tables.customer(spark, dir).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val ord = graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getLong(3)))
+    val victims = cust.filter(k => jvmMd5Prefix(s"forget:$k", 10) % 97 == 0).toSet
+    assert(victims.nonEmpty, "hash rule must select at least one victim at sf0.01")
+    val ordDel = ord.filter { case (_, ck) => victims(ck) }.map(_._1).toSet
+    val expect = Map(
+      "customer" -> (cust.length.toLong, victims.size.toLong,
+        cust.filter(!victims(_)).map(k => jvmMd5Prefix(k.toString, 14)).reduce(_ ^ _)),
+      "orders" -> (ord.length.toLong, ordDel.size.toLong,
+        ord.filter { case (_, ck) => !victims(ck) }
+          .map { case (ok, ck) => jvmMd5Prefix(s"$ok|$ck", 14) }.reduce(_ ^ _)),
+      "lineitem" -> (li.length.toLong, li.count { case (ok, _, _, _) => ordDel(ok) }.toLong,
+        li.filter { case (ok, _, _, _) => !ordDel(ok) }
+          .map { case (ok, ln, pk, sk) => jvmMd5Prefix(s"$ok|$ln|$pk|$sk", 14) }
+          .reduce(_ ^ _)))
+    val got = Maintenance.qForgetCascade(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("rows_before"), r.getAs[Long]("rows_deleted"),
+          r.getAs[Long]("survivor_checksum")))
+      .toMap
+    expect.foreach { case (t, (before, del, ck)) =>
+      assert(got(t)._1 === before, s"$t rows_before")
+      assert(got(t)._2 === del, s"$t rows_deleted")
+      assert(got(t)._3 === ck, s"$t survivor_checksum")
+    }
+  }
+
+  test("snapshot diff: every key classifies by its residue; drift = 500 per changed row") {
+    val keys = graft.Tables.orders(spark, sfDir).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    def xor(ks: Seq[Long]): Long =
+      ks.map(k => jvmMd5Prefix(k.toString, 14)).reduce(_ ^ _)
+    val expect = Map(
+      "added" -> keys.filter(_ % 10 == 3),
+      "deleted" -> keys.filter(_ % 10 == 4),
+      "changed" -> keys.filter(_ % 10 == 7),
+      "unchanged" -> keys.filter(k => k % 10 != 3 && k % 10 != 4 && k % 10 != 7))
+    val got = Maintenance.qSnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"),
+          r.getAs[Long]("cents_drift")))
+      .toMap
+    expect.foreach { case (st, ks) =>
+      assert(got(st)._1 === ks.length.toLong, s"$st count")
+      assert(got(st)._2 === xor(ks.toSeq), s"$st checksum")
+    }
+    assert(got("changed")._3 === 500L * expect("changed").length)
+    assert(got("added")._3 === 0L)
+    assert(got("deleted")._3 === 0L)
+  }
 }
