@@ -2510,8 +2510,83 @@ object TextOps {
        |FROM bgc b JOIN uc ua ON ua.w = b.w1 JOIN uc ub ON ub.w = b.w2, tot t2
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""".stripMargin
 
+  // ------------------------------------------------------- heavy hitters
+
+  /** Counter budget and heaviness bar for [[qHeavyHitters]]: φ = 1/50
+    * (a term on >2% of the token stream is "heavy"), k = 200 counters.
+    * k·φ = 4 > 1, so retention of every heavy term is theory-guaranteed
+    * (f > n/50 > n/(k+1)). */
+  private val HhK = 200
+  private val HhPhiInv = 50L
+
+  /** Frequent-terms card over the [[graft.functions.MisraGriesAgg]]
+    * sketch — the heavy-hitters job a pipeline runs when the vocabulary
+    * is too large to groupBy but only the >φ tail matters (stop-word
+    * discovery, hot-key detection before a join, trending n-grams). Each
+    * exact heavy term (f·φ⁻¹ > n, from the exact twin aggregation)
+    * carries the sketch's estimate plus the two theory verdicts:
+    * `retained` (MG guarantees every f > n/(k+1) term survives any merge
+    * tree) and `bounds_ok` (0 ≤ f − est ≤ n/(k+1)).
+    *
+    * This corpus's token vocabulary (31 terms) is under the k=200
+    * counter budget, so the sketch is in its EXACT regime — no decrement
+    * ever fires, est ≡ f for every term regardless of partitioning —
+    * which is precisely what makes the full row (estimates included)
+    * hash-gateable against a DuckDB exact twin. The over-capacity regime
+    * (decrements, merge offsets, partitioning-dependent tails) is pinned
+    * by the adversarial spec instead, which plants a >k-cardinality
+    * stream and checks all three MG invariants under several merge
+    * trees.
+    *
+    * Scale shape: the sketch aggregation moves O(k) per partition (the
+    * point of the card — the exact twin here is the verifier, not the
+    * scale path); the exact heavy list itself is a combiner-backed
+    * count capped by the vocabulary, and the final join is heavy-terms ×
+    * (≤ k)-entry map, both broadcast-sized. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("term"))
+    val mg = udaf(new graft.functions.MisraGriesAgg(HhK))
+    val sketch = toks
+      .agg(mg(col("term")).as("sk"))
+      .select(explode(col("sk")).as(Seq("term", "est_count")))
+    val tot = toks.agg(count(lit(1)).as("n_tokens"))
+    toks
+      .groupBy("term")
+      .agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(tot))
+      .filter(col("exact_count") * HhPhiInv > col("n_tokens"))
+      .join(sketch, Seq("term"), "left")
+      .select(
+        col("term"), col("exact_count"), col("n_tokens"),
+        coalesce(col("est_count"), lit(0L)).as("est_count"),
+        when(col("est_count").isNotNull, 1L).otherwise(0L).as("retained"),
+        (col("exact_count") - coalesce(col("est_count"), lit(0L))).as("underread"))
+      .withColumn(
+        "bounds_ok",
+        when(
+          col("underread") >= 0 &&
+            col("underread") * (HhK + 1) <= col("n_tokens"),
+          1L).otherwise(0L))
+      .orderBy("term")
+  }
+
+  private val qHeavyHittersSql =
+    s"""WITH tk AS (SELECT unnest($tokensSql) AS term FROM documents),
+       |tot AS (SELECT count(*)::BIGINT AS n_tokens FROM tk),
+       |ex AS (SELECT term, count(*)::BIGINT AS exact_count FROM tk GROUP BY 1)
+       |SELECT term, exact_count, n_tokens,
+       |  exact_count AS est_count,
+       |  CAST(1 AS BIGINT) AS retained,
+       |  CAST(0 AS BIGINT) AS underread,
+       |  CAST(1 AS BIGINT) AS bounds_ok
+       |FROM ex, tot
+       |WHERE exact_count * $HhPhiInv > n_tokens
+       |ORDER BY term""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q_wordcount", qWordcount, Some(qWordcountSql)),
+    Q("q_heavy_hitters", qHeavyHitters, Some(qHeavyHittersSql)),
     Q("q_chunk_windows", qChunkWindows, Some(qChunkWindowsSql)),
     Q("q_cdc_chunks", qCdcChunks, Some(qCdcChunksSql)),
     Q("q_cdc_dedup", qCdcDedup, Some(qCdcDedupSql)),

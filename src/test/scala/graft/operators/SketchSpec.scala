@@ -293,4 +293,48 @@ class SketchSpec extends SparkSpec {
     info(s"IVF-PQ recall@10 = $recall")
     assert(recall >= 0.8, s"recall@10 = $recall; exact=$exact approx=$approx")
   }
+
+  // ------------------------------------------------- Misra-Gries invariants
+
+  test("Misra-Gries over capacity: retention, under-read bound, size cap — any merge tree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // 400×"hot" in a 1000-distinct-item tail: n = 1400, k = 20 →
+    // under-read budget n/(k+1) = 66.67. f(hot) = 400 > 66 ⟹ hot MUST be
+    // retained with est ≥ 334, under every partitioning (merge tree).
+    val items = Seq.fill(400)("hot") ++ (1 to 1000).map(i => f"t$i%04d")
+    // deterministic interleave so "hot" isn't one contiguous run
+    val stream = items.zipWithIndex
+      .sortBy { case (_, i) => ((i * 2654435761L) % 1009, i) }
+      .map(_._1)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val mg = udaf(new graft.functions.MisraGriesAgg(20))
+    for (parts <- Seq(1, 2, 7, 32)) {
+      val est = stream.toDF("term").repartition(parts)
+        .agg(mg(col("term")).as("sk"))
+        .collect()(0).getAs[Map[String, Long]]("sk")
+      assert(est.size <= 20, s"parts=$parts: summary exceeded k")
+      est.foreach { case (t, e) =>
+        assert(e <= truth(t), s"parts=$parts: $t over-estimated ($e > ${truth(t)})")
+        assert((truth(t) - e) * 21 <= n, s"parts=$parts: $t under-read past n/(k+1)")
+      }
+      assert(est.contains("hot"), s"parts=$parts: guaranteed-heavy item evicted")
+      assert(est("hot") >= 400 - n / 21, s"parts=$parts: hot est ${est("hot")} below floor")
+    }
+  }
+
+  test("Misra-Gries at or under capacity is the exact frequency map, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val stream = (1 to 15).flatMap(i => Seq.fill(i)(s"w$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = udaf(new graft.functions.MisraGriesAgg(20))
+    for (parts <- Seq(1, 3, 8)) {
+      val est = stream.toDF("term").repartition(parts)
+        .agg(mg(col("term")).as("sk"))
+        .collect()(0).getAs[Map[String, Long]]("sk")
+      assert(est === truth, s"parts=$parts: sub-capacity summary must be exact")
+    }
+  }
 }
