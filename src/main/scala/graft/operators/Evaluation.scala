@@ -593,6 +593,136 @@ object Evaluation {
        |FROM wide ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------- retrieval ranking
+
+  /** NDCG position discounts 1/log₂(i+1) for ranks 1..10 in FLOORED micro
+    * units, plus their prefix sums (ideal DCG of j relevant items) — a
+    * fixed integer constant table shared verbatim by both engines, so the
+    * one irrational ingredient of NDCG never touches engine libm. */
+  private val NdcgDiscMicro =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
+      315464L, 301029L, 289064L)
+  private val NdcgIdealMicro =
+    NdcgDiscMicro.scanLeft(0L)(_ + _).tail // prefix sums, index 1..10
+
+  /** Retrieval-ranking evaluation — MRR, precision@10 and NDCG@10 of
+    * exact cosine search, with relevance = "candidate shares the query
+    * vector's label" (the standard label-as-relevance protocol when no
+    * click log exists). Every metric is exact integer arithmetic: scores
+    * are micro-cosines, ranks are deterministic (score desc, id asc),
+    * the NDCG discount curve is the fixed micro-unit table above, and
+    * each ratio is one truncating division — so the full per-query
+    * metric table hash-gates against a DuckDB twin that replays the
+    * ranking with a window instead of the bounded-heap aggregate.
+    *
+    * Scale shape: scoring is corpus × query-batch with the query side
+    * broadcast (bounded query workload per evaluation run); per-query
+    * top-10 rides [[graft.functions.TopKAgg]] — partial aggregation
+    * reduces every partition to ≤10 rows per query BEFORE the shuffle,
+    * so what moves is O(queries·10), not O(corpus·queries) (the window
+    * formulation the oracle uses would shuffle every scored pair). The
+    * relevant-count side aggregates map-side to one row per query. */
+  def qRankingMetrics(s: SparkSession, d: String): DataFrame =
+    rankingMetricsFrom(
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v")))
+      .orderBy("qid")
+
+  /** Seam over (vec_id, label, v) rows; queries are vec_id ≡ 0 (mod 25). */
+  private[operators] def rankingMetricsFrom(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("qlabel"),
+        floor(graft.functions.NativeExprs.cosineSim(col("v"), col("qv"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("qm"),
+        col("vec_id"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"))
+    val nRel = scored.groupBy("qid").agg(sum("rel").as("n_rel"))
+    val top10 = udaf(new graft.functions.TopKAgg(10))
+    val ranked = scored
+      .groupBy("qid", "qlabel")
+      .agg(top10(col("qm").cast("double"), col("vec_id")).as("t"))
+      .select(col("qid"), col("qlabel"), posexplode(col("t")))
+      .select(
+        col("qid"), col("qlabel"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(
+        col("qid"),
+        col("rank"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("rel"))
+    val disc = array(NdcgDiscMicro.map(lit): _*)
+    val ideal = array(NdcgIdealMicro.map(lit): _*)
+    ranked
+      .groupBy("qid")
+      .agg(
+        sum("rel").as("n_rel_top10"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(col("rel") * element_at(disc, col("rank").cast("int"))).as("dcg_micro"))
+      .join(nRel, "qid")
+      .select(
+        col("qid"),
+        col("n_rel"),
+        col("n_rel_top10"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"),
+        (col("n_rel_top10") * 100000L).as("prec10_ppm"),
+        col("dcg_micro"),
+        when(col("n_rel") === 0, 0L)
+          .otherwise(element_at(ideal, least(col("n_rel"), lit(10L)).cast("int")))
+          .as("idcg_micro"))
+      .withColumn(
+        "ndcg_ppm",
+        expr("(dcg_micro * 1000000) div greatest(idcg_micro, 1)"))
+  }
+
+  private val qRankingMetricsSql = {
+    val discList = NdcgDiscMicro.mkString("[", ", ", "]")
+    val idealList = NdcgIdealMicro.mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+       |  WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q.qid, q.qlabel,
+       |    CAST(floor(list_cosine_similarity(e.v, q.qv) * 1000000 + 0.5) AS BIGINT)
+       |      AS qm,
+       |    e.vec_id,
+       |    CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |nrel AS (SELECT qid, sum(rel)::BIGINT AS n_rel FROM scored GROUP BY 1),
+       |ranked AS (
+       |  SELECT qid, rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qm DESC, vec_id) AS rank
+       |  FROM scored),
+       |m AS (
+       |  SELECT qid,
+       |    sum(rel)::BIGINT AS n_rel_top10,
+       |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+       |    sum(rel * ($discList)[rank])::BIGINT AS dcg_micro
+       |  FROM ranked WHERE rank <= 10 GROUP BY 1)
+       |SELECT m.qid, nrel.n_rel, m.n_rel_top10,
+       |  COALESCE(1000000 // first_rel, 0)::BIGINT AS mrr_micro,
+       |  (m.n_rel_top10 * 100000)::BIGINT AS prec10_ppm,
+       |  m.dcg_micro,
+       |  (CASE WHEN nrel.n_rel = 0 THEN 0
+       |        ELSE ($idealList)[least(nrel.n_rel, 10)] END)::BIGINT AS idcg_micro,
+       |  ((m.dcg_micro * 1000000) // greatest(
+       |    CASE WHEN nrel.n_rel = 0 THEN 0
+       |         ELSE ($idealList)[least(nrel.n_rel, 10)] END, 1))::BIGINT AS ndcg_ppm
+       |FROM m JOIN nrel ON m.qid = nrel.qid
+       |ORDER BY m.qid""".stripMargin
+  }
+
   // ------------------------------------------------- distribution drift
 
   /** Two-sample Kolmogorov–Smirnov over a BOUNDED value domain, computed
@@ -937,6 +1067,7 @@ object Evaluation {
     Q("q_data_contract", qDataContract, Some(qDataContractSql)),
     Q("q_bool_search", qBoolSearch, Some(qBoolSearchSql)),
     Q("q_ab_test", qAbTest, Some(qAbTestSql)),
+    Q("q_ranking_metrics", qRankingMetrics, Some(qRankingMetricsSql)),
     Q("q_ks_test", qKsTest, Some(qKsTestSql)),
     Q("q_tv_drift", qTvDrift, Some(qTvDriftSql)),
     Q("q_chi_square", qChiSquare, Some(qChiSquareSql)))

@@ -303,6 +303,55 @@ class EvaluationSpec extends SparkSpec {
       ("value", 4L, 0L, 2L)))
   }
 
+  // ---------------------------------------------------- retrieval ranking
+
+  test("ranking metrics: hand-computed MRR/P@10/NDCG on a planted angular fixture") {
+    // Query = vec 0 (0 % 25 == 0), label 7, pointing along +x. Candidates
+    // at decreasing cosine: ids 1..12 with angle increasing, so the exact
+    // ranking is 1, 2, ..., 12 (top-10 = 1..10). Relevant (label 7):
+    // ranks 2, 3 and 11 (outside top-10) + one more at rank 5 — so
+    // n_rel = 4, n_rel_top10 = 3, first_rel = 2.
+    def vecAt(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val rows =
+      Seq((0L, 7L, vecAt(0))) ++
+        (1 to 12).map { i =>
+          val lbl = if (i == 2 || i == 3 || i == 5 || i == 11) 7L else 1L
+          (i.toLong, lbl, vecAt(i * 5.0))
+        }
+    val got = Evaluation.rankingMetricsFrom(rows.toDF("vec_id", "label", "v"))
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("qid") === 0L)
+    assert(r.getAs[Long]("n_rel") === 4L)
+    assert(r.getAs[Long]("n_rel_top10") === 3L)
+    assert(r.getAs[Long]("mrr_micro") === 500000L) // 10⁶ div 2
+    assert(r.getAs[Long]("prec10_ppm") === 300000L) // 3/10
+    // dcg = disc(2) + disc(3) + disc(5); idcg = prefix(min(4,10))
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L)
+    val dcg = disc(1) + disc(2) + disc(4)
+    val idcg = disc.take(4).sum
+    assert(r.getAs[Long]("dcg_micro") === dcg)
+    assert(r.getAs[Long]("idcg_micro") === idcg)
+    assert(r.getAs[Long]("ndcg_ppm") === dcg * 1000000L / idcg)
+  }
+
+  test("ranking metrics: no relevant docs anywhere gives all-zero metrics, not an error") {
+    val rows = Seq((0L, 9L, Seq(1.0, 0.0))) ++
+      (1 to 5).map(i => (i.toLong, 1L, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+    val r = Evaluation.rankingMetricsFrom(rows.toDF("vec_id", "label", "v"))
+      .collect().head
+    assert(r.getAs[Long]("n_rel") === 0L)
+    assert(r.getAs[Long]("mrr_micro") === 0L)
+    assert(r.getAs[Long]("dcg_micro") === 0L)
+    assert(r.getAs[Long]("idcg_micro") === 0L)
+    assert(r.getAs[Long]("ndcg_ppm") === 0L)
+  }
+
   // ------------------------------------------------- distribution drift
 
   test("KS: planted shift fires, identical distributions don't, and the α boundary splits exactly") {
