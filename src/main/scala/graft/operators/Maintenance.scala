@@ -714,6 +714,82 @@ object Maintenance {
     }
     .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
 
+  /** The key columns the skew audit profiles: every fact-side join key in
+    * the star schema (the columns whose hot keys decide shuffle fate). */
+  private val SkewCols: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("orders", "o_custkey", "orders.o_custkey"))
+
+  /** Hot-key skew audit — the pre-join health check that decides whether
+    * a shuffle key needs salting ([[graft.operators.Skew]]'s machinery)
+    * before the join is launched: per join key, the distinct cardinality,
+    * the heaviest key (ties → smallest key) with its exact row share in
+    * ppm, and the hot/mean ratio ×1000 (c_max·d div n — how many times
+    * the average partition load the hottest key carries). `salt_advised`
+    * fires when one key exceeds 1% of the table — the single-straggler
+    * regime where per-key parallelism stops helping. On this uniform
+    * generator nothing fires (max ratios ~4×); the planted spec drives
+    * a 90%-hot-key table through the same seam.
+    *
+    * Scale shape: one combiner-backed (key, count) aggregate per audited
+    * column — the same shuffle the join itself would do, but carrying
+    * only counts — then argmax over the key histogram (map-side partial
+    * max of a struct, one row out). Nothing wider than (key, count)
+    * shuffles; output is one row per audited column. */
+  private[operators] def skewAuditOf(obs: DataFrame): DataFrame =
+    obs
+      .groupBy("tbl_col", "k")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("tbl_col")
+      .agg(
+        sum("c").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("c").as("c"), negate(col("k")).as("nk"))).as("hot"))
+      .select(
+        col("tbl_col"),
+        col("n_rows"),
+        col("n_distinct"),
+        (-col("hot.nk")).as("hot_key"),
+        col("hot.c").as("hot_count"),
+        expr("(hot.c * 1000000) div n_rows").as("hot_share_ppm"),
+        expr("(hot.c * n_distinct * 1000) div n_rows").as("hot_over_mean_x1000"))
+      .withColumn(
+        "salt_advised",
+        when(col("hot_share_ppm") > 10000, 1L).otherwise(0L))
+
+  def qSkewAudit(s: SparkSession, d: String): DataFrame =
+    SkewCols
+      .map { case (t, c, label) =>
+        Tables.t(s, d, t).select(lit(label).as("tbl_col"), col(c).cast("long").as("k"))
+      }
+      .reduce(_ unionByName _)
+      .transform(skewAuditOf)
+      .orderBy("tbl_col")
+
+  private val qSkewAuditSql = {
+    val arms = SkewCols.map { case (t, c, label) =>
+      s"SELECT '$label' AS tbl_col, CAST($c AS BIGINT) AS k FROM $t"
+    }
+    s"""WITH obs AS (${arms.mkString(" UNION ALL ")}),
+       |h AS (SELECT tbl_col, k, count(*)::BIGINT AS c FROM obs GROUP BY 1, 2),
+       |a AS (
+       |  SELECT tbl_col, sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct,
+       |    max(struct_pack(c := c, nk := -k)) AS hot
+       |  FROM h GROUP BY 1),
+       |b AS (
+       |  SELECT tbl_col, n_rows, n_distinct,
+       |    -(hot.nk) AS hot_key, hot.c AS hot_count
+       |  FROM a)
+       |SELECT tbl_col, n_rows, n_distinct, hot_key, hot_count,
+       |  (hot_count * 1000000) // n_rows AS hot_share_ppm,
+       |  (hot_count * n_distinct * 1000) // n_rows AS hot_over_mean_x1000,
+       |  CAST(CASE WHEN (hot_count * 1000000) // n_rows > 10000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS salt_advised
+       |FROM b ORDER BY tbl_col""".stripMargin
+  }
+
   // --------------------------------------------------- right to be forgotten
 
   /** The deterministic forget set: ~1% of customers, selected by hash so
@@ -902,6 +978,7 @@ object Maintenance {
   val queries: Seq[Q] = Seq(
     Q("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     Q("q_join_card_est", qJoinCardEst, Some(qJoinCardEstSql)),
+    Q("q_skew_audit", qSkewAudit, Some(qSkewAuditSql)),
     Q("q_forget_cascade", qForgetCascade, Some(qForgetCascadeSql)),
     Q("q_snapshot_diff", qSnapshotDiff, Some(qSnapshotDiffSql)),
     Q("q_percentile_incremental", qPercentileIncremental, Some(qPercentileIncrementalSql)),

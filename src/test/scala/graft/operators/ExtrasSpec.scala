@@ -2149,6 +2149,25 @@ class ExtrasSpec extends SparkSpec {
     assert(got("orders_customer") === ((10L, 10L, 0L)))
   }
 
+  test("skew audit: planted 90%-hot key advises salting; count ties break to the smaller key") {
+    import spark.implicits._
+    val hot = Seq.fill(90)(("t.k", 7L)) ++ (1 to 10).map(i => ("t.k", 100L + i))
+    val r = Maintenance.skewAuditOf(hot.toDF("tbl_col", "k")).collect().head
+    assert(r.getAs[Long]("n_rows") === 100L)
+    assert(r.getAs[Long]("n_distinct") === 11L)
+    assert(r.getAs[Long]("hot_key") === 7L)
+    assert(r.getAs[Long]("hot_count") === 90L)
+    assert(r.getAs[Long]("hot_share_ppm") === 900000L)
+    assert(r.getAs[Long]("hot_over_mean_x1000") === 9900L) // 90·11·1000 div 100
+    assert(r.getAs[Long]("salt_advised") === 1L)
+    // two keys at count 2: the smaller key must win deterministically
+    val tie = Seq(("t2", 5L), ("t2", 5L), ("t2", 3L), ("t2", 3L), ("t2", 9L))
+    val rt = Maintenance.skewAuditOf(tie.toDF("tbl_col", "k")).collect().head
+    assert(rt.getAs[Long]("hot_key") === 3L)
+    assert(rt.getAs[Long]("hot_count") === 2L)
+    assert(rt.getAs[Long]("salt_advised") === 1L) // 5 rows: 2/5 = 40% > 1%
+  }
+
   test("forget cascade replays in plain JVM: victims, FK closure, survivor XOR") {
     // sf0.01: the 1/97 hash rule leaves sf0.001's 150 customers empty-set
     // prone; at 1500 customers the victim set is reliably non-trivial
