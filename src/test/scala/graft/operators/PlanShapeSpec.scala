@@ -819,4 +819,54 @@ class PlanShapeSpec extends SparkSpec {
       s"sensitive-distribution join not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in t-closeness:\n$p")
   }
+
+  // ------------------------------------------------- round-9 session-2 cards
+
+  test("ranking metrics: bounded-heap top-k, never a window; query side broadcasts") {
+    val p = plan(Evaluation.qRankingMetrics(spark, sfDir))
+    // the scale claim: per-query top-10 is the TopKAgg partial aggregate,
+    // NOT the oracle's row_number window over every scored pair
+    assert(!p.contains("Window"), s"scored pairs flowed into a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"TopKAgg aggregate missing:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("partial_TopKAgg")
+      || "partial_.*topkagg".r.findFirstIn(p.toLowerCase).nonEmpty,
+      s"top-k not partially aggregated before the shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query batch not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ranking metrics:\n$p")
+  }
+
+  test("heavy hitters: the MG sketch partially aggregates map-side") {
+    val p = plan(TextOps.qHeavyHitters(spark, sfDir))
+    assert("partial_.*misragries".r.findFirstIn(p.toLowerCase).nonEmpty,
+      s"MG summary not combined map-side (O(k) pre-shuffle claim broken):\n$p")
+    assert(!p.contains("Window"), s"window in heavy hitters:\n$p")
+  }
+
+  test("drift trio + skew audit: histogram aggregates combine map-side, no cartesian") {
+    for ((name, df) <- Seq(
+        ("ks", Evaluation.qKsTest(spark, sfDir)),
+        ("tvd", Evaluation.qTvDrift(spark, sfDir)),
+        ("chi2", Evaluation.qChiSquare(spark, sfDir)),
+        ("skew", Maintenance.qSkewAudit(spark, sfDir)))) {
+      val p = plan(df)
+      assert(p.contains("partial_count"), s"$name: histogram not map-combined:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product:\n$p")
+    }
+  }
+
+  test("snapshot diff is ONE key-shuffled full-outer join; forget cascade joins hash/broadcast") {
+    val pd = plan(Maintenance.qSnapshotDiff(spark, sfDir))
+    assert("SortMergeJoin.*FullOuter|ShuffledHashJoin.*FullOuter".r.findFirstIn(pd).nonEmpty,
+      s"full-outer PK join missing:\n$pd")
+    assert("(?s)FullOuter.*FullOuter".r.findFirstIn(pd).isEmpty,
+      s"more than one full-outer join:\n$pd")
+    assert(!pd.contains("CartesianProduct"), s"cartesian in snapshot diff:\n$pd")
+    // (the rows_before crossJoin against a 1-row aggregate may plan as a
+    // BroadcastNestedLoopJoin — bounded by construction; a CartesianProduct
+    // of data-sized sides is the degeneration this guard exists for)
+    val pf = plan(Maintenance.qForgetCascade(spark, sfDir))
+    assert(!pf.contains("CartesianProduct"), s"cartesian in forget cascade:\n$pf")
+    assert("LeftSemi|LeftAnti".r.findFirstIn(pf).nonEmpty,
+      s"cascade not semi/anti-join shaped:\n$pf")
+  }
 }
