@@ -574,7 +574,147 @@ object Sampling {
        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  // ------------------------------------------- approximate query processing
+
+  /** AQP sum estimation — answer an aggregate from a 1% hash sample, with
+    * the error bound computed alongside: per return flag, the exact cents
+    * sum, the Horvitz–Thompson estimate 100·Σ_sample (unbiased under the
+    * 1/100 hash inclusion rule), the realized error in ppm, and a
+    * two-sigma verdict from the POISSON-SAMPLING variance estimator
+    * V̂ = (1−p)/p² · Σ_sample x² = 9900·Σ_s x², checked as one exact
+    * integer comparison (est−exact)² ≤ 4·V̂ — no square root, no floats.
+    * This is the "scan 1% of the corpus, answer with a CI" capability an
+    * interactive layer offers at 100 TB; the exact side exists here as
+    * the verifier (in production you'd never run it — that's the point).
+    *
+    * The inclusion key hashes the full physical row identity
+    * (orderkey|linenumber|partkey|suppkey) so the sample is replayable
+    * by any engine and stable under appends — the same property the
+    * mixture sampler above gets from its doc_id prefix rule.
+    *
+    * Scale shape: one scan with the sample's contributions aggregated
+    * conditionally alongside the exact ones (here; the production form
+    * scans ONLY the sample partition), map-side combine throughout,
+    * flags-sized output. Σx² rides DECIMAL(38,0): cents² ≈ 10¹⁴/row
+    * caps BIGINT near 10⁵ sampled rows. */
+  def qAqpSum(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash.md5PrefixLong
+    import graft.functions.PortableRound.asScaled
+    val li = Tables.lineitem(s, d)
+      .select(
+        col("l_returnflag").as("flag"),
+        asScaled(col("l_extendedprice"), 2).as("cents"),
+        (md5PrefixLong(
+          concat_ws("|", lit("aqp"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          10) % 100 === 0).as("in_sample"))
+    li.groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum("cents").as("exact_cents"),
+        (sum(when(col("in_sample"), col("cents")).otherwise(0L)) * 100)
+          .as("est_cents"),
+        sum(when(col("in_sample"),
+          col("cents").cast("decimal(38,0)") * col("cents")).otherwise(lit(0)))
+          .as("ssq"))
+      .select(
+        col("flag"), col("n_rows"), col("n_sample"), col("exact_cents"),
+        col("est_cents"),
+        expr("(abs(est_cents - exact_cents) * 1000000) div exact_cents")
+          .as("err_ppm"),
+        when(
+          (col("est_cents") - col("exact_cents")).cast("decimal(38,0)")
+            * (col("est_cents") - col("exact_cents")) <=
+            lit(4) * lit(9900) * col("ssq"),
+          1L).otherwise(0L).as("two_sigma_ok"))
+      .orderBy("flag")
+  }
+
+  private val qAqpSumSql = {
+    val h = graft.functions.PortableHash.md5PrefixLongSql(
+      "'aqp' || '|' || l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey",
+      10)
+    val cents = graft.functions.PortableRound.asScaledSql("l_extendedprice", 2)
+    s"""WITH li AS (
+       |  SELECT l_returnflag AS flag, $cents AS cents,
+       |    (($h) % 100 = 0) AS in_sample
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT flag, count(*)::BIGINT AS n_rows,
+       |    count(*) FILTER (WHERE in_sample)::BIGINT AS n_sample,
+       |    sum(cents)::BIGINT AS exact_cents,
+       |    (sum(cents) FILTER (WHERE in_sample) * 100)::BIGINT AS est_cents,
+       |    COALESCE(sum(CAST(cents AS HUGEINT) * cents) FILTER (WHERE in_sample), 0)
+       |      AS ssq
+       |  FROM li GROUP BY 1)
+       |SELECT flag, n_rows, n_sample, exact_cents, est_cents,
+       |  (abs(est_cents - exact_cents) * 1000000) // exact_cents AS err_ppm,
+       |  CAST(CASE WHEN CAST(est_cents - exact_cents AS HUGEINT)
+       |      * (est_cents - exact_cents) <= 4 * 9900 * ssq
+       |    THEN 1 ELSE 0 END AS BIGINT) AS two_sigma_ok
+       |FROM a ORDER BY flag""".stripMargin
+  }
+
+  /** AQP join estimation by UNIVERSE sampling — the correlated-sampling
+    * trick: sampling each side INDEPENDENTLY at rate p keeps only p² of
+    * the join output and biases per-key fanout; sampling the join-KEY
+    * UNIVERSE (admit a key iff hash(key) lands in the 1/16 bucket, SAME
+    * rule on both sides) keeps every matching pair whose key is admitted
+    * — an exactly-p sample OF THE JOIN with per-key structure intact, so
+    * est = 16·|sample join| is unbiased per group. Per order priority:
+    * exact join cardinality, the universe estimate, realized error ppm.
+    *
+    * Scale shape: both sides filter BEFORE the shuffle (the hash rule is
+    * a pushed row-local predicate — 1/16 of each table moves), the
+    * sampled join is 1/16 of the real one, and the exact twin runs here
+    * only as verifier. */
+  def qAqpJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash.md5PrefixLong
+    def inU(k: Column): Column =
+      md5PrefixLong(concat(lit("aqpu:"), k), 10) % 16 === 0
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+    val exact = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("priority").agg(count(lit(1)).as("exact_rows"))
+    val est = ord.filter(inU(col("o_orderkey")))
+      .join(li.filter(inU(col("l_orderkey"))), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("priority").agg((count(lit(1)) * 16).as("est_rows"))
+    exact.join(est, Seq("priority"), "left")
+      .select(
+        col("priority"), col("exact_rows"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"))
+      .withColumn(
+        "err_ppm",
+        expr("(abs(est_rows - exact_rows) * 1000000) div exact_rows"))
+      .orderBy("priority")
+  }
+
+  private val qAqpJoinSql = {
+    def h(e: String) =
+      graft.functions.PortableHash.md5PrefixLongSql(s"'aqpu:' || $e", 10) + " % 16 = 0"
+    s"""WITH exact AS (
+       |  SELECT o.o_orderpriority AS priority, count(*)::BIGINT AS exact_rows
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1),
+       |est AS (
+       |  SELECT o.o_orderpriority AS priority, (count(*) * 16)::BIGINT AS est_rows
+       |  FROM (SELECT * FROM orders WHERE ${h("o_orderkey")}) o
+       |  JOIN (SELECT * FROM lineitem WHERE ${h("l_orderkey")}) l
+       |    ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1)
+       |SELECT exact.priority, exact.exact_rows,
+       |  COALESCE(est.est_rows, 0)::BIGINT AS est_rows,
+       |  (abs(COALESCE(est.est_rows, 0) - exact.exact_rows) * 1000000)
+       |    // exact.exact_rows AS err_ppm
+       |FROM exact LEFT JOIN est ON exact.priority = est.priority
+       |ORDER BY exact.priority""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q_aqp_sum", qAqpSum, Some(qAqpSumSql)),
+    Q("q_aqp_join", qAqpJoin, Some(qAqpJoinSql)),
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
     Q("q_shard_plan", qShardPlan, Some(qShardPlanSql)),
     Q("q_mixture_plan", qMixturePlan, Some(qMixturePlanSql)),

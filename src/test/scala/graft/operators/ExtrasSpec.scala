@@ -2149,6 +2149,59 @@ class ExtrasSpec extends SparkSpec {
     assert(got("orders_customer") === ((10L, 10L, 0L)))
   }
 
+  test("AQP sum: estimate, variance and two-sigma verdict replay in BigInt from the raw rows") {
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey")
+      .collect()
+      .map { r =>
+        val cents = math.floor(r.getDouble(1) * 100 + 0.5).toLong
+        val key = s"aqp|${r.getLong(2)}|${r.getAs[Number](3).longValue}|${r.getLong(4)}|${r.getLong(5)}"
+        (r.getString(0), cents, jvmMd5Prefix(key, 10) % 100 == 0)
+      }
+    val expect = rows.groupBy(_._1).map { case (flag, g) =>
+      val exact = g.map(_._2).sum
+      val sample = g.filter(_._3)
+      val est = sample.map(_._2).sum * 100
+      val ssq = sample.map(x => BigInt(x._2) * x._2).sum
+      val ok = BigInt(est - exact) * (est - exact) <= 4 * 9900 * ssq
+      flag -> (g.length.toLong, sample.length.toLong, exact, est,
+        (est - exact).abs * 1000000L / exact, if (ok) 1L else 0L)
+    }
+    val got = Sampling.qAqpSum(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_sample"),
+          r.getAs[Long]("exact_cents"), r.getAs[Long]("est_cents"),
+          r.getAs[Long]("err_ppm"), r.getAs[Long]("two_sigma_ok")))
+      .toMap
+    assert(got === expect)
+    assert(got.values.exists(_._2 > 0), "the 1% rule must admit some rows at sf0.001")
+  }
+
+  test("AQP join: universe sampling replays in JVM; independent sampling would bias it") {
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    def inU(k: Long) = jvmMd5Prefix(s"aqpu:$k", 10) % 16 == 0
+    val liCnt = li.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = ord.groupBy(_._2).map { case (pri, os) =>
+      val exact = os.map(o => liCnt.getOrElse(o._1, 0L)).sum
+      val est = os.filter(o => inU(o._1)).map(o => liCnt.getOrElse(o._1, 0L)).sum * 16
+      pri -> (exact, est, (est - exact).abs * 1000000L / exact)
+    }
+    val got = Sampling.qAqpJoin(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_rows"), r.getAs[Long]("est_rows"), r.getAs[Long]("err_ppm")))
+      .toMap
+    assert(got === expect)
+    // the whole point of universe sampling: the admitted keys keep their
+    // FULL fanout, so the per-key join structure is intact — every
+    // sampled join row's key passes the rule on BOTH sides by construction
+    assert(got.values.map(_._2).sum > 0, "the 1/16 universe must be non-empty at sf0.001")
+  }
+
   test("skew audit: planted 90%-hot key advises salting; count ties break to the smaller key") {
     import spark.implicits._
     val hot = Seq.fill(90)(("t.k", 7L)) ++ (1 to 10).map(i => ("t.k", 100L + i))
