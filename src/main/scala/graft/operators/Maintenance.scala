@@ -328,7 +328,12 @@ object Maintenance {
     * shuffle keyed on the dimension key — at 100 TB the change log is
     * the union of stored batch files and the same plan holds. All
     * compared columns are exact integers/booleans. */
-  def qScd2History(s: SparkSession, d: String): DataFrame = {
+  def qScd2History(s: SparkSession, d: String): DataFrame =
+    scd2History(s, d).orderBy("c_custkey", "version")
+
+  /** The history build proper (unordered) — shared by the gate card above
+    * and the point-in-time join below. */
+  private[operators] def scd2History(s: SparkSession, d: String): DataFrame = {
     import graft.functions.PortableRound.asScaled
     import org.apache.spark.sql.expressions.Window
     val base = Tables.customer(s, d)
@@ -352,17 +357,19 @@ object Maintenance {
         coalesce(col("valid_to"), lit(Long.MaxValue)).as("valid_to"),
         col("bal_cents"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("c_custkey", "version")
   }
 
-  private val qScd2HistorySql = {
+  /** The SCD2 history as a DuckDB CTE chain ending in `h` (c_custkey,
+    * version, valid_from, valid_to, bal_cents, is_current) — ONE
+    * rendering shared by the history card and the PIT join twin. */
+  private val scd2HistorySqlCtes = {
     import graft.functions.PortableRound.{asScaledSql => cents}
     val arms = Scd2Deltas
       .map { case (b, m, add) =>
         s"SELECT c_custkey, $add AS delta_cents, $b AS batch_id FROM customer WHERE c_custkey % $m = 0"
       }
       .mkString("\n  UNION ALL ")
-    s"""WITH log AS (
+    s"""log AS (
        |  SELECT c_custkey, ${cents("c_acctbal", 2)} AS delta_cents, 0 AS batch_id FROM customer
        |  UNION ALL $arms),
        |hist AS (
@@ -373,12 +380,85 @@ object Maintenance {
        |    lead(batch_id) OVER w AS valid_to
        |  FROM log
        |  WINDOW w AS (PARTITION BY c_custkey ORDER BY batch_id
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT c_custkey, version::BIGINT AS version, valid_from::BIGINT AS valid_from,
-       |  coalesce(valid_to, ${Long.MaxValue})::BIGINT AS valid_to,
-       |  bal_cents::BIGINT AS bal_cents, valid_to IS NULL AS is_current
-       |FROM hist ORDER BY c_custkey, version""".stripMargin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |h AS (
+       |  SELECT c_custkey, version::BIGINT AS version, valid_from::BIGINT AS valid_from,
+       |    coalesce(valid_to, ${Long.MaxValue})::BIGINT AS valid_to,
+       |    bal_cents::BIGINT AS bal_cents, valid_to IS NULL AS is_current
+       |  FROM hist)""".stripMargin
   }
+
+  private val qScd2HistorySql =
+    s"""WITH $scd2HistorySqlCtes
+       |SELECT * FROM h ORDER BY c_custkey, version""".stripMargin
+
+  /** POINT-IN-TIME join — the feature-store correctness join that keeps
+    * training data leakage-free: each fact joins the dimension VERSION
+    * that was valid at the fact's own time (key equality + the fact's
+    * as-of batch falling in [valid_from, valid_to)), never the current
+    * one. The card quantifies exactly what a naive current-version join
+    * would have leaked: per as-of batch, the order count, the
+    * PIT-correct balance sum, the current-version sum, and their
+    * difference — `leak_cents` is the future information a model trained
+    * on the naive join would silently absorb. The as-of axis is the
+    * SCD2 batch domain, with each order's batch derived from its key
+    * (o_orderkey % 4 — deterministic, replayable).
+    *
+    * Scale shape: one shuffle join keyed on the DIMENSION KEY with the
+    * interval predicate as residual — per key the history holds one row
+    * per change (bounded by change count), and the half-open intervals
+    * PARTITION the axis, so each fact matches exactly one version: no
+    * fanout, count-preserving (spec-pinned). The current-version sum
+    * rides the same join (is_current is just another row of the same
+    * bounded per-key history), so leakage accounting costs nothing
+    * extra. At 100 TB both sides bucket by the key and the join is
+    * exchange-free. */
+  def qPitJoin(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.orders(s, d)
+      .select(col("o_custkey"), (col("o_orderkey") % 4).as("pit_batch"))
+    val h = scd2History(s, d)
+    val pit = facts.join(
+      h,
+      col("o_custkey") === col("c_custkey") &&
+        col("pit_batch") >= col("valid_from") && col("pit_batch") < col("valid_to"))
+      .select(col("pit_batch"), col("version"), col("bal_cents"))
+    val cur = facts.join(
+      h.filter(col("is_current")),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("pit_batch"), col("bal_cents").as("cur_cents"))
+      .groupBy("pit_batch")
+      .agg(sum("cur_cents").as("sum_current_cents"))
+    pit
+      .groupBy("pit_batch")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("bal_cents").as("sum_pit_cents"),
+        sum("version").as("version_mass"))
+      .join(cur, "pit_batch")
+      .withColumn("leak_cents", col("sum_current_cents") - col("sum_pit_cents"))
+      .orderBy("pit_batch")
+  }
+
+  private val qPitJoinSql =
+    s"""WITH $scd2HistorySqlCtes,
+       |facts AS (
+       |  SELECT o_custkey, o_orderkey % 4 AS pit_batch FROM orders),
+       |pit AS (
+       |  SELECT f.pit_batch, h.version, h.bal_cents
+       |  FROM facts f JOIN h ON f.o_custkey = h.c_custkey
+       |    AND f.pit_batch >= h.valid_from AND f.pit_batch < h.valid_to),
+       |cur AS (
+       |  SELECT f.pit_batch, sum(h.bal_cents)::BIGINT AS sum_current_cents
+       |  FROM facts f JOIN h ON f.o_custkey = h.c_custkey AND h.is_current
+       |  GROUP BY 1)
+       |SELECT p.pit_batch, count(*)::BIGINT AS n_orders,
+       |  sum(p.bal_cents)::BIGINT AS sum_pit_cents,
+       |  sum(p.version)::BIGINT AS version_mass,
+       |  cur.sum_current_cents,
+       |  (cur.sum_current_cents - sum(p.bal_cents))::BIGINT AS leak_cents
+       |FROM pit p JOIN cur ON p.pit_batch = cur.pit_batch
+       |GROUP BY p.pit_batch, cur.sum_current_cents
+       |ORDER BY p.pit_batch""".stripMargin
 
   /** Referential-integrity audit over the star schema: for each child →
     * parent foreign key, the child row count, the distinct key count,
@@ -985,6 +1065,7 @@ object Maintenance {
     Q("q_mv_incremental", qMvIncremental, Some(qMvIncrementalSql)),
     Q("q_mv_retract", qMvRetract, Some(qMvRetractSql)),
     Q("q_scd2_history", qScd2History, Some(qScd2HistorySql)),
+    Q("q_pit_join", qPitJoin, Some(qPitJoinSql)),
     Q("q_fk_audit", qFkAudit, Some(qFkAuditSql)),
     Q("q_stats_incremental", qStatsIncremental, Some(qStatsIncrementalSql)),
     Q("q_compacted", qCompacted, Some(qCompactedSql)),

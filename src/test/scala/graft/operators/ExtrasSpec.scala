@@ -2149,6 +2149,44 @@ class ExtrasSpec extends SparkSpec {
     assert(got("orders_customer") === ((10L, 10L, 0L)))
   }
 
+  test("PIT join: count-preserving, replays in JVM, and the last batch leaks exactly zero") {
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      .toMap
+    // the Scd2Deltas schedule: +10000 at batch 1 (k%7), +20000 at 2 (k%5),
+    // +30000 at 3 (k%3); balance valid at batch b = base + Σ deltas with
+    // change batch ≤ b
+    def balAt(k: Long, b: Long): Long =
+      cust(k) +
+        (if (b >= 1 && k % 7 == 0) 10000L else 0L) +
+        (if (b >= 2 && k % 5 == 0) 20000L else 0L) +
+        (if (b >= 3 && k % 3 == 0) 30000L else 0L)
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0) % 4, r.getLong(1)))
+    val expect = orders.groupBy(_._1).map { case (b, os) =>
+      b -> (os.length.toLong,
+        os.map(o => balAt(o._2, b)).sum,
+        os.map(o => balAt(o._2, 3)).sum) // current = after the last batch
+    }
+    val got = Maintenance.qPitJoin(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("pit_batch") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_pit_cents"),
+          r.getAs[Long]("sum_current_cents"), r.getAs[Long]("leak_cents")))
+      .toMap
+    assert(got.values.map(_._1).sum === orders.length.toLong,
+      "interval partition must match every fact exactly once")
+    expect.foreach { case (b, (n, pit, cur)) =>
+      assert(got(b)._1 === n, s"batch $b count")
+      assert(got(b)._2 === pit, s"batch $b PIT sum")
+      assert(got(b)._3 === cur, s"batch $b current sum")
+      assert(got(b)._4 === cur - pit, s"batch $b leak")
+    }
+    assert(got(3L)._4 === 0L, "facts at the last batch see the current version — zero leak")
+    assert(got(0L)._4 > 0L, "earlier facts must show positive leakage (deltas only add)")
+  }
+
   test("AQP sum: estimate, variance and two-sigma verdict replay in BigInt from the raw rows") {
     val rows = graft.Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
