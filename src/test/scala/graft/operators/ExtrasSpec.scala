@@ -2149,6 +2149,69 @@ class ExtrasSpec extends SparkSpec {
     assert(got("orders_customer") === ((10L, 10L, 0L)))
   }
 
+  test("Benford audit replays in JVM; uniform-ish TPC-H prices score far from Benford") {
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val cents = graft.Tables.orders(spark, sfDir)
+      .select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+    val n = cents.length.toLong
+    val obs = cents.groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong).toMap
+    val expect = (1 to 9).map { dd =>
+      val e = n * benford(dd - 1) / 1000000L
+      val o = obs.getOrElse(dd, 0L)
+      dd.toLong -> (o, e, BigInt(o - e) * (o - e) * 1000 / (e max 1L))
+    }.toMap
+    val got = Analytics.qBenford(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        (r.getAs[Long]("observed"), r.getAs[Long]("expected"), r.getAs[Long]("dist_milli"),
+          r.getAs[Long]("total_dist_milli")))
+      .toMap
+    got.foreach { case (dd, (o, e, dist, tot)) =>
+      assert((o, e, BigInt(dist)) === expect(dd), s"digit $dd")
+      assert(tot === got.values.map(_._3).sum, "total repeated on every row")
+    }
+    // TPC-H prices cluster in a narrow magnitude band — nothing like
+    // Benford; the distance must scream (uniform digits score ~10⁵ milli)
+    assert(got.values.head._4 > 10000L, "uniform-ish prices must score far from Benford")
+  }
+
+  test("Gini: planted perfect equality scores 0; one whale takes it toward (n-1)/n") {
+    // no seam — replay the real corpus in JVM instead, then check the
+    // closed-form extremes via the same formula
+    val spend = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nat = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val nations = graft.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val expect = spend.toSeq
+      .map { case (k, sp) => (nations(nat(k)), k, sp) }
+      .groupBy(_._1).map { case (nname, g) =>
+        val sorted = g.sortBy(x => (x._3, x._2)).map(_._3)
+        val nn = sorted.length.toLong
+        val sx = sorted.map(BigInt(_)).sum
+        val si = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+        nname -> ((2 * si - (nn + 1) * sx) * 1000000 / (nn * sx)).toLong
+      }
+    val got = Analytics.qGini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("gini_ppm")).toMap
+    assert(got === expect)
+    // closed-form sanity of the formula itself (same arithmetic in JVM):
+    def gini(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val nn = s.length.toLong
+      val sx = s.map(BigInt(_)).sum
+      val si = s.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      ((2 * si - (nn + 1) * sx) * 1000000 / (nn * sx)).toLong
+    }
+    assert(gini(Seq.fill(10)(500L)) === 0L, "perfect equality")
+    assert(gini(Seq.fill(9)(0L) :+ 1000L) === 900000L, "one whale → (n−1)/n")
+  }
+
   test("PIT join: count-preserving, replays in JVM, and the last batch leaks exactly zero") {
     val cust = graft.Tables.customer(spark, sfDir)
       .select("c_custkey", "c_acctbal").collect()
