@@ -839,6 +839,15 @@ object Maintenance {
         "salt_advised",
         when(col("hot_share_ppm") > 10000, 1L).otherwise(0L))
 
+  // Deliberately one narrow scan PER AUDITED COLUMN, not a stacked
+  // single scan: measured at the 100× replica, unpivoting the fact
+  // table's three keys through a generator costs 2× these independent
+  // legs (41 s vs 20 s min). The union form lets Spark push the partial
+  // (key,count) aggregate below the union into each leg, whose hash
+  // table then holds ONE column's key space; the stacked form makes one
+  // partial-agg table absorb all three key spaces at once (3× rows, 3×
+  // distinct keys, label on every row) and evicts its way into a far
+  // fatter exchange. Columnar scans are cheap; the combine is the budget.
   def qSkewAudit(s: SparkSession, d: String): DataFrame =
     SkewCols
       .map { case (t, c, label) =>
