@@ -30,13 +30,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * of partitioning. reduce is O(1) amortized (a decrement event pays
   * O(k) but consumes k+1 prior insertions); merge is O(k log k).
   */
-class MisraGriesAgg(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-  require(k >= 1, s"counter budget k=$k must be positive")
-
-  override def zero: Map[String, Long] = Map.empty
-
-  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+/** The MG kernel, exposed for reuse outside the Aggregator (the
+  * streaming trending-terms state keeps a stored summary and merges each
+  * micro-batch's summary into it with exactly this operation). */
+object MisraGries {
+  def reduceOne(buf: Map[String, Long], x: String, k: Int): Map[String, Long] =
     buf.get(x) match {
       case Some(c) => buf.updated(x, c + 1)
       case None if buf.size < k => buf.updated(x, 1L)
@@ -46,7 +44,7 @@ class MisraGriesAgg(k: Int)
         buf.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
     }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+  def merge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
     val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
     if (sum.size <= k) sum
     else {
@@ -56,6 +54,19 @@ class MisraGriesAgg(k: Int)
       sum.flatMap { case (t, c) => if (c > off) Some(t -> (c - off)) else None }
     }
   }
+}
+
+class MisraGriesAgg(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k >= 1, s"counter budget k=$k must be positive")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+    MisraGries.reduceOne(buf, x, k)
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MisraGries.merge(a, b, k)
 
   override def finish(r: Map[String, Long]): Map[String, Long] = r
 
