@@ -1163,6 +1163,60 @@ object Analytics {
 
   // ------------------------------------------------------------------ registry
 
+  /** EXACT 7-day rolling P50/P95 of event value per day — the ops
+    * latency-curve card ("p95 over the trailing week"), composed from
+    * two existing seams: the (day, value) histogram contributes itself
+    * to the seven report days it covers (the q_rolling_active
+    * contribution-expansion trick — cost ∝ histogram×7, never rows×7),
+    * and each report day's merged histogram is read off by the SAME
+    * cumulative-rank rule as every other percentile card
+    * ([[histRankMinsFromHist]]), so the statistic is an exact data value
+    * in cents — no interpolation to diverge on. Partial leading windows
+    * report over the days that exist (deterministic in both engines).
+    *
+    * Scale shape: one combiner-backed histogram aggregate (bounded by
+    * days × value domain), a ×7 explode of the HISTOGRAM (not the
+    * facts), a broadcast semi-join against the day grid, and per-day
+    * partitioned windows over domain-bounded frames. */
+  def qRollingPercentiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableRound.asScaled
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), asScaled(col("value"), 2).as("vc"))
+    val hist = ev.groupBy("day", "vc").agg(count(lit(1)).as("cnt"))
+    val days = ev.select(col("day").as("rday")).distinct()
+    val contrib = hist
+      .select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("rday"),
+        col("vc"), col("cnt"))
+      .join(broadcast(days), "rday")
+      .groupBy("rday", "vc")
+      .agg(sum("cnt").as("cnt"))
+    histRankMinsFromHist(contrib, Seq("rday"), "vc", Seq(("p50", 1, 2), ("p95", 19, 20)))
+      .select(col("rday"), col("n"), col("p50"), col("p95"))
+      .orderBy("rday")
+  }
+
+  private val qRollingPercentilesSql = {
+    import graft.functions.PortableRound.{asScaledSql => cents}
+    s"""WITH ev AS (
+       |  SELECT CAST(ts AS DATE) AS day, ${cents("value", 2)} AS vc FROM events),
+       |days AS (SELECT DISTINCT day AS rday FROM ev),
+       |rh AS (
+       |  SELECT d.rday, e.vc, count(*)::BIGINT AS c
+       |  FROM days d JOIN ev e ON e.day BETWEEN d.rday - 6 AND d.rday
+       |  GROUP BY 1, 2),
+       |x AS (
+       |  SELECT rday, vc,
+       |    sum(c) OVER (PARTITION BY rday ORDER BY vc
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY rday) AS n
+       |  FROM rh)
+       |SELECT rday, max(n)::BIGINT AS n,
+       |  min(CASE WHEN cum * 2 >= n * 1 THEN vc END)::BIGINT AS p50,
+       |  min(CASE WHEN cum * 20 >= n * 19 THEN vc END)::BIGINT AS p95
+       |FROM x GROUP BY rday ORDER BY rday""".stripMargin
+  }
+
   // ------------------------------------------------------- data forensics
 
   /** Benford first-digit expectations P(d) = log₁₀(1+1/d) in FLOORED
@@ -1312,6 +1366,7 @@ object Analytics {
   val queries: Seq[Q] = Seq(
     Q("q_benford", qBenford, Some(qBenfordSql)),
     Q("q_gini", qGini, Some(qGiniSql)),
+    Q("q_rolling_percentiles", qRollingPercentiles, Some(qRollingPercentilesSql)),
     Q("q_retention_cohorts", qRetentionCohorts, Some(qRetentionCohortsSql)),
     Q("q_max_concurrency", qMaxConcurrency, Some(qMaxConcurrencySql)),
     Q("q_skyline", qSkyline, Some(qSkylineSql)),

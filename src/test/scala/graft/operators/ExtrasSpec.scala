@@ -2149,6 +2149,32 @@ class ExtrasSpec extends SparkSpec {
     assert(got("orders_customer") === ((10L, 10L, 0L)))
   }
 
+  test("rolling percentiles: hand-computed trailing-7-day windows incl. a gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    def ts(day: String) = Timestamp.valueOf(s"$day 12:00:00")
+    val rows = Seq(
+      (1L, ts("2024-01-01"), 1L, "view", 10.0, "{}"),
+      (2L, ts("2024-01-01"), 1L, "view", 20.0, "{}"),
+      (3L, ts("2024-01-01"), 1L, "view", 30.0, "{}"),
+      (4L, ts("2024-01-02"), 1L, "view", 40.0, "{}"),
+      // 8 days later: 01-01/02 fall OUT of the trailing window
+      (5L, ts("2024-01-10"), 1L, "view", 50.0, "{}"),
+      (6L, ts("2024-01-10"), 1L, "view", 60.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-roll-").toString
+    rows.write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.qRollingPercentiles(spark, tmp).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p95")))
+      .toMap
+    assert(got === Map(
+      "2024-01-01" -> ((3L, 2000L, 3000L)), // ranks ⌈1.5⌉=2nd, ⌈2.85⌉=3rd
+      "2024-01-02" -> ((4L, 2000L, 4000L)), // window = both January days
+      "2024-01-10" -> ((2L, 5000L, 6000L)))) // gap: old days aged out
+  }
+
   test("Benford audit replays in JVM; uniform-ish TPC-H prices score far from Benford") {
     val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
       57991L, 51152L, 45757L)
