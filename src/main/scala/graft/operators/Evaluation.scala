@@ -789,6 +789,89 @@ object Evaluation {
           1L).otherwise(0L).as("significant"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance over the same bounded-domain
+    * histograms as [[ksPairsFrom]] — the INTEGRAL CDF distance
+    * (W₁ = ∫|F_a − F_b| dv), where KS is the sup: KS flags ANY
+    * concentrated divergence, W₁ measures how much mass moved how far —
+    * the standard pair for numeric-feature drift. Exactly computable in
+    * the same cross-multiplied integers: each pooled-support step v
+    * contributes |cum_a(v)·n_b − cum_b(v)·n_a| · (next(v) − v), so
+    * w1_milli = 1000·Σ div (n_a·n_b) is W₁ in milli value-units with no
+    * float CDF anywhere. Same scale/overflow envelope as KS (the Σ adds
+    * a |domain|·span factor — still far inside DECIMAL(38,0) for any
+    * bounded domain).
+    *
+    * Same bounded shape as KS: histogram aggregate, per-group windows
+    * over ≤|domain| rows, bounded self-join. */
+  private[operators] def wassersteinPairsFrom(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = obs.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val grid = obs.select("grp").distinct()
+      .crossJoin(obs.select("v").distinct())
+    val cum = grid
+      .join(h, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum("c").over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      .withColumn(
+        "dv",
+        coalesce(
+          lead("v", 1).over(Window.partitionBy("grp").orderBy("v")) - col("v"),
+          lit(0L)))
+    val a = cum.select(
+      col("grp").as("grp_a"), col("v"), col("dv"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cum.select(
+      col("grp").as("grp_b"), col("v").as("v_b"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, col("v") === col("v_b") && col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b", "n_a", "n_b")
+      .agg(sum(
+        abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+          col("cum_b").cast("decimal(38,0)") * col("n_a")) * col("dv")).as("w1"))
+      .select(
+        col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("w1").cast("long").as("w1_num"),
+        expr("cast(w1 * 1000 div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("w1_milli"))
+  }
+
+  /** Wasserstein drift card: HOW MUCH quantity mass moved between return
+    * flags (in milli quantity-units) — the magnitude companion to
+    * q_ks_test's significance verdict. */
+  def qWasserstein(s: SparkSession, d: String): DataFrame =
+    wassersteinPairsFrom(
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("v")))
+      .orderBy("grp_a", "grp_b")
+
+  private val qWassersteinSql =
+    """WITH obs AS (
+      |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+      |h AS (SELECT grp, v, count(*)::BIGINT AS c FROM obs GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.grp, vv.v
+      |  FROM (SELECT DISTINCT grp FROM obs) g, (SELECT DISTINCT v FROM obs) vv),
+      |cum AS (
+      |  SELECT grid.grp, grid.v,
+      |    sum(COALESCE(h.c, 0)) OVER (PARTITION BY grid.grp ORDER BY grid.v)
+      |      ::BIGINT AS cum,
+      |    sum(COALESCE(h.c, 0)) OVER (PARTITION BY grid.grp)::BIGINT AS n,
+      |    COALESCE(lead(grid.v) OVER (PARTITION BY grid.grp ORDER BY grid.v)
+      |      - grid.v, 0)::BIGINT AS dv
+      |  FROM grid LEFT JOIN h ON grid.grp = h.grp AND grid.v = h.v),
+      |m AS (
+      |  SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+      |    sum(abs(CAST(a.cum AS HUGEINT) * b.n - CAST(b.cum AS HUGEINT) * a.n)
+      |        * a.dv) AS w1
+      |  FROM cum a JOIN cum b ON a.v = b.v AND a.grp < b.grp
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT grp_a, grp_b, n_a, n_b, CAST(w1 AS BIGINT) AS w1_num,
+      |  CAST(w1 * 1000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS w1_milli
+      |FROM m ORDER BY grp_a, grp_b""".stripMargin
+
   /** KS drift card: does the l_quantity distribution differ across return
     * flags? Every flag pair gets the exact D (ppm) and the α=0.05
     * verdict. On this generator quantity is uniform within every flag, so
@@ -1076,6 +1159,7 @@ object Evaluation {
     Q("q_ab_test", qAbTest, Some(qAbTestSql)),
     Q("q_ranking_metrics", qRankingMetrics, Some(qRankingMetricsSql)),
     Q("q_ks_test", qKsTest, Some(qKsTestSql)),
+    Q("q_wasserstein", qWasserstein, Some(qWassersteinSql)),
     Q("q_tv_drift", qTvDrift, Some(qTvDriftSql)),
     Q("q_chi_square", qChiSquare, Some(qChiSquareSql)))
 }

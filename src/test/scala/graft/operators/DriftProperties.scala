@@ -52,6 +52,27 @@ class DriftProperties extends SparkSpec {
     }
   }
 
+  test("Wasserstein equals the direct sum-of-CDF-gaps reference on random samples") {
+    for (seed <- 21L to 32L) {
+      val obs = sample(twoGroupGen, seed)
+      val a = obs.filter(_._1 == "a").map(_._2)
+      val b = obs.filter(_._1 == "b").map(_._2)
+      val vals = obs.map(_._2).distinct.sorted
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      var (ca, cb) = (0L, 0L)
+      var w1 = BigInt(0)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        ca += a.count(_ == v); cb += b.count(_ == v)
+        val dv = if (i + 1 < vals.size) vals(i + 1) - v else 0L
+        w1 += BigInt((ca * nb - cb * na).abs) * dv
+      }
+      val r = Evaluation.wassersteinPairsFrom(obs.toDF("grp", "v")).collect().head
+      assert(r.getAs[Long]("w1_num") === w1.toLong, s"seed=$seed")
+      assert(r.getAs[Long]("w1_milli") === (w1 * 1000 / (BigInt(na) * nb)).toLong,
+        s"seed=$seed")
+    }
+  }
+
   test("chi-square cells equal the floored-term reference on random contingency tables") {
     val gen: Gen[Seq[(String, String)]] = for {
       n <- Gen.chooseNum(4, 200)

@@ -407,6 +407,24 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("Wasserstein: a pure shift by k scores exactly k; identical samples score 0") {
+    // a uniform on {1..4}, b uniform on {3..6} — every unit of mass moves
+    // exactly 2 → W₁ = 2.000
+    val a = (1 to 4).flatMap(v => Seq.fill(25)(("a", v.toLong)))
+    val b = (3 to 6).flatMap(v => Seq.fill(25)(("b", v.toLong)))
+    val r = Evaluation.wassersteinPairsFrom((a ++ b).toDF("grp", "v")).collect().head
+    assert(r.getAs[Long]("w1_milli") === 2000L)
+    val same = Evaluation.wassersteinPairsFrom(
+      (Seq.fill(30)(("a", 5L)) ++ Seq.fill(40)(("b", 5L))).toDF("grp", "v"))
+      .collect().head
+    assert(same.getAs[Long]("w1_milli") === 0L)
+    // non-unit support spacing: a all at 0, b all at 10 → W₁ = 10
+    val wide = Evaluation.wassersteinPairsFrom(
+      (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("b", 10L))).toDF("grp", "v"))
+      .collect().head
+    assert(wide.getAs[Long]("w1_milli") === 10000L)
+  }
+
   test("TVD: hand-computed month pair, gap tie breaks to the smaller bin") {
     import java.sql.Date
     val m1 = Date.valueOf("2024-01-01")
