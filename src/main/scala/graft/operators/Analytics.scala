@@ -1138,11 +1138,16 @@ object Analytics {
         col("event_type"),
         col("exact_users"),
         col("n_days"),
-        (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users")).as("within_5pct"),
+        // verdict and bucket share ONE inequality (within_5pct ⟺ bucket
+        // 0), so a boundary hit (|err|·20 = exact) reads (FALSE, 1) — an
+        // internally consistent row, never a (TRUE, 1) gate paradox
+        (expr("(abs(approx - exact_users) * 20) div greatest(exact_users, 1)") === 0)
+          .as("within_5pct"),
         // the error SIZE, not just the verdict: floor(|err|/exact in 5%
-        // steps) — 0 iff within 5%, and when the bound ever breaks the
-        // gate shows HOW FAR off the sketch was (1 = 5-10%, 2 = 10-15%,
-        // …) instead of a bare false. Integer division, hash-stable.
+        // steps) — 0 iff within 5% (strict at the boundary), and when the
+        // bound ever breaks the gate shows HOW FAR off the sketch was
+        // (1 = 5-10%, 2 = 10-15%, …) instead of a bare false. Integer
+        // division, hash-stable.
         expr("(abs(approx - exact_users) * 20) div greatest(exact_users, 1)")
           .as("err_5pct_steps"))
       .orderBy("event_type")

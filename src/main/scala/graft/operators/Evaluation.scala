@@ -747,11 +747,12 @@ object Evaluation {
     * table (output bounded by groups × value domain), then windows
     * partitioned per group over ≤|domain| rows and a self-join of two
     * bounded frames — nothing downstream of the first aggregate is
-    * data-sized. Overflow envelope: M ≤ n_a·n_b and the significance test
-    * squares it, so products ride DECIMAL(38,0) — exact to ~10⁹ rows per
-    * group; past that, pre-scale the histogram counts by a common 10^k
-    * (D is invariant up to the flooring of bin counts, ≤10⁻³ relative
-    * once bins hold ≥10³·10^k rows). */
+    * data-sized. Overflow envelope: M ≤ n_a·n_b rides DECIMAL(38,0) to
+    * ~10¹⁹ rows per group; the significance test squares the BOUNDED
+    * d_ppm (≤10⁶) rather than M itself, so its products stay exact to
+    * ~10¹³ rows per group. Past that, pre-scale the histogram counts by
+    * a common 10^k (D is invariant up to the flooring of bin counts,
+    * ≤10⁻³ relative once bins hold ≥10³·10^k rows). */
   private[operators] def ksPairsFrom(obs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = obs.groupBy("grp", "v").agg(count(lit(1)).as("c"))
@@ -781,10 +782,17 @@ object Evaluation {
         expr("cast(m * 1000000 div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
           .as("d_ppm"),
         // reject H₀ (same distribution) at α=0.05 ⟺ D > c·√((n_a+n_b)/(n_a·n_b)),
-        // c = 1.358 — squared and cross-multiplied: 10⁶·M² > 1358²·n_a·n_b·(n_a+n_b)
+        // c = 1.358 — squared and cross-multiplied on the ALREADY-BOUNDED
+        // d_ppm (≤10⁶), not on M (which can reach n_a·n_b and whose square
+        // would overflow DECIMAL(38,0) once groups pass ~1.3·10⁸ rows):
+        // d_ppm²·n_a·n_b > 1358²·10⁶·(n_a+n_b). LHS ≤ 10¹²·n_a·n_b — exact
+        // to ~10¹³ rows per group. The ppm flooring of D quantizes the
+        // boundary by <1 ppm, identically on both engines.
         when(
-          col("m") * col("m") * lit(1000000) >
-            lit(1844164L).cast("decimal(38,0)") * col("n_a") * col("n_b") *
+          expr("cast(m * 1000000 div (cast(n_a as decimal(38,0)) * n_b) as decimal(38,0))") *
+            expr("cast(m * 1000000 div (cast(n_a as decimal(38,0)) * n_b) as decimal(38,0))") *
+            col("n_a") * col("n_b") >
+            lit(1844164L).cast("decimal(38,0)") * lit(1000000L) *
               (col("n_a") + col("n_b")),
           1L).otherwise(0L).as("significant"))
   }
@@ -906,8 +914,10 @@ object Evaluation {
       |  GROUP BY 1, 2, 3, 4)
       |SELECT grp_a, grp_b, n_a, n_b, CAST(m AS BIGINT) AS ks_num,
       |  CAST(m * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm,
-      |  CAST(CASE WHEN m * m * 1000000 >
-      |    CAST(1844164 AS HUGEINT) * n_a * n_b * (n_a + n_b)
+      |  CAST(CASE WHEN
+      |    (m * 1000000 // (CAST(n_a AS HUGEINT) * n_b)) *
+      |    (m * 1000000 // (CAST(n_a AS HUGEINT) * n_b)) * n_a * n_b >
+      |    CAST(1844164 AS HUGEINT) * 1000000 * (n_a + n_b)
       |  THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM m ORDER BY grp_a, grp_b""".stripMargin
 

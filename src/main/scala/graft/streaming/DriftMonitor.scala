@@ -27,9 +27,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale shape: per batch, one combiner-backed histogram over the batch
   * (bounded by the category domain), a broadcast join against the
   * reference histogram (also domain-bounded), and a 1-row append. The
-  * reference histogram is read once at stream start — refreshing it
-  * per-batch would make the monitor compare a batch against a reference
-  * that batch already moved.
+  * reference histogram is MATERIALIZED once at stream start
+  * ([[monitorStream]] collects the domain-bounded (bin, c) rows and pins
+  * them into a literal frame before wiring the foreachBatch closure) —
+  * a lazy DataFrame would re-evaluate against the live table on every
+  * micro-batch, so a mid-stream refresh of the reference would make the
+  * monitor compare each batch against a moving reference.
   */
 object DriftMonitor {
 
@@ -111,11 +114,20 @@ object DriftMonitor {
       refHist: DataFrame,
       table: String,
       checkpoint: String,
-      thresholdPpm: Long): StreamingQuery =
+      thresholdPpm: Long): StreamingQuery = {
+    // pin the reference ONCE: refHist is domain-bounded (one row per
+    // category bin), so a driver-side collect is a bounded pull; every
+    // micro-batch then compares against this frozen copy even if the
+    // underlying reference table is refreshed mid-stream
+    val pinnedRows: java.util.List[Row] =
+      java.util.List.of(refHist.select(col("bin"), col("c")).collect(): _*)
+    val pinnedSchema = refHist.select(col("bin"), col("c")).schema
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, refHist, table, batch, batchId, thresholdPpm)
+        val pinned = batch.sparkSession.createDataFrame(pinnedRows, pinnedSchema)
+        applyBatch(batch.sparkSession, pinned, table, batch, batchId, thresholdPpm)
       }
       .start()
+  }
 }

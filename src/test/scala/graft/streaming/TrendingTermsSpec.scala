@@ -18,7 +18,7 @@ class TrendingTermsSpec extends SparkSpec {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete()
     }
-    for (t <- Seq(name, name + "_commits")) {
+    for (t <- Seq(name, name + "_commits") ++ (0 to 10).map(name + "_v" + _)) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val dir = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -67,6 +67,26 @@ class TrendingTermsSpec extends SparkSpec {
     }
     assert(got.contains("hot"), "guaranteed-heavy term evicted across batch merges")
     assert(got("hot") >= 120L - n / (k + 1), "hot estimate below the guarantee floor")
+  }
+
+  test("crash window: version written, marker not — reads stay on the committed " +
+    "base and a replay recomputes rather than double-merges") {
+    val table = "graft_trending_crash"
+    freshTables(table)
+    val b0 = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta")
+    val b1 = Seq.fill(4)("beta") ++ Seq.fill(2)("gamma")
+    TrendingTerms.applyBatch(spark, table, b0.toDF("term"), 0L, 20)
+    // the crash BETWEEN the version write and the marker append: the v1
+    // snapshot exists on disk, but the marker still names batch 0
+    TrendingTerms.writeVersion(spark, table, b1.toDF("term"), 1L, 20)
+    // reads during the window resolve the COMMITTED version, not the orphan
+    val base = b0.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(TrendingTerms.storedSummary(spark, table) === base)
+    // the at-least-once replay of batch 1 recomputes v1 from the committed
+    // base — the effect is exactly once, never a double-merge of b1
+    TrendingTerms.applyBatch(spark, table, b1.toDF("term"), 1L, 20)
+    val truth = (b0 ++ b1).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(TrendingTerms.storedSummary(spark, table) === truth)
   }
 
   test("end-to-end stream maintains the summary once per file-batch") {
