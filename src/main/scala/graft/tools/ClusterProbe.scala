@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{SparkEntry, Tables}
+
+/** Multi-JVM execution gate — every other gate row and bench in this repo
+  * runs `local[*]` (one JVM, no serialization boundary), which leaves the
+  * exact failure class a real cluster surfaces first — unserializable
+  * closures, `ExpressionEncoder` buffer round-trips in typed Aggregators,
+  * native-kernel reference objects in generated code, broadcast
+  * materialization across processes — untested. The reference, for all
+  * its simplicity, ran 16 separate worker processes
+  * (k8s/deployments/worker-deployment.yaml: replicas: 16).
+  *
+  * This main runs a representative query slice TWICE — once under
+  * `local-cluster[2,4,1536]` (a real standalone master + 2 worker
+  * processes, each executor a separate JVM forked by the worker) and once
+  * under `local[8]` — and exact-compares the collected, stringified,
+  * sorted rows. Any encoder/serialization/broadcast divergence between
+  * in-process and cross-process execution fails the probe with a nonzero
+  * exit.
+  *
+  * The slice covers each risk class once:
+  *   - `q_wordcount` — the reference-parity engine path (flatMap chains,
+  *     hash partitioning, text sink semantics) over real task shipping;
+  *   - `q1_pricing_summary` / `q3_top_revenue` — shuffle agg + broadcast
+  *     join through cross-process block fetch;
+  *   - `q_heavy_hitters` / `q_topk_per_key_agg` / `q_weighted_avg` —
+  *     typed Aggregators (MisraGriesAgg's Map buffer, TopKAgg's bounded
+  *     heap, WeightedAvgCents' pair state) whose ExpressionEncoder
+  *     buffers must survive partial-agg serialization between JVMs;
+  *   - `q_bloom_join` — GraftBloom's driver-built bit array broadcast
+  *     into executor-side codegen;
+  *   - `q_sim_int8_topk` / `q_sim_pq` — NativeExprs kernels whose
+  *     `addReferenceObj` codegen references must ship to executor
+  *     compilers;
+  *   - `q_sim_ivf_kmeans` — stored-index build + probe (warehouse tables
+  *     written by executors, read back across the boundary);
+  *   - `q_dedup_clusters` — the CC fixpoint (localCheckpoint blocks live
+  *     on executors, multi-round job scheduling);
+  *   - `q_source_kv` — the DSv2 reader's partition planning/serde.
+  *
+  * Run with `SPARK_HOME=/opt/spark` in the environment (the worker forks
+  * executor JVMs via the distribution's launcher; sbt's forked-test/run
+  * JVMs inherit the full classpath on java.class.path, which the worker
+  * command builder propagates to executors).
+  */
+object ClusterProbe {
+
+  /** One query per multi-JVM risk class — see object doc. */
+  val slice: Seq[String] = Seq(
+    "q_wordcount",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q_heavy_hitters",
+    "q_topk_per_key_agg",
+    "q_weighted_avg",
+    "q_bloom_join",
+    "q_sim_int8_topk",
+    "q_sim_pq",
+    "q_sim_ivf_kmeans",
+    "q_dedup_clusters",
+    "q_source_kv")
+
+  // JDK17 module opens executors need when not launched via spark-submit
+  // (mirrors build.sbt's jdk17AddOpens / JavaModuleOptions.defaultModuleOptions)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  /** Run the slice in a fresh session on `master`; returns
+    * name → sorted stringified rows. Stops the session before returning
+    * so the two runs never coexist in one JVM. */
+  def runSlice(master: String, sfDir: String, warehouse: String): Map[String, Seq[String]] = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.default.parallelism", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config(Tables.NanosAsLong, "true")
+      .config("spark.executor.memory", "1g")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      // executor JVMs are forked by the worker with only the
+      // distribution's jars on the classpath — the application classes
+      // (this repo) must be shipped explicitly, exactly as a real
+      // cluster run ships the application jar via spark-submit
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+    val spark = b.getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      graft.functions.GraftFunctions.installOptimizations(spark)
+      slice.map { name =>
+        val rows = SparkEntry.queries(name)(spark, sfDir)
+          .collect().map(_.toString).sorted.toSeq
+        name -> rows
+      }.toMap
+    } finally {
+      spark.stop()
+      // allow a fresh context afterwards
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
+    println(s"[probe] slice=${slice.size} queries sf=$sfDir")
+    val t0 = System.nanoTime()
+    val cluster = runSlice("local-cluster[2,4,1536]", sfDir, s"$base/wh-cluster")
+    val t1 = System.nanoTime()
+    println(f"[probe] local-cluster[2,4,1536] done in ${(t1 - t0) / 1e9}%.1f s")
+    val local = runSlice("local[8]", sfDir, s"$base/wh-local")
+    println(f"[probe] local[8] done in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    var failed = 0
+    for (name <- slice) {
+      val (c, l) = (cluster(name), local(name))
+      if (c == l && c.nonEmpty) println(s"[probe] $name OK (${c.size} rows)")
+      else {
+        failed += 1
+        println(s"[probe] $name MISMATCH cluster=${c.size} local=${l.size}")
+        (c.toSet -- l.toSet).take(3).foreach(r => println(s"[probe]   only-cluster: $r"))
+        (l.toSet -- c.toSet).take(3).foreach(r => println(s"[probe]   only-local:   $r"))
+        if (c.isEmpty && l.isEmpty) println(s"[probe]   (both empty — slice query degenerate)")
+      }
+    }
+    println(s"[probe] ${slice.size - failed}/${slice.size} queries identical across JVM boundaries")
+    if (failed > 0) sys.exit(1)
+  }
+}
