@@ -429,6 +429,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"AQE did not flag the skewed join:\n$p")
   }
 
+  test("skew audit advises salting on exactly the planted hot key AQE must split") {
+    // wire the DETECTOR to the DEFENSE on the same data: the planted
+    // 99%-hot-key table from the AQE-split test, driven through
+    // q_skew_audit's seam, must fire salt_advised for the hot column and
+    // stay quiet for a uniform one — so the audit's 1% bar and the AQE
+    // test's planted skew agree about what "skewed" means. (The timed
+    // salted-vs-AQE A/B on this same shape lives in tools/SkewAb; numbers
+    // in NOTES_BUILD.md.)
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val obs = s2.range(200000).select(
+      lit("planted.hot").as("tbl_col"),
+      when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"))
+      .unionByName(s2.range(200000).select(
+        lit("planted.uniform").as("tbl_col"), (col("id") % 997).as("k")))
+    val audit = Maintenance.skewAuditOf(obs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("salt_advised")).toMap
+    assert(audit("planted.hot") === 1L, "audit missed the 99% hot key")
+    assert(audit("planted.uniform") === 0L, "audit false-fired on a uniform key")
+  }
+
   test("pagerank's per-iteration join splits a hub-skewed partition under AQE") {
     // the open-vocabulary hazard: a stopword hub concentrates one join key.
     // Drive the EXACT production iteration shape (TextOps.prStep) on a
