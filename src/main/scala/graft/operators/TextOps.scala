@@ -454,6 +454,25 @@ object TextOps {
   private val BpeFullMerges = 32768
   private val BpeMaxTrainTypes = 65536
 
+  /** Tie-break in UTF-8 BYTE order — Spark's orderBy compares UTF8String
+    * bytes, and Java String `<` (UTF-16 code units) orders supplementary
+    * characters (surrogate lead 0xD800) BELOW U+E000..U+FFFF while UTF-8
+    * orders them above; the agreement contract between the in-JVM
+    * trainers and the distributed/DuckDB sides is byte order. Shared by
+    * the BPE and unigram trainers. */
+  private[operators] def ltUtf8(x: String, y: String): Boolean = {
+    val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(bx.length, by.length)
+    while (i < n) {
+      val c = (bx(i) & 0xff) - (by(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    bx.length < by.length
+  }
+
   /** In-JVM greedy merge pass — the reference semantics [[mergePass]]'s
     * HOF fold mirrors; shared by the collected trainer and specs. */
   private[operators] def mergePassJvm(
@@ -519,23 +538,6 @@ object TextOps {
       false
     }
     words.indices.foreach(addWord(_, 1L))
-    // tie-break in UTF-8 BYTE order — Spark's orderBy compares
-    // UTF8String bytes, and Java String `<` (UTF-16 code units) orders
-    // supplementary characters (surrogate lead 0xD800) BELOW
-    // U+E000..U+FFFF while UTF-8 orders them above; the agreement
-    // contract with the distributed trainer is byte order
-    def ltUtf8(x: String, y: String): Boolean = {
-      val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(bx.length, by.length)
-      while (i < n) {
-        val c = (bx(i) & 0xff) - (by(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      bx.length < by.length
-    }
     val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     while (r <= maxRounds && counts.nonEmpty) {
@@ -730,6 +732,241 @@ object TextOps {
        |  (sum(n_sub)::BIGINT * 1000000) // count(*)::BIGINT AS fertility_ppm
        |FROM stream JOIN wp USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------- unigram-LM tokenizer trainer
+
+  private val UnigramMaxPieceLen = 8
+  private val UnigramSeedMulti = 256
+  private[operators] val UnigramTargetMulti = 48
+  private val UnigramEmRounds = 2
+
+  /** Seed-candidate build for the unigram-LM (SentencePiece-style)
+    * tokenizer trainer (Kudo 2018, arXiv:1804.10959) — the DISTRIBUTED
+    * half of the trainer, and a fully hash-gated card on its own: every
+    * substring of every vocabulary type up to [[UnigramMaxPieceLen]]
+    * code points, counted per occurrence position and weighted by type
+    * frequency. All single characters are kept (coverage guarantee);
+    * multi-character candidates keep the top [[UnigramSeedMulti]] by
+    * (cnt DESC, piece ASC).
+    *
+    * Scale shape: one combiner-backed wordcount over the corpus (the
+    * only corpus-scale work), then substring explosion over the TYPE
+    * table — ≤ maxLen·avgLen pieces per distinct type, never per corpus
+    * token — into a second combiner-backed count; the multi-candidate
+    * head is TakeOrderedAndProject, never a global sort. */
+  def qUnigramSeed(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+    val subs = vocab
+      .select(
+        col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+             |  transform(sequence(1, least($UnigramMaxPieceLen, length(w) - i + 1)),
+             |            L -> substring(w, i, L))))""".stripMargin)).as("piece"))
+      .groupBy("piece")
+      .agg(sum("freq").as("cnt"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(UnigramSeedMulti)
+    chars.unionByName(multi)
+      .select(col("piece"), col("cnt"), (length(col("piece")) === 1).as("is_char"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  private val unigramSubsSql =
+    s"""vocab AS (
+       |  SELECT w, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+       |subs AS (
+       |  SELECT substr(w, i, L) AS piece, sum(freq)::BIGINT AS cnt
+       |  FROM vocab,
+       |    LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) gi,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      least($UnigramMaxPieceLen, length(w) - i + 1))) AS L) gl
+       |  GROUP BY 1)""".stripMargin
+
+  private val qUnigramSeedSql =
+    s"""WITH $unigramSubsSql,
+       |multi AS (SELECT piece, cnt FROM subs WHERE length(piece) > 1
+       |          ORDER BY cnt DESC, piece LIMIT $UnigramSeedMulti),
+       |chars AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1)
+       |SELECT piece, cnt, (length(piece) = 1) AS is_char
+       |FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi)
+       |ORDER BY cnt DESC, piece""".stripMargin
+
+  /** In-JVM unigram-LM trainer core: hard-EM (Viterbi) over the COLLECTED
+    * type table with EXACT rational probability comparisons, pruning the
+    * weakest multi-character pieces until [[UnigramTargetMulti]] remain —
+    * the bounded-loop half of the trainer, the same architecture as
+    * [[bpeTrainCollected]] (corpus-scale work distributed, loop over the
+    * bounded type/piece tables in-JVM).
+    *
+    * Determinism contract (this is a gate surface): a segmentation's
+    * probability under piece counts c_i and total T is Π(c_i/T) — two
+    * candidate segmentations with k and k' pieces compare EXACTLY via
+    * cross-multiplied BigInt products (P·T^k' vs P'·T^k), no floating
+    * log-sum anywhere. Ties break to fewer pieces, then to the longer
+    * last piece. Counts are floored at 1 inside the E-step so pieces the
+    * previous round never used (and coverage single-chars) remain
+    * segmentable; the M-step stores the true (unfloored) Viterbi counts.
+    * Pruning ranks multi-char pieces by (cnt DESC, piece UTF-8 ASC) and
+    * keeps max(target, ⌊4/5·current⌋); single-char pieces are never
+    * pruned (full coverage by construction — the trainer RAISES on an
+    * unsegmentable type rather than emitting UNK silently). */
+  private[operators] def unigramTrainCollected(
+      types: Array[(String, Long)],
+      seed: Array[(String, Long)],
+      targetMulti: Int): Seq[(String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[(Array[String], Long)] = types.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+    }
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    var vocab: mutable.HashMap[String, Long] = mutable.HashMap(seed.toIndexedSeq: _*)
+
+    def viterbiCounts(): mutable.HashMap[String, Long] = {
+      val T = BigInt(vocab.valuesIterator.map(math.max(_, 1L)).sum)
+      val out = mutable.HashMap.empty[String, Long]
+      for ((cps, f) <- words) {
+        val n = cps.length
+        val bestP = new Array[BigInt](n + 1)
+        val bestK = new Array[Int](n + 1)
+        val back = new Array[Int](n + 1)
+        bestP(0) = BigInt(1)
+        for (j <- 1 to n) {
+          var bp: BigInt = null; var bk = 0; var bl = 0
+          for (l <- 1 to math.min(UnigramMaxPieceLen, j)) {
+            if (bestP(j - l) != null) {
+              val piece = cps.slice(j - l, j).mkString
+              vocab.get(piece).foreach { c0 =>
+                val p = bestP(j - l) * math.max(c0, 1L)
+                val k = bestK(j - l) + 1
+                val better =
+                  if (bp == null) true
+                  else {
+                    val cmp = (p * T.pow(bk)).compare(bp * T.pow(k))
+                    if (cmp != 0) cmp > 0
+                    else if (k != bk) k < bk
+                    else l > bl
+                  }
+                if (better) { bp = p; bk = k; bl = l }
+              }
+            }
+          }
+          bestP(j) = bp; bestK(j) = bk; back(j) = bl
+        }
+        require(bestP(n) != null,
+          s"unigram trainer: type '${cps.mkString}' not coverable by the vocabulary")
+        var j = n
+        while (j > 0) {
+          val l = back(j)
+          val piece = cps.slice(j - l, j).mkString
+          out(piece) = out.getOrElse(piece, 0L) + f
+          j -= l
+        }
+      }
+      out
+    }
+
+    var continue = true
+    while (continue) {
+      for (_ <- 1 to UnigramEmRounds) {
+        val counts = viterbiCounts()
+        vocab = vocab.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+      }
+      val multis = vocab.keysIterator.filter(cpLen(_) > 1).toArray
+      if (multis.length <= targetMulti) continue = false
+      else {
+        val keep = math.max(targetMulti, multis.length * 4 / 5)
+        val ranked = multis.sortWith { (a, b) =>
+          val (ca, cb) = (vocab(a), vocab(b))
+          if (ca != cb) ca > cb else ltUtf8(a, b)
+        }
+        ranked.drop(keep).foreach(vocab.remove)
+      }
+    }
+    vocab.toSeq.sortWith { case ((a, ca), (b, cb)) =>
+      if (ca != cb) ca > cb else ltUtf8(a, b)
+    }
+  }
+
+  /** Unigram-LM tokenizer training end to end — the OTHER tokenizer
+    * family next to BPE ([[qBpeTrainFull]] is the architectural
+    * template): the distributed work is the wordcount and the
+    * [[qUnigramSeed]] candidate build (both corpus/type-scale,
+    * combiner-backed, hash-gated via q_unigram_seed); the EM-prune loop
+    * runs in-JVM over the collected bounded tables (types capped at the
+    * same [[BpeMaxTrainTypes]] = 64k most-frequent policy, seed bounded
+    * by construction at chars + [[UnigramSeedMulti]]). Deterministic but
+    * loop-carried (no SQL oracle at EM depth) → rows-only gate row; the
+    * hash-gated companion is [[qUnigramTrainCheck]]. Output: the final
+    * vocabulary (rank, piece, cnt, is_char) with exact integer Viterbi
+    * counts from the last EM round. */
+  def qUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    val types = Tables.documents(s, d)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(BpeMaxTrainTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seed = qUnigramSeed(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val out = unigramTrainCollected(types, seed, UnigramTargetMulti)
+    import s.implicits._
+    out.zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1L, p, c, p.codePointCount(0, p.length) == 1)
+      }
+      .toDF("rank", "piece", "cnt", "is_char")
+      .orderBy("rank")
+  }
+
+  /** Driver-visible HASH-GATED companion for [[qUnigramTrain]] — not a
+    * bare `SELECT true` verdict: three integer invariants of the trained
+    * vocabulary that DuckDB recomputes INDEPENDENTLY from the corpus.
+    *
+    *   - `n_pieces`: final size = distinct chars + min(target, distinct
+    *     multi-char candidates) — pruning keeps max(target, 4/5·current)
+    *     so it never undershoots, and single chars are never dropped;
+    *   - `n_char_pieces`: every distinct character survives (coverage);
+    *   - `char_mass`: Σ_piece cnt·len(piece) must equal
+    *     Σ_type freq·len(type) — the final EM round segments every type
+    *     exactly once, so character mass is conserved through
+    *     segmentation; any Viterbi/backtrack bug breaks this equality.
+    *
+    * Exact while the type table fits the 64k trainer cap (same
+    * truncation caveat as q_bpe_train_full). `covered` pins that the
+    * trainer completed without an unsegmentable type (it raises
+    * otherwise). */
+  def qUnigramTrainCheck(s: SparkSession, d: String): DataFrame = {
+    val out = qUnigramTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    def cpLen(p: String): Long = p.codePointCount(0, p.length).toLong
+    val nPieces = out.length.toLong
+    val nChar = out.count(p => cpLen(p._1) == 1L).toLong
+    val charMass = out.map { case (p, c) => c * cpLen(p) }.sum
+    import s.implicits._
+    Seq((nPieces, nChar, charMass, true))
+      .toDF("n_pieces", "n_char_pieces", "char_mass", "covered")
+  }
+
+  private val qUnigramTrainCheckSql =
+    s"""WITH $unigramSubsSql
+       |SELECT
+       |  ((SELECT count(*) FROM subs WHERE length(piece) = 1)
+       |    + least($UnigramTargetMulti,
+       |            (SELECT count(*) FROM subs WHERE length(piece) > 1)))::BIGINT
+       |    AS n_pieces,
+       |  (SELECT count(*) FROM subs WHERE length(piece) = 1)::BIGINT
+       |    AS n_char_pieces,
+       |  (SELECT sum(freq * length(w)) FROM vocab)::BIGINT AS char_mass,
+       |  TRUE AS covered""".stripMargin
 
   /** Distributed BPE-style pair counting — the inner statistic of one
     * byte-pair-encoding tokenizer-training merge round: count adjacent
@@ -2610,6 +2847,9 @@ object TextOps {
     Q("q_bpe_train_full", qBpeTrainFull, None),
     Q("q_bpe_train_full_check", qBpeTrainFullCheck, Some(qBpeTrainFullCheckSql), headline = false),
     Q("q_bpe_apply", qBpeApply, Some(qBpeApplySql)),
+    Q("q_unigram_seed", qUnigramSeed, Some(qUnigramSeedSql)),
+    Q("q_unigram_train", qUnigramTrain, None),
+    Q("q_unigram_train_check", qUnigramTrainCheck, Some(qUnigramTrainCheckSql), headline = false),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_vocab_drift", qVocabDrift, Some(qVocabDriftSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),

@@ -1258,6 +1258,48 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("unigram-LM trainer matches hand-computed EM/prune on a planted vocabulary") {
+    // types: abab×10, ab×5. Seed substrings (occurrence-weighted):
+    // a=25, b=25, ab=25, ba=10, aba=10, bab=10, abab=10. Round 1
+    // (T=115): 'abab' → [abab] (10·115 > 25², exact cross-multiply),
+    // 'ab' → [ab]. Every later round preserves that segmentation, so
+    // counts settle at abab=10, ab=5, rest 0; pruning (keep
+    // max(target, 4/5·n), rank cnt DESC then UTF-8) drops bab, ba, aba
+    // over three stages down to targetMulti=2. Single chars survive at
+    // count 0 (coverage).
+    val types = Array(("abab", 10L), ("ab", 5L))
+    val seed = Array(
+      ("a", 25L), ("b", 25L), ("ab", 25L), ("ba", 10L),
+      ("aba", 10L), ("bab", 10L), ("abab", 10L))
+    val got = TextOps.unigramTrainCollected(types, seed, 2)
+    assert(got === Seq(("abab", 10L), ("ab", 5L), ("a", 0L), ("b", 0L)),
+      s"planted unigram vocabulary diverges: $got")
+    // character-mass conservation: Σ cnt·len(piece) = Σ freq·len(type)
+    assert(got.map { case (p, c) => c * p.length }.sum === 10L * 4 + 5L * 2)
+
+    // non-BMP: pieces are code-point strings; a😀 must stay one piece
+    // of cpLen 2, not shear into surrogates
+    val emoji = new String(Character.toChars(0x1F600))
+    val nb = TextOps.unigramTrainCollected(
+      Array((s"a$emoji", 3L)),
+      Array(("a", 3L), (emoji, 3L), (s"a$emoji", 3L)), 1)
+    assert(nb === Seq((s"a$emoji", 3L), ("a", 0L), (emoji, 0L)),
+      s"non-BMP unigram vocabulary diverges: $nb")
+
+    // end-to-end on the real corpus: the check row's invariants hold
+    val chk = TextOps.qUnigramTrainCheck(spark, sfDir).collect().head
+    val vocabStats = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .agg(
+        sum(expr("freq * length(w)")).as("mass"),
+        count(lit(1)).as("n_types"))
+      .collect().head
+    assert(chk.getAs[Long]("char_mass") === vocabStats.getAs[Long]("mass"),
+      "character mass not conserved through Viterbi segmentation")
+    assert(chk.getAs[Boolean]("covered"))
+  }
+
   test("BPE training matches an independent in-JVM reference on the real corpus") {
     // Classic dict-based BPE (mutable pair-count maps + explicit greedy
     // merge loop) — a different code path end-to-end from the DataFrame
