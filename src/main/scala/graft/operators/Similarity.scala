@@ -368,8 +368,12 @@ object Similarity {
     * per-cell occupancy card (base, batch, total) an index operator
     * watches for drift: a batch that piles into few cells means the
     * frozen centroids no longer fit the data distribution. */
-  def qIvfAppend(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+  /** Build-once base IVF assignment table shared by the append and forget
+    * cards: non-batch vectors (vec_id % 5 ≠ 0) assigned against the
+    * frozen deterministic centroid sample (16 lowest non-batch vec_ids),
+    * PARTITIONED BY CELL. Returns (tableName, centroids). */
+  private def ensureIvfBase(
+      s: SparkSession, d: String, e: DataFrame): (String, Array[(Int, Seq[Double])]) = {
     val isBatch = col("vec_id") % 5 === 0
     val cents: Array[(Int, Seq[Double])] = e
       .filter(col("vec_id") < 20 && !(col("vec_id") % 5 === 0))
@@ -380,6 +384,13 @@ object Similarity {
     graft.sources.Warehouse.ensurePartitioned(s, tbl, "cell") {
       e.filter(!isBatch).withColumn("cell", nearestCell(cents, col("v")))
     }
+    (tbl, cents)
+  }
+
+  def qIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val isBatch = col("vec_id") % 5 === 0
+    val (tbl, cents) = ensureIvfBase(s, d, e)
     val base = s.table(tbl).groupBy("cell").agg(count(lit(1)).as("n_base"))
     val batch = e
       .filter(isBatch)
@@ -410,6 +421,122 @@ object Similarity {
       |  CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
       |  count(*)::BIGINT AS n_total
       |FROM assign GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** Victim predicate for the ANN retraction card — a hash-chosen ~3% of
+    * vec_ids ("forget:" salt, mod 37), the embedding-side mirror of
+    * [[Maintenance.qForgetCascade]]'s customer victims. */
+  private def isForgottenVec(vecId: Column): Column =
+    graft.functions.PortableHash
+      .md5PrefixLong(concat(lit("forget:"), vecId), 10) % 37 === 0
+
+  /** ANN index RETRACTION — the delete mirror of [[qIvfAppend]] and the
+    * missing quadrant of index maintenance (append covers add-against-
+    * frozen-centroids; MV retract covers aggregates): retire a victim
+    * set from the STORED cell-partitioned IVF index without a rebuild.
+    * This card is the deletion-accounting audit (read-only, so the gate
+    * row is deterministic across reruns): per AFFECTED cell —
+    * (n_before, n_deleted, n_after) plus an order-independent bit_xor
+    * digest of the surviving vec_ids, the same audit convention as
+    * q_forget_cascade / q_table_checksum so a replayed purge compares
+    * checksum-to-checksum. The physical rewrite itself is
+    * [[forgetFromIndex]], spec-pinned to touch ONLY victim cells' files.
+    *
+    * Scale shape: victims are delete-sized (broadcast); the per-cell
+    * aggregate runs only over the victim cells' partitions (directory
+    * pruning on the stored table — at 100 TB the untouched
+    * (1 − cells_hit/nlist) of the index is never read). Centroids stay
+    * frozen — like FAISS `remove_ids`, retraction never retrains. */
+  def qIvfForget(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val (tbl, _) = ensureIvfBase(s, d, e)
+    val stored = s.table(tbl).select(col("vec_id"), col("cell"))
+    // bounded pull: ≤ nlist cell ids (the victim cells)
+    val victimCells = stored
+      .filter(isForgottenVec(col("vec_id")))
+      .select("cell").distinct()
+      .collect().map(_.getInt(0))
+      .sorted
+    import graft.functions.PortableHash.md5PrefixLong
+    stored
+      .filter(col("cell").isin(victimCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .withColumn(
+        "h",
+        when(isForgottenVec(col("vec_id")), lit(null))
+          .otherwise(md5PrefixLong(col("vec_id").cast("string"), 14)))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(isForgottenVec(col("vec_id")), 1L).otherwise(0L)).as("n_deleted"),
+        expr("bit_xor(h)").as("survivor_checksum"))
+      .withColumn("n_after", col("n_before") - col("n_deleted"))
+      .select(
+        col("cell").cast("long").as("cell"),
+        col("n_before"), col("n_deleted"), col("n_after"), col("survivor_checksum"))
+      .orderBy("cell")
+  }
+
+  private val qIvfForgetSql = {
+    import graft.functions.PortableHash.md5PrefixLongSql
+    val victim = md5PrefixLongSql("'forget:' || vec_id", 10) + " % 37 = 0"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20 AND vec_id % 5 <> 0),
+       |pc AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS cos
+       |       FROM e, c WHERE e.vec_id % 5 <> 0),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |    FROM pc) WHERE rn = 1),
+       |vcells AS (SELECT DISTINCT cell FROM assign WHERE $victim)
+       |SELECT cell::BIGINT AS cell,
+       |  count(*)::BIGINT AS n_before,
+       |  CAST(sum(CASE WHEN $victim THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       |  CAST(count(*) - sum(CASE WHEN $victim THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |  bit_xor(CASE WHEN $victim THEN NULL
+       |          ELSE ${md5PrefixLongSql("CAST(vec_id AS VARCHAR)", 14)} END)
+       |    AS survivor_checksum
+       |FROM assign WHERE cell IN (SELECT cell FROM vcells)
+       |GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
+  /** The physical retraction: delete `victims` (a vec_id frame) from a
+    * cell-partitioned stored index table WITHOUT a rebuild — only
+    * partitions containing victims are rewritten (dynamic partition
+    * overwrite); every other cell's files are left physically untouched
+    * and the centroids are not re-fit. Returns the number of deleted
+    * rows. Cost ∝ affected cells' partitions, never the index. */
+  private[operators] def forgetFromIndex(
+      s: SparkSession, table: String, victims: DataFrame): Long = {
+    val stored = s.table(table)
+    val victimCells = stored
+      .join(broadcast(victims), "vec_id")
+      .select("cell").distinct()
+      .collect().map(_.getInt(0))
+    if (victimCells.isEmpty) return 0L
+    val inCells = stored.filter(
+      col("cell").isin(victimCells.map(Integer.valueOf).toIndexedSeq: _*))
+    val nBefore = inCells.count()
+    // localCheckpoint breaks lineage to the table being overwritten
+    // (Spark refuses INSERT OVERWRITE from a plan that reads the target)
+    val survivors = inCells
+      .join(victims, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    // DYNAMIC partition overwrite: only the partitions present in
+    // `survivors` (= the victim cells) are replaced; static mode would
+    // drop every other cell. The session conf is what insertInto honors
+    // for catalog tables (the writer-level option is not) — set and
+    // restore around the write.
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(confKey)
+    s.conf.set(confKey, "dynamic")
+    try survivors.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    s.catalog.refreshTable(table)
+    nBefore - survivors.count()
+  }
 
   /** Seeded distributed k-means (Lloyd's): init = the k lowest-vec_id
     * vectors, fixed iteration count. Assignment is one scan against the
@@ -1415,6 +1542,7 @@ object Similarity {
     Q("q_sim_bucketed_pairs", qBucketedPairs, Some(qBucketedPairsSql)),
     Q("q_sim_ivf", qIvf, Some(qIvfSql)),
     Q("q_sim_ivf_append", qIvfAppend, Some(qIvfAppendSql)),
+    Q("q_sim_ivf_forget", qIvfForget, Some(qIvfForgetSql)),
     Q("q_sim_ivf_kmeans", qIvfKmeans, None),
     Q("q_sim_pq", qSimPq, None),
     Q("q_sim_ivfpq", qSimIvfPq, None),

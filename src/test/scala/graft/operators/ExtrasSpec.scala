@@ -1258,6 +1258,48 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("IVF retraction rewrites ONLY victim cells' partitions — no rebuild") {
+    import spark.implicits._
+    val tbl = "graft_ivf_forget_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val tblDir = new java.io.File(warehouse, tbl)
+    def rmAll(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmAll); f.delete()
+    }
+    if (tblDir.exists()) rmAll(tblDir)
+    // planted 4-cell index: victims 1 and 5 both live in cell 1
+    (0L until 40L).map(i => (i, Seq.fill(4)(i.toFloat), (i % 4).toInt))
+      .toDF("vec_id", "v", "cell")
+      .write.partitionBy("cell").saveAsTable(tbl)
+    def files(): Map[String, Set[(String, Long, Long)]] =
+      tblDir.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val before = files()
+    val deleted = Similarity.forgetFromIndex(spark, tbl, Seq(1L, 5L).toDF("vec_id"))
+    assert(deleted === 2L)
+    val after = files()
+    // the no-rebuild property, at the FILE level: untouched cells keep
+    // byte-identical files (same names, sizes, mtimes); only the victim
+    // cell was rewritten
+    for (c <- Seq("cell=0", "cell=2", "cell=3"))
+      assert(before(c) === after(c), s"untouched partition $c was rewritten")
+    assert(before("cell=1") !== after("cell=1"), "victim cell not rewritten")
+    // content: victims gone, every survivor intact
+    assert(spark.table(tbl).select("vec_id").as[Long].collect().toSet ===
+      (0L until 40L).toSet -- Set(1L, 5L))
+    // and the survivor read itself prunes to victim-cell directories
+    val p = spark.table(tbl).filter(col("cell") === 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"victim-cell scan not partition-pruned:\n$p")
+    // idempotence: forgetting an already-forgotten set touches nothing
+    assert(Similarity.forgetFromIndex(spark, tbl, Seq(1L, 5L).toDF("vec_id")) === 0L)
+  }
+
   test("unigram-LM trainer matches hand-computed EM/prune on a planted vocabulary") {
     // types: abab×10, ab×5. Seed substrings (occurrence-weighted):
     // a=25, b=25, ab=25, ba=10, aba=10, bab=10, abab=10. Round 1
