@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.pround
 import graft.operators.Dedup
@@ -188,6 +188,73 @@ object StreamingDedup {
       .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("corpus_dhash"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("img_id", "ts", "corpus_id", "hamming")
+  }
+
+  /** Streaming embedding-ANN admission gate — the vector-space member of
+    * this family (minhash = lexical, dHash = perceptual, CDC = span,
+    * this = semantic): arriving embeddings are probed against the STORED
+    * cell-partitioned IVF index exactly the way the batch q_sim_ivf /
+    * q_sim_ivf_append cards probe it, flagging vectors whose cosine
+    * similarity to an indexed vector clears the near-duplicate bar.
+    * Admission = the stream minus the flags, same convention as
+    * [[minhashAgainstCorpus]].
+    *
+    *   - the IVF index (corpus vectors cell-assigned against the frozen
+    *     deterministic centroid sample — vec_id < nCells, the SAME
+    *     recipe as the batch cards) is built and cached ONCE;
+    *   - each incoming vector computes its nProbes nearest cells as one
+    *     codegen'd projection over the centroid LITERALS (no join, no
+    *     shuffle for the routing decision), then stream-static joins on
+    *     `cell` — so a micro-batch touches only its probed cells' index
+    *     rows, the nprobe/nlist cost envelope of the batch probe;
+    *   - exact cosine re-rank ([[graft.functions.NativeExprs.cosineSim]],
+    *     the one kernel batch and stream share) inside the probed cells;
+    *     a (new, corpus) pair exists at most once per corpus cell, so the
+    *     gate is STATELESS — no watermark/state budget spent.
+    *
+    * The approximation contract is the batch one: a near-dup hiding in an
+    * unprobed cell is missed (recall bounded by nProbes/nCells routing,
+    * spec-pinned), which is the accepted IVF trade.
+    *
+    * @param newVecs streaming (vec_id, ts, v: array&lt;float&gt;)
+    * @param corpus  static (vec_id, v: array&lt;float&gt;) — the indexed snapshot
+    */
+  def annAgainstIndex(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      nCells: Int = 16,
+      nProbes: Int = 2,
+      cosMinMicro: Long = 950000L): DataFrame = {
+    import graft.functions.NativeExprs.cosineSim
+    val cents: Array[(Int, Seq[Double])] = corpus
+      .filter(col("vec_id") < nCells)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    def nearestCells(v: Column, n: Int): Column = {
+      // (cos DESC, cid ASC) via struct sort on (cos, -cid) descending —
+      // identical tiebreak to the batch cards' nearestCell/probeCells
+      val scored = array(cents.map { case (cid, cv) =>
+        struct(cosineSim(v, typedlit(cv)).as("cos"), lit(-cid).as("negid"))
+      }.toSeq: _*)
+      slice(transform(reverse(array_sort(scored)), s => -s.getField("negid")), 1, n)
+    }
+    val index = corpus
+      .select(
+        col("vec_id").as("corpus_id"),
+        col("v").as("corpus_v"),
+        nearestCells(col("v"), 1).getItem(0).as("cell"))
+      .cache()
+    newVecs
+      .select(
+        col("vec_id").as("new_id"), col("ts"), col("v"),
+        explode(nearestCells(col("v"), nProbes)).as("cell"))
+      .join(index, Seq("cell")) // stream-static; probed cells only
+      .select(
+        col("new_id"), col("ts"), col("corpus_id"),
+        (pround(cosineSim(col("v"), col("corpus_v")), 6) * 1000000)
+          .cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= cosMinMicro)
   }
 
   /** Chunk-level revision screening against an indexed corpus: arriving

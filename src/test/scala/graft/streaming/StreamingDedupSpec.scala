@@ -100,6 +100,55 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamed embedding near-dup is flagged through the probed IVF cells; " +
+    "orthogonal vector passes; unprobed-cell dup is the accepted IVF miss") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+
+    // 2-cell index: centroids = vec_id 0/1 (frozen deterministic sample);
+    // corpus 2 lives in cell 0, corpus 3 in cell 1, corpus 4 straddles
+    // the boundary on the cell-0 side
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.9f, 0f, 0f)),
+      (4L, Seq(0.71f, 0.70f, 0f, 0f)))
+      .toDF("vec_id", "v")
+
+    def run(nProbes: Int, name: String): Seq[(Long, Long, Long)] = {
+      val source = MemoryStream[(Long, Timestamp, Seq[Float])]
+      val stream = source.toDF().toDF("vec_id", "ts", "v")
+      val query = StreamingDedup
+        .annAgainstIndex(stream, corpus, nCells = 2, nProbes = nProbes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def t2(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+        source.addData(
+          (100L, t2(0), Seq(0.9f, 0.1f, 0f, 0f)),   // replica of corpus 2 (cell 0)
+          (101L, t2(1), Seq(0f, 0f, 1f, 0f)),       // orthogonal — admit
+          (102L, t2(2), Seq(0.70f, 0.71f, 0f, 0f))) // near-dup of 4, routes to cell 1
+        query.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      } finally query.stop()
+    }
+
+    val p1 = run(1, "sann_p1")
+    assert(p1.contains((100L, 2L, 1000000L)),
+      s"replica of corpus 2 not flagged in its probed cell; got $p1")
+    assert(!p1.exists(_._1 == 101L), s"orthogonal vector falsely flagged: $p1")
+    // the IVF contract: 102's true near-dup (corpus 4, cos ≈ 0.9999) sits
+    // in cell 0, but 102 routes to cell 1 — with nProbes=1 it is MISSED
+    assert(!p1.exists(p => p._1 == 102L && p._2 == 4L),
+      s"nProbes=1 should not reach the unprobed cell: $p1")
+    // widening the probe set recovers it — recall is a routing budget
+    val p2 = run(2, "sann_p2")
+    assert(p2.exists(p => p._1 == 102L && p._2 == 4L && p._3 >= 999000L),
+      s"nProbes=2 did not recover the boundary near-dup: $p2")
+  }
+
   test("streamed revision sharing a span with the corpus is flagged via CDC chunks; novel doc passes") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
