@@ -1615,6 +1615,140 @@ object Dedup {
        |  FROM dropped)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus-build write path
+
+  /** End-to-end TRAINING-CORPUS BUILD — the write path that turns the
+    * cleaning pipeline's survivor set into an on-disk sharded corpus plus
+    * its manifest, in ONE job:
+    *
+    *   clean ([[pipelineCleanObserved]] — the observe metrics ride the
+    *   write action for free) → per-doc token counts → token-balanced
+    *   shard assignment ([[Sampling.shardAssign]], the q_shard_plan
+    *   mechanism) → one physical shard FILE per logical shard through the
+    *   staged-commit `graft-kv` sink (an explicit shard→partition
+    *   Partitioner — the one place an RDD hop is the right tool, because
+    *   DataFrame repartition hashes values instead of binding them) →
+    *   manifest computed FROM THE WRITTEN FILES read back.
+    *
+    * Kill/resume story is the sink's batch commit contract: every task
+    * stages under `_temp/<jobToken>`, the driver renames staged shards
+    * into place only at commit, truncate removes any previous committed
+    * shards first, and a foreign (crashed) job's staging dir is left
+    * alone — so a killed build leaves either the old corpus or nothing
+    * visible, and a rerun converges to exactly-once content
+    * (ExtrasSpec plants a crashed job's debris and proves it).
+    *
+    * The manifest is the gate row, hash-gated end to end: per source —
+    * docs before, docs kept (counted from the READ-BACK files, so a
+    * write bug breaks the gate), exact token mass kept, the
+    * largest-remainder mixture quota over kept tokens (the
+    * q_mixture_plan recipe applied to the cleaned corpus), and the
+    * observe-metric survivor total as a cross-check column. */
+  def qCorpusBuild(s: SparkSession, d: String): DataFrame =
+    buildCorpusTo(s, d, graft.sources.Formats.sinkDir(s, "corpus"))
+
+  private[operators] def buildCorpusTo(s: SparkSession, d: String, out: String): DataFrame = {
+    import graft.functions.NativeExprs.tokens
+    val obs = org.apache.spark.sql.Observation()
+    val survivors = pipelineCleanObserved(s, d, obs)
+    val withText = survivors
+      .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val sharded = Sampling.shardAssign(withText)
+    // bind logical shard → physical writer partition EXACTLY (file
+    // part-...-pNNNNN is shard NNNNN): an explicit Partitioner, not a
+    // hash repartition that would scatter 16 shard values over 16
+    // buckets with collisions and gaps
+    val nShards = Sampling.NumShards.toInt
+    val rows = sharded
+      .select(col("shard"), col("doc_id"), col("text"))
+      .rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      })
+      .map { case (_, (id, text)) => org.apache.spark.sql.Row(id.toString, text) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "key", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "value", org.apache.spark.sql.types.StringType, nullable = false)))
+    // the WRITE is the job's action — the observe metrics materialize on it
+    s.createDataFrame(rows, schema)
+      .write.format("graft-kv").mode("overwrite").save(out)
+    val observedSurvivors = obs.get("n_survivors").asInstanceOf[Long]
+    // manifest FROM the written corpus: read back, re-derive source and
+    // token mass, quota by largest remainder (the q_mixture_plan recipe)
+    val kept = s.read.format("graft-kv").load(out)
+      .select(
+        col("key").cast("long").as("doc_id"),
+        size(tokens(col("value"))).cast("long").as("n_tokens"))
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
+    val totals = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs_total"))
+    val tot = kept.agg(sum("tokens_kept").as("tot"))
+    val b = Sampling.MixturePlanBudget
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    totals
+      .join(kept, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs_total"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($b * tokens_kept) div tot"))
+      .withColumn("rem", expr(s"($b * tokens_kept) % tot"))
+      .withColumn("short", lit(b) - sum("base").over())
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        col("source"), col("n_docs_total"), col("n_docs_kept"), col("tokens_kept"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("quota_tokens"),
+        lit(observedSurvivors).as("survivors_observed"))
+      .orderBy("source")
+  }
+
+  private val qCorpusBuildSql = {
+    val t = TextOps.tokensSql
+    val b = Sampling.MixturePlanBudget
+    s"""WITH $pipelineDropsSqlCtes,
+       |survivors AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drops
+       |                       UNION SELECT doc_id FROM exact_drops
+       |                       UNION SELECT doc_id FROM contaminated
+       |                       UNION SELECT doc_id FROM low_quality)),
+       |kept AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs_kept,
+       |    sum(len($t))::BIGINT AS tokens_kept
+       |  FROM survivors GROUP BY 1),
+       |totals AS (SELECT source, count(*)::BIGINT AS n_docs_total
+       |           FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(tokens_kept)::BIGINT AS tot FROM kept),
+       |nsurv AS (SELECT count(*)::BIGINT AS n FROM survivors),
+       |based AS (
+       |  SELECT t.source, t.n_docs_total,
+       |    COALESCE(k.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+       |    COALESCE(k.tokens_kept, 0)::BIGINT AS tokens_kept,
+       |    ($b * COALESCE(k.tokens_kept, 0)) // tot.tot AS base,
+       |    ($b * COALESCE(k.tokens_kept, 0)) % tot.tot AS rem
+       |  FROM totals t LEFT JOIN kept k ON t.source = k.source, tot),
+       |ranked AS (
+       |  SELECT *, $b - sum(base) OVER () AS short,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM based)
+       |SELECT source, n_docs_total, n_docs_kept, tokens_kept,
+       |  (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS quota_tokens,
+       |  (SELECT n FROM nsurv) AS survivors_observed
+       |FROM ranked ORDER BY source""".stripMargin
+  }
+
   private val MinhashPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
@@ -2500,5 +2634,6 @@ object Dedup {
     Q("q_decontam_frac", qDecontamFrac, Some(qDecontamFracSql)),
     Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)),
     Q("q_pipeline_audit", qPipelineAudit, Some(qPipelineAuditSql)),
+    Q("q_corpus_build", qCorpusBuild, Some(qCorpusBuildSql)),
     Q("q_cross_source_dups", qCrossSourceDups, Some(qCrossSourceDupsSql)))
 }

@@ -437,7 +437,7 @@ object Sampling {
   }
 
   /** Global token budget apportioned across sources. */
-  private val MixturePlanBudget = 1000000L
+  private[operators] val MixturePlanBudget = 1000000L
 
   /** Mixture planning by largest-remainder (Hamilton) apportionment: split
     * a global token budget across sources proportionally to their
@@ -504,7 +504,7 @@ object Sampling {
        |FROM ranked ORDER BY source""".stripMargin
   }
 
-  private val NumShards = 16L
+  private[operators] val NumShards = 16L
   private val ShardSalts = 64L
 
   /** Token-balanced shard planning — the writer-side step that turns a
@@ -529,13 +529,12 @@ object Sampling {
     * yields the same balance; the oracle replays this one. At 100 TB the
     * shuffles carry (doc_id, n_tokens) pairs and the only global object
     * is the histogram. */
-  def qShardPlan(s: SparkSession, d: String): DataFrame = {
+  /** Per-document shard assignment — the salted-histogram-rank mechanism
+    * [[qShardPlan]] aggregates and [[Dedup.qCorpusBuild]] writes with:
+    * input must carry (doc_id, n_tokens); output adds `shard`. */
+  private[operators] def shardAssign(t0: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("salt", pmod(col("doc_id"), lit(ShardSalts)))
+    val t = t0.withColumn("salt", pmod(col("doc_id"), lit(ShardSalts)))
     val offsets = t
       .groupBy("n_tokens", "salt")
       .agg(count(lit(1)).as("cnt"))
@@ -554,10 +553,18 @@ object Sampling {
           org.apache.spark.sql.expressions.Window
             .partitionBy("n_tokens", "salt").orderBy("doc_id")))
       .withColumn("shard", pmod(col("off") + col("rn") - 1, lit(NumShards)))
+      .drop("salt", "off", "rn")
+  }
+
+  def qShardPlan(s: SparkSession, d: String): DataFrame =
+    shardAssign(
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"))
       .orderBy("shard")
-  }
 
   private val qShardPlanSql = {
     val t = graft.operators.TextOps.tokensSql

@@ -32,7 +32,7 @@ import graft.functions.PortableRound.{asScaled, asScaledSql, sumExact}
   */
 object Formats {
 
-  private def sinkDir(s: SparkSession, fmt: String): String =
+  private[graft] def sinkDir(s: SparkSession, fmt: String): String =
     sys.env.get("GRAFT_ROUNDTRIP_DIR").map(base => s"$base/$fmt").getOrElse {
       require(
         s.sparkContext.isLocal,

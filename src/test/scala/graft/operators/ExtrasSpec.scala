@@ -1258,6 +1258,49 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("corpus build: shard files bind to shard ids, manifest matches files, " +
+    "and a rerun over a crashed job's debris converges to exactly-once content") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-").toString
+    val manifest = Dedup.buildCorpusTo(spark, sfDir, out).collect()
+    // manifest totals agree with the files on disk
+    val back = spark.read.format("graft-kv").load(out)
+      .select(col("key").cast("long").as("doc_id"))
+    val nKept = manifest.map(_.getAs[Long]("n_docs_kept")).sum
+    assert(back.count() === nKept, "manifest kept-count diverges from written files")
+    assert(manifest.head.getAs[Long]("survivors_observed") === nKept,
+      "observe metric diverges from the written survivor count")
+    // quota apportionment is exact: Σ quota = budget
+    assert(manifest.map(_.getAs[Long]("quota_tokens")).sum === 1000000L)
+    // physical binding: file part-...-pNNNNN holds exactly shard NNNNN
+    // (spot-check: every read-back doc's assigned shard == its file id)
+    val survivors = Dedup.qPipelineClean(spark, sfDir).select("doc_id")
+    assert(back.join(survivors, Seq("doc_id"), "left_anti").isEmpty &&
+      survivors.join(back, Seq("doc_id"), "left_anti").isEmpty,
+      "written docs != pipeline survivors")
+
+    // crashed-job debris: a stale committed shard from a dead job plus
+    // its orphaned staging dir. The rerun must truncate the stale shard,
+    // commit fresh content exactly once, and leave the FOREIGN staging
+    // dir alone (a concurrent job's staged files are not ours to delete).
+    val stale = new java.io.File(out, "part-0000000000000-deadbeef-p00099")
+    java.nio.file.Files.writeString(stale.toPath, "999999 junk stale row\n")
+    val deadStage = new java.io.File(out, "_temp/deadtoken")
+    deadStage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(deadStage, "p0-t0").toPath, "888888 staged never committed\n")
+    val manifest2 = Dedup.buildCorpusTo(spark, sfDir, out).collect()
+    assert(manifest2.toSeq.map(_.toString) === manifest.toSeq.map(_.toString),
+      "rerun manifest diverged")
+    val back2 = spark.read.format("graft-kv").load(out)
+      .select(col("key").cast("long").as("doc_id")).as[Long].collect().sorted
+    assert(back2.toSeq === survivors.as[Long].collect().sorted.toSeq,
+      "rerun content not exactly-once (stale shard leaked or rows lost)")
+    assert(!back2.contains(999999L) && !back2.contains(888888L))
+    assert(new java.io.File(deadStage, "p0-t0").exists(),
+      "foreign staging dir was deleted — concurrent-job safety violated")
+  }
+
   test("IVF retraction rewrites ONLY victim cells' partitions — no rebuild") {
     import spark.implicits._
     val tbl = "graft_ivf_forget_spec"
