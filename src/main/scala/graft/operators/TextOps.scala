@@ -817,10 +817,17 @@ object TextOps {
     * keeps max(target, ⌊4/5·current⌋); single-char pieces are never
     * pruned (full coverage by construction — the trainer RAISES on an
     * unsegmentable type rather than emitting UNK silently). */
+  /** Trainer result: the final vocabulary (piece → last-EM Viterbi count,
+    * ranked) and each input TYPE's final piece count (the word→pieces map
+    * the fertility card broadcasts). */
+  private[operators] final case class UnigramResult(
+      vocab: Seq[(String, Long)],
+      typePieces: Array[(String, Long)])
+
   private[operators] def unigramTrainCollected(
       types: Array[(String, Long)],
       seed: Array[(String, Long)],
-      targetMulti: Int): Seq[(String, Long)] = {
+      targetMulti: Int): UnigramResult = {
     import scala.collection.mutable
     val words: Array[(Array[String], Long)] = types.map { case (w, f) =>
       (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
@@ -828,10 +835,13 @@ object TextOps {
     def cpLen(p: String): Int = p.codePointCount(0, p.length)
     var vocab: mutable.HashMap[String, Long] = mutable.HashMap(seed.toIndexedSeq: _*)
 
+    val lastTypePieces = new Array[Long](words.length)
     def viterbiCounts(): mutable.HashMap[String, Long] = {
+      java.util.Arrays.fill(lastTypePieces, 0L)
       val T = BigInt(vocab.valuesIterator.map(math.max(_, 1L)).sum)
       val out = mutable.HashMap.empty[String, Long]
-      for ((cps, f) <- words) {
+      for (wi <- words.indices) {
+        val (cps, f) = words(wi)
         val n = cps.length
         val bestP = new Array[BigInt](n + 1)
         val bestK = new Array[Int](n + 1)
@@ -866,6 +876,7 @@ object TextOps {
           val l = back(j)
           val piece = cps.slice(j - l, j).mkString
           out(piece) = out.getOrElse(piece, 0L) + f
+          lastTypePieces(wi) += 1L
           j -= l
         }
       }
@@ -889,9 +900,13 @@ object TextOps {
         ranked.drop(keep).foreach(vocab.remove)
       }
     }
-    vocab.toSeq.sortWith { case ((a, ca), (b, cb)) =>
-      if (ca != cb) ca > cb else ltUtf8(a, b)
-    }
+    UnigramResult(
+      vocab.toSeq.sortWith { case ((a, ca), (b, cb)) =>
+        if (ca != cb) ca > cb else ltUtf8(a, b)
+      },
+      // per-type piece counts of the LAST EM round — the segmentation the
+      // final vocab counts were read from, so Σ typePieces·freq = Σ cnt
+      types.indices.map(i => (types(i)._1, lastTypePieces(i))).toArray)
   }
 
   /** Unigram-LM tokenizer training end to end — the OTHER tokenizer
@@ -919,12 +934,71 @@ object TextOps {
       .map(r => (r.getString(0), r.getLong(1)))
     val out = unigramTrainCollected(types, seed, UnigramTargetMulti)
     import s.implicits._
-    out.zipWithIndex
+    out.vocab.zipWithIndex
       .map { case ((p, c), i) =>
         (i + 1L, p, c, p.codePointCount(0, p.length) == 1)
       }
       .toDF("rank", "piece", "cnt", "is_char")
       .orderBy("rank")
+  }
+
+  /** Per-source subword FERTILITY under the trained unigram-LM vocabulary
+    * — the same data card as [[qBpeApply]]'s for the other tokenizer
+    * family: the trainer's final word→pieces map (bounded: one entry per
+    * trained type) BROADCASTS to the corpus token stream, which is
+    * scanned once and never shuffles for the join. Viterbi piece counts
+    * are not SQL-expressible → rows-only, with the hash-gated
+    * [[qUnigramFertilityCheck]] companion pinning what DuckDB CAN
+    * recompute (per-source word counts, character mass, and the
+    * n_words ≤ n_subtokens ≤ char_mass sandwich). */
+  def qUnigramFertility(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NativeExprs.tokens
+    val types = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(BpeMaxTrainTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seed = qUnigramSeed(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val res = unigramTrainCollected(types, seed, UnigramTargetMulti)
+    import s.implicits._
+    val wordPieces = res.typePieces.toSeq.toDF("w", "n_sub")
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(wordPieces), "w")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subtokens"),
+        sum(length(col("w")).cast("long")).as("char_mass"))
+      .withColumn("fertility_ppm", expr("n_subtokens * 1000000 div n_words"))
+      .select("source", "n_words", "n_subtokens", "char_mass", "fertility_ppm")
+      .orderBy("source")
+  }
+
+  /** Hash-gated companion for [[qUnigramFertility]]: DuckDB independently
+    * recomputes per-source word counts and character mass, and pins the
+    * sandwich n_words ≤ n_subtokens ≤ char_mass (every word is ≥1 piece;
+    * every piece is ≥1 character) as a per-source verdict. */
+  def qUnigramFertilityCheck(s: SparkSession, d: String): DataFrame =
+    qUnigramFertility(s, d)
+      .select(
+        col("source"), col("n_words"), col("char_mass"),
+        (col("n_words") <= col("n_subtokens") &&
+          col("n_subtokens") <= col("char_mass")).as("bounds_ok"))
+      .orderBy("source")
+
+  private val qUnigramFertilityCheckSql = {
+    val t = tokensSql
+    s"""SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(w)) AS BIGINT) AS char_mass,
+       |  TRUE AS bounds_ok
+       |FROM (SELECT source, unnest($t) AS w FROM documents)
+       |GROUP BY 1 ORDER BY source""".stripMargin
   }
 
   /** Driver-visible HASH-GATED companion for [[qUnigramTrain]] — not a
@@ -2850,6 +2924,9 @@ object TextOps {
     Q("q_unigram_seed", qUnigramSeed, Some(qUnigramSeedSql)),
     Q("q_unigram_train", qUnigramTrain, None),
     Q("q_unigram_train_check", qUnigramTrainCheck, Some(qUnigramTrainCheckSql), headline = false),
+    Q("q_unigram_fertility", qUnigramFertility, None),
+    Q("q_unigram_fertility_check", qUnigramFertilityCheck,
+      Some(qUnigramFertilityCheckSql), headline = false),
     Q("q_oov_rate", qOovRate, Some(qOovRateSql)),
     Q("q_vocab_drift", qVocabDrift, Some(qVocabDriftSql)),
     Q("q_bigram_novelty", qBigramNovelty, Some(qBigramNoveltySql)),

@@ -60,7 +60,10 @@ object ClusterProbe {
     "q_sim_pq",
     "q_sim_ivf_kmeans",
     "q_dedup_clusters",
-    "q_source_kv")
+    "q_source_kv",
+    // the corpus-build WRITE path: staged-commit DSv2 sink, the explicit
+    // shard Partitioner, and observe metrics — all crossing the boundary
+    "q_corpus_build")
 
   // JDK17 module opens executors need when not launched via spark-submit
   // (mirrors build.sbt's jdk17AddOpens / JavaModuleOptions.defaultModuleOptions)

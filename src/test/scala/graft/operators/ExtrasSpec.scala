@@ -1356,18 +1356,25 @@ class ExtrasSpec extends SparkSpec {
     val seed = Array(
       ("a", 25L), ("b", 25L), ("ab", 25L), ("ba", 10L),
       ("aba", 10L), ("bab", 10L), ("abab", 10L))
-    val got = TextOps.unigramTrainCollected(types, seed, 2)
+    val res = TextOps.unigramTrainCollected(types, seed, 2)
+    val got = res.vocab
     assert(got === Seq(("abab", 10L), ("ab", 5L), ("a", 0L), ("b", 0L)),
       s"planted unigram vocabulary diverges: $got")
     // character-mass conservation: Σ cnt·len(piece) = Σ freq·len(type)
     assert(got.map { case (p, c) => c * p.length }.sum === 10L * 4 + 5L * 2)
+    // the word→pieces map the fertility card broadcasts: one piece each
+    assert(res.typePieces.toSeq === Seq(("abab", 1L), ("ab", 1L)),
+      s"per-type piece counts diverge: ${res.typePieces.toSeq}")
+    // Σ typePieces·freq = Σ vocab counts (final EM consistency)
+    assert(res.typePieces.zip(types).map { case ((_, k), (_, f)) => k * f }.sum ===
+      got.map(_._2).sum)
 
     // non-BMP: pieces are code-point strings; a😀 must stay one piece
     // of cpLen 2, not shear into surrogates
     val emoji = new String(Character.toChars(0x1F600))
     val nb = TextOps.unigramTrainCollected(
       Array((s"a$emoji", 3L)),
-      Array(("a", 3L), (emoji, 3L), (s"a$emoji", 3L)), 1)
+      Array(("a", 3L), (emoji, 3L), (s"a$emoji", 3L)), 1).vocab
     assert(nb === Seq((s"a$emoji", 3L), ("a", 0L), (emoji, 0L)),
       s"non-BMP unigram vocabulary diverges: $nb")
 
