@@ -620,6 +620,19 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-stream shuffle join appeared:\n$p")
   }
 
+  test("unigram fertility joins the piece-count map by broadcast — stream never shuffles for it") {
+    val p = plan(TextOps.qUnigramFertility(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"piece map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-stream shuffle join appeared:\n$p")
+  }
+
+  test("IVF forget card reads only victim cells — PartitionFilters prune the stored index") {
+    val p = plan(Similarity.qIvfForget(spark, sfDir))
+    assert(p.contains("PartitionFilters: [cell"),
+      s"victim-cell scan not pruned to cell directories:\n$p")
+  }
+
   test("semantic dedup pairs only within a cell — equi-join on cell, no cartesian") {
     // The SemDeDup scale claim: pairwise work is blocked by the cluster
     // cell, so the candidate join must key on `cell` (hash or sort-merge
