@@ -114,6 +114,48 @@ object ClusterProbe {
     }
   }
 
+  /** Streaming across the JVM boundary: a KV→KV AvailableNow loop (the
+    * DSv2 stream source's partition planning, the transform, and the
+    * idempotent streaming sink's staged epoch commits all execute on
+    * executors) — returns the sorted read-back lines. */
+  def runStreaming(master: String): Seq[String] = {
+    val base = java.nio.file.Files.createTempDirectory("graft-probe-stream-")
+    val src = base.resolve("src"); val out = base.resolve("out")
+    java.nio.file.Files.createDirectories(src)
+    (0 until 24).foreach { i =>
+      java.nio.file.Files.writeString(src.resolve(f"part-$i%03d"), f"k$i%03d v$i\n")
+    }
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-probe-stream")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "1g")
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+    val spark = b.getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      import org.apache.spark.sql.functions._
+      val q = spark.readStream.format("graft-kv")
+        .option("maxFilesPerTrigger", "7")
+        .load(src.toString)
+        .select(col("key"), concat(col("value"), lit("-x")).as("value"))
+        .writeStream.format("graft-kv")
+        .option("checkpointLocation", base.resolve("ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out.toString)
+      q.awaitTermination()
+      spark.read.format("graft-kv").load(out.toString)
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).sorted.toSeq
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
@@ -136,7 +178,15 @@ object ClusterProbe {
         if (c.isEmpty && l.isEmpty) println(s"[probe]   (both empty — slice query degenerate)")
       }
     }
+    // streaming leg: the KV stream source + idempotent streaming sink
+    // across real executor JVMs, content-identical to local
+    val sc = runStreaming("local-cluster[2,4,1536]")
+    val sl = runStreaming("local[8]")
+    val want = (0 until 24).map(i => f"k$i%03d v$i-x").sorted
+    val streamOk = sc == sl && sc == want
+    println(s"[probe] streaming KV loop: " +
+      (if (streamOk) s"OK (${sc.size} records)" else s"MISMATCH cluster=$sc local=$sl"))
     println(s"[probe] ${slice.size - failed}/${slice.size} queries identical across JVM boundaries")
-    if (failed > 0) sys.exit(1)
+    if (failed > 0 || !streamOk) sys.exit(1)
   }
 }
