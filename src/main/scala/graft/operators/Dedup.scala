@@ -1560,6 +1560,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Pipeline TOKEN-COST card — "what does each gate cost, in the unit
+    * the model trains on": every document's token mass is attributed to
+    * exactly ONE stage, the FIRST drop reason in pipeline order
+    * (near-dup → exact-dup → contamination → quality floor; survivors →
+    * kept), so the five rows PARTITION the corpus and token masses sum
+    * to the corpus total — the accounting view that lets an owner trade
+    * a gate's strictness against its token bill. Shares
+    * [[pipelineDrops]] with the clean/audit cards, so the three can
+    * never disagree on who was dropped.
+    *
+    * Scale shape: the audit's one-hot union + max-reduce (one shuffle
+    * over drop-sized rows), a doc_id-keyed left join onto the corpus
+    * token counts (co-partitioned at scale), a 5-row aggregate, and a
+    * window over those 5 rows for the shares. */
+  def qPipelineTokenCost(s: SparkSession, d: String): DataFrame = {
+    val flags = qPipelineAudit(s, d)
+    val toks = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n_tokens"))
+    val staged = toks
+      .join(flags, Seq("doc_id"), "left")
+      .withColumn(
+        "stage",
+        when(col("near_dup") === 1L, "1_near_dup")
+          .when(col("exact_dup") === 1L, "2_exact_dup")
+          .when(col("contaminated") === 1L, "3_contaminated")
+          .when(col("low_quality") === 1L, "4_low_quality")
+          .otherwise("5_kept"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    staged
+      .withColumn(
+        "token_share_ppm",
+        expr("n_tokens * 1000000 div sum(n_tokens) over ()"))
+      .orderBy("stage")
+  }
+
+  private val qPipelineTokenCostSql = {
+    val t = TextOps.tokensSql
+    s"""WITH $pipelineDropsSqlCtes,
+       |staged AS (
+       |  SELECT
+       |    CASE
+       |      WHEN doc_id IN (SELECT doc_id FROM near_drops) THEN '1_near_dup'
+       |      WHEN doc_id IN (SELECT doc_id FROM exact_drops) THEN '2_exact_dup'
+       |      WHEN doc_id IN (SELECT doc_id FROM contaminated) THEN '3_contaminated'
+       |      WHEN doc_id IN (SELECT doc_id FROM low_quality) THEN '4_low_quality'
+       |      ELSE '5_kept' END AS stage,
+       |    len($t)::BIGINT AS n_tokens
+       |  FROM documents),
+       |agg AS (
+       |  SELECT stage, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+       |  FROM staged GROUP BY 1)
+       |SELECT stage, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT) AS token_share_ppm
+       |FROM agg ORDER BY stage""".stripMargin
+  }
+
   /** The clean pipeline's full CTE prologue (shingle machinery + the four
     * drop sets) — one definition shared by the clean and audit oracles. */
   private def pipelineDropsSqlCtes: String = {
@@ -2640,5 +2699,6 @@ object Dedup {
     Q("q_pipeline_clean", qPipelineClean, Some(qPipelineCleanSql)),
     Q("q_pipeline_audit", qPipelineAudit, Some(qPipelineAuditSql)),
     Q("q_corpus_build", qCorpusBuild, Some(qCorpusBuildSql)),
+    Q("q_pipeline_token_cost", qPipelineTokenCost, Some(qPipelineTokenCostSql)),
     Q("q_cross_source_dups", qCrossSourceDups, Some(qCrossSourceDupsSql)))
 }

@@ -504,6 +504,85 @@ object Sampling {
        |FROM ranked ORDER BY source""".stripMargin
   }
 
+  private val EpochBudget = 5000000L
+
+  /** Data-constrained EPOCH PLANNING (the Muennighoff et al. 2023,
+    * arXiv:2305.16264 regime): the training token budget EXCEEDS the
+    * unique-token supply, so sources must repeat — the question is how
+    * many epochs of each. Targets are apportioned over w_i·avail_i by
+    * the same largest-remainder rule as [[qMixturePlan]] (weights mirror
+    * the mixture-sampling tiers: low-rate sources 1, mid 4, rest 6), and
+    * each source's target splits into full epochs (target div avail),
+    * the partial-epoch tail (target mod avail — admitted by the
+    * deterministic hash order of [[qTokenBudget]] at execution time),
+    * and the effective epoch count in exact milli-epochs. Σ target =
+    * budget exactly; everything is replayable integer arithmetic.
+    *
+    * Scale shape: identical to the mixture plan — one combiner-backed
+    * per-source aggregate, then #sources-row arithmetic. */
+  def qEpochPlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val weight =
+      when(col("source").isin(lowSources.map(_.asInstanceOf[Any]): _*), lit(1L))
+        .when(col("source").isin(midSources.map(_.asInstanceOf[Any]): _*), lit(4L))
+        .otherwise(lit(6L))
+    val avail = Tables.documents(s, d)
+      .select(
+        col("source"),
+        size(graft.functions.NativeExprs.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("avail_tokens"))
+      .withColumn("wt", weight)
+    val tot = avail.agg(sum(expr("wt * avail_tokens")).as("tot"))
+    avail.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("avail_tokens"), col("wt"),
+        expr(s"($EpochBudget * wt * avail_tokens) div tot").as("base"),
+        expr(s"($EpochBudget * wt * avail_tokens) % tot").as("rem"))
+      .withColumn("short", lit(EpochBudget) - sum("base").over())
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn(
+        "target_tokens",
+        col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+      .select(
+        col("source"), col("avail_tokens"), col("wt"), col("target_tokens"),
+        expr("target_tokens div avail_tokens").as("full_epochs"),
+        expr("target_tokens % avail_tokens").as("tail_tokens"),
+        expr("target_tokens * 1000 div avail_tokens").as("epochs_milli"))
+      .orderBy("source")
+  }
+
+  private val qEpochPlanSql = {
+    val t = graft.operators.TextOps.tokensSql
+    def inList(ws: Seq[String]) = ws.mkString("('", "', '", "')")
+    val wt = s"CASE WHEN source IN ${inList(lowSources)} THEN 1 " +
+      s"WHEN source IN ${inList(midSources)} THEN 4 ELSE 6 END"
+    s"""WITH avail AS (
+       |  SELECT source, sum(len($t))::BIGINT AS avail_tokens, $wt::BIGINT AS wt
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(wt * avail_tokens)::BIGINT AS tot FROM avail),
+       |based AS (
+       |  SELECT source, avail_tokens, wt,
+       |    ($EpochBudget * wt * avail_tokens) // tot AS base,
+       |    ($EpochBudget * wt * avail_tokens) % tot AS rem
+       |  FROM avail, tot),
+       |ranked AS (
+       |  SELECT *,
+       |    $EpochBudget - sum(base) OVER () AS short,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM based),
+       |tgt AS (
+       |  SELECT source, avail_tokens, wt,
+       |    (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT AS target_tokens
+       |  FROM ranked)
+       |SELECT source, avail_tokens, wt, target_tokens,
+       |  (target_tokens // avail_tokens)::BIGINT AS full_epochs,
+       |  (target_tokens % avail_tokens)::BIGINT AS tail_tokens,
+       |  (target_tokens * 1000 // avail_tokens)::BIGINT AS epochs_milli
+       |FROM tgt ORDER BY source""".stripMargin
+  }
+
   private[operators] val NumShards = 16L
   private val ShardSalts = 64L
 
@@ -725,6 +804,7 @@ object Sampling {
     Q("q_sample_mix", qSampleMix, Some(qSampleMixSql)),
     Q("q_shard_plan", qShardPlan, Some(qShardPlanSql)),
     Q("q_mixture_plan", qMixturePlan, Some(qMixturePlanSql)),
+    Q("q_epoch_plan", qEpochPlan, Some(qEpochPlanSql)),
     Q("q_dsir_score", qDsirScore, Some(qDsirScoreSql)),
     Q("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),
     Q("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
