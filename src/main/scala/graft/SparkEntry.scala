@@ -34,18 +34,22 @@ object SparkEntry {
     * (q_dedup_minhash_lsh, q_dedup_simhash — DuckDB has no xxhash64 and
     * the byte-level loop is not SQL-expressible), the k-means/PQ-fit indexes
     * (q_sim_ivf_kmeans, q_sim_pq, q_sim_ivfpq), the raw approx
-    * sketches (q_approx_distinct, q_approx_percentiles), and
+    * sketches (q_approx_distinct, q_approx_percentiles),
     * q_bpe_train_full (32k-round trainer — its 8-rule prefix is
     * hash-gated through q_bpe_train's unrolled-CTE oracle and the
-    * agreement spec pins the rest) → driver records
+    * agreement spec pins the rest), and the unigram-LM EM loop's two
+    * rows (q_unigram_train, q_unigram_fertility — Viterbi under exact
+    * rational probabilities is not SQL-expressible) → driver records
     * a rows-only check; their correctness oracles are the
-    * planted-ground-truth / recall ScalaTest specs in SketchSpec PLUS
+    * planted-ground-truth / recall / property ScalaTest specs PLUS
     * the oracle-gated companion rows (q_minhash_recall,
     * q_simhash_complete, q_approx_distinct_check,
     * q_approx_percentiles_check, q_sim_pq_check, q_sim_ivfpq_check,
     * q_sim_kmeans_check — the recall floor as a hash-compared verdict —
-    * and q_bpe_train_full_check — the 8-rule-prefix agreement likewise)
-    * that turn each no-oracle claim the driver CAN check into a
+    * q_bpe_train_full_check — the 8-rule-prefix agreement likewise —
+    * and q_unigram_train_check / q_unigram_fertility_check — DuckDB
+    * recomputing size/coverage/character-mass invariants) that turn
+    * each no-oracle claim the driver CAN check into a
     * hash-compared row. */
   def oracleSql: Map[String, String] =
     all.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap

@@ -1710,15 +1710,21 @@ object Dedup {
     import graft.functions.NativeExprs.tokens
     val obs = org.apache.spark.sql.Observation()
     val survivors = pipelineCleanObserved(s, d, obs)
-    // cache: shardAssign references its input from TWO plan branches
-    // (the offsets aggregate and the main join) — uncached, the whole
-    // cleaning pipeline upstream would execute twice per build
+    // localCheckpoint, NOT cache: shardAssign references this frame from
+    // TWO plan branches (the offsets aggregate and the main join), so
+    // unshared it would run the whole cleaning pipeline twice — and a
+    // cache is only at-LEAST-once (an evicted partition recomputes, which
+    // re-fires the observe accumulators: measured on the 1g-executor
+    // local-cluster probe, survivors_observed inflated 343→515). The
+    // eager local checkpoint materializes the plan exactly once — the
+    // observe metrics fire on that one pass — and evicted blocks reload
+    // from disk instead of recomputing.
     val withText = survivors
       .join(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
       .select(
         col("doc_id"), col("source"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .cache()
+      .localCheckpoint()
     val sharded = Sampling.shardAssign(withText)
     // bind logical shard → physical writer partition EXACTLY (file
     // part-...-pNNNNN is shard NNNNN): an explicit Partitioner, not a
@@ -1743,7 +1749,6 @@ object Dedup {
     s.createDataFrame(rows, schema)
       .write.format("graft-kv").mode("overwrite").save(out)
     val observedSurvivors = obs.get("n_survivors").asInstanceOf[Long]
-    withText.unpersist() // manifest reads the written FILES, not this plan
     // manifest FROM the written corpus: read back, re-derive source and
     // token mass, quota by largest remainder (the q_mixture_plan recipe)
     val kept = s.read.format("graft-kv").load(out)
