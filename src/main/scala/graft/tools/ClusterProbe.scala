@@ -147,8 +147,24 @@ object ClusterProbe {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(out.toString)
       q.awaitTermination()
-      spark.read.format("graft-kv").load(out.toString)
+      // stateful leg: a streaming aggregation whose StateStore lives ON
+      // THE EXECUTORS and must carry counts across the multi-batch drain
+      // (maxFilesPerTrigger=7 over 24 files = 4 micro-batches)
+      val q2 = spark.readStream.format("graft-kv")
+        .option("maxFilesPerTrigger", "7")
+        .load(src.toString)
+        .select(substring(col("key"), 1, 1).as("grp"))
+        .groupBy("grp").count()
+        .writeStream.format("memory").queryName("probe_state")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      val state = spark.table("probe_state")
+        .collect().map(r => "state:" + r.getString(0) + "=" + r.getLong(1)).sorted.toSeq
+      (spark.read.format("graft-kv").load(out.toString)
         .collect().map(r => r.getString(0) + " " + r.getString(1)).sorted.toSeq
+        ++ state)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -182,7 +198,7 @@ object ClusterProbe {
     // across real executor JVMs, content-identical to local
     val sc = runStreaming("local-cluster[2,4,1536]")
     val sl = runStreaming("local[8]")
-    val want = (0 until 24).map(i => f"k$i%03d v$i-x").sorted
+    val want = (0 until 24).map(i => f"k$i%03d v$i-x").sorted ++ Seq("state:k=24")
     val streamOk = sc == sl && sc == want
     println(s"[probe] streaming KV loop: " +
       (if (streamOk) s"OK (${sc.size} records)" else s"MISMATCH cluster=$sc local=$sl"))
