@@ -816,7 +816,15 @@ object TextOps {
     * Pruning ranks multi-char pieces by (cnt DESC, piece UTF-8 ASC) and
     * keeps max(target, ⌊4/5·current⌋); single-char pieces are never
     * pruned (full coverage by construction — the trainer RAISES on an
-    * unsegmentable type rather than emitting UNK silently). */
+    * unsegmentable type rather than emitting UNK silently).
+    *
+    * Scale note: the smoothing floor makes the learned vocabulary
+    * deterministic but not exactly frequency-replication-invariant — a
+    * near-tie between a never-used piece (floored to 1 regardless of
+    * corpus size) and a barely-used one can flip under ×k replication
+    * (UnigramProperties pins the invariants that DO survive: coverage,
+    * character-mass conservation, the size formula, count agreement).
+    * SentencePiece's probability floor behaves the same way. */
   /** Trainer result: the final vocabulary (piece → last-EM Viterbi count,
     * ranked) and each input TYPE's final piece count (the word→pieces map
     * the fertility card broadcasts). */

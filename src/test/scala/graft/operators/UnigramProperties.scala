@@ -43,6 +43,28 @@ class UnigramProperties extends AnyFunSuite {
     counts.toArray
   }
 
+  test("structural invariants hold under x10 frequency replication too") {
+    // NOTE: the trained VOCABULARY itself is not exactly
+    // replication-invariant — the zero-count smoothing floor (max(c,1))
+    // scales 1→1 while true counts scale ×10, so a near-tie between a
+    // never-used piece and a barely-used one can legitimately flip
+    // (observed on a random vocabulary; SentencePiece's probability
+    // floor has the same character). What MUST survive replication are
+    // the structural contracts: coverage, mass conservation, the size
+    // formula, and count agreement.
+    for (seed <- 1L to 10L) {
+      val types = sample(typesGen, seed).map { case (w, f) => (w, f * 10L) }
+      val seedTbl = seedOf(types)
+      val res = TextOps.unigramTrainCollected(types.toArray, seedTbl, 3)
+      val chars = types.flatMap(_._1.toSeq).map(_.toString).distinct.toSet
+      assert(res.vocab.count(_._1.length == 1) === chars.size)
+      assert(res.vocab.map { case (p, c) => c * p.length }.sum ===
+        types.map { case (w, f) => f * w.length }.sum, s"seed=$seed mass at x10")
+      assert(res.typePieces.zip(types).map { case ((_, k), (_, f)) => k * f }.sum ===
+        res.vocab.map(_._2).sum, s"seed=$seed count agreement at x10")
+    }
+  }
+
   test("random vocabularies: coverage, mass conservation, size formula, count agreement") {
     for (seed <- 1L to 20L) {
       val types = sample(typesGen, seed)
