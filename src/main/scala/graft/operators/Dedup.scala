@@ -885,8 +885,15 @@ object Dedup {
        |    SELECT doc_id, min(doc_id) OVER (
        |      PARTITION BY ${TextOps.fingerprintSql}) AS keep
        |    FROM documents) WHERE doc_id <> keep),
-       |drops AS (SELECT doc_id FROM near_drops_cc
-       |          UNION SELECT doc_id FROM exact_drops)""".stripMargin
+       |drops AS (
+       |  -- explicit DISTINCT, not bare UNION: inside a WITH RECURSIVE
+       |  -- chain DuckDB executes this UNION as UNION ALL (measured at the
+       |  -- 10× replica: 4075 + 45008 rows in, 49083 out — zero dedup), and
+       |  -- a doc dropped by BOTH gates then fans out the rate card's LEFT
+       |  -- JOIN. Empty overlap at sf0.01 masked it; the 10× sweep didn't.
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id FROM near_drops_cc
+       |    UNION ALL SELECT doc_id FROM exact_drops))""".stripMargin
 
   private lazy val qDedupApplyCcSql =
     s"""WITH RECURSIVE $ccDropCtesSql
