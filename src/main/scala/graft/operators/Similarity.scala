@@ -534,7 +534,23 @@ object Similarity {
       case Some(v) => s.conf.set(confKey, v)
       case None => s.conf.unset(confKey)
     }
+    // Dynamic overwrite only rewrites partitions PRESENT in `survivors`:
+    // a victim cell whose rows are ALL victims yields zero survivor rows,
+    // so its partition would never be rewritten and the victims would
+    // silently stay on disk. Drop those fully-emptied cells explicitly.
+    val survivorCells = survivors.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    for (c <- victimCells if !survivorCells.contains(c))
+      s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell=$c)")
     s.catalog.refreshTable(table)
+    // loud post-condition (pruned to the victim cells, never the full
+    // index): a forget that leaves victims behind must fail, not report
+    // success with data retained
+    val leaked = s.table(table)
+      .filter(col("cell").isin(victimCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .join(broadcast(victims), "vec_id").count()
+    require(leaked == 0L,
+      s"forgetFromIndex left $leaked victim rows on disk in $table")
     nBefore - survivors.count()
   }
 

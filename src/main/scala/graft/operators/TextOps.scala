@@ -954,11 +954,16 @@ object TextOps {
     * — the same data card as [[qBpeApply]]'s for the other tokenizer
     * family: the trainer's final word→pieces map (bounded: one entry per
     * trained type) BROADCASTS to the corpus token stream, which is
-    * scanned once and never shuffles for the join. Viterbi piece counts
-    * are not SQL-expressible → rows-only, with the hash-gated
-    * [[qUnigramFertilityCheck]] companion pinning what DuckDB CAN
-    * recompute (per-source word counts, character mass, and the
-    * n_words ≤ n_subtokens ≤ char_mass sandwich). */
+    * scanned once and never shuffles for the join. Words beyond the 64k
+    * trainer cap have no trained segmentation; they fall back to
+    * character-level pieces (the SentencePiece character-coverage
+    * fallback) via a LEFT join, so the card covers EVERY corpus word —
+    * the exact word set the DuckDB companion counts — at any SF, not
+    * just below the cap. Viterbi piece counts are not SQL-expressible →
+    * rows-only, with the hash-gated [[qUnigramFertilityCheck]] companion
+    * pinning what DuckDB CAN recompute (per-source word counts,
+    * character mass, and the n_words ≤ n_subtokens ≤ char_mass
+    * sandwich). */
   def qUnigramFertility(s: SparkSession, d: String): DataFrame = {
     import graft.functions.NativeExprs.tokens
     val types = Tables.documents(s, d)
@@ -976,7 +981,10 @@ object TextOps {
     val wordPieces = res.typePieces.toSeq.toDF("w", "n_sub")
     Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .join(broadcast(wordPieces), "w")
+      .join(broadcast(wordPieces), Seq("w"), "left")
+      // untrained (beyond-cap) words segment to single characters —
+      // length() counts code points in both Spark and DuckDB
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("w")).cast("long")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_words"),

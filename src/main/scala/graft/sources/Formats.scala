@@ -32,8 +32,13 @@ import graft.functions.PortableRound.{asScaled, asScaledSql, sumExact}
   */
 object Formats {
 
+  // env var for external launches; the system property is the in-process
+  // override (env cannot be set from inside a JVM — ClusterProbe.main uses
+  // it to default the sink to a fresh temp dir on a standalone run)
   private[graft] def sinkDir(s: SparkSession, fmt: String): String =
-    sys.env.get("GRAFT_ROUNDTRIP_DIR").map(base => s"$base/$fmt").getOrElse {
+    sys.env.get("GRAFT_ROUNDTRIP_DIR")
+      .orElse(sys.props.get("graft.roundtrip.dir"))
+      .map(base => s"$base/$fmt").getOrElse {
       require(
         s.sparkContext.isLocal,
         "default round-trip sink is driver-local /tmp; set GRAFT_ROUNDTRIP_DIR " +

@@ -40,10 +40,18 @@ import graft.{SparkEntry, Tables}
   *     on executors, multi-round job scheduling);
   *   - `q_source_kv` — the DSv2 reader's partition planning/serde.
   *
-  * Run with `SPARK_HOME=/opt/spark` in the environment (the worker forks
-  * executor JVMs via the distribution's launcher; sbt's forked-test/run
-  * JVMs inherit the full classpath on java.class.path, which the worker
-  * command builder propagates to executors).
+  * Run with `SPARK_HOME=/opt/spark` (the worker forks executor JVMs via
+  * the distribution's launcher; sbt's forked-test/run JVMs inherit the
+  * full classpath on java.class.path, which the worker command builder
+  * propagates to executors) and `SPARK_SCALA_VERSION=2.13` (the
+  * jars-only /opt/spark has no launcher scripts to infer it).
+  * `GRAFT_ROUNDTRIP_DIR` must point at storage shared with the worker
+  * processes for the sink-writing slice queries (q_corpus_build,
+  * q_source_kv) — local-cluster masters are NOT `sparkContext.isLocal`,
+  * so Formats.sinkDir's driver-local default refuses to run; when the
+  * env var is unset, [[main]] defaults it to a fresh temp dir via the
+  * `graft.roundtrip.dir` system property (same-machine worker processes
+  * share the local filesystem, so a temp dir IS shared storage here).
   */
 object ClusterProbe {
 
@@ -175,6 +183,14 @@ object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
+    // standalone-run ergonomics: default the round-trip sink to this
+    // run's temp dir when the caller didn't point it at shared storage
+    // (local-cluster workers are same-machine processes, so it IS shared)
+    if (sys.env.get("GRAFT_ROUNDTRIP_DIR").isEmpty &&
+        sys.props.get("graft.roundtrip.dir").isEmpty) {
+      sys.props("graft.roundtrip.dir") = s"$base/roundtrip"
+      println(s"[probe] GRAFT_ROUNDTRIP_DIR unset — defaulting sink to $base/roundtrip")
+    }
     println(s"[probe] slice=${slice.size} queries sf=$sfDir")
     val t0 = System.nanoTime()
     val cluster = runSlice("local-cluster[2,4,1536]", sfDir, s"$base/wh-cluster")

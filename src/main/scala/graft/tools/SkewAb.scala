@@ -70,9 +70,11 @@ object SkewAb {
     sB.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
     val (lB, rB) = planted(sB)
     time3("AQE skew-split") { lB.join(rB, "k").count() }
-    // confirm the split actually fired (collect the join's own adaptive plan)
+    // confirm the split actually fired — count() executes the query (AQE
+    // finalizes the adaptive plan on any action; collect() here would pull
+    // ~all input rows onto the driver just to read the plan)
     val jB = lB.join(rB, "k")
-    jB.collect()
+    jB.count()
     val pB = jB.queryExecution.executedPlan.toString
     println(s"[skew-ab] AQE plan skew=true: ${pB.contains("skew=true")}")
 

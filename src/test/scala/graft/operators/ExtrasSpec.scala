@@ -1341,6 +1341,23 @@ class ExtrasSpec extends SparkSpec {
       s"victim-cell scan not partition-pruned:\n$p")
     // idempotence: forgetting an already-forgotten set touches nothing
     assert(Similarity.forgetFromIndex(spark, tbl, Seq(1L, 5L).toDF("vec_id")) === 0L)
+
+    // FULLY-victim cell: every row of cell 2 is a victim, so the dynamic
+    // overwrite has zero survivor rows for that partition and would never
+    // rewrite it — the partition must be dropped explicitly, not retained.
+    val preDrop = files()
+    val cell2 = (0L until 40L).filter(_ % 4 == 2)
+    assert(Similarity.forgetFromIndex(spark, tbl, cell2.toDF("vec_id")) ===
+      cell2.size.toLong)
+    val postDrop = files()
+    assert(spark.table(tbl).filter(col("cell") === 2).count() === 0L,
+      "fully-victim cell retained rows (silent data retention)")
+    assert(!postDrop.contains("cell=2") || postDrop("cell=2").isEmpty,
+      "fully-victim cell's files still on disk")
+    for (c <- Seq("cell=0", "cell=3")) // cell=1 was rewritten earlier
+      assert(preDrop(c) === postDrop(c), s"untouched partition $c was rewritten")
+    assert(spark.table(tbl).select("vec_id").as[Long].collect().toSet ===
+      (0L until 40L).toSet -- Set(1L, 5L) -- cell2.toSet)
   }
 
   test("unigram-LM trainer matches hand-computed EM/prune on a planted vocabulary") {
