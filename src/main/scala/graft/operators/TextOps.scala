@@ -577,17 +577,32 @@ object TextOps {
     * oracle at this depth; the 8-round prefix is hash-gated through
     * q_bpe_train's unrolled-CTE oracle. */
   def qBpeTrainFull(s: SparkSession, d: String): DataFrame = {
-    val types = Tables.documents(s, d)
-      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(BpeMaxTrainTypes)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val merges = bpeTrainCollected(types, BpeFullMerges)
-    import s.implicits._
-    merges.toDF("rank", "left_sym", "right_sym", "cnt").orderBy("rank")
+    val tbl = ensureBpeFullMerges(s, d)
+    s.table(tbl).orderBy("rank")
+  }
+
+  /** Build-once PERSISTED production-depth BPE merge table — the trained
+    * artifact of [[qBpeTrainFull]] stored once per warehouse (the
+    * `ensureIvfBase` pattern): at 100 TB the trainer's wordcount is the
+    * expensive step, and before this it was paid twice per sweep (train
+    * + the prefix check). */
+  private def ensureBpeFullMerges(s: SparkSession, d: String): String = {
+    val tbl = graft.sources.Warehouse.tableName("graft_bpe_merges", d)
+    graft.sources.Warehouse.ensureVia(s, tbl) {
+      val types = Tables.documents(s, d)
+        .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(BpeMaxTrainTypes)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val merges = bpeTrainCollected(types, BpeFullMerges)
+      import s.implicits._
+      merges.toDF("rank", "left_sym", "right_sym", "cnt")
+        .coalesce(1).write.saveAsTable(tbl)
+    }
+    tbl
   }
 
   /** Driver-visible gate row for [[qBpeTrainFull]] (the kmeans-check
@@ -647,17 +662,7 @@ object TextOps {
     * this is hash-gated; ExtrasSpec additionally recomputes the whole
     * pipeline in-JVM (independent merge/apply code). */
   def qBpeApply(s: SparkSession, d: String): DataFrame = {
-    val types0 = Tables.documents(s, d)
-      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("freq"))
-      .cache() // read by the training loop and the apply pass
-    val merges = bpeTrainFrom(s, types0, BpeMerges)
-    var pieces = types0
-      .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("syms"))
-    for ((_, a, b, _) <- merges)
-      pieces = pieces.select(col("w"), mergePass("syms", a, b).as("syms"))
-    val wordPieces = pieces.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    val wordPieces = s.table(ensureBpePieces(s, d))
     Tables.documents(s, d)
       .select(col("source"), explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
       .join(broadcast(wordPieces), "w")
@@ -667,6 +672,31 @@ object TextOps {
         sum("n_sub").as("n_subtokens"))
       .withColumn("fertility_ppm", expr("n_subtokens * 1000000 div n_words"))
       .orderBy("source")
+  }
+
+  /** Build-once PERSISTED word→piece-count map under the [[BpeMerges]]
+    * trained rules: one distributed 8-round fit + merge application over
+    * the TYPE table (never the corpus), stored per warehouse so
+    * [[qBpeApply]]'s corpus pass is a single scan + broadcast join
+    * against the stored table — no per-query retrain. */
+  private def ensureBpePieces(s: SparkSession, d: String): String = {
+    val tbl = graft.sources.Warehouse.tableName("graft_bpe_pieces", d)
+    graft.sources.Warehouse.ensureVia(s, tbl) {
+      val types0 = Tables.documents(s, d)
+        .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"))
+        .cache() // read by the training loop and the apply pass
+      val merges = bpeTrainFrom(s, types0, BpeMerges)
+      var pieces = types0
+        .select(col("w"), expr("filter(split(w, ''), x -> x <> '')").as("syms"))
+      for ((_, a, b, _) <- merges)
+        pieces = pieces.select(col("w"), mergePass("syms", a, b).as("syms"))
+      pieces.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+        .write.saveAsTable(tbl)
+      types0.unpersist()
+    }
+    tbl
   }
 
   /** One DuckDB merge round r: argmax pair over the round-(r−1) type
@@ -917,6 +947,47 @@ object TextOps {
       types.indices.map(i => (types(i)._1, lastTypePieces(i))).toArray)
   }
 
+  /** Build-once PERSISTED unigram-LM model — the `ensureIvfBase` pattern
+    * applied to the trainer family: the EM fit is the expensive step (at
+    * 100 TB, the wordcount + seed build scan the corpus), so it runs
+    * exactly once per warehouse and lands as two tables — the final
+    * vocabulary (`rank, piece, cnt, is_char`) and the per-type
+    * segmentation map (`w, n_sub`). Train/fertility/check all probe the
+    * stored tables; before this, the EM loop was re-fit three times per
+    * gate sweep (train, fertility, train_check). */
+  private def ensureUnigramModel(s: SparkSession, d: String): (String, String) = {
+    val vocabTbl = graft.sources.Warehouse.tableName("graft_unigram_vocab", d)
+    val piecesTbl = graft.sources.Warehouse.tableName("graft_unigram_pieces", d)
+    // one fit feeds both tables; lazy so a fully-cached catalog skips it
+    lazy val res = {
+      val types = Tables.documents(s, d)
+        .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(BpeMaxTrainTypes)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val seed = qUnigramSeed(s, d).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      unigramTrainCollected(types, seed, UnigramTargetMulti)
+    }
+    import s.implicits._
+    graft.sources.Warehouse.ensureVia(s, vocabTbl) {
+      res.vocab.zipWithIndex
+        .map { case ((p, c), i) =>
+          (i + 1L, p, c, p.codePointCount(0, p.length) == 1)
+        }
+        .toDF("rank", "piece", "cnt", "is_char")
+        .coalesce(1).write.saveAsTable(vocabTbl)
+    }
+    graft.sources.Warehouse.ensureVia(s, piecesTbl) {
+      res.typePieces.toSeq.toDF("w", "n_sub")
+        .coalesce(1).write.saveAsTable(piecesTbl)
+    }
+    (vocabTbl, piecesTbl)
+  }
+
   /** Unigram-LM tokenizer training end to end — the OTHER tokenizer
     * family next to BPE ([[qBpeTrainFull]] is the architectural
     * template): the distributed work is the wordcount and the
@@ -928,26 +999,12 @@ object TextOps {
     * loop-carried (no SQL oracle at EM depth) → rows-only gate row; the
     * hash-gated companion is [[qUnigramTrainCheck]]. Output: the final
     * vocabulary (rank, piece, cnt, is_char) with exact integer Viterbi
-    * counts from the last EM round. */
+    * counts from the last EM round, read from the
+    * [[ensureUnigramModel]]-persisted table (the fit is paid once per
+    * warehouse, not per query). */
   def qUnigramTrain(s: SparkSession, d: String): DataFrame = {
-    val types = Tables.documents(s, d)
-      .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(BpeMaxTrainTypes)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val seed = qUnigramSeed(s, d).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val out = unigramTrainCollected(types, seed, UnigramTargetMulti)
-    import s.implicits._
-    out.vocab.zipWithIndex
-      .map { case ((p, c), i) =>
-        (i + 1L, p, c, p.codePointCount(0, p.length) == 1)
-      }
-      .toDF("rank", "piece", "cnt", "is_char")
-      .orderBy("rank")
+    val (vocabTbl, _) = ensureUnigramModel(s, d)
+    s.table(vocabTbl).orderBy("rank")
   }
 
   /** Per-source subword FERTILITY under the trained unigram-LM vocabulary
@@ -966,19 +1023,8 @@ object TextOps {
     * sandwich). */
   def qUnigramFertility(s: SparkSession, d: String): DataFrame = {
     import graft.functions.NativeExprs.tokens
-    val types = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w"))
-      .limit(BpeMaxTrainTypes)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val seed = qUnigramSeed(s, d).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val res = unigramTrainCollected(types, seed, UnigramTargetMulti)
-    import s.implicits._
-    val wordPieces = res.typePieces.toSeq.toDF("w", "n_sub")
+    val (_, piecesTbl) = ensureUnigramModel(s, d)
+    val wordPieces = s.table(piecesTbl)
     Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .join(broadcast(wordPieces), Seq("w"), "left")

@@ -85,10 +85,18 @@ object ClusterProbe {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
-  /** Run the slice in a fresh session on `master`; returns
-    * name → sorted stringified rows. Stops the session before returning
-    * so the two runs never coexist in one JVM. */
-  def runSlice(master: String, sfDir: String, warehouse: String): Map[String, Seq[String]] = {
+  /** Run the probe slice in a fresh session on `master`. */
+  def runSlice(master: String, sfDir: String, warehouse: String): Map[String, Seq[String]] =
+    runQueries(master, sfDir, warehouse, slice)
+
+  /** Run `names` in one fresh session on `master`; returns
+    * name → sorted stringified rows (a query that throws maps to a
+    * single `!ERROR:` row so the compare reports it instead of dying).
+    * Stops the session before returning so two runs never coexist in
+    * one JVM. Shared by the per-`sbt test` probe (13-query slice) and
+    * [[ClusterSweep]] (the FULL gate, once per round). */
+  def runQueries(master: String, sfDir: String, warehouse: String,
+      names: Seq[String]): Map[String, Seq[String]] = {
     val b = SparkSession.builder()
       .master(master)
       .appName("graft-cluster-probe")
@@ -98,6 +106,9 @@ object ClusterProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", warehouse)
       .config(Tables.NanosAsLong, "true")
+      // static conf: a 255-query sweep session blows the default
+      // 100-entry generated-class cache (see Verify/Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.executor.memory", "1g")
       .config("spark.executor.extraJavaOptions", addOpens)
       // executor JVMs are forked by the worker with only the
@@ -109,9 +120,16 @@ object ClusterProbe {
     try {
       spark.sparkContext.setLogLevel("ERROR")
       graft.functions.GraftFunctions.installOptimizations(spark)
-      slice.map { name =>
-        val rows = SparkEntry.queries(name)(spark, sfDir)
-          .collect().map(_.toString).sorted.toSeq
+      names.map { name =>
+        val rows =
+          try SparkEntry.queries(name)(spark, sfDir)
+            .collect().map(_.toString).sorted.toSeq
+          catch { case e: Throwable =>
+            Seq(s"!ERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        // drop query-marked caches (Dedup shingle/doc frames) so they
+        // can't accumulate across a 255-query sweep session
+        spark.catalog.clearCache()
         name -> rows
       }.toMap
     } finally {

@@ -903,4 +903,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("LeftSemi|LeftAnti".r.findFirstIn(pf).nonEmpty,
       s"cascade not semi/anti-join shaped:\n$pf")
   }
+
+  test("trained tokenizer artifacts persist — train reads the stored table, no refit") {
+    // the trainer-family ensureIvfBase pattern as a plan property: after
+    // the first fit, the train cards are pure stored-table reads — a
+    // documents scan in their plan means the fit is being re-paid per
+    // query (at 100 TB the wordcount is the expensive step)
+    TextOps.qUnigramTrain(spark, sfDir).collect() // first call fits + stores
+    val pu = plan(TextOps.qUnigramTrain(spark, sfDir))
+    assert(pu.contains("graft_unigram_vocab"), s"stored vocab not in plan:\n$pu")
+    assert(!pu.contains("documents.parquet"), s"unigram train re-fits per query:\n$pu")
+    TextOps.qBpeTrainFull(spark, sfDir).collect()
+    val pb = plan(TextOps.qBpeTrainFull(spark, sfDir))
+    assert(pb.contains("graft_bpe_merges"), s"stored merges not in plan:\n$pb")
+    assert(!pb.contains("documents.parquet"), s"BPE full train re-fits per query:\n$pb")
+  }
+
+  test("tokenizer fertility/apply probe the STORED piece maps — one corpus scan each") {
+    // apply-side cards: exactly ONE documents scan (the token stream);
+    // the word→pieces map must arrive broadcast from the stored table,
+    // never re-derived (a refit would add wordcount/seed scans here)
+    TextOps.qUnigramTrain(spark, sfDir).collect() // ensure the model exists
+    for ((name, df, tbl) <- Seq(
+        ("unigram fertility", TextOps.qUnigramFertility(spark, sfDir), "graft_unigram_pieces"),
+        ("bpe apply", TextOps.qBpeApply(spark, sfDir), "graft_bpe_pieces"))) {
+      val p = plan(df)
+      assert(p.contains(tbl), s"$name: stored piece map not in plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name: piece map not broadcast:\n$p")
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      assert(docScans === 1, s"$name: expected 1 documents scan, got $docScans:\n$p")
+    }
+  }
 }
