@@ -28,52 +28,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * — the capacity regime (distinct ≤ k throughout) stays EXACT, which
   * is what the batch-agreement spec pins.
   *
-  * Replay safety: the same VERSIONED-SNAPSHOT recipe as
-  * [[MvMaintainSink]] — an MG merge is NOT idempotent (re-merging a
-  * batch's summary into a state that already contains it would
-  * double-count and break the underestimate-only invariant), so the
-  * marker-skip alone is insufficient: batch `b` writes its merged
-  * summary to `<table>_v<b>` computed from the COMMITTED version, the
-  * marker advances only after the version is written, and reads resolve
-  * the version named by the marker. A crash between the two writes
-  * followed by an at-least-once replay of batch `b` therefore
-  * recomputes `v<b>` from the same committed base — an idempotent
-  * overwrite of identical content, never a double-merge.
+  * Replay safety: the shared [[VersionedTable]] snapshot-commit protocol
+  * — an MG merge is NOT idempotent (re-merging a batch's summary into a
+  * state that already contains it would double-count and break the
+  * underestimate-only invariant), so the marker-skip alone is
+  * insufficient; see the module doc for the crash-window argument.
   */
 object TrendingTerms {
-
-  private def commits(table: String) = table + "_commits"
-  private def versionName(table: String, v: Long) = table + "_v" + v
-
-  private def committedBatch(s: SparkSession, table: String): Long = {
-    val t = commits(table)
-    if (!s.catalog.tableExists(t)) -1L
-    else {
-      s.catalog.refreshTable(t)
-      val r = s.table(t).agg(max("batch_id")).collect().head
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
-  }
 
   /** Current COMMITTED summary (term → est), empty when no batch has
     * committed — reads the snapshot version named by the marker, never
     * a live table a crashed attempt may have half-advanced. */
-  private[streaming] def storedSummary(s: SparkSession, table: String): Map[String, Long] = {
-    val c = committedBatch(s, table)
-    if (c < 0L) Map.empty
-    else {
-      val v = versionName(table, c)
-      s.catalog.refreshTable(v)
-      s.table(v).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-  }
+  private[streaming] def storedSummary(s: SparkSession, table: String): Map[String, Long] =
+    VersionedTable.current(s, table)
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
 
-  /** Step 1 of the commit protocol: compute the merged summary from the
-    * COMMITTED base and write it as version `v<batchId>` — no marker, no
-    * retire. Public to the spec so the crash window between the version
-    * write and the marker append is directly exercisable. */
-  private[streaming] def writeVersion(
-      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit = {
+  /** The merged ≤ k-row summary as a frame: per-batch MG summary (the
+    * aggregate, O(k) per partition pre-shuffle) merged driver-side into
+    * the committed state with the same mergeability operation — a pure
+    * function of (committed base, batch), as the commit protocol
+    * requires. */
+  private def mergedFrame(
+      s: SparkSession, table: String, batch: DataFrame, k: Int): DataFrame = {
     val mg = udaf(new graft.functions.MisraGriesAgg(k))
     val batchSummary = batch
       .agg(mg(col("term")).as("sk"))
@@ -86,34 +63,24 @@ object TrendingTerms {
         "term", org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField(
         "est", org.apache.spark.sql.types.LongType, nullable = false)))
-    val vName = versionName(table, batchId)
-    // a crashed earlier attempt may have left this version (no marker):
-    // same committed base + same batch rows = identical content, so a
-    // plain overwrite is the idempotent thing
-    s.sql(s"DROP TABLE IF EXISTS $vName")
-    graft.sources.Warehouse.ensureVia(s, vName) {
-      s.createDataFrame(rows, schema)
-        .write.mode(SaveMode.Overwrite).saveAsTable(vName)
-    }
+    s.createDataFrame(rows, schema)
   }
+
+  /** Step 1 of the commit protocol only — public to the spec so the
+    * crash window between the version write and the marker append is
+    * directly exercisable. */
+  private[streaming] def writeVersion(
+      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit =
+    VersionedTable.writeVersion(s, table, batchId, mergedFrame(s, table, batch, k))
 
   /** Merge ONE micro-batch of (term) rows into the stored summary.
     * Public to the spec so replay behavior, the crash window, and the
     * merge arithmetic are testable without a crash harness. */
   private[streaming] def applyBatch(
-      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit = {
-    val committed = committedBatch(s, table)
-    if (batchId <= committed) return // at-least-once replay, already committed
-    writeVersion(s, table, batch, batchId, k)
-    s.createDataFrame(
-      java.util.List.of(Row(batchId)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "batch_id", org.apache.spark.sql.types.LongType))))
-      .write.mode(SaveMode.Append).saveAsTable(commits(table))
-    // retire the superseded snapshot (retention window in production)
-    if (committed >= 0L) s.sql(s"DROP TABLE IF EXISTS ${versionName(table, committed)}")
-  }
+      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit =
+    VersionedTable.applyBatch(s, table, batchId) { _ =>
+      mergedFrame(s, table, batch, k)
+    }
 
   /** Start the stream: `terms` rows (one `term` column) maintain `table`
     * as the ≤ k-row global summary. */

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** VERSIONED-SNAPSHOT table commits on plain parquet — the mechanism
+  * Delta/Iceberg provide natively, re-derived once and shared by every
+  * non-idempotent streaming sink in the repo ([[MvMaintainSink]]'s
+  * additive MV partials, [[TrendingTerms]]' Misra–Gries merge,
+  * [[CorpusBuildSink]]'s manifest). The protocol:
+  *
+  *   - batch `b` writes the new state as table `<table>_v<b>`, computed
+  *     from the COMMITTED version (never in place);
+  *   - the commit marker (`<table>_commits`, an append-only batch-id
+  *     log) advances to `b` only AFTER `v<b>` is fully written;
+  *   - readers resolve the version the marker names — a crashed attempt
+  *     that wrote `v<b>` but no marker is invisible;
+  *   - an at-least-once replay of batch `b` recomputes `v<b>` from the
+  *     same committed base and the same batch rows — an idempotent
+  *     overwrite of identical content, whether or not the marker had
+  *     advanced (this is what marker-skip alone cannot give a
+  *     non-idempotent merge: the write-then-crash window would
+  *     double-apply);
+  *   - the superseded version is retired after the marker advances
+  *     (production keeps a retention window for time travel; the
+  *     mechanics are the same DROP).
+  *
+  * Scale: per-commit cost is the merged state's size (key cardinality /
+  * sketch size / manifest rows — never the corpus) plus two metadata
+  * writes; the marker read is an O(committed-batches) max over an
+  * append-only single-column table.
+  */
+object VersionedTable {
+
+  private def markerTable(table: String) = table + "_commits"
+  private[streaming] def versionName(table: String, v: Long) = table + "_v" + v
+
+  /** Highest committed snapshot's batch id (-1 when none). */
+  private[streaming] def committedBatch(s: SparkSession, table: String): Long = {
+    val t = markerTable(table)
+    if (!s.catalog.tableExists(t)) -1L
+    else {
+      s.catalog.refreshTable(t)
+      val r = s.table(t).agg(max("batch_id")).collect().head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+  }
+
+  /** The current COMMITTED snapshot — the version the marker names,
+    * never a live table a crashed attempt may have half-advanced.
+    * None when no batch has committed. */
+  private[streaming] def current(s: SparkSession, table: String): Option[DataFrame] = {
+    val c = committedBatch(s, table)
+    if (c < 0L) None
+    else {
+      val v = versionName(table, c)
+      s.catalog.refreshTable(v)
+      Some(s.table(v))
+    }
+  }
+
+  /** Step 1 of the commit protocol: write `content` as version
+    * `v<batchId>` — no marker, no retire. Public to the specs so the
+    * crash window between the version write and the marker append is
+    * directly exercisable. A crashed earlier attempt may have left this
+    * version (no marker): same committed base + same batch rows =
+    * identical content, so drop-and-rewrite is the idempotent thing. */
+  private[streaming] def writeVersion(
+      s: SparkSession, table: String, batchId: Long, content: DataFrame): Unit = {
+    val vName = versionName(table, batchId)
+    s.sql(s"DROP TABLE IF EXISTS $vName")
+    graft.sources.Warehouse.ensureVia(s, vName) {
+      content.write.mode(SaveMode.Overwrite).saveAsTable(vName)
+    }
+  }
+
+  /** The full protocol for one micro-batch: skip an already-committed
+    * replay, write version `v<batchId>` = `merge(committed state)`,
+    * advance the marker, retire the superseded version. `merge` must be
+    * a pure function of the committed base and the batch (so a replayed
+    * crash recomputes identical content). Returns false when the batch
+    * was an already-committed replay (skipped). */
+  private[streaming] def applyBatch(s: SparkSession, table: String, batchId: Long)(
+      merge: Option[DataFrame] => DataFrame): Boolean = {
+    val committed = committedBatch(s, table)
+    if (batchId <= committed) return false // at-least-once replay, committed
+    writeVersion(s, table, batchId, merge(current(s, table)))
+    s.createDataFrame(
+      java.util.List.of(Row(batchId)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "batch_id", org.apache.spark.sql.types.LongType))))
+      .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
+    if (committed >= 0L) s.sql(s"DROP TABLE IF EXISTS ${versionName(table, committed)}")
+    true
+  }
+}

@@ -48,13 +48,16 @@ object ClusterSweep {
     var failed = 0
     for (name <- names) {
       val (c, l) = (cluster(name), local(name))
-      if (c == l && c.nonEmpty && !c.head.startsWith("!ERROR")) ()
-      else {
+      if (c != l || c.exists(_.startsWith("!ERROR"))) {
         failed += 1
         println(s"[sweep] $name MISMATCH cluster=${c.size} local=${l.size}")
         (c.toSet -- l.toSet).take(3).foreach(r => println(s"[sweep]   only-cluster: $r"))
         (l.toSet -- c.toSet).take(3).foreach(r => println(s"[sweep]   only-local:   $r"))
-      }
+      } else if (c.isEmpty)
+        // equal AND empty = agreement, not divergence — some gate rows
+        // are legitimately empty at tiny SF (q11's value threshold);
+        // surface it so a degenerate slice can't hide behind 0 == 0
+        println(s"[sweep] $name OK but EMPTY at this SF (both legs 0 rows)")
     }
     println(s"[sweep] ${names.size - failed}/${names.size} queries identical across JVM boundaries")
     if (failed > 0) sys.exit(1)
