@@ -818,7 +818,7 @@ object Maintenance {
     * only counts — then argmax over the key histogram (map-side partial
     * max of a struct, one row out). Nothing wider than (key, count)
     * shuffles; output is one row per audited column. */
-  private[operators] def skewAuditOf(obs: DataFrame): DataFrame =
+  private[graft] def skewAuditOf(obs: DataFrame): DataFrame =
     obs
       .groupBy("tbl_col", "k")
       .agg(count(lit(1)).as("c"))

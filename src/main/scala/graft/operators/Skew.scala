@@ -55,6 +55,36 @@ object Skew {
     * skew-join split (demonstrated in PlanShapeSpec) can't apply — e.g. a
     * skewed aggregate feeding the join in the same stage. Cost: right side
     * ×salt (keep salt modest, 8–32). */
+  /** Audit-DRIVEN automatic skew defense — closes the loop between the
+    * detector ([[Maintenance.skewAuditOf]] / q_skew_audit, which flags
+    * `salt_advised` when one key carries >1% of a table) and the manual
+    * fallback ([[saltedJoin]], measured 8× over unmitigated SMJ and 5×
+    * over AQE's split at 40M rows — tools/SkewAb): consult the audit row
+    * for `auditLabel` (the left side's `tbl_col` entry) and emit the
+    * salted plan ONLY when the audit advises it; an unflagged key gets
+    * the plain equi-join so Catalyst/AQE keep full freedom (broadcast,
+    * SMJ reorder, runtime split). The audit read is a bounded driver
+    * pull: one row per audited column, filtered to one label.
+    *
+    * Operational shape at 100 TB: the audit is the nightly health check
+    * (one combiner-backed count per key column — far cheaper than the
+    * join it protects); pipelines consult the stored audit table instead
+    * of recomputing it per query. */
+  def autoSalt(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      audit: DataFrame,
+      auditLabel: String,
+      salt: Int = 8): DataFrame = {
+    val advised = audit
+      .filter(col("tbl_col") === auditLabel && col("salt_advised") === 1L)
+      .limit(1).count() > 0L
+    if (advised) saltedJoin(left, right, leftKey, rightKey, salt)
+    else left.join(right, leftKey === rightKey)
+  }
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,

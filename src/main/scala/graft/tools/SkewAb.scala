@@ -70,11 +70,13 @@ object SkewAb {
     sB.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
     val (lB, rB) = planted(sB)
     time3("AQE skew-split") { lB.join(rB, "k").count() }
-    // confirm the split actually fired — count() executes the query (AQE
-    // finalizes the adaptive plan on any action; collect() here would pull
-    // ~all input rows onto the driver just to read the plan)
+    // confirm the split actually fired — execute THIS frame's OWN
+    // QueryExecution (count() would plan a separate aggregate and leave
+    // jB's adaptive plan non-final; collect() would pull ~all join rows
+    // onto the driver just to read the plan). toRdd.count() runs the
+    // physical plan to completion with rows staying on the executors.
     val jB = lB.join(rB, "k")
-    jB.count()
+    jB.queryExecution.toRdd.count()
     val pB = jB.queryExecution.executedPlan.toString
     println(s"[skew-ab] AQE plan skew=true: ${pB.contains("skew=true")}")
 
@@ -85,6 +87,19 @@ object SkewAb {
     val (lC, rC) = planted(sC)
     time3("Skew.saltedJoin (salt=8)") {
       graft.operators.Skew.saltedJoin(lC, rC, lC("k"), rC("k"), 8).count()
+    }
+
+    // d) audit-driven: Skew.autoSalt consulting a materialized audit of
+    // the planted table — must land in the salted class (c), not (a)
+    val sD = spark.newSession()
+    sD.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sD.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (lD, rD) = planted(sD)
+    val audit = graft.operators.Maintenance
+      .skewAuditOf(lD.select(lit("planted.hot").as("tbl_col"), col("k")))
+      .localCheckpoint()
+    time3("Skew.autoSalt (audit-driven)") {
+      graft.operators.Skew.autoSalt(lD, rD, lD("k"), rD("k"), audit, "planted.hot").count()
     }
 
     spark.stop()

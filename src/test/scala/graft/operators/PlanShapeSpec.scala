@@ -450,6 +450,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(audit("planted.uniform") === 0L, "audit false-fired on a uniform key")
   }
 
+  test("autoSalt salts exactly the audit-flagged join and leaves unflagged joins untouched") {
+    // the audit→defense loop CLOSED: Skew.autoSalt consults the audit
+    // table and rewrites only the flagged join. Same planted shapes as
+    // the audit test; the A/B timing (auto == manual salted class, 8×
+    // over unmitigated) is tools/SkewAb leg d, numbers in NOTES_BUILD.md.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val hot = s2.range(200000).select(
+      when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val uniform = s2.range(200000).select((col("id") % 997).as("k"), col("id").as("payload"))
+    val dim = s2.range(1000).select(col("id").as("rk"), col("id").as("r"))
+    val audit = Maintenance.skewAuditOf(
+      hot.select(lit("planted.hot").as("tbl_col"), col("k"))
+        .unionByName(uniform.select(lit("planted.uniform").as("tbl_col"), col("k"))))
+      .localCheckpoint() // consult a materialized audit, like the stored nightly table
+    val salted = graft.operators.Skew.autoSalt(
+      hot, dim, hot("k"), dim("rk"), audit, "planted.hot")
+    val ps = salted.queryExecution.optimizedPlan.toString
+    assert(ps.contains("__graft_salt"), s"flagged key did not get the salted plan:\n$ps")
+    val plain = graft.operators.Skew.autoSalt(
+      uniform, dim, uniform("k"), dim("rk"), audit, "planted.uniform")
+    val pp = plain.queryExecution.optimizedPlan.toString
+    assert(!pp.contains("__graft_salt"), s"unflagged join was salted:\n$pp")
+    // multiset identity: the rewrite must not change join semantics
+    assert(salted.count() === hot.join(dim, hot("k") === dim("rk")).count())
+  }
+
   test("pagerank's per-iteration join splits a hub-skewed partition under AQE") {
     // the open-vocabulary hazard: a stopword hub concentrates one join key.
     // Drive the EXACT production iteration shape (TextOps.prStep) on a
