@@ -1022,10 +1022,18 @@ object TextOps {
     * character mass, and the n_words ≤ n_subtokens ≤ char_mass
     * sandwich). */
   def qUnigramFertility(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.NativeExprs.tokens
     val (_, piecesTbl) = ensureUnigramModel(s, d)
-    val wordPieces = s.table(piecesTbl)
-    Tables.documents(s, d)
+    fertilityOf(Tables.documents(s, d), s.table(piecesTbl))
+  }
+
+  /** The fertility aggregation seam — (source, text) docs scored against
+    * a (w, n_sub) piece map. Factored out so the character-coverage
+    * fallback is directly testable (the gate's tiny vocabulary never
+    * exceeds the 64k trainer cap, so the fallback branch would otherwise
+    * only ever run at corpus scales the suite can't reach). */
+  private[operators] def fertilityOf(docs: DataFrame, wordPieces: DataFrame): DataFrame = {
+    import graft.functions.NativeExprs.tokens
+    docs
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .join(broadcast(wordPieces), Seq("w"), "left")
       // untrained (beyond-cap) words segment to single characters —

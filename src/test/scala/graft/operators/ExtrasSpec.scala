@@ -1360,6 +1360,21 @@ class ExtrasSpec extends SparkSpec {
       (0L until 40L).toSet -- Set(1L, 5L) -- cell2.toSet)
   }
 
+  test("fertility falls back to character-level pieces for words missing from the piece map") {
+    // the beyond-64k-cap regime, planted: the trained map covers only
+    // "aa"; "bb" (2 chars) and "ccc" (3 chars) must contribute their
+    // code-point counts — the SentencePiece coverage fallback — so the
+    // card covers the same word set the DuckDB companion counts
+    import spark.implicits._
+    val docs = Seq(("s1", "aa bb ccc"), ("s2", "aa aa")).toDF("source", "text")
+    val pieces = Seq(("aa", 1L)).toDF("w", "n_sub")
+    val got = TextOps.fertilityOf(docs, pieces).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // s1: 3 words, subtokens 1 (aa) + 2 (bb fallback) + 3 (ccc fallback) = 6, chars 7
+    // s2: 2 words, subtokens 1 + 1 = 2, chars 4
+    assert(got === Seq(("s1", 3L, 6L, 7L), ("s2", 2L, 2L, 4L)))
+  }
+
   test("unigram-LM trainer matches hand-computed EM/prune on a planted vocabulary") {
     // types: abab×10, ab×5. Seed substrings (occurrence-weighted):
     // a=25, b=25, ab=25, ba=10, aba=10, bab=10, abab=10. Round 1
