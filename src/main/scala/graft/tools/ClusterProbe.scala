@@ -38,7 +38,10 @@ import graft.{SparkEntry, Tables}
   *     written by executors, read back across the boundary);
   *   - `q_dedup_clusters` — the CC fixpoint (localCheckpoint blocks live
   *     on executors, multi-round job scheduling);
-  *   - `q_source_kv` — the DSv2 reader's partition planning/serde.
+  *   - `q_source_kv` — the DSv2 reader's partition planning/serde;
+  *   - `q_unigram_fertility` — the persisted-tokenizer path (bounded
+  *     driver fit collect → warehouse store → stored-table broadcast
+  *     against a corpus scan).
   *
   * Run with `SPARK_HOME=/opt/spark` (the worker forks executor JVMs via
   * the distribution's launcher; sbt's forked-test/run JVMs inherit the
@@ -71,7 +74,10 @@ object ClusterProbe {
     "q_source_kv",
     // the corpus-build WRITE path: staged-commit DSv2 sink, the explicit
     // shard Partitioner, and observe metrics — all crossing the boundary
-    "q_corpus_build")
+    "q_corpus_build",
+    // the persisted-tokenizer path: bounded driver collect of the fit,
+    // warehouse store, then stored-table broadcast against a corpus scan
+    "q_unigram_fertility")
 
   // JDK17 module opens executors need when not launched via spark-submit
   // (mirrors build.sbt's jdk17AddOpens / JavaModuleOptions.defaultModuleOptions)
