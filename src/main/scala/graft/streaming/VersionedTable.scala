@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *     advanced (this is what marker-skip alone cannot give a
   *     non-idempotent merge: the write-then-crash window would
   *     double-apply);
-  *   - the superseded version is retired after the marker advances
-  *     (production keeps a retention window for time travel; the
-  *     mechanics are the same DROP).
+  *   - versions beyond the retention window (`retain`, default 1) are
+  *     retired after the marker advances; retained ones are readable
+  *     via [[versionAt]] — Delta/Iceberg-style time travel, with
+  *     storage bounded at `retain` snapshots and the marker log kept
+  *     whole as the audit trail.
   *
   * Scale: per-commit cost is the merged state's size (key cardinality /
   * sketch size / manifest rows — never the corpus) plus two metadata
@@ -74,14 +76,49 @@ object VersionedTable {
     }
   }
 
+  /** All committed batch ids, ascending (empty when none) — the marker
+    * log read whole; bounded by commits retained, itself bounded by the
+    * retention policy plus one row per historical commit marker. */
+  private[streaming] def committedBatches(s: SparkSession, table: String): Seq[Long] = {
+    val t = markerTable(table)
+    if (!s.catalog.tableExists(t)) Seq.empty
+    else {
+      s.catalog.refreshTable(t)
+      s.table(t).collect().map(_.getLong(0)).sorted.toSeq
+    }
+  }
+
+  /** TIME TRAVEL: the snapshot as of committed batch `batchId` — None if
+    * that version was never committed or has been retired past the
+    * retention window. The read is marker-gated, so a crashed attempt's
+    * orphan version (written, never committed) is not readable. */
+  def versionAt(s: SparkSession, table: String, batchId: Long): Option[DataFrame] =
+    if (!committedBatches(s, table).contains(batchId)) None
+    else {
+      val v = versionName(table, batchId)
+      if (!s.catalog.tableExists(v)) None
+      else {
+        s.catalog.refreshTable(v)
+        Some(s.table(v))
+      }
+    }
+
   /** The full protocol for one micro-batch: skip an already-committed
     * replay, write version `v<batchId>` = `merge(committed state)`,
-    * advance the marker, retire the superseded version. `merge` must be
-    * a pure function of the committed base and the batch (so a replayed
-    * crash recomputes identical content). Returns false when the batch
-    * was an already-committed replay (skipped). */
-  private[streaming] def applyBatch(s: SparkSession, table: String, batchId: Long)(
+    * advance the marker, retire versions beyond the retention window.
+    * `merge` must be a pure function of the committed base and the batch
+    * (so a replayed crash recomputes identical content). `retain` is the
+    * number of COMMITTED versions kept on disk (≥1; default 1 = current
+    * only) — the Delta/Iceberg-style time-travel window: [[versionAt]]
+    * reads any retained version, and retiring only past the window keeps
+    * per-commit storage bounded at `retain` snapshots. Retired versions
+    * keep their marker rows (history stays auditable; only the data is
+    * reclaimed). Returns false when the batch was an already-committed
+    * replay (skipped). */
+  private[streaming] def applyBatch(
+      s: SparkSession, table: String, batchId: Long, retain: Int = 1)(
       merge: Option[DataFrame] => DataFrame): Boolean = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val committed = committedBatch(s, table)
     if (batchId <= committed) return false // at-least-once replay, committed
     writeVersion(s, table, batchId, merge(current(s, table)))
@@ -91,7 +128,9 @@ object VersionedTable {
         org.apache.spark.sql.types.StructField(
           "batch_id", org.apache.spark.sql.types.LongType))))
       .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
-    if (committed >= 0L) s.sql(s"DROP TABLE IF EXISTS ${versionName(table, committed)}")
+    // retire everything older than the newest `retain` committed versions
+    for (old <- committedBatches(s, table).dropRight(retain))
+      s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
     true
   }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The shared snapshot-commit module's retention/time-travel contract:
+  * `retain` bounds on-disk snapshots, [[VersionedTable.versionAt]] reads
+  * any retained version and refuses retired or uncommitted ones, and the
+  * marker log keeps the full commit history. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTables(name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    for (t <- Seq(name, name + "_commits") ++ (0 to 10).map(name + "_v" + _)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists) rm(dir)
+    }
+  }
+
+  test("retention window: retain=2 keeps two readable versions, retires older, markers stay") {
+    val table = "graft_vt_retention_spec"
+    freshTables(table)
+    // running-total state: version v<b> = committed total + batch value
+    def commit(b: Long, v: Long): Boolean =
+      VersionedTable.applyBatch(spark, table, b, retain = 2) { base =>
+        val prev = base.map(_.collect().head.getLong(0)).getOrElse(0L)
+        Seq(prev + v).toDF("total").localCheckpoint()
+      }
+    assert(commit(0L, 10L) && commit(1L, 5L) && commit(2L, 7L))
+
+    def read(b: Long): Option[Long] =
+      VersionedTable.versionAt(spark, table, b).map(_.collect().head.getLong(0))
+    // current == newest; both retained versions time-travel correctly
+    assert(VersionedTable.current(spark, table).get.collect().head.getLong(0) === 22L)
+    assert(read(2L) === Some(22L))
+    assert(read(1L) === Some(15L))
+    // v0 is past the window: data retired, read refused
+    assert(read(0L) === None)
+    assert(!spark.catalog.tableExists(table + "_v0"), "retired version's data not reclaimed")
+    // the marker log keeps ALL commits — history stays auditable
+    assert(VersionedTable.committedBatches(spark, table) === Seq(0L, 1L, 2L))
+
+    // an orphan version (written, never committed — the crash window) is
+    // not readable: versionAt is marker-gated
+    VersionedTable.writeVersion(spark, table, 9L, Seq(999L).toDF("total"))
+    assert(read(9L) === None, "uncommitted orphan version was readable")
+
+    // replay of a committed id is a no-op and does not disturb retention
+    assert(!commit(2L, 1000L))
+    assert(read(2L) === Some(22L) && read(1L) === Some(15L))
+  }
+}
