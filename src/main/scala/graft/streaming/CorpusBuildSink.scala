@@ -67,7 +67,8 @@ object CorpusBuildSink {
       table: String,
       checkpoint: String,
       maxFilesPerTrigger: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      retain: Int = 1): StreamingQuery =
     s.readStream.format("graft-kv")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(corpusDir)
@@ -75,7 +76,7 @@ object CorpusBuildSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyManifestBatch(batch.sparkSession, table, docMeta, batch, batchId)
+        applyManifestBatch(batch.sparkSession, table, docMeta, batch, batchId, retain)
       }
       .start()
 
@@ -85,8 +86,8 @@ object CorpusBuildSink {
     * committed snapshot. Public to the spec. */
   private[streaming] def applyManifestBatch(
       s: SparkSession, table: String, docMeta: DataFrame,
-      batch: DataFrame, batchId: Long): Unit =
-    VersionedTable.applyBatch(s, table, batchId) { base =>
+      batch: DataFrame, batchId: Long, retain: Int = 1): Unit =
+    VersionedTable.applyBatch(s, table, batchId, retain) { base =>
       val delta = batch
         .select(
           col("key").cast("long").as("doc_id"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -50,8 +50,9 @@ object MvMaintainSink {
   /** Apply ONE micro-batch as a versioned snapshot commit. Public to the
     * spec so replay and crash-window behavior are directly testable. */
   private[streaming] def applyBatch(
-      s: SparkSession, table: String, batch: DataFrame, batchId: Long): Unit =
-    VersionedTable.applyBatch(s, table, batchId) { base =>
+      s: SparkSession, table: String, batch: DataFrame, batchId: Long,
+      retain: Int = 1): Unit =
+    VersionedTable.applyBatch(s, table, batchId, retain) { base =>
       val delta = partials(batch)
       val merged = base match {
         case None => delta
@@ -66,18 +67,21 @@ object MvMaintainSink {
     }
 
   /** Start the maintenance stream over enriched fact rows
-    * (n_name, o_year, l_extendedprice, l_discount). */
+    * (n_name, o_year, l_extendedprice, l_discount). `retain` is the
+    * time-travel window: how many committed snapshots stay readable via
+    * [[VersionedTable.versionAt]] (default 1 = current only). */
   def maintainStream(
       facts: DataFrame,
       table: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)): StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      retain: Int = 1): StreamingQuery =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, table, batch, batchId)
+        applyBatch(batch.sparkSession, table, batch, batchId, retain)
       }
       .start()
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.MisraGries
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -77,22 +77,26 @@ object TrendingTerms {
     * Public to the spec so replay behavior, the crash window, and the
     * merge arithmetic are testable without a crash harness. */
   private[streaming] def applyBatch(
-      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit =
-    VersionedTable.applyBatch(s, table, batchId) { _ =>
+      s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int,
+      retain: Int = 1): Unit =
+    VersionedTable.applyBatch(s, table, batchId, retain) { _ =>
       mergedFrame(s, table, batch, k)
     }
 
   /** Start the stream: `terms` rows (one `term` column) maintain `table`
-    * as the ≤ k-row global summary. */
+    * as the ≤ k-row global summary. `retain` is the time-travel window
+    * (committed snapshots kept readable via
+    * [[VersionedTable.versionAt]]; default 1 = current only). */
   def trendingStream(
       terms: DataFrame,
       table: String,
       checkpoint: String,
-      k: Int): StreamingQuery =
+      k: Int,
+      retain: Int = 1): StreamingQuery =
     terms.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, table, batch, batchId, k)
+        applyBatch(batch.sparkSession, table, batch, batchId, k, retain)
       }
       .start()
 }

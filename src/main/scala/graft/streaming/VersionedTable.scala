@@ -128,8 +128,12 @@ object VersionedTable {
         org.apache.spark.sql.types.StructField(
           "batch_id", org.apache.spark.sql.types.LongType))))
       .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
-    // retire everything older than the newest `retain` committed versions
-    for (old <- committedBatches(s, table).dropRight(retain))
+    // retire versions beyond the window — guarded on catalog existence so
+    // a long-lived stream pays O(retain) drops per commit, not O(history)
+    // no-op DROP statements over the (deliberately kept) marker log; the
+    // existence check is an in-memory catalog lookup, no SQL round-trip
+    for (old <- committedBatches(s, table).dropRight(retain)
+        if s.catalog.tableExists(versionName(table, old)))
       s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
     true
   }

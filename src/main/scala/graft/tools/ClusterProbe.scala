@@ -204,17 +204,21 @@ object ClusterProbe {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
-    // standalone-run ergonomics: default the round-trip sink to this
-    // run's temp dir when the caller didn't point it at shared storage
-    // (local-cluster workers are same-machine processes, so it IS shared)
+  /** Standalone-run ergonomics, shared with [[ClusterSweep]]: default
+    * the round-trip sink to this run's temp dir when the caller didn't
+    * point it at shared storage (local-cluster workers are same-machine
+    * processes, so a temp dir IS shared). */
+  private[tools] def defaultRoundtripDir(base: String, tag: String): Unit =
     if (sys.env.get("GRAFT_ROUNDTRIP_DIR").isEmpty &&
         sys.props.get("graft.roundtrip.dir").isEmpty) {
       sys.props("graft.roundtrip.dir") = s"$base/roundtrip"
-      println(s"[probe] GRAFT_ROUNDTRIP_DIR unset — defaulting sink to $base/roundtrip")
+      println(s"[$tag] GRAFT_ROUNDTRIP_DIR unset — defaulting sink to $base/roundtrip")
     }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-probe-").toString
+    defaultRoundtripDir(base, "probe")
     println(s"[probe] slice=${slice.size} queries sf=$sfDir")
     val t0 = System.nanoTime()
     val cluster = runSlice("local-cluster[2,4,1536]", sfDir, s"$base/wh-cluster")
@@ -225,7 +229,10 @@ object ClusterProbe {
     var failed = 0
     for (name <- slice) {
       val (c, l) = (cluster(name), local(name))
-      if (c == l && c.nonEmpty) println(s"[probe] $name OK (${c.size} rows)")
+      // a query that throws maps to a !ERROR row (runQueries) — two legs
+      // failing IDENTICALLY must still fail the probe, not read as OK
+      val errored = (c ++ l).exists(_.startsWith("!ERROR"))
+      if (c == l && c.nonEmpty && !errored) println(s"[probe] $name OK (${c.size} rows)")
       else {
         failed += 1
         println(s"[probe] $name MISMATCH cluster=${c.size} local=${l.size}")

@@ -32,11 +32,7 @@ object ClusterSweep {
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val base = java.nio.file.Files.createTempDirectory("graft-sweep-").toString
-    if (sys.env.get("GRAFT_ROUNDTRIP_DIR").isEmpty &&
-        sys.props.get("graft.roundtrip.dir").isEmpty) {
-      sys.props("graft.roundtrip.dir") = s"$base/roundtrip"
-      println(s"[sweep] GRAFT_ROUNDTRIP_DIR unset — defaulting sink to $base/roundtrip")
-    }
+    ClusterProbe.defaultRoundtripDir(base, "sweep")
     println(s"[sweep] ${names.size} queries sf=$sfDir")
     val t0 = System.nanoTime()
     val cluster = ClusterProbe.runQueries(

@@ -16,18 +16,7 @@ import org.apache.spark.sql.functions._
 class CorpusBuildSinkSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshTables(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    for (t <- Seq(name, name + "_commits") ++ (0 to 40).map(name + "_v" + _)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (dir.exists) rm(dir)
-    }
-  }
+  private def freshTables(name: String): Unit = freshVersionedTables(name)
 
   test("streaming corpus build: kill/resume both legs; manifest equals batch rebuild") {
     val table = "graft_corpus_manifest_spec"

@@ -13,18 +13,7 @@ import org.apache.spark.sql.SaveMode
 class TrendingTermsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshTables(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    for (t <- Seq(name, name + "_commits") ++ (0 to 10).map(name + "_v" + _)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (dir.exists) rm(dir)
-    }
-  }
+  private def freshTables(name: String): Unit = freshVersionedTables(name, 10)
 
   test("capacity regime: batch-sliced merges equal exact counts; replay is a no-op") {
     val table = "graft_trending_cap"
