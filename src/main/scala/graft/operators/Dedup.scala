@@ -570,6 +570,102 @@ object Dedup {
        |                     UNION SELECT doc_id FROM exact_drops)
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental corpus-REFRESH accounting — the manifest delta a 100 TB
+    * nightly job commits: the batch (doc_id ≡ 4 mod 5) passes
+    * [[qDedupIncremental]]'s stored-index admission (daily compute ∝
+    * batch, plan-guarded no-corpus-recompute), and the card reports per
+    * source the refresh arithmetic — batch volume, admitted volume and
+    * token mass, and the corpus token totals before/after. Read-only
+    * (deterministic across reruns); the PHYSICAL append of the admitted
+    * set is the streaming corpus build
+    * ([[graft.streaming.CorpusBuildSink]] — idempotent epoch shards +
+    * versioned-snapshot manifest), whose per-source partial merge is
+    * exactly this card's (n_admitted, tokens_admitted) delta.
+    *
+    * Scale shape: the admission probe is the incremental-dedup plan
+    * (batch-keyed, stored bucketed indexes); the accounting adds one
+    * combiner-backed per-source aggregate over each slice's token
+    * counts. Nothing shuffles wider than (source, counts). */
+  def qCorpusRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NativeExprs.tokens
+    val admitted = qDedupIncremental(s, d).select(col("doc_id"), lit(1L).as("adm"))
+    val docs = Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val corpusTotals = docs.filter(!isNewBatch(col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus_docs"), sum("n_tokens").as("corpus_tokens"))
+    val batchStats = docs.filter(isNewBatch(col("doc_id")))
+      .join(admitted, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("adm").isNotNull, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("adm").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"))
+    corpusTotals
+      .join(batchStats, Seq("source"), "full")
+      .select(
+        col("source"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("corpus_tokens"), lit(0L)).as("corpus_tokens"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("tokens_admitted"), lit(0L)).as("tokens_admitted"))
+      .withColumn("corpus_tokens_after", col("corpus_tokens") + col("tokens_admitted"))
+      .orderBy("source")
+  }
+
+  private val qCorpusRefreshSql = {
+    val t = TextOps.tokensSql
+    s"""WITH $shingleIndexSqlCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM capped a JOIN capped b ON a.sh = b.sh
+       |  WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+       |  GROUP BY 1, 2),
+       |near_drops AS (
+       |  SELECT DISTINCT db AS doc_id FROM pairs
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE inter / (sa.n + sb.n - inter) >= $NearDupBar),
+       |corpus_fp AS (
+       |  SELECT DISTINCT ${TextOps.fingerprintSql} AS f
+       |  FROM documents WHERE doc_id % 5 <> 4),
+       |exact_drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ${TextOps.fingerprintSql} AS f
+       |    FROM documents WHERE doc_id % 5 = 4) nb
+       |  JOIN corpus_fp USING (f)),
+       |admitted AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 5 = 4
+       |    AND doc_id NOT IN (SELECT doc_id FROM near_drops
+       |                       UNION SELECT doc_id FROM exact_drops)),
+       |toks AS (SELECT doc_id, source, len($t)::BIGINT AS n_tokens FROM documents),
+       |corpus AS (
+       |  SELECT source, count(*)::BIGINT AS n_corpus_docs,
+       |    sum(n_tokens)::BIGINT AS corpus_tokens
+       |  FROM toks WHERE doc_id % 5 <> 4 GROUP BY 1),
+       |batch AS (
+       |  SELECT source, count(*)::BIGINT AS n_batch,
+       |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM admitted)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM admitted)
+       |             THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+       |  FROM toks WHERE doc_id % 5 = 4 GROUP BY 1)
+       |SELECT source,
+       |  coalesce(n_corpus_docs, 0) AS n_corpus_docs,
+       |  coalesce(corpus_tokens, 0) AS corpus_tokens,
+       |  coalesce(n_batch, 0) AS n_batch,
+       |  coalesce(n_admitted, 0) AS n_admitted,
+       |  coalesce(tokens_admitted, 0) AS tokens_admitted,
+       |  coalesce(corpus_tokens, 0) + coalesce(tokens_admitted, 0)
+       |    AS corpus_tokens_after
+       |FROM corpus FULL JOIN batch USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   /** Near-dup CLUSTERS: connected components over the Jaccard ≥ 0.6 pair
     * graph (the same edges as [[qDedupApply]]), via iterative min-label
     * propagation — each round every vertex takes the min label among
@@ -2695,6 +2791,7 @@ object Dedup {
     Q("q_boilerplate", qBoilerplate, Some(qBoilerplateSql)),
     Q("q_dedup_substrings", qDedupSubstrings, Some(qDedupSubstringsSql)),
     Q("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)),
+    Q("q_corpus_refresh", qCorpusRefresh, Some(qCorpusRefreshSql)),
     Q("q_dedup_clusters_inc", qDedupClustersIncremental, Some(qDedupClustersIncrementalSql)),
     // same converged fixpoint as q_dedup_clusters — benchmarked there
     Q("q_cluster_size_hist", qClusterSizeHist, Some(qClusterSizeHistSql), headline = false),

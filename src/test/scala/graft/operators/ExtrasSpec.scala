@@ -1360,6 +1360,26 @@ class ExtrasSpec extends SparkSpec {
       (0L until 40L).toSet -- Set(1L, 5L) -- cell2.toSet)
   }
 
+  test("corpus refresh reconciles with the incremental admission it reports on") {
+    // the refresh card and the admission query share one drop-set
+    // definition — the card's per-source admitted counts must sum to
+    // exactly the admission query's row count, and the after-total must
+    // be the before-total plus the admitted mass (integer arithmetic)
+    val refresh = Dedup.qCorpusRefresh(spark, sfDir).collect()
+    val admitted = Dedup.qDedupIncremental(spark, sfDir).count()
+    assert(refresh.map(_.getAs[Long]("n_admitted")).sum === admitted)
+    for (r <- refresh) {
+      assert(r.getAs[Long]("n_admitted") <= r.getAs[Long]("n_batch"))
+      assert(r.getAs[Long]("corpus_tokens_after") ===
+        r.getAs[Long]("corpus_tokens") + r.getAs[Long]("tokens_admitted"))
+    }
+    // the stored-index admission plan property carries over: the probe
+    // side must read the persisted index tables, not re-derive them
+    val p = Dedup.qCorpusRefresh(spark, sfDir).queryExecution.executedPlan.toString
+    for (t <- Seq("graft_inc_sh", "graft_inc_fp"))
+      assert(p.contains(t), s"stored index table $t not in refresh plan:\n$p")
+  }
+
   test("fertility falls back to character-level pieces for words missing from the piece map") {
     // the beyond-64k-cap regime, planted: the trained map covers only
     // "aa"; "bb" (2 chars) and "ccc" (3 chars) must contribute their
