@@ -1373,11 +1373,22 @@ class ExtrasSpec extends SparkSpec {
       assert(r.getAs[Long]("corpus_tokens_after") ===
         r.getAs[Long]("corpus_tokens") + r.getAs[Long]("tokens_admitted"))
     }
-    // the stored-index admission plan property carries over: the probe
-    // side must read the persisted index tables, not re-derive them
+    // daily-cost-∝-batch as a plan property: admission probes the stored
+    // index tables, corpus totals come from the stored base table, and
+    // EVERY documents scan left in the plan is batch-sliced (% 5 = 4) —
+    // a corpus-side rescan would surface as an unsliced or negated scan
+    // (same guard idiom as the incremental-dedup probe)
     val p = Dedup.qCorpusRefresh(spark, sfDir).queryExecution.executedPlan.toString
-    for (t <- Seq("graft_inc_sh", "graft_inc_fp"))
-      assert(p.contains(t), s"stored index table $t not in refresh plan:\n$p")
+    for (t <- Seq("graft_inc_sh", "graft_inc_fp", "graft_refresh_base"))
+      assert(p.contains(t), s"stored table $t not in refresh plan:\n$p")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan at all?\n$p")
+    docScans.foreach { l =>
+      assert(l.contains("% 5) = 4") && !l.contains("NOT ("),
+        s"corpus-side (unsliced) documents scan in refresh plan:\n$l")
+    }
   }
 
   test("fertility falls back to character-level pieces for words missing from the piece map") {
