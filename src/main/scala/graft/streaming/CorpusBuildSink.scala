@@ -93,7 +93,13 @@ object CorpusBuildSink {
           col("key").cast("long").as("doc_id"),
           size(graft.functions.NativeExprs.tokens(col("value")))
             .cast("long").as("n_tokens"))
-        .join(docMeta, "doc_id")
+        // LEFT join: a written key with no metadata is a write bug, and
+        // it must SURFACE as an __unknown__ manifest row — an inner join
+        // would silently shrink the manifest instead (the batch card's
+        // survivors_observed cross-check has no streaming twin, so
+        // visibility is the defense here)
+        .join(docMeta, Seq("doc_id"), "left")
+        .withColumn("source", coalesce(col("source"), lit("__unknown__")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
       val merged = base match {

@@ -117,5 +117,18 @@ class CorpusBuildSinkSpec extends SparkSpec {
     val after = CorpusBuildSink.manifest(spark, table).get
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(after === want, "replayed batch id double-applied into the manifest")
+
+    // a written key with NO metadata (a write bug) must SURFACE as an
+    // __unknown__ manifest row, never silently shrink the counts
+    CorpusBuildSink.applyManifestBatch(
+      spark, table, docMeta,
+      Seq(("999999", "stray row from a write bug")).toDF("key", "value"),
+      VersionedTable.committedBatch(spark, table) + 1)
+    val withStray = CorpusBuildSink.manifest(spark, table).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(withStray.exists(r => r._1 == "__unknown__" && r._2 == 1L),
+      s"stray written key did not surface in the manifest: $withStray")
+    assert(withStray.filterNot(_._1 == "__unknown__") === want,
+      "stray row disturbed the known-source manifest rows")
   }
 }
