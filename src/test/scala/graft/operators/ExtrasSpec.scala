@@ -1360,6 +1360,59 @@ class ExtrasSpec extends SparkSpec {
       (0L until 40L).toSet -- Set(1L, 5L) -- cell2.toSet)
   }
 
+  test("index retraction propagates to a refreshed streaming ANN gate") {
+    // the retraction ↔ admission integration: forgetFromIndex rewrites
+    // the stored cell-partitioned index, and a streaming gate REFRESH
+    // (new query over a fresh corpus frame — the documented blue/green
+    // swap; a RUNNING gate keeps its cached frozen snapshot by design)
+    // must stop matching the retracted vector while routing and the
+    // other corpus vectors stay intact
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val tbl = "graft_ann_forget_gate_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val leftover = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    if (leftover.exists()) rm(leftover)
+    Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),   // centroid 0 (must survive — routing)
+      (1L, Seq(0f, 1f, 0f, 0f), 1),   // centroid 1
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0), // the victim
+      (3L, Seq(0.1f, 0.9f, 0f, 0f), 1))
+      .toDF("vec_id", "v", "cell")
+      .write.partitionBy("cell").saveAsTable(tbl)
+    def gate(name: String): Seq[(Long, Long)] = {
+      val corpus = spark.table(tbl).select("vec_id", "v")
+      val source = MemoryStream[(Long, Timestamp, Seq[Float])]
+      val stream = source.toDF().toDF("vec_id", "ts", "v")
+      val q = graft.streaming.StreamingDedup
+        .annAgainstIndex(stream, corpus, nCells = 2, nProbes = 2)
+        .writeStream.format("memory").queryName(name).start()
+      try {
+        source.addData(
+          (100L, new Timestamp(1700000000000L), Seq(0.9f, 0.1f, 0f, 0f)),  // ≈ vec 2
+          (101L, new Timestamp(1700000060000L), Seq(0.1f, 0.9f, 0f, 0f)))  // ≈ vec 3
+        q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      } finally q.stop()
+    }
+    val pre = gate("sann_forget_pre")
+    assert(pre.contains((100L, 2L)), s"victim not matched before retraction: $pre")
+    assert(pre.contains((101L, 3L)), s"control vector not matched: $pre")
+    assert(Similarity.forgetFromIndex(spark, tbl, Seq(2L).toDF("vec_id")) === 1L)
+    val post = gate("sann_forget_post")
+    assert(!post.exists(_._2 == 2L),
+      s"retracted vector still matched by a refreshed gate: $post")
+    assert(post.contains((101L, 3L)),
+      s"retraction disturbed an untouched corpus vector: $post")
+  }
+
   test("corpus refresh reconciles with the incremental admission it reports on") {
     // the refresh card and the admission query share one drop-set
     // definition — the card's per-source admitted counts must sum to
