@@ -44,4 +44,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(!commit(2L, 1000L))
     assert(read(2L) === Some(22L) && read(1L) === Some(15L))
   }
+
+  test("manifest consumer under retain=2: previous manifest time-travels while commits advance") {
+    // the forward-plan e2e shrunk to its essence: the corpus-build
+    // manifest consumer committing with a retention window — after each
+    // commit, the PREVIOUS manifest snapshot must still read exactly as
+    // it was (an auditor comparing yesterday's corpus against today's),
+    // while snapshots past the window are retired
+    import spark.implicits._
+    val table = "graft_vt_manifest_tt_spec"
+    freshVersionedTables(table)
+    val docMeta = Seq((1L, "web"), (2L, "web"), (3L, "books"))
+      .toDF("doc_id", "source")
+    def batch(rows: (String, String)*) = rows.toDF("key", "value")
+    def manifestAt(b: Long): Option[Seq[(String, Long, Long)]] =
+      VersionedTable.versionAt(spark, table, b).map(
+        _.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+    CorpusBuildSink.applyManifestBatch(
+      spark, table, docMeta, batch(("1", "one two")), 0L, retain = 2)
+    CorpusBuildSink.applyManifestBatch(
+      spark, table, docMeta, batch(("2", "three"), ("3", "four five six")), 1L, retain = 2)
+    // yesterday's manifest reads exactly as committed
+    assert(manifestAt(0L) === Some(Seq(("web", 1L, 2L))))
+    assert(manifestAt(1L) === Some(Seq(("books", 1L, 3L), ("web", 2L, 3L))))
+    CorpusBuildSink.applyManifestBatch(
+      spark, table, docMeta, batch(("2", "ignored dup key count")), 2L, retain = 2)
+    // window slid: v0 retired, v1 still time-travels, v2 is current
+    assert(manifestAt(0L) === None)
+    assert(manifestAt(1L) === Some(Seq(("books", 1L, 3L), ("web", 2L, 3L))))
+    assert(manifestAt(2L) === Some(Seq(("books", 1L, 3L), ("web", 3L, 7L))))
+  }
 }
