@@ -18,6 +18,36 @@ class CorpusBuildSinkSpec extends SparkSpec {
 
   private def freshTables(name: String): Unit = freshVersionedTables(name)
 
+  test("manifest is invariant to micro-batch slicing (incl. an empty batch)") {
+    // the additive versioned merge must make the final manifest a pure
+    // function of the drained SET, independent of how the stream was cut
+    // into micro-batches — the property that lets maxFilesPerTrigger,
+    // admission-control pacing, and kill/resume all commute with the
+    // accounting. One slicing includes an EMPTY batch (a trigger that
+    // admitted nothing must commit a version identical to its base).
+    import spark.implicits._
+    val docMeta = (1L to 6L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val rows = (1L to 6L).map(i => (i.toString, ("tok " * i.toInt).trim))
+    val slicings: Seq[Seq[Seq[(String, String)]]] = Seq(
+      Seq(rows),                                   // one big batch
+      rows.map(Seq(_)),                            // one doc per batch
+      Seq(rows.take(2), Seq.empty, rows.drop(2)))  // uneven + empty middle
+    val manifests = slicings.zipWithIndex.map { case (slices, i) =>
+      val table = s"graft_vt_slicing_spec_$i"
+      freshVersionedTables(table, 10)
+      slices.zipWithIndex.foreach { case (slice, b) =>
+        CorpusBuildSink.applyManifestBatch(
+          spark, table, docMeta, slice.toDF("key", "value"), b.toLong)
+      }
+      CorpusBuildSink.manifest(spark, table).get
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    }
+    assert(manifests.distinct.size === 1,
+      s"manifest depends on batch slicing: $manifests")
+    assert(manifests.head === Seq(("books", 3L, 9L), ("web", 3L, 12L)))
+  }
+
   test("streaming corpus build: kill/resume both legs; manifest equals batch rebuild") {
     val table = "graft_corpus_manifest_spec"
     freshTables(table)
