@@ -69,7 +69,15 @@ object Skew {
     * Operational shape at 100 TB: the audit is the nightly health check
     * (one combiner-backed count per key column — far cheaper than the
     * join it protects); pipelines consult the stored audit table instead
-    * of recomputing it per query. */
+    * of recomputing it per query.
+    *
+    * @param audit a MATERIALIZED audit table (a stored table read, a
+    *              checkpointed frame, or any plan that is cheap to
+    *              re-execute). The consult below runs one bounded Spark
+    *              job against this frame PER JOIN BUILT — passing the
+    *              live q_skew_audit aggregation plan would re-execute
+    *              the full audit scan on every call (the tests/tools
+    *              localCheckpoint it for exactly this reason). */
   def autoSalt(
       left: DataFrame,
       right: DataFrame,

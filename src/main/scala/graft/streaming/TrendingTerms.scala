@@ -46,16 +46,23 @@ object TrendingTerms {
 
   /** The merged ≤ k-row summary as a frame: per-batch MG summary (the
     * aggregate, O(k) per partition pre-shuffle) merged driver-side into
-    * the committed state with the same mergeability operation — a pure
-    * function of (committed base, batch), as the commit protocol
-    * requires. */
+    * the PROTOCOL-SUPPLIED committed base with the same mergeability
+    * operation — a pure function of (committed base, batch), as the
+    * commit protocol requires. Taking the base as a parameter (rather
+    * than re-reading the stored table) means the marker log is scanned
+    * once per commit and the merge provably depends on the base
+    * [[VersionedTable.applyBatch]] resolved, not on whatever catalog
+    * state happens to be current. */
   private def mergedFrame(
-      s: SparkSession, table: String, batch: DataFrame, k: Int): DataFrame = {
+      s: SparkSession, base: Option[DataFrame], batch: DataFrame, k: Int): DataFrame = {
     val mg = udaf(new graft.functions.MisraGriesAgg(k))
     val batchSummary = batch
       .agg(mg(col("term")).as("sk"))
       .collect().head.getAs[Map[String, Long]]("sk")
-    val merged = MisraGries.merge(storedSummary(s, table), batchSummary, k)
+    val baseMap = base
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val merged = MisraGries.merge(baseMap, batchSummary, k)
     val rows: java.util.List[Row] =
       java.util.List.of(merged.toSeq.sortBy(-_._2).map(t => Row(t._1, t._2)): _*)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -71,7 +78,8 @@ object TrendingTerms {
     * directly exercisable. */
   private[streaming] def writeVersion(
       s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int): Unit =
-    VersionedTable.writeVersion(s, table, batchId, mergedFrame(s, table, batch, k))
+    VersionedTable.writeVersion(
+      s, table, batchId, mergedFrame(s, VersionedTable.current(s, table), batch, k))
 
   /** Merge ONE micro-batch of (term) rows into the stored summary.
     * Public to the spec so replay behavior, the crash window, and the
@@ -79,8 +87,8 @@ object TrendingTerms {
   private[streaming] def applyBatch(
       s: SparkSession, table: String, batch: DataFrame, batchId: Long, k: Int,
       retain: Int = 1): Unit =
-    VersionedTable.applyBatch(s, table, batchId, retain) { _ =>
-      mergedFrame(s, table, batch, k)
+    VersionedTable.applyBatch(s, table, batchId, retain) { base =>
+      mergedFrame(s, base, batch, k)
     }
 
   /** Start the stream: `terms` rows (one `term` column) maintain `table`

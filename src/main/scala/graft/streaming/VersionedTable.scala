@@ -77,8 +77,11 @@ object VersionedTable {
   }
 
   /** All committed batch ids, ascending (empty when none) — the marker
-    * log read whole; bounded by commits retained, itself bounded by the
-    * retention policy plus one row per historical commit marker. */
+    * log read whole. Spec/audit aid only: per-commit and per-read code
+    * paths must NOT call this (a long-lived stream's log grows one row
+    * per historical commit, so a whole-log driver pull per micro-batch
+    * would be O(total history)); they use [[isCommitted]] (bounded
+    * filtered pull) and [[liveVersionIds]] (catalog-bounded) instead. */
   private[streaming] def committedBatches(s: SparkSession, table: String): Seq[Long] = {
     val t = markerTable(table)
     if (!s.catalog.tableExists(t)) Seq.empty
@@ -88,12 +91,38 @@ object VersionedTable {
     }
   }
 
+  /** Marker-log membership as a bounded pull: the scan is a distributed
+    * filter over the append-only log; the driver receives at most one
+    * row regardless of history length. */
+  private[streaming] def isCommitted(s: SparkSession, table: String, batchId: Long): Boolean = {
+    val t = markerTable(table)
+    s.catalog.tableExists(t) && {
+      s.catalog.refreshTable(t)
+      !s.table(t).filter(col("batch_id") === batchId).limit(1).isEmpty
+    }
+  }
+
+  /** Batch ids of LIVE version tables, ascending — enumerated from the
+    * catalog (whose matching-table count is bounded by the retention
+    * window plus at most the odd crash-leaked orphan), never from the
+    * whole marker history. This is what makes the per-commit retire
+    * step O(retain), and it self-heals: a version a crashed run
+    * committed but never retired is still listed here and gets dropped
+    * by the next commit, instead of leaking forever behind a
+    * top-of-log window. */
+  private[streaming] def liveVersionIds(s: SparkSession, table: String): Seq[Long] = {
+    val pat = ("^" + java.util.regex.Pattern.quote(table.toLowerCase + "_v") + "(\\d+)$").r
+    s.sessionState.catalog.listTables(s.catalog.currentDatabase)
+      .flatMap(t => pat.findFirstMatchIn(t.table.toLowerCase).map(_.group(1).toLong))
+      .sorted
+  }
+
   /** TIME TRAVEL: the snapshot as of committed batch `batchId` — None if
     * that version was never committed or has been retired past the
     * retention window. The read is marker-gated, so a crashed attempt's
     * orphan version (written, never committed) is not readable. */
   def versionAt(s: SparkSession, table: String, batchId: Long): Option[DataFrame] =
-    if (!committedBatches(s, table).contains(batchId)) None
+    if (!isCommitted(s, table, batchId)) None
     else {
       val v = versionName(table, batchId)
       if (!s.catalog.tableExists(v)) None
@@ -128,12 +157,13 @@ object VersionedTable {
         org.apache.spark.sql.types.StructField(
           "batch_id", org.apache.spark.sql.types.LongType))))
       .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
-    // retire versions beyond the window — guarded on catalog existence so
-    // a long-lived stream pays O(retain) drops per commit, not O(history)
-    // no-op DROP statements over the (deliberately kept) marker log; the
-    // existence check is an in-memory catalog lookup, no SQL round-trip
-    for (old <- committedBatches(s, table).dropRight(retain)
-        if s.catalog.tableExists(versionName(table, old)))
+    // retire versions beyond the window — enumerated from the CATALOG
+    // (bounded by retain plus at most a crash-leaked orphan), never by
+    // collecting the whole append-only marker log: per-commit cost stays
+    // O(retain) on a stream with unbounded history. The <= batchId guard
+    // keeps a concurrent writer's newer in-flight version untouchable
+    // even though none should exist (single-writer protocol).
+    for (old <- liveVersionIds(s, table).filter(_ <= batchId).dropRight(retain))
       s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
     true
   }

@@ -127,10 +127,13 @@ object ClusterProbe {
       spark.sparkContext.setLogLevel("ERROR")
       graft.functions.GraftFunctions.installOptimizations(spark)
       names.map { name =>
+        // NonFatal only: a fatal JVM error (OOM, LinkageError) must kill
+        // the sweep fast, not limp through the remaining ~240 queries as
+        // a confusing !ERROR mismatch cascade
         val rows =
           try SparkEntry.queries(name)(spark, sfDir)
             .collect().map(_.toString).sorted.toSeq
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             Seq(s"!ERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         // drop query-marked caches (Dedup shingle/doc frames) so they

@@ -294,6 +294,25 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@10 = $recall; exact=$exact approx=$approx")
   }
 
+  test("banded PQ check twins recover the exact top-10 at an SF where the production shortlist misses") {
+    // sf0.001 is the calibrated counterexample: the true top-10's worst
+    // ADC rank is 110 of 500 (PqProbe round-12 reading), so the headline
+    // shortlist of 50 provably cannot recover it — the banded twins'
+    // SF-proportional tie-inclusive cut must. This is the spec teeth
+    // behind the q_sim_pq_check / q_sim_ivfpq_check gate rows being
+    // SF-robust rather than calibration-SF-only.
+    for (d <- Seq(sfDir, recallSfDir)) {
+      val exact = Similarity.qTopKExact(spark, d)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pq = Similarity.qSimPqCheck(spark, d)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ivfpq = Similarity.qSimIvfPqCheck(spark, d)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pq == exact, s"qSimPqCheck != exact at $d")
+      assert(ivfpq == exact, s"qSimIvfPqCheck != exact at $d")
+    }
+  }
+
   // ------------------------------------------------- Misra-Gries invariants
 
   test("Misra-Gries over capacity: retention, under-read bound, size cap — any merge tree") {

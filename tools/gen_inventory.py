@@ -8,12 +8,16 @@ Without --write, prints the table to stdout (diff it by eye or pipe).
 With --write, replaces the table block in SURVEY.md in place (the rows
 between the `| Gate row | ... |` header and the first non-table line).
 
-Parsing rules (registrations are at most a few lines):
+Parsing rules:
   - a row starts at `Q("q...`, capturing file:line;
-  - oracle = "DuckDB hash" when the registration carries Some(...),
-    "rows + check row" when it carries None;
-  - headline = "no" when `headline = false` appears before the
-    registration's closing `)`.
+  - the registration is read to its BALANCED closing paren (string
+    literals skipped), then split into top-level arguments, so a
+    registration spanning any number of lines or carrying extra None
+    arguments cannot be misread;
+  - oracle = "rows + check row" when the third argument (Q's `oracle`)
+    is literally None, "DuckDB hash" otherwise;
+  - headline = "no" when a top-level `headline = false` argument is
+    present.
 """
 import re
 import sys
@@ -22,6 +26,39 @@ import os
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.path.join(ROOT, "src", "main", "scala", "graft")
 SURVEY = os.path.join(ROOT, "SURVEY.md")
+
+
+def top_level_args(text, open_paren):
+    """Split the argument list of the call whose '(' is at `open_paren`
+    into top-level (depth-1) arguments, skipping string literals; returns
+    None if the paren never balances (truncated file)."""
+    args, cur, depth, i, in_str = [], [], 1, open_paren + 1, False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "\\":
+                cur.append(text[i:i + 2])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return args
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    return None
 
 
 def scan():
@@ -33,25 +70,25 @@ def scan():
             path = os.path.join(dirpath, fn)
             rel = os.path.relpath(path, SRC)
             with open(path) as f:
-                lines = f.readlines()
-            for i, line in enumerate(lines):
-                m = re.search(r'Q\("((?:q_|q\d)[A-Za-z0-9_]*)"', line)
-                if not m:
-                    continue
+                text = f.read()
+            for m in re.finditer(r'Q\("((?:q_|q\d)[A-Za-z0-9_]*)"', text):
                 name = m.group(1)
-                # the registration text up to its closing line (every
-                # registration in the repo ends within four lines, on a
-                # line closing the Q(...) call)
-                blob_lines = []
-                for j in range(i, min(i + 4, len(lines))):
-                    blob_lines.append(lines[j])
-                    if lines[j].rstrip().rstrip(",").endswith(")"):
-                        break
-                blob = "".join(blob_lines)
-                oracle = "rows + check row" if re.search(r",\s*None", blob) \
+                line_no = text.count("\n", 0, m.start()) + 1
+                args = top_level_args(text, text.index("(", m.start()))
+                if args is None or len(args) < 3:
+                    print(f"WARN unparseable Q registration {name} at "
+                          f"{rel}:{line_no}", file=sys.stderr)
+                    continue
+                # Q(name, run, oracle, headline = true): the ORACLE verdict
+                # is anchored to the third positional argument, headline to
+                # an explicit named argument — immune to extra None/false
+                # tokens elsewhere in the registration
+                oracle = "rows + check row" if args[2] == "None" \
                     else "DuckDB hash"
-                headline = "no" if "headline = false" in blob else "yes"
-                rows[name] = (f"{rel}:{i + 1}", oracle, headline)
+                headline = "no" if any(
+                    re.fullmatch(r"headline\s*=\s*false", a) for a in args
+                ) else "yes"
+                rows[name] = (f"{rel}:{line_no}", oracle, headline)
     return rows
 
 
