@@ -420,16 +420,16 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .cache()
     try {
-      Warehouse.ensure(s, dfT, "sh") {
+      Warehouse.ensure(s, dfT, "sh", reuseFrom = Some(d)) {
         corpusSh.groupBy("sh").agg(count(lit(1)).as("df_c"))
       }
-      Warehouse.ensure(s, shT, "sh") {
+      Warehouse.ensure(s, shT, "sh", reuseFrom = Some(d)) {
         corpusSh.join(s.table(dfT).filter(col("df_c") <= IncMaxDF).select("sh"), "sh")
       }
-      Warehouse.ensure(s, szT, "doc_id") {
+      Warehouse.ensure(s, szT, "doc_id", reuseFrom = Some(d)) {
         s.table(shT).groupBy("doc_id").agg(count(lit(1)).as("n_c"))
       }
-      Warehouse.ensure(s, fpT, "f") {
+      Warehouse.ensure(s, fpT, "f", reuseFrom = Some(d)) {
         Tables.documents(s, d)
           .filter(!isNewBatch(col("doc_id")))
           .select(fingerprint(col("text")).as("f"))
@@ -626,7 +626,7 @@ object Dedup {
   private def ensureRefreshBase(s: SparkSession, d: String): String = {
     import graft.functions.NativeExprs.tokens
     val tbl = graft.sources.Warehouse.tableName("graft_refresh_base", d)
-    graft.sources.Warehouse.ensureVia(s, tbl) {
+    graft.sources.Warehouse.ensureVia(s, tbl, reuseFrom = Some(d)) {
       Tables.documents(s, d)
         .filter(!isNewBatch(col("doc_id")))
         .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
@@ -1113,7 +1113,7 @@ object Dedup {
     import graft.sources.Warehouse
     val t = Warehouse.tableName("graft_inc_cc", d)
     val (shT, _, szT, _) = ensureIncrementalIndex(s, d)
-    Warehouse.ensure(s, t, "id") {
+    Warehouse.ensure(s, t, "id", reuseFrom = Some(d)) {
       val idx = s.table(shT)
       val pairs = idx.as("a")
         .join(

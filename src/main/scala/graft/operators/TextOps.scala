@@ -588,7 +588,7 @@ object TextOps {
     * + the prefix check). */
   private def ensureBpeFullMerges(s: SparkSession, d: String): String = {
     val tbl = graft.sources.Warehouse.tableName("graft_bpe_merges", d)
-    graft.sources.Warehouse.ensureVia(s, tbl) {
+    graft.sources.Warehouse.ensureVia(s, tbl, reuseFrom = Some(d)) {
       val types = Tables.documents(s, d)
         .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
         .groupBy("w")
@@ -681,7 +681,7 @@ object TextOps {
     * against the stored table — no per-query retrain. */
   private def ensureBpePieces(s: SparkSession, d: String): String = {
     val tbl = graft.sources.Warehouse.tableName("graft_bpe_pieces", d)
-    graft.sources.Warehouse.ensureVia(s, tbl) {
+    graft.sources.Warehouse.ensureVia(s, tbl, reuseFrom = Some(d)) {
       val types0 = Tables.documents(s, d)
         .select(explode(graft.functions.NativeExprs.tokens(col("text"))).as("w"))
         .groupBy("w")
@@ -973,7 +973,7 @@ object TextOps {
       unigramTrainCollected(types, seed, UnigramTargetMulti)
     }
     import s.implicits._
-    graft.sources.Warehouse.ensureVia(s, vocabTbl) {
+    graft.sources.Warehouse.ensureVia(s, vocabTbl, reuseFrom = Some(d)) {
       res.vocab.zipWithIndex
         .map { case ((p, c), i) =>
           (i + 1L, p, c, p.codePointCount(0, p.length) == 1)
@@ -981,7 +981,7 @@ object TextOps {
         .toDF("rank", "piece", "cnt", "is_char")
         .coalesce(1).write.saveAsTable(vocabTbl)
     }
-    graft.sources.Warehouse.ensureVia(s, piecesTbl) {
+    graft.sources.Warehouse.ensureVia(s, piecesTbl, reuseFrom = Some(d)) {
       res.typePieces.toSeq.toDF("w", "n_sub")
         .coalesce(1).write.saveAsTable(piecesTbl)
     }
@@ -2623,7 +2623,7 @@ object TextOps {
     * prune to the matching buckets. */
   private[operators] def ensurePostings(s: SparkSession, d: String): String = {
     val t = graft.sources.Warehouse.tableName("graft_postings", d)
-    graft.sources.Warehouse.ensure(s, t, "term") {
+    graft.sources.Warehouse.ensure(s, t, "term", reuseFrom = Some(d)) {
       Tables.documents(s, d)
         .select(
           col("doc_id"),

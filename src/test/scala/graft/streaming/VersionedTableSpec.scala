@@ -74,4 +74,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(manifestAt(1L) === Some(Seq(("books", 1L, 3L), ("web", 2L, 3L))))
     assert(manifestAt(2L) === Some(Seq(("books", 1L, 3L), ("web", 3L, 7L))))
   }
+
+  test("reader holding a version WHILE the writer retires it: full snapshot or loud failure, never partial") {
+    // The untested window from the r11 retention work: a reader resolves
+    // versionAt(v) and HOLDS the frame while applyBatch commits enough
+    // batches to retire v past the retention window. The contract this
+    // spec pins: the held frame either still yields the EXACT snapshot
+    // it named (something materialized it in time) or throws loudly —
+    // it must never silently return an empty or partial result from the
+    // half-retired directory. And versionAt itself, asked again after
+    // retirement, must refuse with None rather than hand out a frame
+    // over deleted files.
+    val table = "graft_vt_concurrent_tt_spec"
+    freshTables(table)
+    def commit(b: Long, v: Long): Boolean =
+      VersionedTable.applyBatch(spark, table, b, retain = 2) { base =>
+        val prev = base.map(_.collect().head.getLong(0)).getOrElse(0L)
+        Seq(prev + v).toDF("total").localCheckpoint()
+      }
+    assert(commit(0L, 10L) && commit(1L, 5L))
+
+    // reader resolves v1 and holds the (lazy) frame across the writer's
+    // next commits; v1 is retired when batch 3 lands (retain=2 → {2,3})
+    val held = VersionedTable.versionAt(spark, table, 1L)
+      .getOrElse(fail("v1 must be readable while retained"))
+    assert(commit(2L, 7L) && commit(3L, 1L))
+    assert(!spark.catalog.tableExists(table + "_v1"), "v1 should be retired")
+
+    scala.util.Try(held.collect()) match {
+      case scala.util.Success(rows) =>
+        // a cached/materialized read must be the full named snapshot
+        assert(rows.map(_.getLong(0)).toSeq === Seq(15L),
+          s"held reader saw a partial/foreign snapshot: ${rows.toSeq}")
+      case scala.util.Failure(_) => // loud failure: acceptable by contract
+    }
+    // re-resolving after retirement refuses — never a half-retired dir
+    assert(VersionedTable.versionAt(spark, table, 1L) === None)
+    // the still-retained window reads exactly
+    def read(b: Long): Option[Long] =
+      VersionedTable.versionAt(spark, table, b).map(_.collect().head.getLong(0))
+    assert(read(2L) === Some(22L) && read(3L) === Some(23L))
+  }
 }
