@@ -91,6 +91,17 @@ object ClusterProbe {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
 
+  /** Row count above which a query's compare surface becomes one md5
+    * digest line (see the large-output guard in [[runQueries]]). At
+    * sf0.01 every gate row stays below it (exact rows, debuggable
+    * diffs); it exists so a bigger-SF sweep can't balloon the two
+    * in-memory result maps. */
+  private val DigestRowBar = 50000
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Run the probe slice in a fresh session on `master`. */
   def runSlice(master: String, sfDir: String, warehouse: String): Map[String, Seq[String]] =
     runQueries(master, sfDir, warehouse, slice)
@@ -131,9 +142,17 @@ object ClusterProbe {
         // the sweep fast, not limp through the remaining ~240 queries as
         // a confusing !ERROR mismatch cascade
         val rows =
-          try SparkEntry.queries(name)(spark, sfDir)
-            .collect().map(_.toString).sorted.toSeq
-          catch { case scala.util.control.NonFatal(e) =>
+          try {
+            val collected = SparkEntry.queries(name)(spark, sfDir)
+              .collect().map(_.toString).sorted.toSeq
+            // large-output guard: above the bar, hold a digest instead of
+            // the row set — the sweep's memory stays bounded at big SFs
+            // (equal digests ⇔ equal sorted rows; a mismatch reports the
+            // digest line, re-run that one query exactly to diff rows)
+            if (collected.size > DigestRowBar)
+              Seq(s"!DIGEST rows=${collected.size} md5=${md5(collected.mkString("\n"))}")
+            else collected
+          } catch { case scala.util.control.NonFatal(e) =>
             Seq(s"!ERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         // drop query-marked caches (Dedup shingle/doc frames) so they

@@ -100,8 +100,31 @@ def table(rows):
     return "\n".join(out)
 
 
+def check_23(rows):
+    """Cross-check SURVEY §2.3/§2.3.1 against the registry: every q-token
+    mentioned there must be a real gate row (no stale names), and every
+    gate row must be mentioned at least once (no uninventoried
+    capability). Returns the number of violations."""
+    with open(SURVEY) as f:
+        text = f.read()
+    s23 = text[text.index("### 2.3 "):text.index("### 2.4 ")]
+    mentioned = set(re.findall(r"\bq(?:_[a-z0-9_]+|\d+_[a-z0-9_]+)\b", s23))
+    bad = 0
+    for name in sorted(mentioned - set(rows)):
+        print(f"CHECK FAIL: §2.3 mentions '{name}' which is not a gate row")
+        bad += 1
+    for name in sorted(set(rows) - mentioned):
+        print(f"CHECK FAIL: gate row '{name}' is missing from §2.3.1's inventory")
+        bad += 1
+    if bad == 0:
+        print(f"check OK: {len(mentioned)} §2.3 names == {len(rows)} gate rows")
+    return bad
+
+
 def main():
     rows = scan()
+    if "--check" in sys.argv:
+        sys.exit(1 if check_23(rows) else 0)
     t = table(rows)
     if "--write" not in sys.argv:
         print(t)
