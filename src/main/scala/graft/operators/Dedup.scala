@@ -1617,9 +1617,49 @@ object Dedup {
     (nearDrops, exactDrops, contaminated, lowQuality)
   }
 
+  /** Build-once PERSISTED drop-decision table of the cleaning pipeline —
+    * the artifact a production clean run PUBLISHES: one row per dropped
+    * document with its one-hot reason flags and reason count (exactly
+    * [[qPipelineAudit]]'s shape), bucketed by doc_id. The expensive drop
+    * derivation ([[pipelineDrops]]: near-dup machinery, fingerprint
+    * window, contamination semi join, quality scan) runs once per
+    * warehouse; the clean/audit/token-cost cards are then VIEWS over the
+    * stored decisions — they cannot disagree with each other, and at
+    * 100 TB the audit questions ("whom did we drop, why, at what token
+    * bill") stop re-running the pipeline per question. The same stored-
+    * artifact pattern as the incremental shingle index and the tokenizer
+    * models; cross-JVM reusable via the fingerprint marker. */
+  private def ensurePipelineFlags(s: SparkSession, d: String): String = {
+    val t = graft.sources.Warehouse.tableName("graft_pipe_flags", d)
+    graft.sources.Warehouse.ensure(s, t, "doc_id", reuseFrom = Some(d)) {
+      val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
+      // each drop subtree planned ONCE: tag with one-hot flag columns,
+      // union, and max-reduce per doc — one shuffle, no re-join of the
+      // expensive near-dup/contamination subplans
+      def tag(df: DataFrame, slot: Int) = df.select(
+        col("doc_id") +:
+          Seq("near_dup", "exact_dup", "contaminated", "low_quality").zipWithIndex.map {
+            case (n, i) => lit(if (i == slot) 1L else 0L).as(n)
+          }: _*)
+      tag(nearDrops, 0)
+        .union(tag(exactDrops, 1))
+        .union(tag(contaminated, 2))
+        .union(tag(lowQuality, 3))
+        .groupBy("doc_id")
+        .agg(
+          max("near_dup").as("near_dup"),
+          max("exact_dup").as("exact_dup"),
+          max("contaminated").as("contaminated"),
+          max("low_quality").as("low_quality"))
+        .withColumn(
+          "n_reasons",
+          col("near_dup") + col("exact_dup") + col("contaminated") + col("low_quality"))
+    }
+    t
+  }
+
   def qPipelineClean(s: SparkSession, d: String): DataFrame = {
-    val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
-    val drops = nearDrops.union(exactDrops).union(contaminated).union(lowQuality).distinct()
+    val drops = s.table(ensurePipelineFlags(s, d)).select("doc_id")
     Tables.documents(s, d)
       .join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
@@ -1657,31 +1697,10 @@ object Dedup {
     * [[pipelineDrops]]), composed with four doc_id-keyed left joins onto
     * the distinct drop union — co-partitioned on the same key at scale,
     * so the audit costs the pipeline's stages plus one joined scan. */
-  def qPipelineAudit(s: SparkSession, d: String): DataFrame = {
-    val (nearDrops, exactDrops, contaminated, lowQuality) = pipelineDrops(s, d)
-    // each drop subtree planned ONCE: tag with one-hot flag columns,
-    // union, and max-reduce per doc — one shuffle, no re-join of the
-    // expensive near-dup/contamination subplans
-    def tag(df: DataFrame, slot: Int) = df.select(
-      col("doc_id") +:
-        Seq("near_dup", "exact_dup", "contaminated", "low_quality").zipWithIndex.map {
-          case (n, i) => lit(if (i == slot) 1L else 0L).as(n)
-        }: _*)
-    tag(nearDrops, 0)
-      .union(tag(exactDrops, 1))
-      .union(tag(contaminated, 2))
-      .union(tag(lowQuality, 3))
-      .groupBy("doc_id")
-      .agg(
-        max("near_dup").as("near_dup"),
-        max("exact_dup").as("exact_dup"),
-        max("contaminated").as("contaminated"),
-        max("low_quality").as("low_quality"))
-      .withColumn(
-        "n_reasons",
-        col("near_dup") + col("exact_dup") + col("contaminated") + col("low_quality"))
-      .orderBy("doc_id")
-  }
+  def qPipelineAudit(s: SparkSession, d: String): DataFrame =
+    // pure probe of the published drop-decision table (its build IS the
+    // one-hot union + max-reduce that used to live here)
+    s.table(ensurePipelineFlags(s, d)).orderBy("doc_id")
 
   /** Pipeline TOKEN-COST card — "what does each gate cost, in the unit
     * the model trains on": every document's token mass is attributed to
@@ -1693,12 +1712,12 @@ object Dedup {
     * [[pipelineDrops]] with the clean/audit cards, so the three can
     * never disagree on who was dropped.
     *
-    * Scale shape: the audit's one-hot union + max-reduce (one shuffle
-    * over drop-sized rows), a doc_id-keyed left join onto the corpus
+    * Scale shape: a probe of the stored drop-decision table
+    * ([[ensurePipelineFlags]]), a doc_id-keyed left join onto the corpus
     * token counts (co-partitioned at scale), a 5-row aggregate, and a
     * window over those 5 rows for the shares. */
   def qPipelineTokenCost(s: SparkSession, d: String): DataFrame = {
-    val flags = qPipelineAudit(s, d)
+    val flags = s.table(ensurePipelineFlags(s, d))
     val toks = Tables.documents(s, d)
       .select(
         col("doc_id"),
