@@ -139,10 +139,21 @@ object Dedup {
     * capped shingle sets — the single edge definition behind
     * [[qDedupApply]], [[qPipelineClean]] and [[qDedupClusters]]. */
   private[operators] def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val (_, sizes, pairs) = shinglePairs(s, d, minInter = 1)
-    withEndpointSizes(pairs, sizes)
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
-      .select("da", "db")
+    // PERSISTED build-once (the nightly near-dup candidate job's
+    // published edge list): five cards and the CC label build all
+    // consume this edge set — materializing it once per warehouse means
+    // the shingle-pair machinery runs once, not per consumer, and the
+    // fixed-width (da, db) table is the only thing probes read.
+    // Deterministic pure function of the corpus → identical to
+    // recomputing; cross-JVM reusable via the fingerprint marker.
+    val t = graft.sources.Warehouse.tableName("graft_neardup_edges", d)
+    graft.sources.Warehouse.ensure(s, t, "da", reuseFrom = Some(d)) {
+      val (_, sizes, pairs) = shinglePairs(s, d, minInter = 1)
+      withEndpointSizes(pairs, sizes)
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= NearDupBar)
+        .select("da", "db")
+    }
+    s.table(t)
   }
 
   /** The tk/tri/capped/sizes CTE prefix (the shingle inverted index) —
@@ -704,8 +715,17 @@ object Dedup {
   /** Converged CC labels (id, label) over the near-dup edge graph — the
     * min-label-propagation fixpoint shared by [[qDedupClusters]] and
     * [[qDedupApplyCc]]. Label converges to min(doc_id) of the component. */
-  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame =
-    ccLabelsFrom(nearDupEdges(s, d))
+  private[operators] def ccLabels(s: SparkSession, d: String): DataFrame = {
+    // PERSISTED build-once (the nightly clustering job's published
+    // labels): the fixpoint runs once per warehouse; clusters / apply /
+    // per-source report / size histogram are views over the stored
+    // (id, label) table and cannot disagree.
+    val t = graft.sources.Warehouse.tableName("graft_cc_labels", d)
+    graft.sources.Warehouse.ensure(s, t, "id", reuseFrom = Some(d)) {
+      ccLabelsFrom(nearDupEdges(s, d))
+    }
+    s.table(t)
+  }
 
   /** The same fixpoint over an ARBITRARY undirected edge set (da, db) —
     * [[qSplitLeakageSafe]] feeds it the near-dup ∪ exact-dup union. Only
@@ -1288,8 +1308,14 @@ object Dedup {
         min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("f")))
       .filter(col("doc_id") =!= col("keep"))
       .select(col("keep").as("da"), col("doc_id").as("db"))
-    val labels = ccLabelsFrom(nearDupEdges(s, d).union(exactEdges))
-      .withColumnRenamed("id", "doc_id")
+    // the split's group labels are their own published artifact (CC over
+    // the near-dup ∪ exact-dup edge union — a different graph than
+    // ccLabels'), build-once like the clustering job's labels
+    val labT = graft.sources.Warehouse.tableName("graft_cc_split_labels", d)
+    graft.sources.Warehouse.ensure(s, labT, "id", reuseFrom = Some(d)) {
+      ccLabelsFrom(nearDupEdges(s, d).union(exactEdges))
+    }
+    val labels = s.table(labT).withColumnRenamed("id", "doc_id")
     val k = substring(md5(col("group_id").cast("string")), 1, 2)
     docs
       .select(col("doc_id"))
