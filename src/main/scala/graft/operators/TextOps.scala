@@ -1334,6 +1334,19 @@ object TextOps {
     * the one broadcast is the 1-row corpus total. 100 TB swaps the
     * BIGINT ppm sums for DECIMAL(38) — same plan. */
   private[operators] def lmDocScores(s: SparkSession, d: String): DataFrame = {
+    // PERSISTED build-once (the LM-filter fit+score artifact, like the
+    // tokenizer models): the trigram/bigram/unigram count-and-join chain
+    // runs once per warehouse; q_lm_backoff and the perplexity-tertile
+    // card probe the stored (doc_id, n_trigrams, n_backoff,
+    // score_sum_ppm) table. Deterministic pure function of the corpus.
+    val tbl = graft.sources.Warehouse.tableName("graft_lm_scores", d)
+    graft.sources.Warehouse.ensure(s, tbl, "doc_id", reuseFrom = Some(d)) {
+      lmDocScoresBuild(s, d)
+    }
+    s.table(tbl)
+  }
+
+  private def lmDocScoresBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.NativeExprs.tokens(col("text")).as("toks"))

@@ -24,6 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A real deployment points the same code at a persistent metastore and
   * runs the build step on its own schedule; this marker is the
   * in-memory-catalog stand-in for that metastore.
+  *
+  * Concurrency: one writer per warehouse dir at a time (the harness's
+  * mains run sequentially). Two JVMs ensuring the same MISSING table
+  * concurrently race exactly as they always did (clearLeftover can
+  * delete a mid-build directory); the marker does not widen that window
+  * — it is written only after a complete build, so a half-built table
+  * can never be re-registered.
   */
 object Warehouse {
 
