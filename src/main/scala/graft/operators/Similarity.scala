@@ -985,24 +985,10 @@ object Similarity {
     val top10 = qTopKExact(s, d).select("vec_id")
     def ranksIn(codedCand: DataFrame): Seq[Long] = {
       import org.apache.spark.sql.expressions.Window
-      val qnorm = math.sqrt(qraw.map(x => x * x).sum)
-      val qn = qraw.map(_ / qnorm)
-      val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { m =>
-        val qm = qn.slice(m * PqSubDim, (m + 1) * PqSubDim)
-        books(m).sortBy(_._1).map { case (_, cv) =>
-          qm.zip(cv).map { case (a, b) => a * b }.sum
-        }.toSeq
-      }
-      val lutLit = typedlit(lut)
-      val approx = aggregate(
-        sequence(lit(0), lit(PqSubspaces - 1)),
-        lit(0.0),
-        (acc, i) =>
-          acc + element_at(
-            element_at(lutLit, (i + 1).cast("int")),
-            (element_at(col("codes"), (i + 1).cast("int")) + 1).cast("int")))
-      val ranked = codedCand
-        .select(col("vec_id"), approx.as("adc"))
+      // the probe MUST rank by the same adcScores the gate twins use —
+      // a private copy here could drift and calibrate the check
+      // shortlist against a different ordering than the one shipped
+      val ranked = adcScores(codedCand, qraw, books)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("adc").desc, col("vec_id"))))
       top10.join(ranked, Seq("vec_id"), "left")

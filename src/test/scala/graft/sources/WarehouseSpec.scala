@@ -30,17 +30,36 @@ class WarehouseSpec extends SparkSpec {
     java.nio.file.Files.move(aside.toPath, dir.toPath)
   }
 
+  private val tempDirs = scala.collection.mutable.ListBuffer.empty[java.io.File]
+  private val madeTables = scala.collection.mutable.ListBuffer.empty[String]
+
   private def freshSrcDir(tag: String): java.io.File = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_wh_$tag").toFile
+    tempDirs += d
     import spark.implicits._
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
       .write.mode("overwrite").parquet(new java.io.File(d, "t.parquet").toString)
     d
   }
 
+  override def afterAll(): Unit = {
+    // the random temp path is embedded in each table name, so a leaked
+    // table dir would never be reused by a later run — drop both the
+    // catalog entries (managed data included) and any external leftovers,
+    // plus the temp source dirs
+    for (t <- madeTables) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(warehouseDir, t.toLowerCase)
+      if (dir.exists()) Warehouse.rm(dir)
+    }
+    tempDirs.foreach(Warehouse.rm)
+    super.afterAll()
+  }
+
   test("bucketed table is re-registered from files with its bucket spec intact") {
     val src = freshSrcDir("bucket")
     val name = Warehouse.tableName("graft_spec_reuse_b", src.toString)
+    madeTables += name
     spark.sql(s"DROP TABLE IF EXISTS $name")
     var builds = 0
     def build(): Unit = Warehouse.ensure(spark, name, "id", 4, Some(src.toString)) {
@@ -64,6 +83,7 @@ class WarehouseSpec extends SparkSpec {
   test("partitioned table reuse recovers partitions and still partition-prunes") {
     val src = freshSrcDir("part")
     val name = Warehouse.tableName("graft_spec_reuse_p", src.toString)
+    madeTables += name
     spark.sql(s"DROP TABLE IF EXISTS $name")
     var builds = 0
     def build(): Unit = Warehouse.ensurePartitioned(spark, name, "k", Some(src.toString)) {
@@ -85,6 +105,7 @@ class WarehouseSpec extends SparkSpec {
   test("changed source data invalidates the marker and forces a re-build") {
     val src = freshSrcDir("inval")
     val name = Warehouse.tableName("graft_spec_reuse_i", src.toString)
+    madeTables += name
     spark.sql(s"DROP TABLE IF EXISTS $name")
     var builds = 0
     def build(): Unit = Warehouse.ensureVia(spark, name, Some(src.toString)) {
@@ -106,6 +127,7 @@ class WarehouseSpec extends SparkSpec {
   test("a leftover directory WITHOUT a marker is cleared and re-built (old behavior)") {
     val src = freshSrcDir("nomark")
     val name = Warehouse.tableName("graft_spec_reuse_n", src.toString)
+    madeTables += name
     spark.sql(s"DROP TABLE IF EXISTS $name")
     var builds = 0
     def build(reuse: Option[String]): Unit = Warehouse.ensureVia(spark, name, reuse) {
