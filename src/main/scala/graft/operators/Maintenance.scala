@@ -174,28 +174,88 @@ object Maintenance {
        |FROM lineitem
        |ORDER BY zval, l_orderkey, l_linenumber LIMIT 20000""".stripMargin
 
+  /** DISTRIBUTED exact ntile: global rank under a fully-tiebroken sort
+    * order via range repartitioning (each partition's keys precede the
+    * next's, so global rank = per-partition row_number + the broadcast
+    * offset of the partitions before it — the classic two-phase rank,
+    * every window PARTITIONED), then Spark/DuckDB ntile arithmetic
+    * (first `N mod n` buckets get the extra row) applied to the rank as
+    * a plain expression. No single-partition window anywhere; the
+    * per-partition size pull is one row per partition. */
+  private def distributedNtile(
+      df: org.apache.spark.sql.DataFrame,
+      n: Int,
+      sortCols: Seq[Column],
+      out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 2)
+    // localCheckpoint: the range partitioning feeds BOTH the size count
+    // and the rank pass, and RangePartitioner's boundary sampling is not
+    // reproducible across materializations — pin ONE assignment (at
+    // 100 TB: persist; the point is the plan stays partition-parallel).
+    // No sortWithinPartitions here: the rank window sorts its partition
+    // anyway, and the size count doesn't need order.
+    val ranged = df
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sizes = ranged.groupBy("__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val offsets = sizes.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .init.map(_._2).zip(sizes.map(_._1)).map { case (off, pid) => (pid, off) }.toMap
+    val offCol = sizes.map(_._1).foldLeft(lit(0L)) { (acc, pid) =>
+      when(col("__pid") === pid, lit(offsets(pid))).otherwise(acc)
+    }
+    val rn = row_number().over(
+      Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("long") + offCol
+    // ntile(n) over N rows: bucketSize = N div n, the first N mod n
+    // buckets carry one extra row (both engines' definition)
+    val bucketSize = total / n
+    val rem = total % n
+    val threshold = rem * (bucketSize + 1)
+    // integer division via floor(double): exact while rank < 2^53 —
+    // nine orders of magnitude above the 100 TB row count
+    def idiv(a: Column, b: Long): Column = floor(a / lit(b.toDouble)).cast("long")
+    val bucket =
+      when(lit(bucketSize) === 0L, rn) // N < n: every row its own bucket
+        .when(rn <= threshold, idiv(rn - 1L, bucketSize + 1L) + 1L)
+        .otherwise(lit(rem) + idiv(rn - 1L - lit(threshold), math.max(bucketSize, 1L)) + 1L)
+    ranged.withColumn(out, (bucket - 1L).cast("bigint")).drop("__pid")
+  }
+
   /** The domain-agnostic z-order variant: continuous/unbounded
     * dimensions (price, quantity) are first reduced to dense 0..255
-    * RANKS by ntile — the "quantile-bucket each dimension" step
+    * RANKS by exact ntile — the "quantile-bucket each dimension" step
     * [[zFormula]]'s scaladoc prescribes for keys that don't fit 16
     * bits — then interleaved. ntile is deterministic here because the
-    * window ORDER BY carries a full tiebreak (value, orderkey,
-    * linenumber), and both engines define ntile identically (first
-    * buckets get the remainder). Emits the top of the z-sorted order
-    * like [[qZorderCluster]]. At 100 TB the two ntile windows are one
-    * pass each over a single global sort key — in practice you'd sample
-    * quantile cut points instead; the rank reduction is the part the
-    * formula needs, not the exact method. */
+    * sort order carries a full tiebreak (value, orderkey, linenumber),
+    * and both engines define ntile identically (first buckets get the
+    * remainder). Emits the top of the z-sorted order like
+    * [[qZorderCluster]]. The ranks come from [[distributedNtile]]'s
+    * two-phase global rank — range-partitioned sort + broadcast
+    * offsets — so no dimension ever collapses to a single-partition
+    * window (the earlier formulation's one concession to local-mode
+    * convenience; at 100 TB a sampled-cut-point ntile would trade
+    * exactness for one fewer pass, but the exact form is itself
+    * partition-parallel now). */
   def qZorderRanked(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wp = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val wq = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
-      .select(
-        col("l_orderkey"), col("l_linenumber"),
-        (ntile(256).over(wp) - 1).cast("bigint").as("price_rank"),
-        (ntile(256).over(wq) - 1).cast("bigint").as("qty_rank"))
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+    // the two rank passes CHAIN over the same physical rows (the second
+    // pass's input carries price_rank along) — a key join would pair
+    // ranks combinatorially, because (l_orderkey, l_linenumber) is not
+    // unique in this generator's lineitem
+    val withP = distributedNtile(
+      base, 256,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      "price_rank")
+    distributedNtile(
+      withP, 256,
+      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+      "qty_rank")
       .withColumn("zval", expr(zFormula("price_rank", "qty_rank", "div")))
+      .select("l_orderkey", "l_linenumber", "price_rank", "qty_rank", "zval")
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
       .limit(10000)
   }

@@ -803,6 +803,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in autocorr:\n$p")
   }
 
+  test("z-order rank reduction never plans a single-partition window") {
+    // the two-phase distributed ntile (range repartition + per-partition
+    // row_number + broadcast offsets) must keep every window PARTITIONED
+    // — an unpartitioned ntile/row_number here is the one plan shape that
+    // cannot survive a 100 TB lineitem (one task sorts everything)
+    val p = plan(Maintenance.qZorderRanked(spark, sfDir))
+    assert(p.contains("Window"), s"expected the rank window in the plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the z-order rank plan:\n$p")
+  }
+
   test("perplexity buckets reuse ONE cached scoring pass for boundaries and classification") {
     // lmDocScores is the expensive subtree; it must be computed once into
     // the cache and SCANNED twice — if the cache is dropped the tokenize/
