@@ -124,6 +124,35 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table(name).count() === 1)
   }
 
+  test("a truncated marker (missing partcols) is rejected — rebuild, not a NULL-column registration") {
+    // markers are published by atomic rename, but a marker written by an
+    // older build could be missing keys; registering a PARTITIONED
+    // layout without its PARTITIONED BY would read the
+    // directory-encoded column as NULLs — the reuse path must reject
+    // and rebuild instead
+    val src = freshSrcDir("trunc")
+    val name = Warehouse.tableName("graft_spec_reuse_t", src.toString)
+    madeTables += name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    var builds = 0
+    def build(): Unit = Warehouse.ensurePartitioned(spark, name, "k", Some(src.toString)) {
+      builds += 1
+      spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+    }
+    build()
+    dropKeepingFiles(name)
+    // corrupt the marker: drop the partcols line (keep fp + ddl intact)
+    val metaF = new java.io.File(new java.io.File(warehouseDir, name.toLowerCase), "_graft_meta")
+    val kept = scala.io.Source.fromFile(metaF, "UTF-8").getLines()
+      .filterNot(_.startsWith("partcols")).mkString("\n")
+    java.nio.file.Files.writeString(metaF.toPath, kept)
+    build()
+    assert(builds === 2, "a truncated marker must force a rebuild")
+    assert(spark.table(name).filter(col("k").isNull).count() === 0,
+      "re-registered table read the partition column as NULLs")
+    assert(spark.table(name).filter(col("k") === "a").count() === 2)
+  }
+
   test("a leftover directory WITHOUT a marker is cleared and re-built (old behavior)") {
     val src = freshSrcDir("nomark")
     val name = Warehouse.tableName("graft_spec_reuse_n", src.toString)
