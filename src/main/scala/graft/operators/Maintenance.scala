@@ -189,16 +189,22 @@ object Maintenance {
       out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 2)
-    // localCheckpoint: the range partitioning feeds BOTH the size count
-    // and the rank pass, and RangePartitioner's boundary sampling is not
-    // reproducible across materializations — pin ONE assignment (at
-    // 100 TB: persist; the point is the plan stays partition-parallel).
-    // No sortWithinPartitions here: the rank window sorts its partition
+    // persist (NOT localCheckpoint): the range partitioning feeds BOTH the
+    // size count and the rank pass, and RangePartitioner's boundary
+    // sampling is not reproducible across separate exchanges — both
+    // consumers must share ONE assignment. persist gives that (cache hits
+    // resolve to the same InMemoryRelation, whose single exchange carries
+    // one partitioner instance) AND survives executor loss: a lost block
+    // recomputes through the same plan with the same fixed boundaries,
+    // where localCheckpoint's lineage truncation would make any executor
+    // loss fatal to the query (blocks live only on executors). The size
+    // count below doubles as the eager materialization. No
+    // sortWithinPartitions here: the rank window sorts its partition
     // anyway, and the size count doesn't need order.
     val ranged = df
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ranged.groupBy("__pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = sizes.map(_._2).sum

@@ -879,7 +879,13 @@ object Similarity {
       qraw: Seq[Double],
       books: Map[Int, Array[(Int, Seq[Double])]],
       corpusN: Long): DataFrame = {
-    val shortlistN = math.max(PqShortlist.toLong, math.ceil(CheckShortlistFrac * corpusN).toLong).toInt
+    // clamp: ⌈frac·n⌉ exceeds Int range above ~5.3B rows — these twins are
+    // small-SF gate checks, but an unguarded .toInt would wrap negative and
+    // fail limit() at runtime instead of degrading to a (still value-cut,
+    // still correct) Int.MaxValue shortlist
+    val shortlistN = math.min(
+      math.max(PqShortlist.toLong, math.ceil(CheckShortlistFrac * corpusN).toLong),
+      Int.MaxValue.toLong).toInt
     val scored = adcScores(codedCand, qraw, books)
     // boundary = shortlistN-th largest adc (bounded driver pull: one
     // double); the value-cut filter below is what the executors run

@@ -163,7 +163,16 @@ object VersionedTable {
     // O(retain) on a stream with unbounded history. The <= batchId guard
     // keeps a concurrent writer's newer in-flight version untouchable
     // even though none should exist (single-writer protocol).
-    for (old <- liveVersionIds(s, table).filter(_ <= batchId).dropRight(retain))
+    // `retain` counts COMMITTED snapshots: an uncommitted crash orphan
+    // (version written, marker never advanced — never readable) must not
+    // occupy a retention slot and push a committed snapshot out early, so
+    // orphans are dropped unconditionally and the window is taken over
+    // the committed subset only. The isCommitted probe runs once per live
+    // version — O(retain + orphans) bounded pulls, not a log collect.
+    val live = liveVersionIds(s, table).filter(_ <= batchId)
+    val (committedLive, orphans) =
+      live.partition(v => v == batchId || isCommitted(s, table, v))
+    for (old <- orphans ++ committedLive.dropRight(retain))
       s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
     true
   }

@@ -153,6 +153,99 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table(name).filter(col("k") === "a").count() === 2)
   }
 
+  test("codeFingerprint covers jar classpaths and refuses unknown provenance") {
+    def mkJar(tag: String, entry: String, bytes: Int): java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_wh_jar_$tag").toFile
+      tempDirs += d
+      val f = new java.io.File(d, s"$tag.jar")
+      val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+      try {
+        out.putNextEntry(new java.util.zip.ZipEntry(entry))
+        out.write(Array.fill[Byte](bytes)(7))
+        out.closeEntry()
+      } finally out.close()
+      f
+    }
+    // note: no "graft/" DIRECTORY entry is written — detection must work
+    // from the class entry alone (shaded jars omit directory entries)
+    val graftJar = mkJar("withgraft", "graft/Dummy.class", 64)
+    val otherJar = mkJar("nograft", "other/Dummy.class", 64)
+    val fp1 = Warehouse.codeFingerprintOf(graftJar.getPath)
+    assert(fp1.isDefined, "a graft-bearing jar must fingerprint")
+    assert(Warehouse.codeFingerprintOf(otherJar.getPath).isEmpty,
+      "a classpath with no graft-bearing entry is unknown provenance -> None (reuse refused)")
+    assert(Warehouse.codeFingerprintOf("").isEmpty)
+    // a swapped jar (different size => different artifact) must change it
+    val graftJar2 = mkJar("withgraft2", "graft/Dummy.class", 128)
+    // same path string length irrelevant — compare via a classpath that
+    // only swaps which jar sits at the front
+    val sep = java.io.File.pathSeparator
+    val a = Warehouse.codeFingerprintOf(graftJar.getPath + sep + otherJar.getPath)
+    val b = Warehouse.codeFingerprintOf(graftJar2.getPath + sep + otherJar.getPath)
+    assert(a.isDefined && b.isDefined && a != b,
+      "a different jar artifact must produce a different code fingerprint")
+  }
+
+  test("a concurrent ensure cannot clear a mid-build table dir (build lock)") {
+    val src = freshSrcDir("race")
+    val name = Warehouse.tableName("graft_spec_reuse_r", src.toString)
+    madeTables += name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    var builds = 0
+    def build(): Unit = Warehouse.ensureVia(spark, name, Some(src.toString)) {
+      builds += 1
+      spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+        .write.saveAsTable(name)
+    }
+    build()
+    assert(builds === 1)
+    dropKeepingFiles(name)
+    val tblDir = new java.io.File(warehouseDir, name.toLowerCase)
+    val metaF = new java.io.File(tblDir, "_graft_meta")
+    val metaAside = new java.io.File(tblDir.getParentFile, name.toLowerCase + "__meta_aside")
+    // simulate ANOTHER JVM mid-build: its lock is held, its table dir has
+    // files but no marker yet (the exact state r12's clearLeftover would
+    // have deleted from under it)
+    java.nio.file.Files.move(metaF.toPath, metaAside.toPath)
+    val lock = new java.io.File(warehouseDir, name.toLowerCase + "._graft_lock")
+    assert(lock.createNewFile())
+    val dataFiles = tblDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val waiter = Future(build())
+    Thread.sleep(800)
+    assert(!waiter.isCompleted, "ensure must wait on the holder's lock")
+    assert(dataFiles.forall(_.exists()),
+      "a waiting ensure deleted the lock holder's mid-build files")
+    // the holder finishes: marker published, lock released
+    java.nio.file.Files.move(metaAside.toPath, metaF.toPath)
+    assert(lock.delete())
+    Await.result(waiter, 30.seconds)
+    assert(builds === 1, "the waiter must adopt the holder's published files, not rebuild")
+    assert(spark.table(name).count() === 3)
+  }
+
+  test("a stale (crash-leaked) lock is stolen and the build proceeds") {
+    val src = freshSrcDir("stale")
+    val name = Warehouse.tableName("graft_spec_reuse_s", src.toString)
+    madeTables += name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val lock = new java.io.File(warehouseDir, name.toLowerCase + "._graft_lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    var builds = 0
+    Warehouse.ensureVia(spark, name, Some(src.toString)) {
+      builds += 1
+      spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+        .write.saveAsTable(name)
+    }
+    assert(builds === 1, "an hours-old lock must be presumed crash-leaked and stolen")
+    assert(!lock.exists(), "the stolen-and-reacquired lock must be released after the build")
+    assert(spark.table(name).count() === 3)
+  }
+
   test("a leftover directory WITHOUT a marker is cleared and re-built (old behavior)") {
     val src = freshSrcDir("nomark")
     val name = Warehouse.tableName("graft_spec_reuse_n", src.toString)

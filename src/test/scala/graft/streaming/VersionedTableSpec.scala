@@ -45,6 +45,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(read(2L) === Some(22L) && read(1L) === Some(15L))
   }
 
+  test("a crash orphan does not occupy a retention slot: committed snapshots keep their window") {
+    // an uncommitted orphan (version written, marker never advanced) is
+    // never readable, so counting it against `retain` would retire a
+    // committed snapshot early — the retire step must drop orphans
+    // unconditionally and take the window over the COMMITTED subset only
+    val table = "graft_vt_orphan_spec"
+    freshTables(table)
+    def commit(b: Long, v: Long): Boolean =
+      VersionedTable.applyBatch(spark, table, b, retain = 2) { base =>
+        val prev = base.map(_.collect().head.getLong(0)).getOrElse(0L)
+        Seq(prev + v).toDF("total").localCheckpoint()
+      }
+    assert(commit(0L, 10L) && commit(1L, 5L))
+    // crash window: v3 written, marker never advanced
+    VersionedTable.writeVersion(spark, table, 3L, Seq(999L).toDF("total"))
+    assert(commit(4L, 7L))
+    def read(b: Long): Option[Long] =
+      VersionedTable.versionAt(spark, table, b).map(_.collect().head.getLong(0))
+    // retain=2 over COMMITTED versions: v1 and v4 both stay readable
+    // (the orphan must not have pushed v1 out of the window)...
+    assert(read(4L) === Some(22L))
+    assert(read(1L) === Some(15L), "orphan consumed a retention slot — committed v1 retired early")
+    // ...the orphan's data is reclaimed, and v0 retired normally
+    assert(!spark.catalog.tableExists(table + "_v3"), "crash orphan's data must be reclaimed")
+    assert(read(0L) === None && !spark.catalog.tableExists(table + "_v0"))
+  }
+
   test("manifest consumer under retain=2: previous manifest time-travels while commits advance") {
     // the forward-plan e2e shrunk to its essence: the corpus-build
     // manifest consumer committing with a retention window — after each
