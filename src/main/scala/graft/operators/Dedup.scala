@@ -2369,23 +2369,59 @@ object Dedup {
   private val qSimhashCompleteSql =
     "SELECT TRUE AS banding_complete"
 
+  /** Build-once FULL-CORPUS shingle index backing the contamination /
+    * snippet-attribution cards, persisted as sh-bucketed managed tables
+    * ([[graft.sources.Warehouse]], cross-JVM reusable): the uncapped
+    * inverted index `tri` (doc_id, sh) over every ≥3-token document, the
+    * full-corpus per-shingle DF stats, and the capped snippet probe set
+    * (each doc's first [[SnippetTokens]]-token shingles with corpus df ≤
+    * [[IncMaxDF]]). DF-universe semantics pinned here and in the oracles:
+    * df is over the WHOLE corpus including any eval slice — unlike
+    * [[ensureIncrementalIndex]], whose corpus side excludes the batch.
+    * This is the nightly index job; the query-time cards never
+    * re-tokenize or re-shingle the corpus (plan-guarded). Returns the
+    * three table names (tri, df, snip). */
+  private[operators] def ensureContaminationIndex(
+      s: SparkSession, d: String): (String, String, String) = {
+    import graft.sources.Warehouse
+    val triT = Warehouse.tableName("graft_ctx_tri", d)
+    val dfT = Warehouse.tableName("graft_ctx_df", d)
+    val snT = Warehouse.tableName("graft_ctx_snip", d)
+    Warehouse.ensure(s, triT, "sh", reuseFrom = Some(d)) {
+      explodedShingles(s, d)
+    }
+    // df and the capped snippet set both derive from the STORED tri /
+    // df tables — the build chain tokenizes the corpus once for tri and
+    // once for the snippet prefixes, then never again
+    Warehouse.ensure(s, dfT, "sh", reuseFrom = Some(d)) {
+      s.table(triT).groupBy("sh").agg(count(lit(1)).as("df"))
+    }
+    Warehouse.ensure(s, snT, "sh", reuseFrom = Some(d)) {
+      Tables.documents(s, d)
+        .filter(size(toks(col("text"))) >= 3)
+        .select(
+          col("doc_id").as("snip_id"),
+          explode(shingles(concat_ws(" ", slice(toks(col("text")), 1, SnippetTokens)))).as("sh"))
+        .join(s.table(dfT).filter(col("df") <= IncMaxDF).select("sh"), "sh")
+    }
+    (triT, dfT, snT)
+  }
+
   /** Benchmark-contamination check: flag corpus documents that share ANY
     * trigram shingle with a probe set (here: the two lowest-id documents,
-    * a deterministic stand-in for a benchmark/eval suite). The probe
-    * shingle set is tiny → broadcast; the corpus side is a LEFT SEMI join
-    * against it — each doc flagged at most once, no pair explosion, one
-    * scan of the corpus. The 100 TB shape of "did eval data leak into the
+    * a deterministic stand-in for a benchmark/eval suite). Both sides
+    * read the PERSISTED inverted index ([[ensureContaminationIndex]]) —
+    * an eval batch checked daily pays posting-list reads, never a corpus
+    * re-tokenize. The probe shingle set is tiny → broadcast; the corpus
+    * side is a LEFT SEMI join against it — each doc flagged at most
+    * once, no pair explosion, one scan of the stored index and zero of
+    * the raw text. The 100 TB shape of "did eval data leak into the
     * training set". */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    // cached: referenced by both the probe and corpus subtrees — without
-    // it Spark scans+shingles documents twice. Bench/Verify clearCache()
-    // after each query, so this cannot leak.
-    val sh = shingleSets(Tables.documents(s, d)).cache()
-    val probes = sh.filter(col("doc_id") < 2)
-      .select(explode(col("shs")).as("sh"))
-      .distinct()
-    sh.filter(col("doc_id") >= 2)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val (triT, _, _) = ensureContaminationIndex(s, d)
+    val idx = s.table(triT)
+    val probes = idx.filter(col("doc_id") < 2).select("sh").distinct()
+    idx.filter(col("doc_id") >= 2)
       .join(broadcast(probes), Seq("sh"), "left_semi")
       .select("doc_id")
       .distinct()
@@ -2427,18 +2463,15 @@ object Dedup {
     * entries, so candidate fan-out is ≤ maxDF per snippet shingle
     * regardless of corpus size (a stop-shingle probe would touch every
     * document). The doc side needs no cap — the join only ever reads
-    * posting lists the capped snippet side probes. */
+    * posting lists the capped snippet side probes. Both sides are the
+    * PERSISTED tables of [[ensureContaminationIndex]], sh-bucketed with
+    * matching bucket counts, so the overlap join is co-located
+    * (exchange-free on the big side) and the query never touches the raw
+    * text — the fit is the nightly index job, paid once per warehouse. */
   def qSnippetContainment(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(size(toks(col("text"))) >= 3)
-    // uncapped doc-side inverted index; cached — df stats AND the
-    // overlap join both read it
-    val tri = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh")).cache()
-    val dfs = tri.groupBy("sh").agg(count(lit(1)).as("df"))
-    val snip = docs.select(
-      col("doc_id").as("snip_id"),
-      explode(shingles(concat_ws(" ", slice(toks(col("text")), 1, SnippetTokens)))).as("sh"))
-    // cached: the size aggregate and the probe join both read it
-    val csnip = snip.join(dfs.filter(col("df") <= IncMaxDF).select("sh"), "sh").cache()
+    val (triT, _, snT) = ensureContaminationIndex(s, d)
+    val tri = s.table(triT)
+    val csnip = s.table(snT)
     val nsz = csnip.groupBy("snip_id").agg(count(lit(1)).as("n_snip"))
     val ov = csnip
       .join(tri, "sh")
@@ -2489,19 +2522,42 @@ object Dedup {
     * the question is "how much of the benchmark leaks", not "how similar
     * are the docs". Strictly stronger evidence than [[qContamination]]'s
     * any-shared-shingle screen (that flags; this MEASURES per offending
-    * train doc, with exact integers on the decision). Both sides ride
-    * the [[cappedShingles]] index, so posting-list fan-out is bounded by
-    * maxDF exactly as in the incremental dedup — at 100 TB the train
-    * side is the persisted corpus index and the daily cost is ∝ the eval
-    * set. Real deployments use ~13-gram windows where trigrams stand in
-    * at this corpus size; the machinery is n-independent. */
+    * train doc, with exact integers on the decision). The train side is
+    * the PERSISTED [[ensureIncrementalIndex]] inverted index + DF stats
+    * — the eval slice is the ONLY fresh tokenize (plan-guarded), so a
+    * daily decontam of an eval batch costs ∝ the batch, never a corpus
+    * re-shingle. DF-universe semantics (pinned in the oracle): the cap
+    * is on the FULL-corpus df including the eval slice, reconstructed
+    * from the stored train-only df_c plus the fresh eval df_e exactly as
+    * [[incrementalEdges]] reconstructs total-capped sets — df_e+df_c ≤
+    * maxDF ⟹ df_c ≤ maxDF, so the stored (train-df-capped) index joined
+    * against the total-capped eval set reproduces the from-scratch
+    * total-capped overlap bit-for-bit, and posting-list fan-out stays
+    * bounded by maxDF. Real deployments use ~13-gram windows where
+    * trigrams stand in at this corpus size; the machinery is
+    * n-independent. */
   def qDecontamFrac(s: SparkSession, d: String): DataFrame = {
-    val capped = cappedShingles(s, d, maxDF = IncMaxDF).cache()
-    val ev = capped.filter(isNewBatch(col("doc_id")))
-    val esz = ev.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+    val (shT, dfT, _, _) = ensureIncrementalIndex(s, d)
+    val idx = s.table(shT)
+    // the only tokenization this path runs: the eval slice
+    // (caches are caller-owned, cf. incrementalEdges — Verify/Bench
+    // clearCache() per query)
+    val evalSh = Tables.documents(s, d)
+      .filter(isNewBatch(col("doc_id")))
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .cache()
+    val dfE = evalSh.groupBy("sh").agg(count(lit(1)).as("df_e"))
+    // full-corpus df = stored train df_c + fresh eval df_e
+    val okSh = dfE
+      .join(s.table(dfT), Seq("sh"), "left")
+      .filter(coalesce(col("df_c"), lit(0L)) + col("df_e") <= IncMaxDF)
+      .select("sh")
+    val cappedEval = evalSh.join(okSh, "sh").cache()
+    val esz = cappedEval.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
       .withColumnRenamed("doc_id", "eval_id")
-    val ov = ev.as("e")
-      .join(capped.filter(not(isNewBatch(col("doc_id")))).as("t"), col("e.sh") === col("t.sh"))
+    val ov = cappedEval.as("e")
+      .join(idx.as("t"), col("e.sh") === col("t.sh"))
       .groupBy(col("e.doc_id").as("eval_id"), col("t.doc_id").as("train_id"))
       .agg(count(lit(1)).as("overlap"))
     ov.join(esz, "eval_id")

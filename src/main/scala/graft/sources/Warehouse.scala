@@ -73,32 +73,46 @@ object Warehouse {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** True when the jar at `p` carries graft classes. ZipFile's
-    * constructor loads the central directory, so the entry walk is an
-    * in-memory scan — no per-entry IO; jars without directory entries
-    * (some shaded builds) are still detected because CLASS entries are
-    * matched, not just the `graft/` directory entry. */
-  private def jarHasGraft(p: String): Boolean =
+  /** Sorted (name, size, crc) lines for a jar's graft-relevant entries,
+    * or empty when the jar carries no graft classes. CONTENT-derived on
+    * purpose: sbt's background runner repackages the project into a jar
+    * at a FRESH path+mtime on every `run`, so a (path, size, mtime) jar
+    * fingerprint would invalidate reuse on every invocation of identical
+    * code — the central-directory CRCs change exactly when class bytes
+    * change and never otherwise. META-INF/ is excluded (manifests may
+    * embed packaging noise); reading the central directory touches no
+    * entry data. Matches CLASS entries, not just the `graft/` directory
+    * entry, so shaded jars without directory entries are still covered. */
+  private def jarGraftMeta(p: String): Seq[String] =
     try {
       val z = new java.util.zip.ZipFile(p)
       try {
         val es = z.entries()
-        var found = false
-        while (!found && es.hasMoreElements)
-          found = es.nextElement().getName.startsWith("graft/")
-        found
+        val b = Seq.newBuilder[String]
+        var hasGraft = false
+        while (es.hasMoreElements) {
+          val e = es.nextElement()
+          if (!e.getName.startsWith("META-INF/")) {
+            if (e.getName.startsWith("graft/")) hasGraft = true
+            b += s"${e.getName}:${e.getSize}:${e.getCrc}"
+          }
+        }
+        if (hasGraft) b.result().sorted else Seq.empty
       } finally z.close()
-    } catch { case scala.util.control.NonFatal(_) => false }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** Fingerprint of the compiled library code on `classpath` — any
-    * recompile (classes dir) or artifact swap (jar path/size/mtime)
-    * changes it, so artifacts built by older code are never reused (the
+    * recompile (classes-dir mtimes, jar entry CRCs) changes it, so
+    * artifacts built by older code are never reused (the
     * build closure's constants are code, not data). Hashes EVERY
     * graft-bearing classpath entry, not just the first: a forked test
     * JVM lists test-classes before classes, and taking only the first
     * would make main-library recompiles invisible to the fingerprint.
-    * Jar-shipped deployments (spark-submit assembly) are covered by the
-    * jar branch; when NO graft-bearing entry is found the provenance of
+    * Jar-shipped deployments (spark-submit assembly, sbt's per-run
+    * background-job repackaging) are covered by the jar branch, which
+    * hashes entry CONTENT metadata (name/size/crc — see [[jarGraftMeta]])
+    * so an identical-code repackage reuses and any recompile invalidates;
+    * when NO graft-bearing entry is found the provenance of
     * the running code is unknown and the result is None — callers must
     * then refuse reuse entirely (never write or accept markers) rather
     * than degrade to a constant that would let artifacts built by
@@ -106,16 +120,16 @@ object Warehouse {
   private[sources] def codeFingerprintOf(classpath: String): Option[String] = {
     val entries = classpath.split(java.io.File.pathSeparator).filter(_.nonEmpty)
     val dirs = entries.filter(p => new java.io.File(p, "graft").isDirectory)
-    val jars = entries.filter(p =>
-      p.toLowerCase(java.util.Locale.ROOT).endsWith(".jar") &&
-        new java.io.File(p).isFile && jarHasGraft(p))
-    if (dirs.isEmpty && jars.isEmpty) None
+    val jarMetas = entries
+      .filter(p => p.toLowerCase(java.util.Locale.ROOT).endsWith(".jar") &&
+        new java.io.File(p).isFile)
+      .map(jarGraftMeta)
+      .filter(_.nonEmpty)
+    if (dirs.isEmpty && jarMetas.isEmpty) None
     else Some(md5((
       dirs.sorted.map(p => listMeta(new java.io.File(p)).mkString("\n")) ++
-        jars.sorted.map { p =>
-          val f = new java.io.File(p)
-          s"jar:${f.getAbsolutePath}:${f.length}:${f.lastModified}"
-        }).mkString("\u0000")))
+        jarMetas.sortBy(_.headOption.getOrElse(""))
+          .map(m => "jar:" + m.mkString("\n"))).mkString("\u0000")))
   }
 
   private lazy val codeFingerprint: Option[String] =

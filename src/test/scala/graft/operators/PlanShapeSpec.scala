@@ -213,6 +213,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("contamination + snippet attribution read the STORED index — no corpus re-shingle") {
+    // the r12 weak finding closed as a plan property: the trio's corpus
+    // side must arrive from the persisted graft_ctx_* tables and the plan
+    // must never touch the raw text at query time
+    for ((name, df) <- Seq(
+        "q_contamination" -> Dedup.qContamination(spark, sfDir),
+        "q_snippet_containment" -> Dedup.qSnippetContainment(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("graft_ctx_tri"), s"$name: stored inverted index not in plan:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$name re-tokenized the corpus at query time:\n$p")
+    }
+  }
+
+  test("decontam probes the STORED corpus index — the only documents scan is eval-sliced") {
+    // same contract as the incremental-dedup guard: corpus-side shingles
+    // and DF stats come from the persisted tables; the eval slice is the
+    // only fresh tokenization (every documents scan carries % 5 = 4)
+    val df = Dedup.qDecontamFrac(spark, sfDir)
+    val p = plan(df)
+    for (t <- Seq("graft_inc_sh", "graft_inc_df"))
+      assert(p.contains(t), s"stored index table $t not in plan:\n$p")
+    val docScanLines = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScanLines.nonEmpty, s"no documents scan at all?\n$p")
+    docScanLines.foreach { l =>
+      assert(l.contains("% 5) = 4"), s"corpus-side (unsliced) documents scan in decontam plan:\n$l")
+      assert(!l.contains("NOT ("), s"corpus-side documents scan in decontam plan:\n$l")
+    }
+  }
+
   test("IVF probe prunes the stored index scan to the probed cells' directories") {
     // the FAISS-style build/search split as a plan property: search must
     // read nprobe/nlist of the stored cell-partitioned index, not all of
