@@ -766,12 +766,16 @@ object Analytics {
       .agg(count(lit(1)).as("dg"))
       .select(col("ia").as("node"), col("dg"))
       .withColumn("dead", col("dg") < KcoreK)
-    // fixpointConverged, not fixpoint: k-core membership is correctness-
-    // bearing (a capped mid-peel state would emit dead-flagged rows with
-    // core_deg < k as core members, and the rescan twin would disagree).
-    // Measured peel depth on the real graph is ≤ 6 vs a cap of 16, so
-    // the raise is a tripwire, never the expected path.
-    val fp = Iterate.fixpointConverged(state0, KcoreMaxRounds) { (state, _) =>
+    // fixpointObservedConverged (not plain fixpoint): k-core membership
+    // is correctness-bearing (a capped mid-peel state would emit
+    // dead-flagged rows with core_deg < k as core members, and the
+    // rescan twin would disagree), and the dead-count probe is a pure
+    // function of the NEW state — so it rides the checkpoint
+    // materialization itself (one job per round; the two-pass shape
+    // paid a second scan-the-checkpoint job for the count). Measured
+    // peel depth on the real graph is ≤ 6 vs a cap of 16, so the raise
+    // is a tripwire, never the expected path.
+    val fp = Iterate.fixpointObservedConverged(state0, KcoreMaxRounds) { (state, _) =>
       val delta = state.filter(col("dead")).select(col("node").as("nb"))
       val dec = edges
         .join(delta, col("ib") === col("nb"))
@@ -782,7 +786,7 @@ object Analytics {
         .join(dec, col("node") === col("ia"), "left")
         .select(col("node"), (col("dg") - coalesce(col("dc"), lit(0L))).as("dg"))
         .withColumn("dead", col("dg") < KcoreK)
-    } { (_, next) => next.filter(col("dead")).count() }
+    } (sum(when(col("dead"), 1L).otherwise(0L)))
     fp.state
       .select(col("node"), col("dg").as("core_deg"))
       .orderBy("node")

@@ -57,11 +57,52 @@ private[operators] object Iterate {
       step: (DataFrame, Int) => DataFrame)(
       progress: (DataFrame, DataFrame) => Long): Fixpoint = {
     val fp = fixpoint(state0, maxRounds)(step)(progress)
+    raiseIfCapped(fp, maxRounds)
+    fp
+  }
+
+  private def raiseIfCapped(fp: Fixpoint, maxRounds: Int): Unit =
     if (!fp.converged)
       throw new IllegalStateException(
         s"fixpoint still progressing after $maxRounds rounds — raise the " +
           "backstop or inspect the input (returning the capped state " +
           "would be silently wrong)")
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** [[fixpointConverged]] with the progress probe FOLDED INTO the
+    * checkpoint materialization: `metric` is a count-shaped AGGREGATE
+    * column evaluated over each round's OUTPUT rows during the eager
+    * `localCheckpoint()` job itself (Spark's Observation/CollectMetrics
+    * machinery — the metric rides the plan, every row is observed
+    * exactly once by the materializing action, and the value is
+    * available the moment the checkpoint returns). A round therefore
+    * pays exactly ONE job; the two-argument probe shape pays a second
+    * launch-a-job-and-rescan-the-checkpoint pass per round. Fits any
+    * fixpoint whose progress is a function of the new state alone
+    * (peeling's "nodes that just died"); probes comparing prev vs next
+    * stay on [[fixpointConverged]]. */
+  def fixpointObservedConverged(state0: DataFrame, maxRounds: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      metric: org.apache.spark.sql.Column): Fixpoint = {
+    var state = state0.localCheckpoint()
+    var rounds = 0
+    var more = true
+    while (more && rounds < maxRounds) {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_fixpoint_${obsId.incrementAndGet()}")
+      val next = step(state, rounds)
+        .observe(obs, metric.as("progress"))
+        .localCheckpoint()
+      rounds += 1
+      // the eager checkpoint above IS the observed action, so the metric
+      // is already delivered — this does not block
+      more = Option(obs.get("progress"))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L) > 0
+      state = next
+    }
+    val fp = Fixpoint(state, rounds, converged = !more)
+    raiseIfCapped(fp, maxRounds)
     fp
   }
 }
