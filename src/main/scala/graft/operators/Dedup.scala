@@ -2409,18 +2409,25 @@ object Dedup {
 
   /** Benchmark-contamination check: flag corpus documents that share ANY
     * trigram shingle with a probe set (here: the two lowest-id documents,
-    * a deterministic stand-in for a benchmark/eval suite). Both sides
-    * read the PERSISTED inverted index ([[ensureContaminationIndex]]) —
-    * an eval batch checked daily pays posting-list reads, never a corpus
-    * re-tokenize. The probe shingle set is tiny → broadcast; the corpus
-    * side is a LEFT SEMI join against it — each doc flagged at most
-    * once, no pair explosion, one scan of the stored index and zero of
-    * the raw text. The 100 TB shape of "did eval data leak into the
-    * training set". */
+    * a deterministic stand-in for a benchmark/eval suite). The corpus
+    * side reads the PERSISTED inverted index
+    * ([[ensureContaminationIndex]]) — never a corpus re-tokenize; the
+    * probe side is shingled FRESH from a doc_id-pushed scan of the two
+    * probe documents (the eval suite is the small daily arrival — at
+    * 100 TB tokenizing it costs nothing, while extracting its shingles
+    * from the sh-bucketed index would scan the whole index for two
+    * docs). Probe set tiny → broadcast; the corpus side is a LEFT SEMI
+    * join against it — each doc flagged at most once, no pair explosion,
+    * one scan of the stored index. The 100 TB shape of "did eval data
+    * leak into the training set". */
   def qContamination(s: SparkSession, d: String): DataFrame = {
     val (triT, _, _) = ensureContaminationIndex(s, d)
     val idx = s.table(triT)
-    val probes = idx.filter(col("doc_id") < 2).select("sh").distinct()
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id") < 2)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(explode(shingles(col("text"))).as("sh"))
+      .distinct()
     idx.filter(col("doc_id") >= 2)
       .join(broadcast(probes), Seq("sh"), "left_semi")
       .select("doc_id")

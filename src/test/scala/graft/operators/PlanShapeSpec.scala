@@ -216,14 +216,23 @@ class PlanShapeSpec extends SparkSpec {
   test("contamination + snippet attribution read the STORED index — no corpus re-shingle") {
     // the r12 weak finding closed as a plan property: the trio's corpus
     // side must arrive from the persisted graft_ctx_* tables and the plan
-    // must never touch the raw text at query time
-    for ((name, df) <- Seq(
-        "q_contamination" -> Dedup.qContamination(spark, sfDir),
-        "q_snippet_containment" -> Dedup.qSnippetContainment(spark, sfDir))) {
-      val p = plan(df)
-      assert(p.contains("graft_ctx_tri"), s"$name: stored inverted index not in plan:\n$p")
-      assert(!p.contains("documents.parquet"),
-        s"$name re-tokenized the corpus at query time:\n$p")
+    // must never re-tokenize the corpus at query time. Snippet
+    // attribution is fully stored (both sides are corpus artifacts);
+    // contamination's PROBE side is the small daily arrival, so its only
+    // raw-text scan must be pushed down to the two probe documents.
+    val ps = plan(Dedup.qSnippetContainment(spark, sfDir))
+    assert(ps.contains("graft_ctx_tri"), s"stored inverted index not in plan:\n$ps")
+    assert(!ps.contains("documents.parquet"),
+      s"snippet attribution re-tokenized the corpus at query time:\n$ps")
+    val pc = plan(Dedup.qContamination(spark, sfDir))
+    assert(pc.contains("graft_ctx_tri"), s"stored inverted index not in plan:\n$pc")
+    val docScans = pc.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no probe-side documents scan?\n$pc")
+    docScans.foreach { l =>
+      assert(l.contains("LessThan(doc_id,2)"),
+        s"probe-side documents scan without the pushed doc_id<2 filter:\n$l")
     }
   }
 
