@@ -825,27 +825,27 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
     // Convergence probe: per-id labels only DECREASE (the step takes
     // least(...)), so Σ label strictly drops iff ANY label changed —
-    // equality of sums ⟺ fixpoint, exactly. That makes the probe one
-    // partial-agg scan per frame instead of the per-round id-join the
-    // loop used to pay (decimal(38) keeps the sum exact at any corpus
-    // size; the previous round's sum is memoized, so each round costs
-    // ONE scan).
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(count(lit(1)), sum(col("label").cast("decimal(38,0)"))).head()
-      val v = r.getDecimal(1)
+    // equality of sums ⟺ fixpoint, exactly. The (count, Σlabel) pair is
+    // OBSERVED during each round's checkpoint materialization
+    // (fixpointObservedConvergedBy), so a round pays exactly one job —
+    // no separate probe scan, no memoized-previous bookkeeping
+    // (decimal(38) keeps the sum exact at any corpus size).
+    def sumOf(x: Seq[Any]): java.math.BigDecimal = {
+      val c = x(0).asInstanceOf[Long]
+      val v = x(1).asInstanceOf[java.math.BigDecimal]
       // null means EITHER an empty frame OR (ANSI off) decimal(38)
       // overflow — and overflow must never read as "converged": two
       // overflowed rounds would compare ZERO == ZERO and hand back
-      // half-propagated labels, precisely what fixpointConverged exists
-      // to prevent. Disambiguate with the row count from the same scan.
-      if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO
+      // half-propagated labels, precisely what the converged variants
+      // exist to prevent. Disambiguate with the row count from the same
+      // observation.
+      if (c == 0L) java.math.BigDecimal.ZERO
       else if (v == null)
         throw new ArithmeticException(
           "CC convergence probe: label sum overflowed decimal(38,0)")
       else v
     }
-    var prevSum: java.math.BigDecimal = null
-    Iterate.fixpointConverged(labels0, CcMaxRounds) { (labels, _) =>
+    Iterate.fixpointObservedConvergedBy(labels0, CcMaxRounds) { (labels, _) =>
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -853,11 +853,8 @@ object Dedup {
       labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-    } { (prev, next) =>
-      val p = if (prevSum != null) prevSum else labelSum(prev)
-      val n = labelSum(next)
-      prevSum = n
-      if (p.compareTo(n) != 0) 1L else 0L
+    } (Seq(count(lit(1)), sum(col("label").cast("decimal(38,0)")))) { (prev, next) =>
+      sumOf(prev).compareTo(sumOf(next)) == 0
     }.state
   }
 

@@ -105,4 +105,41 @@ private[operators] object Iterate {
     raiseIfCapped(fp, maxRounds)
     fp
   }
+
+  /** [[fixpointObservedConverged]] for STATE-SUMMARY probes: callers
+    * whose convergence test compares an aggregate of the new state
+    * against the same aggregate of the previous state (sssp's
+    * (count, Σdist), CC's label sum). `metrics` ride each checkpoint
+    * materialization — including the SEED's, replacing the memoize-the-
+    * previous-round trick — so a round still pays exactly one job;
+    * `same(prev, next)` sees the two observed value sequences (metric
+    * order preserved) and may throw to surface probe-integrity
+    * violations (e.g. a decimal overflow turning a sum NULL). */
+  def fixpointObservedConvergedBy(state0: DataFrame, maxRounds: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      metrics: Seq[org.apache.spark.sql.Column])(
+      same: (Seq[Any], Seq[Any]) => Boolean): Fixpoint = {
+    val named = metrics.zipWithIndex.map { case (m, i) => m.as(s"m$i") }
+    def observed(df: DataFrame): (DataFrame, Seq[Any]) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_fixpoint_${obsId.incrementAndGet()}")
+      val ckpt = df.observe(obs, named.head, named.tail: _*).localCheckpoint()
+      // the eager checkpoint is the observed action — get does not block
+      val m = obs.get
+      (ckpt, named.indices.map(i => m(s"m$i")))
+    }
+    var (state, prevVals) = observed(state0)
+    var rounds = 0
+    var more = true
+    while (more && rounds < maxRounds) {
+      val (next, nextVals) = observed(step(state, rounds))
+      rounds += 1
+      more = !same(prevVals, nextVals)
+      prevVals = nextVals
+      state = next
+    }
+    val fp = Fixpoint(state, rounds, converged = !more)
+    raiseIfCapped(fp, maxRounds)
+    fp
+  }
 }

@@ -2081,12 +2081,22 @@ object TextOps {
     * (src, dst, w), `seed` (node, dmin=0) rows. Returns (node, dmin)
     * for every node reachable from the seed. */
   private[operators] def ssspFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
-    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)), sum(col("dmin").cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    // convergence = (reached-node count, Σ dmin) both unchanged; the pair
+    // is OBSERVED during each round's checkpoint materialization
+    // (fixpointObservedConvergedBy), so a round pays one job — no
+    // separate probe scan. A null sum over a nonempty frame is a
+    // decimal(38) overflow and must fail loudly, never read as
+    // converged (cf. ccLabelsFrom's probe).
+    def stats(x: Seq[Any]): (Long, java.math.BigDecimal) = {
+      val c = x(0).asInstanceOf[Long]
+      val s = x(1).asInstanceOf[java.math.BigDecimal]
+      if (c == 0L) (c, java.math.BigDecimal.ZERO)
+      else if (s == null)
+        throw new ArithmeticException(
+          "SSSP convergence probe: distance sum overflowed decimal(38,0)")
+      else (c, s)
     }
-    var prevStats: (Long, java.math.BigDecimal) = null
-    Iterate.fixpointConverged(seed, SsspMaxRounds) { (dist, _) =>
+    Iterate.fixpointObservedConvergedBy(seed, SsspMaxRounds) { (dist, _) =>
       val relaxed = edges
         .join(dist, col("src") === col("node"))
         .select(col("dst").as("n"), (col("dmin") + col("w")).as("cand"))
@@ -2096,11 +2106,10 @@ object TextOps {
         .groupBy("n")
         .agg(min("cand").as("dmin"))
         .withColumnRenamed("n", "node")
-    } { (prev, next) =>
-      val p = if (prevStats != null) prevStats else stats(prev)
+    } (Seq(count(lit(1)), sum(col("dmin").cast("decimal(38,0)")))) { (prev, next) =>
+      val p = stats(prev)
       val n = stats(next)
-      prevStats = n
-      if (p._1 == n._1 && p._2.compareTo(n._2) == 0) 0L else 1L
+      p._1 == n._1 && p._2.compareTo(n._2) == 0
     }.state
   }
 
