@@ -219,12 +219,17 @@ object Warehouse {
   // ------------------------------------------------ cross-JVM build lock
 
   /** Lock-steal age. Overridable (system property, milliseconds) so the
-    * spec can exercise the stale path without a wall-clock wait; the
-    * default assumes harness-scale builds (seconds). A deployment with
-    * hour-long index builds raises it — or, better, fronts the warehouse
-    * with a real metastore whose DDL is already atomic. */
+    * spec can exercise the stale path without a wall-clock wait. The
+    * default balances two failure costs: a killed JVM leaks its lock and
+    * stalls the NEXT run's ensure for at most this long (the harness's
+    * driver kills runs on timeout, so this must stay well under a round
+    * budget), while a legitimate holder slower than this gets its
+    * mid-build dir stolen (harness builds are seconds; 10 min is ~10×
+    * the slowest observed). A deployment with hour-long index builds
+    * raises it — or, better, fronts the warehouse with a real metastore
+    * whose DDL is already atomic. */
   private def lockStaleMs: Long =
-    sys.props.get("graft.warehouse.lockStaleMs").map(_.toLong).getOrElse(30L * 60 * 1000)
+    sys.props.get("graft.warehouse.lockStaleMs").map(_.toLong).getOrElse(10L * 60 * 1000)
 
   /** The build lock for `name` lives NEXT TO the table dir (inside the
     * warehouse root, not inside the table dir — saveAsTable requires the
