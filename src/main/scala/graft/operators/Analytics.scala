@@ -646,8 +646,24 @@ object Analytics {
   }
 
   /** Undirected co-purchase edges (ia < ib, cooc ≥ [[CfMinCooc]]) from the
-    * capped baskets — ONE definition for the CF scores and the k-core. */
+    * capped baskets — ONE definition for the CF scores and the k-core.
+    * PERSISTED build-once ([[graft.sources.Warehouse]], cross-JVM
+    * reusable): the basket self-join is the expensive half of the
+    * co-purchase family and a pure deterministic function of lineitem —
+    * qItemCf and qKcore probe the stored edge list instead of re-running
+    * it per query (itemN's linear lineitem scan stays fresh: that is the
+    * fact-scan side, not the pair blow-up). */
   private[operators] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val t = graft.sources.Warehouse.tableName("graft_cp_pairs", d)
+    graft.sources.Warehouse.ensure(s, t, "ia", reuseFrom = Some(d)) {
+      copurchasePairsFresh(s, d)
+    }
+    s.table(t)
+  }
+
+  /** The from-scratch derivation behind [[copurchasePairs]]'s store —
+    * runs only on a warehouse miss. */
+  private def copurchasePairsFresh(s: SparkSession, d: String): DataFrame = {
     val baskets = basketItems(s, d)
     baskets.as("a")
       .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))

@@ -254,6 +254,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("graph queries probe the STORED edge lists — no corpus re-derivation") {
+    // the word-adjacency graph and the co-purchase pair table are
+    // build-once warehouse artifacts: a graph query must read them, not
+    // re-tokenize documents / re-run the basket self-join per run
+    val pt = plan(TextOps.qTriangles(spark, sfDir))
+    assert(pt.contains("graft_graph_adj"), s"stored adjacency not in triangles plan:\n$pt")
+    assert(!pt.contains("documents.parquet"),
+      s"triangles re-tokenized the corpus at query time:\n$pt")
+    // k-core's OUTPUT plan is a lineage-truncated checkpoint (the loop
+    // consumes the edges at construction time), so guard the shared
+    // derivation seam itself: the pair table must plan as a stored-table
+    // read, never the basket self-join
+    val pk = plan(Analytics.copurchasePairs(spark, sfDir))
+    assert(pk.contains("graft_cp_pairs"), s"stored pair table not in plan:\n$pk")
+    assert(!pk.contains("lineitem.parquet"),
+      s"co-purchase pairs re-ran the basket self-join at query time:\n$pk")
+  }
+
   test("IVF probe prunes the stored index scan to the probed cells' directories") {
     // the FAISS-style build/search split as a plan property: search must
     // read nprobe/nlist of the stored cell-partitioned index, not all of
