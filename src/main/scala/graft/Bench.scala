@@ -84,11 +84,17 @@ object Bench {
     }.minBy { case (t1, tN) => tN / math.max(t1, 1e-9) }
   }
 
-  /** Flag threshold for max(tN/t1) across probes. Calibrated on this
-    * container (32 logical cpus): idle min-of-3 measures 1.2-1.45 (SMT
-    * sharing + thread start), a deliberate 16-core external load 2.1-2.4
-    * — 1.8 splits the gap. The r12 incident (uniform +30-40% medians,
-    * i.e. >= a dozen busy external cores) lands well above it. */
+  /** Flag threshold for the SECOND-HIGHEST tN/t1 across the 4 probe
+    * points. Second-highest because the graded cross-pass median of a
+    * query is corrupted once 2 of its 3 attempts are loaded, and a load
+    * window covering two passes brackets at least two probe points — so
+    * the flag must fire on >= 2 inflated probes (a median across points
+    * would need 3 and miss a half-run load; a max would false-fire on
+    * one GC-artifact point). Calibrated on this container (32 logical
+    * cpus): idle min-of-3 measures 1.2-1.45 (SMT sharing + thread
+    * start), a deliberate 16-core external load 2.1-2.4 — 1.8 splits
+    * the gap. The r12 incident (uniform +30-40% medians, i.e. >= a
+    * dozen busy external cores) lands well above it. */
   private val LoadFlagRatio = 1.8
 
   /** Total "shuffle bytes written" across a finished physical plan —
@@ -226,14 +232,17 @@ object Bench {
     // preceding full-detail line.
     // Host-load self-evidence (VERDICT r12 item 1): the probe ratio and
     // its flag ride the PARSED summary line, so a contaminated run grades
-    // itself — no quiet re-run needed to suspect the number. MEDIAN
-    // across probe points: the sustained competing load that distorts
-    // cross-pass medians inflates every point, while a one-point JVM
-    // artifact (GC debt the pre-probe System.gc() didn't fully clear)
-    // inflates only its own and is rejected; the raw per-point pairs stay
-    // on the diagnostics line for anyone re-adjudicating.
+    // itself — no quiet re-run needed to suspect the number.
+    // SECOND-HIGHEST across probe points (see LoadFlagRatio): >= 2
+    // inflated points = a load window wide enough to corrupt cross-pass
+    // medians, while a one-point JVM artifact (GC debt the pre-probe
+    // System.gc() didn't fully clear) is rejected; the raw per-point
+    // pairs stay on the diagnostics line for anyone re-adjudicating.
     val probeRatios = probes.map { case (t1, tN) => tN / math.max(t1, 1e-9) }.sorted
-    val loadRatio = if (probeRatios.isEmpty) 1.0 else probeRatios((probeRatios.size - 1) / 2)
+    val loadRatio =
+      if (probeRatios.isEmpty) 1.0
+      else if (probeRatios.size == 1) probeRatios.head
+      else probeRatios(probeRatios.size - 2)
     val loadFlag = loadRatio > LoadFlagRatio
     val probesJson = probes
       .map { case (t1, tN) => "[" + num(t1) + "," + num(tN) + "]" }
@@ -245,24 +254,31 @@ object Bench {
     // (min is the plan's floor — a stall only inflates), and they must be
     // readable from the summary line ALONE because the driver's ~2000-char
     // tail capture is only guaranteed to keep this last line whole.
-    val slowStats = byCost.take(10)
+    def slowStats(slowN: Int) = byCost.take(slowN)
       .map { case (k, med) => jstr(k) + ":[" + num(minOf(k)) + "," + num(med) + "]" }
       .mkString("{", ",", "}")
-    def line(entries: Seq[(String, Double)], omitted: Int) = {
+    def line(entries: Seq[(String, Double)], omitted: Int, slowN: Int) = {
       val qs = entries
         .map { case (k, med) => jstr(k) + ":" + num(med) }
         .mkString("{", ",", "}")
       val omittedField = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
         s""""load_ratio":${num(loadRatio)},"load_flag":$loadFlag,""" +
-        s""""slow_min_median":$slowStats,""" +
+        s""""slow_min_median":${slowStats(slowN)},""" +
         s""""queries":$qs,$omittedField"errors":$errJson,"sf":"$sfDir"}"""
     }
-    val kept = (byCost.length to 0 by -1)
-      .iterator
-      .map(n => line(byCost.take(n), byCost.length - n))
+    // budget search over BOTH knobs: medians shed first (they also live on
+    // the detail line), then the slow digest shrinks — so an error-heavy
+    // run (errJson is unshrinkable) still emits a line under budget
+    // instead of falling through to an over-budget line whose
+    // head-truncation would parse as null
+    val candidates =
+      (byCost.length to 0 by -1).iterator.map(n => (n, 10)) ++
+        (10 to 0 by -5).iterator.map(sn => (0, sn))
+    val kept = candidates
+      .map { case (n, sn) => line(byCost.take(n), byCost.length - n, sn) }
       .find(_.length <= lineBudget)
-      .getOrElse(line(Seq.empty, byCost.length))
+      .getOrElse(line(Seq.empty, byCost.length, 0))
     // Per-query [min, median]: the min is the plan's floor (a host stall
     // can only inflate), so min ≪ median flags a noisy attempt column
     // without anyone needing a quiet re-run to separate plan cost from

@@ -653,13 +653,10 @@ object Analytics {
     * qItemCf and qKcore probe the stored edge list instead of re-running
     * it per query (itemN's linear lineitem scan stays fresh: that is the
     * fact-scan side, not the pair blow-up). */
-  private[operators] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val t = graft.sources.Warehouse.tableName("graft_cp_pairs", d)
-    graft.sources.Warehouse.ensure(s, t, "ia", reuseFrom = Some(d)) {
+  private[operators] def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.ensureAndRead(s, "graft_cp_pairs", d, "ia") {
       copurchasePairsFresh(s, d)
     }
-    s.table(t)
-  }
 
   /** The from-scratch derivation behind [[copurchasePairs]]'s store —
     * runs only on a warehouse miss. */

@@ -1687,13 +1687,10 @@ object TextOps {
     * full-corpus-rescan-per-query shape the contamination rework killed.
     * At 100 TB the bigram graph build is the nightly job; queries probe
     * the stored edge list. */
-  private def adjacencyCounted(s: SparkSession, d: String): DataFrame = {
-    val t = graft.sources.Warehouse.tableName("graft_graph_adj", d)
-    graft.sources.Warehouse.ensure(s, t, "src", reuseFrom = Some(d)) {
+  private def adjacencyCounted(s: SparkSession, d: String): DataFrame =
+    graft.sources.Warehouse.ensureAndRead(s, "graft_graph_adj", d, "src") {
       adjacencyCountedFresh(s, d)
     }
-    s.table(t)
-  }
 
   /** The from-scratch derivation behind [[adjacencyCounted]]'s store —
     * runs only on a warehouse miss. */

@@ -241,6 +241,14 @@ object Warehouse {
     new java.io.File(warehouse, name.toLowerCase + "._graft_lock")
   }
 
+  /** Per-table in-JVM monitors: two threads ensuring the SAME table
+    * serialize, while an ensure blocked on another JVM's file lock must
+    * not stall unrelated tables (a streaming sink's per-micro-batch
+    * writeVersion would otherwise queue behind a foreign JVM's index
+    * build for the full poll wait). */
+  private val nameMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Shared miss-path for every ensure variant: existence check, then —
     * when the caller opted into reuse and a fingerprint-matching marker
     * is present — re-registration of the previous JVM's files; otherwise
@@ -255,10 +263,15 @@ object Warehouse {
     * when the holder publishes, the waiter re-registers the finished
     * files instead of ever having had a window to delete them. A lock
     * whose mtime is older than [[lockStaleMs]] is presumed crash-leaked
-    * and stolen (the harness's builds take seconds). Within one JVM the
-    * `synchronized` covers the same critical section. */
+    * and STOLEN ATOMICALLY: the stealer must win a rename of the stale
+    * lock to a unique name before recreating it — delete-then-recreate
+    * would let two stealers both enter the critical section (the second
+    * delete would remove the first stealer's FRESH lock). Within one JVM
+    * a per-table monitor covers the same critical section without
+    * serializing unrelated tables. */
   def ensureVia(s: SparkSession, name: String, reuseFrom: Option[String] = None)(
-      write: => Unit): Unit = synchronized {
+      write: => Unit): Unit =
+    nameMonitors.computeIfAbsent(name.toLowerCase, _ => new Object) synchronized {
     if (s.catalog.tableExists(name)) return
     // flatMap: an unknown code provenance (no graft-bearing classpath
     // entry) yields None — no marker is accepted or written (see
@@ -268,7 +281,15 @@ object Warehouse {
     val lock = lockFile(s, name)
     while (!lock.createNewFile()) {
       if (System.currentTimeMillis() - lock.lastModified > lockStaleMs) {
-        lock.delete() // crash-leaked; next loop iteration races to recreate
+        // atomic steal: only the JVM whose rename succeeds may proceed to
+        // recreate; a losing stealer loops and waits on the winner's
+        // fresh lock
+        val grave = new java.io.File(
+          lock.getParentFile, lock.getName + s".stale${System.nanoTime()}")
+        try {
+          java.nio.file.Files.move(lock.toPath, grave.toPath)
+          grave.delete()
+        } catch { case _: java.io.IOException => /* lost the steal race */ }
       } else {
         Thread.sleep(100)
         // the holder may have published while we waited — reuse its files
@@ -307,5 +328,17 @@ object Warehouse {
       reuseFrom: Option[String] = None)(
       build: => DataFrame): Unit = ensureVia(s, name, reuseFrom) {
     build.write.partitionBy(partitionCol).saveAsTable(name)
+  }
+
+  /** The ensure-then-read pattern every persisted-derivation site shares:
+    * derive the dir-scoped table name, build it (bucketed, cross-JVM
+    * reusable) on a miss, and hand back the stored table. ONE definition
+    * so a change to the reuse contract is a single-site edit. */
+  def ensureAndRead(
+      s: SparkSession, prefix: String, dir: String, bucketCol: String,
+      nBuckets: Int = 8)(build: => DataFrame): DataFrame = {
+    val t = tableName(prefix, dir)
+    ensure(s, t, bucketCol, nBuckets, reuseFrom = Some(dir))(build)
+    s.table(t)
   }
 }
