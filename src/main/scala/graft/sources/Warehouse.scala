@@ -219,17 +219,43 @@ object Warehouse {
   // ------------------------------------------------ cross-JVM build lock
 
   /** Lock-steal age. Overridable (system property, milliseconds) so the
-    * spec can exercise the stale path without a wall-clock wait. The
-    * default balances two failure costs: a killed JVM leaks its lock and
-    * stalls the NEXT run's ensure for at most this long (the harness's
-    * driver kills runs on timeout, so this must stay well under a round
-    * budget), while a legitimate holder slower than this gets its
-    * mid-build dir stolen (harness builds are seconds; 10 min is ~10×
-    * the slowest observed). A deployment with hour-long index builds
-    * raises it — or, better, fronts the warehouse with a real metastore
-    * whose DDL is already atomic. */
+    * spec can exercise the stale path without a wall-clock wait. Since
+    * r14 the HOLDER HEARTBEATS the lock (refreshes its mtime every
+    * [[lockStaleMs]]/4 for the duration of the build — see [[ensureVia]]),
+    * so an age past this bound means the holder CRASHED, not that it is
+    * slow: an hour-long 100 TB index build keeps its lock fresh the whole
+    * time, while a killed JVM's leaked lock goes cold and stalls the next
+    * ensure for at most this long. The only way a LIVE holder loses its
+    * lock is a JVM pause longer than the full stale age — and the
+    * ownership token (see below) makes even that loud instead of silent. */
   private def lockStaleMs: Long =
     sys.props.get("graft.warehouse.lockStaleMs").map(_.toLong).getOrElse(10L * 60 * 1000)
+
+  /** Single shared daemon for all lock heartbeats (one tick task per
+    * in-flight build; builds are rare and the tick is two syscalls). */
+  private lazy val heartbeater =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-warehouse-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    }
+
+  /** The ownership token stored in a lock file, None for an empty or
+    * unreadable lock (e.g. a foreign holder that crashed mid-stamp, or a
+    * pre-r14 bare lock). */
+  private def readLockToken(lock: java.io.File): Option[String] =
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8").trim
+      if (s.isEmpty) None else Some(s)
+    } catch { case _: java.io.IOException => None }
+
+  /** Wall-clock seconds of each artifact build this JVM actually RAN
+    * (cache misses only — reuse/adoption records nothing). The bench
+    * drains this to report one-off index-build cost separately from
+    * per-query time; it is accounting only, never consulted by the
+    * reuse protocol. */
+  val buildSeconds = new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
   /** The build lock for `name` lives NEXT TO the table dir (inside the
     * warehouse root, not inside the table dir — saveAsTable requires the
@@ -268,17 +294,46 @@ object Warehouse {
     * would let two stealers both enter the critical section (the second
     * delete would remove the first stealer's FRESH lock). Within one JVM
     * a per-table monitor covers the same critical section without
-    * serializing unrelated tables. */
+    * serializing unrelated tables.
+    *
+    * Liveness vs staleness (r14): the holder stamps a UNIQUE OWNER TOKEN
+    * into the lock at acquisition and HEARTBEATS its mtime every
+    * lockStaleMs/4 for the duration of the build, so a live build — no
+    * matter how slow — is never mistaken for a crash. Before publishing
+    * the marker and before releasing, the holder re-reads the lock and
+    * proceeds only if its token is still there; a holder that somehow
+    * lost its lock anyway (a JVM pause longer than the full stale age)
+    * aborts the publish LOUDLY instead of racing the stealer — it never
+    * deletes the stealer's fresh lock and never writes a marker over a
+    * directory the stealer may be rewriting.
+    *
+    * Staleness of a REGISTERED table (r14): when the table already
+    * exists in this JVM's catalog AND the caller opted into reuse, the
+    * stored marker fingerprint is revalidated against a fresh source
+    * fingerprint — a long-lived JVM whose source dir is rewritten under
+    * it drops the catalog entry and rebuilds instead of serving a stale
+    * artifact (previously the exists fast-path defeated srcFingerprint's
+    * per-ensure recomputation). Tables built WITHOUT reuseFrom keep the
+    * plain exists fast-path: they are in-JVM, possibly mutable (forget
+    * targets), and carry no marker contract. */
   def ensureVia(s: SparkSession, name: String, reuseFrom: Option[String] = None)(
       write: => Unit): Unit =
     nameMonitors.computeIfAbsent(name.toLowerCase, _ => new Object) synchronized {
-    if (s.catalog.tableExists(name)) return
     // flatMap: an unknown code provenance (no graft-bearing classpath
     // entry) yields None — no marker is accepted or written (see
     // codeFingerprintOf), never a constant fingerprint
-    val fp = reuseFrom.flatMap(srcFingerprint)
+    lazy val fp = reuseFrom.flatMap(srcFingerprint)
+    if (s.catalog.tableExists(name)) {
+      if (fp.isEmpty || !markerFpMismatch(s, name, fp.get)) return
+      // source rewritten under a live JVM: the registered artifact no
+      // longer derives from the data on disk — drop (managed: files go
+      // too; external: clearLeftover below removes them) and rebuild
+      println(s"[warehouse] source changed under live JVM — rebuild $name")
+      s.sql(s"DROP TABLE $name")
+    }
     if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
     val lock = lockFile(s, name)
+    val token = java.util.UUID.randomUUID().toString
     while (!lock.createNewFile()) {
       if (System.currentTimeMillis() - lock.lastModified > lockStaleMs) {
         // atomic steal: only the JVM whose rename succeeds may proceed to
@@ -296,17 +351,49 @@ object Warehouse {
         if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
       }
     }
+    // we created the lock: stamp ownership, then keep it demonstrably
+    // alive for the whole build (ticks only while still ours — after a
+    // pathological steal the file at this path is the STEALER's)
+    java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+    def owned: Boolean = readLockToken(lock).contains(token)
+    val tick = math.max(lockStaleMs / 4, 25L)
+    val hb = heartbeater.scheduleAtFixedRate(
+      () => if (owned) lock.setLastModified(System.currentTimeMillis()),
+      tick, tick, java.util.concurrent.TimeUnit.MILLISECONDS)
     try {
       // re-check under the lock: the prior holder may have published a
       // marker between our pre-lock probe and the acquisition
       if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
       clearLeftover(s, name)
+      val t0 = System.nanoTime()
       write
-      fp.foreach { f =>
+      buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)
+      if (owned) fp.foreach { f =>
         println(s"[warehouse] build $name")
         writeMeta(s, name, f)
-      }
-    } finally lock.delete()
+      } else println(s"[warehouse] LOCK STOLEN mid-build for $name " +
+        "(JVM paused past the stale age?) — marker NOT published; the " +
+        "stealer owns the directory now and this JVM's copy is suspect")
+    } finally {
+      hb.cancel(false)
+      if (owned) lock.delete()
+      // else: the lock at this path belongs to the stealer — leave it
+    }
+  }
+
+  /** True when `name`'s stored reuse marker exists AND records a
+    * fingerprint other than `fresh` — i.e. the registered table no
+    * longer matches the source data + code it claims to derive from.
+    * A missing marker is NOT a mismatch (location-overridden builds
+    * write none; the table is then in-JVM contract only). */
+  private def markerFpMismatch(s: SparkSession, name: String, fresh: String): Boolean = {
+    val metaF = new java.io.File(tableDir(s, name), MetaFile)
+    if (!metaF.isFile) return false
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(metaF)
+    try p.load(in)
+    finally in.close()
+    p.getProperty("fp") != fresh
   }
 
   /** Create `name` as a bucketed managed table if this JVM's catalog does

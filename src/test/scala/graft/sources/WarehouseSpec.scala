@@ -246,6 +246,151 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.table(name).count() === 3)
   }
 
+  /** Run `body` with the lock-steal age lowered to `ms`, restoring the
+    * previous value (or absence) afterwards. */
+  private def withStaleMs[A](ms: Long)(body: => A): A = {
+    val key = "graft.warehouse.lockStaleMs"
+    val prev = sys.props.get(key)
+    sys.props(key) = ms.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
+    }
+  }
+
+  test("a live holder heartbeats its lock: a build slower than the stale age keeps a fresh mtime and is not steal-eligible") {
+    withStaleMs(1000) {
+      val src = freshSrcDir("slow")
+      val name = Warehouse.tableName("graft_spec_reuse_slow", src.toString)
+      madeTables += name
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val lock = new java.io.File(warehouseDir, name.toLowerCase + "._graft_lock")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      var builds = 0
+      val holder = Future(Warehouse.ensureVia(spark, name, Some(src.toString)) {
+        builds += 1
+        Thread.sleep(2600) // 2.6x the stale age — a "slow" build
+        spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+          .write.saveAsTable(name)
+      })
+      // past 2x the stale age the build is still running, yet the lock's
+      // mtime must be recent — the exact predicate a foreign JVM's steal
+      // check reads, so a heartbeating live build can never be stolen
+      Thread.sleep(2200)
+      assert(!holder.isCompleted, "the slow build should still be running")
+      assert(lock.exists(), "the holder's lock vanished mid-build")
+      val age = System.currentTimeMillis() - lock.lastModified
+      assert(age < 1000, s"heartbeat failed: lock mtime is ${age}ms old (>= stale age)")
+      Await.result(holder, 30.seconds)
+      assert(builds === 1)
+      assert(!lock.exists(), "lock must be released after the slow build")
+      assert(spark.table(name).count() === 3)
+    }
+  }
+
+  test("a heartbeating FOREIGN lock is waited on past the stale age, never stolen") {
+    withStaleMs(800) {
+      val src = freshSrcDir("flive")
+      val name = Warehouse.tableName("graft_spec_reuse_fl", src.toString)
+      madeTables += name
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      var builds = 0
+      def build(): Unit = Warehouse.ensureVia(spark, name, Some(src.toString)) {
+        builds += 1
+        spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+          .write.saveAsTable(name)
+      }
+      build()
+      assert(builds === 1)
+      dropKeepingFiles(name)
+      val tblDir = new java.io.File(warehouseDir, name.toLowerCase)
+      val metaF = new java.io.File(tblDir, "_graft_meta")
+      val metaAside = new java.io.File(tblDir.getParentFile, name.toLowerCase + "__meta_aside")
+      java.nio.file.Files.move(metaF.toPath, metaAside.toPath)
+      // simulate a LIVE foreign JVM: its lock carries its token and its
+      // heartbeat keeps the mtime fresh on a 200ms tick
+      val lock = new java.io.File(warehouseDir, name.toLowerCase + "._graft_lock")
+      java.nio.file.Files.write(lock.toPath, "foreign-jvm-token".getBytes("UTF-8"))
+      @volatile var ticking = true
+      val ticker = new Thread(() => {
+        while (ticking) { lock.setLastModified(System.currentTimeMillis()); Thread.sleep(200) }
+      })
+      ticker.setDaemon(true)
+      ticker.start()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val waiter = Future(build())
+      Thread.sleep(2000) // 2.5x the stale age
+      assert(!waiter.isCompleted, "ensure must keep waiting on a live (heartbeating) foreign lock")
+      assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+        === "foreign-jvm-token", "the live foreign lock was stolen/replaced")
+      // the foreign holder finishes: marker published, lock released
+      ticking = false
+      ticker.join()
+      java.nio.file.Files.move(metaAside.toPath, metaF.toPath)
+      assert(lock.delete())
+      Await.result(waiter, 30.seconds)
+      assert(builds === 1, "the waiter must adopt the foreign holder's files, not rebuild")
+      assert(spark.table(name).count() === 3)
+    }
+  }
+
+  test("a steal victim neither deletes the stealer's lock nor publishes a marker") {
+    val src = freshSrcDir("victim")
+    val name = Warehouse.tableName("graft_spec_reuse_v", src.toString)
+    madeTables += name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val lock = new java.io.File(warehouseDir, name.toLowerCase + "._graft_lock")
+    var builds = 0
+    Warehouse.ensureVia(spark, name, Some(src.toString)) {
+      builds += 1
+      // simulate the pathological case the heartbeat can't cover (a JVM
+      // pause past the FULL stale age): mid-build, a stealer has renamed
+      // our lock away and created its own
+      java.nio.file.Files.write(lock.toPath, "stealer-token".getBytes("UTF-8"))
+      spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+        .write.saveAsTable(name)
+    }
+    assert(builds === 1)
+    assert(lock.exists(), "the victim deleted the STEALER's lock")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+      === "stealer-token")
+    val metaF = new java.io.File(new java.io.File(warehouseDir, name.toLowerCase), "_graft_meta")
+    assert(!metaF.exists(),
+      "the victim published a marker over a directory it no longer owns")
+    assert(lock.delete())
+  }
+
+  test("source rewritten under a LIVE JVM invalidates the registered artifact (exists-path revalidation)") {
+    val src = freshSrcDir("livechg")
+    val name = Warehouse.tableName("graft_spec_reuse_lc", src.toString)
+    madeTables += name
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    var builds = 0
+    def build(): Unit = Warehouse.ensureVia(spark, name, Some(src.toString)) {
+      builds += 1
+      spark.read.parquet(new java.io.File(src, "t.parquet").toString)
+        .write.saveAsTable(name)
+    }
+    build()
+    assert(builds === 1)
+    // NO catalog drop: the table stays registered while the source dir
+    // is rewritten under the live JVM
+    import spark.implicits._
+    Seq((7L, "q"), (8L, "q")).toDF("id", "k")
+      .write.mode("overwrite").parquet(new java.io.File(src, "t.parquet").toString)
+    build()
+    assert(builds === 2, "the exists fast-path served a stale artifact after a source rewrite")
+    assert(spark.table(name).count() === 2)
+    // and an UNCHANGED source keeps the fast path (no third build)
+    build()
+    assert(builds === 2)
+  }
+
   test("a leftover directory WITHOUT a marker is cleared and re-built (old behavior)") {
     val src = freshSrcDir("nomark")
     val name = Warehouse.tableName("graft_spec_reuse_n", src.toString)
