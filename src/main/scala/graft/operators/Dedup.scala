@@ -878,18 +878,25 @@ object Dedup {
     *
     * Each phase is one join against a per-node min (a combiner-backed
     * groupBy) — same per-round shuffle cost as a min-label round, just
-    * fewer rounds. The fixpoint test here is an exact EXCEPT in both
-    * directions (test-scale honesty); a 100 TB deployment compares
-    * count + order-independent XOR checksum (the [[Maintenance]] audit
-    * primitive) in one pass per side. Returns (labels, rounds) so the
-    * spec can assert the round count stays logarithmic where min-label
-    * walks the diameter. */
+    * fewer rounds. The fixpoint test compares an order-independent
+    * STATE-SUMMARY pair — (edge count, Σ xxhash64(a,b) as decimal) —
+    * observed on each round's checkpoint materialization itself
+    * ([[Iterate.fixpointObservedConvergedBy]]), so a round pays exactly
+    * ONE job; the previous per-round double-EXCEPT probe paid two extra
+    * full-rescan jobs per round for an equality test the checksum pair
+    * answers during the materialization. The edge set is canonical and
+    * distinct, so equal (count, Σhash) means equal sets up to a 2^-64
+    * hash-sum collision; a NULL checksum over a nonempty set (decimal
+    * overflow surrogate — needs ~1e20 edges) raises rather than
+    * converging silently. Returns (labels, rounds) so the spec can
+    * assert the round count stays logarithmic where min-label walks the
+    * diameter. */
   private[operators] def ccLabelsStarFrom(pairs: DataFrame): (DataFrame, Int) = {
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
     val edges0 = canon(pairs.toDF("a", "b").filter(col("a") =!= col("b")))
-    val fp = Iterate.fixpointConverged(edges0, CcMaxRounds) { (edges, _) =>
+    val fp = Iterate.fixpointObservedConvergedBy(edges0, CcMaxRounds) { (edges, _) =>
       // large-star over the bidirectional neighborhood view
       val bidir = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
         .toDF("u", "v")
@@ -910,8 +917,24 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b"))
       canon(small)
-    } { (prev, next) =>
-      next.exceptAll(prev).count() + prev.exceptAll(next).count()
+    }(Seq(
+      count(lit(1)),
+      sum(xxhash64(col("a"), col("b"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    )) { (prev, next) =>
+      def norm(vs: Seq[Any]): (Long, BigDecimal) = {
+        val cnt = vs.head.asInstanceOf[Number].longValue
+        val sum = vs(1) match {
+          case null if cnt == 0L => BigDecimal(0)
+          case null => throw new IllegalStateException(
+            "star-CC edge checksum came back NULL on a nonempty edge set " +
+              "(decimal overflow?) — refusing to treat it as converged")
+          case d: java.math.BigDecimal => BigDecimal(d)
+          case n: Number => BigDecimal(n.longValue)
+        }
+        (cnt, sum)
+      }
+      norm(prev) == norm(next)
     }
     val (edges, rounds) = (fp.state, fp.rounds)
     // converged stars, canonicalized (a = least): a is the component

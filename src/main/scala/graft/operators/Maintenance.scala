@@ -201,6 +201,13 @@ object Maintenance {
     // count below doubles as the eager materialization. No
     // sortWithinPartitions here: the rank window sorts its partition
     // anyway, and the size count doesn't need order.
+    // Cache lifecycle (CALLER-OWNED, cf. incrementalEdges): the cache
+    // backs the RETURNED lazy frame — the rank pass reads it when the
+    // caller materializes — so it cannot be unpersisted here. Verify/
+    // Bench clearCache() per query; a library caller embedding this in a
+    // longer session releases it the same way (repeat calls re-resolve
+    // to the same canonicalized InMemoryRelation, so storage does not
+    // accumulate across calls).
     val ranged = df
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
