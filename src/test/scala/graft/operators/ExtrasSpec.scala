@@ -1188,6 +1188,48 @@ class ExtrasSpec extends SparkSpec {
     assert(rounds <= 12, s"star contraction took $rounds rounds on a 256-path")
   }
 
+  test("trigram lang-ID learns real char-level signal: planted corpus classifies UNSEEN docs perfectly") {
+    import spark.implicits._
+    // two synthetic "languages" over disjoint character sets — the
+    // deployment case the classifier exists for (the shared-vocabulary
+    // main corpus caps ANY content classifier at chance out of sample;
+    // see qLangIdEval's scaladoc). Train and eval docs are disjoint:
+    // eval words are combinations never seen in training, so a correct
+    // prediction must come from the char-trigram PROFILES, not doc or
+    // word memorization.
+    val aChars = "abcdefg"
+    val bChars = "stuvwxy"
+    def word(alpha: String, i: Int): String =
+      (0 until 4).map { k =>
+        alpha((i / math.pow(alpha.length, k).toInt) % alpha.length)
+      }.mkString
+    def doc(alpha: String, j: Int): String =
+      (0 until 8).map(k => word(alpha, j * 3 + k)).mkString(" ")
+    val train = ((0 until 30).map(j => (s"ta$j", "aa", doc(aChars, j))) ++
+      (0 until 30).map(j => (s"tb$j", "bb", doc(bChars, j))))
+      .toDF("doc_id", "lang", "text")
+    val model = TextOps.langIdModelRows(spark, train).collect()
+    val eval = ((0 until 10).map(j => (s"ea$j", "aa", doc(aChars, 300 + j))) ++
+      (0 until 10).map(j => (s"eb$j", "bb", doc(bChars, 300 + j))))
+      .toDF("doc_id", "lang", "text")
+    val (scored, langs) = TextOps.langIdScored(eval, model)
+    assert(langs === Seq("aa", "bb"))
+    val rows = scored.select("lang", "predicted", "aa_score", "bb_score").collect()
+    assert(rows.length === 20)
+    for (r <- rows) {
+      assert(r.getString(0) === r.getString(1),
+        s"out-of-sample misclassification: $r")
+      // the decision should be by a wide margin, not a coin flip
+      val (a, b) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(a - b) > LidMarginFloor, s"margin too thin: $r")
+    }
+  }
+
+  /** Disjoint char sets: every trigram scores top-K in its own language
+    * and the unseen floor in the other — margins are thousands of
+    * centinats, so anything under this floor means the model broke. */
+  private val LidMarginFloor = 100000L
+
   test("BPE training matches hand-computed merges on a planted vocabulary") {
     import spark.implicits._
     // The classic worked example: merges + counts are hand-derivable.
