@@ -317,69 +317,118 @@ object Warehouse {
     * plain exists fast-path: they are in-JVM, possibly mutable (forget
     * targets), and carry no marker contract. */
   def ensureVia(s: SparkSession, name: String, reuseFrom: Option[String] = None)(
-      write: => Unit): Unit =
-    nameMonitors.computeIfAbsent(name.toLowerCase, _ => new Object) synchronized {
+      write: => Unit): Unit = {
     // flatMap: an unknown code provenance (no graft-bearing classpath
     // entry) yields None — no marker is accepted or written (see
     // codeFingerprintOf), never a constant fingerprint
     lazy val fp = reuseFrom.flatMap(srcFingerprint)
-    if (s.catalog.tableExists(name)) {
-      if (fp.isEmpty || !markerFpMismatch(s, name, fp.get)) return
-      // source rewritten under a live JVM: the registered artifact no
-      // longer derives from the data on disk — drop (managed: files go
-      // too; external: clearLeftover below removes them) and rebuild
-      println(s"[warehouse] source changed under live JVM — rebuild $name")
-      s.sql(s"DROP TABLE $name")
-    }
-    if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
-    val lock = lockFile(s, name)
-    val token = java.util.UUID.randomUUID().toString
-    while (!lock.createNewFile()) {
-      if (System.currentTimeMillis() - lock.lastModified > lockStaleMs) {
-        // atomic steal: only the JVM whose rename succeeds may proceed to
-        // recreate; a losing stealer loops and waits on the winner's
-        // fresh lock
-        val grave = new java.io.File(
-          lock.getParentFile, lock.getName + s".stale${System.nanoTime()}")
-        try {
-          java.nio.file.Files.move(lock.toPath, grave.toPath)
-          grave.delete()
-        } catch { case _: java.io.IOException => /* lost the steal race */ }
-      } else {
-        Thread.sleep(100)
-        // the holder may have published while we waited — reuse its files
-        if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
+    // true when the table is already registered AND (under a reuse
+    // contract) still derives from the current source; a mismatch drops
+    // it (managed: files go too; external: clearLeftover removes them)
+    // and falls through to the rebuild
+    def existsFresh(): Boolean = s.catalog.tableExists(name) && {
+      if (fp.isEmpty || !markerFpMismatch(s, name, fp.get)) true
+      else {
+        println(s"[warehouse] source changed under live JVM — rebuild $name")
+        s.sql(s"DROP TABLE $name")
+        false
       }
     }
-    // we created the lock: stamp ownership, then keep it demonstrably
-    // alive for the whole build (ticks only while still ours — after a
-    // pathological steal the file at this path is the STEALER's)
-    java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
-    def owned: Boolean = readLockToken(lock).contains(token)
-    val tick = math.max(lockStaleMs / 4, 25L)
-    val hb = heartbeater.scheduleAtFixedRate(
-      () => if (owned) lock.setLastModified(System.currentTimeMillis()),
-      tick, tick, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try {
+    def adopt(): Boolean =
+      fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)
+    locked[Unit](s, name)(
+      preLock = () => if (existsFresh() || adopt()) Some(()) else None,
+      onWaitTick = () => if (adopt()) Some(()) else None) { owned =>
       // re-check under the lock: the prior holder may have published a
-      // marker between our pre-lock probe and the acquisition
-      if (fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)) return
-      clearLeftover(s, name)
-      val t0 = System.nanoTime()
-      write
-      buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)
-      if (owned) fp.foreach { f =>
-        println(s"[warehouse] build $name")
-        writeMeta(s, name, f)
-      } else println(s"[warehouse] LOCK STOLEN mid-build for $name " +
-        "(JVM paused past the stale age?) — marker NOT published; the " +
-        "stealer owns the directory now and this JVM's copy is suspect")
-    } finally {
-      hb.cancel(false)
-      if (owned) lock.delete()
-      // else: the lock at this path belongs to the stealer — leave it
+      // marker between our pre-lock probe and the acquisition (or, for a
+      // second in-JVM thread, registered the table)
+      if (existsFresh() || adopt()) ()
+      else {
+        clearLeftover(s, name)
+        val t0 = System.nanoTime()
+        write
+        buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)
+        if (owned()) fp.foreach { f =>
+          println(s"[warehouse] build $name")
+          writeMeta(s, name, f)
+        } else println(s"[warehouse] LOCK STOLEN mid-build for $name " +
+          "(JVM paused past the stale age?) — marker NOT published; the " +
+          "stealer owns the directory now and this JVM's copy is suspect")
+      }
     }
   }
+
+  /** Cross-JVM mutual exclusion on `name` — the bare locking primitive
+    * behind [[ensureVia]] (in-JVM per-table monitor + heartbeated
+    * owner-token file lock, crash-steal included), exposed for
+    * multi-step warehouse protocols that need more than a single table
+    * build held consistent: [[graft.streaming.VersionedTable]] wraps its
+    * whole read-merge-commit-retire sequence so two writers serialize
+    * instead of both merging from the same base and silently dropping
+    * one batch's contribution. Reentrancy is NOT provided — nesting the
+    * same name deadlocks; nested DIFFERENT names are fine when every
+    * caller nests in the same order. */
+  def withTableLock[A](s: SparkSession, name: String)(body: => A): A =
+    locked[A](s, name)(() => None, () => None)(_ => body)
+
+  /** The shared lock protocol: under `name`'s in-JVM monitor, first try
+    * `preLock` (fast path, no file I/O beyond what it does itself); then
+    * acquire the cross-JVM file lock — polling 100ms ticks against a
+    * live holder, running `onWaitTick` each tick (ensureVia adopts a
+    * holder's published marker there), stealing atomically (rename-won)
+    * only when the lock has gone heartbeat-cold ([[lockStaleMs]]); then
+    * run `body` under a heartbeat that keeps the lock demonstrably
+    * alive, handing it an `owned` probe for publish-gating. The lock is
+    * deleted on exit only while still owned — after a pathological
+    * steal the file at this path is the STEALER's and is left alone. */
+  private def locked[A](s: SparkSession, name: String)(
+      preLock: () => Option[A], onWaitTick: () => Option[A])(
+      body: (() => Boolean) => A): A =
+    nameMonitors.computeIfAbsent(name.toLowerCase, _ => new Object) synchronized {
+      preLock() match {
+        case Some(a) => a
+        case None =>
+          val lock = lockFile(s, name)
+          val token = java.util.UUID.randomUUID().toString
+          var early: Option[A] = None
+          while (early.isEmpty && !lock.createNewFile()) {
+            if (System.currentTimeMillis() - lock.lastModified > lockStaleMs) {
+              // atomic steal: only the JVM whose rename succeeds may
+              // proceed to recreate; a losing stealer loops and waits on
+              // the winner's fresh lock
+              val grave = new java.io.File(
+                lock.getParentFile, lock.getName + s".stale${System.nanoTime()}")
+              try {
+                java.nio.file.Files.move(lock.toPath, grave.toPath)
+                grave.delete()
+              } catch { case _: java.io.IOException => /* lost the steal race */ }
+            } else {
+              Thread.sleep(100)
+              early = onWaitTick()
+            }
+          }
+          early match {
+            case Some(a) => a
+            case None =>
+              // we created the lock: stamp ownership, then keep it
+              // demonstrably alive for the whole critical section (ticks
+              // only while still ours — after a pathological steal the
+              // file at this path is the STEALER's)
+              java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+              def owned: Boolean = readLockToken(lock).contains(token)
+              val tick = math.max(lockStaleMs / 4, 25L)
+              val hb = heartbeater.scheduleAtFixedRate(
+                () => if (owned) lock.setLastModified(System.currentTimeMillis()),
+                tick, tick, java.util.concurrent.TimeUnit.MILLISECONDS)
+              try body(() => owned)
+              finally {
+                hb.cancel(false)
+                if (owned) lock.delete()
+                // else: the lock at this path belongs to the stealer
+              }
+          }
+      }
+    }
 
   /** True when `name`'s stored reuse marker exists AND records a
     * fingerprint other than `fresh` — i.e. the registered table no

@@ -143,37 +143,53 @@ object VersionedTable {
     * per-commit storage bounded at `retain` snapshots. Retired versions
     * keep their marker rows (history stays auditable; only the data is
     * reclaimed). Returns false when the batch was an already-committed
-    * replay (skipped). */
+    * replay (skipped).
+    *
+    * Concurrency (r14): the whole read-merge-commit-retire sequence runs
+    * under the warehouse's cross-JVM table lock on the marker-table
+    * name ([[graft.sources.Warehouse.withTableLock]] — heartbeated, so a
+    * slow merge is never steal-eligible). Two interleaved writers
+    * therefore SERIALIZE: the second acquires after the first's marker
+    * advance, re-reads the committed base, and merges on top of it —
+    * without the lock both would merge from the same base and the later
+    * commit would silently drop the earlier batch's contribution. A
+    * same-batch replay arriving second sees the advanced marker and
+    * skips as before. Within one micro-batch stream this lock is
+    * uncontended (one writer) and costs two file ops per commit. */
   private[streaming] def applyBatch(
       s: SparkSession, table: String, batchId: Long, retain: Int = 1)(
       merge: Option[DataFrame] => DataFrame): Boolean = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val committed = committedBatch(s, table)
-    if (batchId <= committed) return false // at-least-once replay, committed
-    writeVersion(s, table, batchId, merge(current(s, table)))
-    s.createDataFrame(
-      java.util.List.of(Row(batchId)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "batch_id", org.apache.spark.sql.types.LongType))))
-      .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
-    // retire versions beyond the window — enumerated from the CATALOG
-    // (bounded by retain plus at most a crash-leaked orphan), never by
-    // collecting the whole append-only marker log: per-commit cost stays
-    // O(retain) on a stream with unbounded history. The <= batchId guard
-    // keeps a concurrent writer's newer in-flight version untouchable
-    // even though none should exist (single-writer protocol).
-    // `retain` counts COMMITTED snapshots: an uncommitted crash orphan
-    // (version written, marker never advanced — never readable) must not
-    // occupy a retention slot and push a committed snapshot out early, so
-    // orphans are dropped unconditionally and the window is taken over
-    // the committed subset only. The isCommitted probe runs once per live
-    // version — O(retain + orphans) bounded pulls, not a log collect.
-    val live = liveVersionIds(s, table).filter(_ <= batchId)
-    val (committedLive, orphans) =
-      live.partition(v => v == batchId || isCommitted(s, table, v))
-    for (old <- orphans ++ committedLive.dropRight(retain))
-      s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
-    true
+    graft.sources.Warehouse.withTableLock(s, markerTable(table)) {
+      val committed = committedBatch(s, table)
+      if (batchId <= committed) false // at-least-once replay, committed
+      else {
+        writeVersion(s, table, batchId, merge(current(s, table)))
+        s.createDataFrame(
+          java.util.List.of(Row(batchId)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "batch_id", org.apache.spark.sql.types.LongType))))
+          .write.mode(SaveMode.Append).saveAsTable(markerTable(table))
+        // retire versions beyond the window — enumerated from the CATALOG
+        // (bounded by retain plus at most a crash-leaked orphan), never by
+        // collecting the whole append-only marker log: per-commit cost stays
+        // O(retain) on a stream with unbounded history. The <= batchId guard
+        // keeps any newer version untouchable (none can exist under the
+        // lock, but the guard costs nothing).
+        // `retain` counts COMMITTED snapshots: an uncommitted crash orphan
+        // (version written, marker never advanced — never readable) must not
+        // occupy a retention slot and push a committed snapshot out early, so
+        // orphans are dropped unconditionally and the window is taken over
+        // the committed subset only. The isCommitted probe runs once per live
+        // version — O(retain + orphans) bounded pulls, not a log collect.
+        val live = liveVersionIds(s, table).filter(_ <= batchId)
+        val (committedLive, orphans) =
+          live.partition(v => v == batchId || isCommitted(s, table, v))
+        for (old <- orphans ++ committedLive.dropRight(retain))
+          s.sql(s"DROP TABLE IF EXISTS ${versionName(table, old)}")
+        true
+      }
+    }
   }
 }

@@ -142,4 +142,34 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.versionAt(spark, table, b).map(_.collect().head.getLong(0))
     assert(read(2L) === Some(22L) && read(3L) === Some(23L))
   }
+
+  test("two interleaved writers serialize: the later batch merges on top of the earlier commit") {
+    // without the commit lock, writer B (batch 1) — starting while writer
+    // A (batch 0) is still merging — would read the SAME committed base
+    // (none), and the final state would silently drop A's contribution;
+    // under the lock B waits, re-reads, and builds on A's commit
+    val table = "graft_vt_writers_spec"
+    freshTables(table)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def commit(b: Long, v: Long, slowMs: Long): Future[Boolean] = Future {
+      VersionedTable.applyBatch(spark, table, b) { base =>
+        Thread.sleep(slowMs) // hold the merge open so the writers overlap
+        val prev = base.map(_.collect().head.getLong(0)).getOrElse(0L)
+        Seq(prev + v).toDF("total").localCheckpoint()
+      }
+    }
+    val a = commit(0L, 10L, 1500L)
+    Thread.sleep(400) // B arrives while A's merge is demonstrably open
+    val b = commit(1L, 5L, 0L)
+    assert(Await.result(a, 60.seconds) && Await.result(b, 60.seconds))
+    // both contributions present: B merged from A's committed 10, not
+    // from the empty base both observed at arrival time
+    assert(VersionedTable.current(spark, table).get.collect().head.getLong(0) === 15L)
+    assert(VersionedTable.committedBatches(spark, table) === Seq(0L, 1L))
+    // and the commit lock is released (a third writer proceeds at once)
+    assert(Await.result(commit(2L, 1L, 0L), 60.seconds))
+    assert(VersionedTable.current(spark, table).get.collect().head.getLong(0) === 16L)
+  }
 }
