@@ -1033,4 +1033,21 @@ class PlanShapeSpec extends SparkSpec {
       assert(docScans === 1, s"$name: expected 1 documents scan, got $docScans:\n$p")
     }
   }
+
+  test("lang-ID scores as a single scan: the trained model rides as literals, never a join") {
+    // the trigram NB's weights are collected once (bounded by the
+    // profile cap) and embedded as map/array literals, so per-doc
+    // scoring must be ONE documents scan with no join anywhere — a join
+    // in this plan means the model is being re-derived or shuffled per
+    // query, which at 100 TB turns a map-only pass into a corpus join
+    TextOps.qLangId(spark, sfDir).collect() // first call fits + stores the model
+    val p = plan(TextOps.qLangId(spark, sfDir))
+    assert(!p.contains("Join"), s"lang-ID scoring must not join:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(docScans === 1, s"expected 1 documents scan, got $docScans:\n$p")
+    // the stored model is read at PLAN BUILD time (a bounded collect),
+    // not inside the query plan
+    assert(!p.contains("graft_lid_model"), s"model table leaked into the scoring plan:\n$p")
+  }
 }
