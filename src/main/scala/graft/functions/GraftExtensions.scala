@@ -40,6 +40,7 @@ object GraftFunctions {
     ("graft_tokens", 1, es => Tokens(es(0))),
     ("graft_normalize_ws", 1, es => NormalizeWs(es(0))),
     ("graft_simhash64", 1, es => SimHash64(es(0))),
+    ("graft_char_trigrams", 1, es => CharTrigrams(es(0))),
     // fixed n=3 (trigrams) — the SQL surface mirrors the dedup pipeline's
     // width; the Scala DSL (NativeExprs.wordShingles) exposes n
     ("graft_word_shingles", 1, es => WordShingles(es(0), 3)))

@@ -41,6 +41,11 @@ object NativeExprs {
     c(TextStats(e(text), stopwords))
   def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
     c(TokenSetCounts(e(text), sets))
+  def charTrigrams(text: Column): Column = c(CharTrigrams(e(text)))
+  def langIdScores(
+      text: Column, langs: Seq[String], weights: Map[String, Seq[Long]],
+      defaults: Seq[Long], priors: Seq[Long]): Column =
+    c(LangIdScores(e(text), langs, weights, defaults, priors))
   def simHash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def minHashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
   def wordShingles(text: Column, n: Int): Column = c(WordShingles(e(text), n))
@@ -59,6 +64,34 @@ object NativeExprs {
     * text diverges. */
   @inline private[functions] def cpLen(s: String): Int =
     s.codePointCount(0, s.length)
+
+  /** Shared normalize-and-trigram pass for [[CharTrigrams]] and
+    * [[LangIdScores]]: lowercase, whitespace-tokenize, rejoin with
+    * single spaces, pad both ends with a space, emit every 3-CODEPOINT
+    * window (codepoints, not UTF-16 units — DuckDB substr parity, cf.
+    * [[cpLen]]). Zero tokens → zero trigrams. */
+  private[functions] def charTrigramsOf(input: UTF8String): Array[String] = {
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append(' ')
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) { sb.append(s, start, i); sb.append(' ') }
+    }
+    val cps = sb.toString.codePoints().toArray
+    val m = cps.length - 2
+    if (m <= 0) Array.empty[String]
+    else {
+      val out = new Array[String](m)
+      var k = 0
+      while (k < m) { out(k) = new String(cps, k, 3); k += 1 }
+      out
+    }
+  }
 
   /** Code-point-order string comparison ≡ UTF-8 byte order ≡ DuckDB's
     * binary collation. Java's `String.compareTo` is UTF-16 order, which
@@ -385,6 +418,97 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
     copy(child = newChild)
   override def prettyName: String = "graft_token_set_counts"
+}
+
+/** Char trigrams of the whitespace-normalized, space-padded lowercase
+  * text (`' ' + tokens.mkString(" ") + ' '`) in ONE pass — the
+  * composed-HOF formulation (`transform(sequence(...), i =>
+  * s.substr(i, 3))`) re-evaluates the whole normalization chain at
+  * every position (no CSE across lambda boundaries): O(len²) per doc,
+  * measured 38 s for a 5000-doc scoring scan that this kernel runs in
+  * well under a second. Codepoint-indexed so supplementary-plane text
+  * matches DuckDB's substr/length semantics (cf. [[NativeExprs.cpLen]]).
+  * Drives language-ID training. */
+case class CharTrigrams(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("charTrigramsExpr", this, classOf[CharTrigrams].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NativeExprs.charTrigramsOf(input.asInstanceOf[UTF8String])
+        .map(UTF8String.fromString): Array[Any])
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_trigrams"
+}
+
+/** Language-ID scoring kernel: normalize + trigram + accumulate the
+  * per-language integer log-prob sums in ONE pass over the text, with
+  * the trained model carried as expression state (a hash table of
+  * trigram → per-language weights, bounded by the profile cap) — no
+  * trigram array is ever materialized and each lookup is O(1), where
+  * the literal-map HOF it replaces paid a LINEAR key scan per trigram
+  * (GetMapValue over a map literal). Output: array<bigint> of scores,
+  * one per language in `langs` order, seeded with the priors. */
+case class LangIdScores(
+    child: Expression,
+    langs: Seq[String],
+    weights: Map[String, Seq[Long]],
+    defaults: Seq[Long],
+    priors: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(defaults.length == langs.length && priors.length == langs.length)
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, Array[Long]](weights.size * 2)
+    weights.foreach { case (k, v) => m.put(k, v.toArray) }
+    m
+  }
+  @transient private lazy val dwArr = defaults.toArray
+  @transient private lazy val prArr = priors.toArray
+
+  def kernel(s: UTF8String): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("langIdScoresExpr", this, classOf[LangIdScores].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val k = prArr.length
+    val acc = java.util.Arrays.copyOf(prArr, k)
+    val tris = NativeExprs.charTrigramsOf(input.asInstanceOf[UTF8String])
+    var i = 0
+    while (i < tris.length) {
+      val w = table.get(tris(i))
+      val row = if (w == null) dwArr else w
+      var j = 0
+      while (j < k) { acc(j) += row(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  // keep the (potentially thousands-entry) model out of plan strings —
+  // the tree display shows the shape, not the weights
+  override protected def stringArgs: Iterator[Any] =
+    Iterator(child, langs, s"model[${weights.size} trigrams]")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdScores =
+    copy(child = newChild)
+  override def prettyName: String = "graft_langid_scores"
 }
 
 /** SimHash sketch: 64-bit signature from xxhash64(token, seed=42) bit

@@ -108,14 +108,12 @@ object TextOps {
   /** Char trigrams of the whitespace-normalized, space-padded lowercase
     * text (`' ' + tokens.mkString(" ") + ' '`) — padding lets boundary
     * trigrams ("th " vs " th") carry positional signal. Empty / null
-    * text yields an empty array (the doc then scores prior-only). */
-  private[operators] def lidTrigrams(text: Column): Column = {
-    val s = concat(
-      lit(" "), concat_ws(" ", graft.functions.NativeExprs.tokens(text)), lit(" "))
-    when(length(s) >= 3,
-      transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * text yields an empty array (the doc then scores prior-only). One
+    * native pass ([[graft.functions.CharTrigrams]]); the composed-HOF
+    * formulation re-evaluated the normalization per position (O(len²) —
+    * 23 s of the 38 s q_lang_id regression it caused at sf0.1). */
+  private[operators] def lidTrigrams(text: Column): Column =
+    graft.functions.NativeExprs.charTrigrams(text)
 
   /** Fit the naive-Bayes char-trigram model over a `lang`-labeled corpus:
     * rows (kind, lang, t, w) where kind `w` carries a top-K trigram's
@@ -162,10 +160,12 @@ object TextOps {
   /** Score `docs` against a collected model ([[langIdModelRows]] rows):
     * appends one `{lang}_score` BIGINT per model language plus the
     * argmax `predicted` (ties break to the alphabetically first
-    * language). The model rides the plan as LITERALS (a trigram →
-    * weight-array map, DSIR-style), so scoring is a single
-    * embarrassingly-parallel scan — `aggregate` over the trigram array,
-    * no join, no shuffle, at any corpus size. Returns the scored frame
+    * language). The model rides the plan as EXPRESSION STATE
+    * ([[graft.functions.LangIdScores]] — a hash table bounded by the
+    * profile cap, broadcast with the task closure), so scoring is a
+    * single embarrassingly-parallel scan: one normalize-trigram-
+    * accumulate kernel pass per doc, no trigram array materialized, no
+    * join, no shuffle, at any corpus size. Returns the scored frame
     * plus the language order the score columns follow. */
   private[operators] def langIdScored(
       docs: DataFrame, model: Array[org.apache.spark.sql.Row]): (DataFrame, Seq[String]) = {
@@ -180,11 +180,10 @@ object TextOps {
       val arr = byT.getOrElseUpdate(r.getString(2), dw.clone())
       arr(idx(r.getString(1))) = r.getLong(3)
     }
-    val wMap: Map[String, Seq[Long]] = byT.iterator.map { case (k, a) => k -> a.toSeq }.toMap
-    val m = typedLit(wMap)
-    val dwLit = typedLit(dw.toSeq)
-    val scores = aggregate(lidTrigrams(col("text")), typedLit(prior.toSeq),
-      (acc, t) => zip_with(acc, coalesce(element_at(m, t), dwLit), (a, b) => a + b))
+    val scores = graft.functions.NativeExprs.langIdScores(
+      col("text"), langs,
+      byT.iterator.map { case (k, a) => k -> a.toSeq }.toMap,
+      dw.toSeq, prior.toSeq)
     val scored = docs
       .withColumn("__sc", scores)
       .withColumn("predicted",

@@ -344,4 +344,54 @@ class NativeExprsSpec extends SparkSpec {
     val strideShared = sa.toSet.intersect(sb.toSet).size
     assert(strideShared < shared, "stride chunking should churn where CDC re-syncs")
   }
+
+  test("charTrigrams matches the padded-join reference on hand cases and the real corpus") {
+    import spark.implicits._
+    // reference: ' ' + whitespace-tokens.mkString(" ") + ' ', 3-codepoint windows
+    def ref(s: String): Seq[String] = {
+      val norm = " " + s.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ") + " "
+      val cps = norm.codePoints().toArray
+      (0 to cps.length - 3).map(i => new String(cps, i, 3))
+    }
+    val cases = Seq(
+      "The quick  brown\tfox", "a", "ab", "", "   \t\n  ",
+      "café ole", "😀x😁 y") // astral chars: windows count CODEPOINTS
+    val got = cases.toDF("text")
+      .select(NativeExprs.charTrigrams(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    cases.zip(got).foreach { case (s, g) =>
+      assert(g === ref(s), s"trigrams diverge on '$s'")
+    }
+    // and over the real corpus: native == reference implementation per doc
+    val docs = Tables.documents(spark, sfDir).select("text").limit(200)
+      .collect().map(_.getString(0))
+    val nat = docs.toSeq.toDF("text")
+      .select(NativeExprs.charTrigrams(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    docs.zip(nat).foreach { case (s, g) =>
+      assert(g === ref(s), "corpus trigram divergence")
+    }
+  }
+
+  test("langIdScores equals prior + per-trigram weight sums computed by hand") {
+    import spark.implicits._
+    val langs = Seq("aa", "bb")
+    val weights = Map(" ab" -> Seq(-10L, -200L), "ab " -> Seq(-20L, -300L))
+    val dw = Seq(-1000L, -2000L)
+    val pr = Seq(-5L, -7L)
+    def expected(s: String): Seq[Long] = {
+      val norm = " " + s.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ") + " "
+      val tris = (0 to norm.length - 3).map(i => norm.substring(i, i + 3))
+      langs.indices.map(j => pr(j) + tris.map(t => weights.getOrElse(t, dw)(j)).sum)
+    }
+    val cases = Seq("ab", "ab ab", "zzz", "")
+    val got = cases.toDF("text")
+      .select(NativeExprs.langIdScores(col("text"), langs, weights, dw, pr).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case (s, g) =>
+      assert(g === expected(s), s"scores diverge on '$s'")
+    }
+  }
 }
