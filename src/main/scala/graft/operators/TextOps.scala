@@ -180,8 +180,11 @@ object TextOps {
       val arr = byT.getOrElseUpdate(r.getString(2), dw.clone())
       arr(idx(r.getString(1))) = r.getLong(3)
     }
+    // coalesce: a NULL text must score prior-only (empty trigram set),
+    // matching the oracle's left joins — the kernel's null-safe eval
+    // would otherwise yield NULL scores where DuckDB predicts best-prior
     val scores = graft.functions.NativeExprs.langIdScores(
-      col("text"), langs,
+      coalesce(col("text"), lit("")), langs,
       byT.iterator.map { case (k, a) => k -> a.toSeq }.toMap,
       dw.toSeq, prior.toSeq)
     val scored = docs

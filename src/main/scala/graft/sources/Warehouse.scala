@@ -50,6 +50,13 @@ object Warehouse {
     new java.io.File(warehouse, name.toLowerCase)
   }
 
+  /** On-disk location of a managed table, whether or not this JVM's
+    * catalog knows it — [[graft.streaming.VersionedTable]] probes it to
+    * detect foreign or crash-leaked commit state that the in-memory
+    * catalog cannot see. */
+  private[graft] def managedTableDir(s: SparkSession, name: String): java.io.File =
+    tableDir(s, name)
+
   private def clearLeftover(s: SparkSession, name: String): Unit = {
     // a previous JVM's files without catalog metadata would wedge
     // saveAsTable on "location already exists"
@@ -182,17 +189,31 @@ object Warehouse {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** The marker file's Properties, None when absent — ONE parser for the
+    * adoption path ([[reregister]]) and the exists-path revalidation
+    * ([[markerFpMismatch]]), so the two can never disagree on how a
+    * marker is read. */
+  private def readMarkerProps(dir: java.io.File): Option[java.util.Properties] = {
+    val metaF = new java.io.File(dir, MetaFile)
+    if (!metaF.isFile) None
+    else {
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(metaF)
+      try p.load(in)
+      finally in.close()
+      Some(p)
+    }
+  }
+
   /** Try to re-register leftover files as `name` (external table over the
     * existing location). True only when a complete marker exists AND its
     * fingerprint matches the current source data + code. */
   private def reregister(s: SparkSession, name: String, fp: String): Boolean = {
     val dir = tableDir(s, name)
-    val metaF = new java.io.File(dir, MetaFile)
-    if (!metaF.isFile) return false
-    val p = new java.util.Properties()
-    val in = new java.io.FileInputStream(metaF)
-    try p.load(in)
-    finally in.close()
+    val p = readMarkerProps(dir) match {
+      case None => return false
+      case Some(props) => props
+    }
     if (p.getProperty("fp") != fp) return false
     val ddl = p.getProperty("ddl")
     if (ddl == null || ddl.isEmpty) return false
@@ -322,28 +343,34 @@ object Warehouse {
     // entry) yields None — no marker is accepted or written (see
     // codeFingerprintOf), never a constant fingerprint
     lazy val fp = reuseFrom.flatMap(srcFingerprint)
-    // true when the table is already registered AND (under a reuse
-    // contract) still derives from the current source; a mismatch drops
-    // it (managed: files go too; external: clearLeftover removes them)
-    // and falls through to the rebuild
-    def existsFresh(): Boolean = s.catalog.tableExists(name) && {
-      if (fp.isEmpty || !markerFpMismatch(s, name, fp.get)) true
-      else {
-        println(s"[warehouse] source changed under live JVM — rebuild $name")
-        s.sql(s"DROP TABLE $name")
-        false
-      }
-    }
-    def adopt(): Boolean =
+    // registered AND (under a reuse contract) still deriving from the
+    // current source — the fast path. Read-only: the mismatch DROP runs
+    // only under the file lock (a pre-lock drop of a managed table
+    // deletes its directory, which a foreign lock holder may be
+    // mid-writing).
+    def existsFresh(): Boolean = s.catalog.tableExists(name) &&
+      (fp.isEmpty || !markerFpMismatch(s, name, fp.get))
+    def adopt(): Boolean = !s.catalog.tableExists(name) &&
       fp.isDefined && tableDir(s, name).isDirectory && reregister(s, name, fp.get)
     locked[Unit](s, name)(
       preLock = () => if (existsFresh() || adopt()) Some(()) else None,
       onWaitTick = () => if (adopt()) Some(()) else None) { owned =>
       // re-check under the lock: the prior holder may have published a
       // marker between our pre-lock probe and the acquisition (or, for a
-      // second in-JVM thread, registered the table)
-      if (existsFresh() || adopt()) ()
+      // second in-JVM thread, rebuilt the table). refreshTable: if a
+      // foreign holder rebuilt the FILES under our still-registered
+      // location while we waited, cached file listings are stale
+      if (existsFresh()) s.catalog.refreshTable(name)
+      else if (adopt()) ()
       else {
+        if (s.catalog.tableExists(name)) {
+          // source rewritten under a live JVM: the registered artifact no
+          // longer derives from the data on disk — drop (managed: files
+          // go too; external: clearLeftover below removes them), safely
+          // OURS to delete because we hold the build lock
+          println(s"[warehouse] source changed under live JVM — rebuild $name")
+          s.sql(s"DROP TABLE $name")
+        }
         clearLeftover(s, name)
         val t0 = System.nanoTime()
         write
@@ -413,8 +440,12 @@ object Warehouse {
               // we created the lock: stamp ownership, then keep it
               // demonstrably alive for the whole critical section (ticks
               // only while still ours — after a pathological steal the
-              // file at this path is the STEALER's)
-              java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+              // file at this path is the STEALER's). A failed stamp must
+              // delete the lock we just created: a leaked EMPTY lock has
+              // a fresh mtime, so it would stall every ensure on this
+              // table for the full stale age
+              try java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"))
+              catch { case e: Throwable => lock.delete(); throw e }
               def owned: Boolean = readLockToken(lock).contains(token)
               val tick = math.max(lockStaleMs / 4, 25L)
               val hb = heartbeater.scheduleAtFixedRate(
@@ -435,15 +466,8 @@ object Warehouse {
     * longer matches the source data + code it claims to derive from.
     * A missing marker is NOT a mismatch (location-overridden builds
     * write none; the table is then in-JVM contract only). */
-  private def markerFpMismatch(s: SparkSession, name: String, fresh: String): Boolean = {
-    val metaF = new java.io.File(tableDir(s, name), MetaFile)
-    if (!metaF.isFile) return false
-    val p = new java.util.Properties()
-    val in = new java.io.FileInputStream(metaF)
-    try p.load(in)
-    finally in.close()
-    p.getProperty("fp") != fresh
-  }
+  private def markerFpMismatch(s: SparkSession, name: String, fresh: String): Boolean =
+    readMarkerProps(tableDir(s, name)).exists(_.getProperty("fp") != fresh)
 
   /** Create `name` as a bucketed managed table if this JVM's catalog does
     * not have it yet; `build` runs only on a miss. */

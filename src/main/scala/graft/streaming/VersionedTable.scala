@@ -148,20 +148,43 @@ object VersionedTable {
     * Concurrency (r14): the whole read-merge-commit-retire sequence runs
     * under the warehouse's cross-JVM table lock on the marker-table
     * name ([[graft.sources.Warehouse.withTableLock]] — heartbeated, so a
-    * slow merge is never steal-eligible). Two interleaved writers
-    * therefore SERIALIZE: the second acquires after the first's marker
-    * advance, re-reads the committed base, and merges on top of it —
-    * without the lock both would merge from the same base and the later
-    * commit would silently drop the earlier batch's contribution. A
-    * same-batch replay arriving second sees the advanced marker and
-    * skips as before. Within one micro-batch stream this lock is
-    * uncontended (one writer) and costs two file ops per commit. */
+    * slow merge is never steal-eligible). Two interleaved writers in one
+    * application therefore SERIALIZE: the second acquires after the
+    * first's marker advance, re-reads the committed base, and merges on
+    * top of it — without the lock both would merge from the same base
+    * and the later commit would silently drop the earlier batch's
+    * contribution. A same-batch replay arriving second sees the advanced
+    * marker and skips as before. Within one micro-batch stream this lock
+    * is uncontended (one writer) and costs two file ops per commit.
+    *
+    * Cross-JVM honesty: the lock gives mutual exclusion across JVMs,
+    * but marker VISIBILITY does not extend to a second JVM that never
+    * registered the marker table (the in-memory catalog is per-JVM;
+    * once registered, foreign appends ARE visible — committedBatch
+    * refreshes the file listing). So a fresh JVM that would otherwise
+    * merge from an empty base over existing on-disk commit state FAILS
+    * LOUDLY here instead of silently forking history — resuming another
+    * process's versioned table requires a persistent metastore (the
+    * same stand-in contract as the warehouse reuse markers). */
   private[streaming] def applyBatch(
       s: SparkSession, table: String, batchId: Long, retain: Int = 1)(
       merge: Option[DataFrame] => DataFrame): Boolean = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     graft.sources.Warehouse.withTableLock(s, markerTable(table)) {
       val committed = committedBatch(s, table)
+      if (committed < 0L) {
+        // catalog knows nothing — but on-disk marker files mean another
+        // (or a crashed) JVM committed here; merging from an empty base
+        // would fork its history
+        val mDir = graft.sources.Warehouse.managedTableDir(s, markerTable(table))
+        val foreign = mDir.isDirectory && Option(mDir.listFiles).exists(
+          _.exists(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+        if (foreign) throw new IllegalStateException(
+          s"versioned table '$table' has commit state on disk (${mDir}) that this " +
+            "JVM's catalog cannot see — refusing to restart history from an empty " +
+            "base. Cross-process resume needs a persistent metastore; clear the " +
+            "leftover state or register the marker table before committing.")
+      }
       if (batchId <= committed) false // at-least-once replay, committed
       else {
         writeVersion(s, table, batchId, merge(current(s, table)))

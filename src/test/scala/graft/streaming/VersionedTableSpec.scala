@@ -172,4 +172,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(Await.result(commit(2L, 1L, 0L), 60.seconds))
     assert(VersionedTable.current(spark, table).get.collect().head.getLong(0) === 16L)
   }
+
+  test("commit state invisible to this JVM's catalog fails loudly, never forks history") {
+    // a fresh JVM (simulated: marker table dropped from the catalog,
+    // files restored on disk) must refuse to merge from an empty base
+    // over another process's commits — silent restart would fork history
+    val table = "graft_vt_foreign_spec"
+    freshTables(table)
+    def commit(b: Long, v: Long): Boolean =
+      VersionedTable.applyBatch(spark, table, b) { base =>
+        val prev = base.map(_.collect().head.getLong(0)).getOrElse(0L)
+        Seq(prev + v).toDF("total").localCheckpoint()
+      }
+    assert(commit(0L, 10L))
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmRec)
+      f.delete()
+    }
+    val mDir = new java.io.File(wh, (table + "_commits").toLowerCase)
+    val aside = new java.io.File(wh, table.toLowerCase + "__commits_aside")
+    java.nio.file.Files.move(mDir.toPath, aside.toPath)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_commits") // managed drop nukes dir...
+    if (mDir.exists()) rmRec(mDir)
+    java.nio.file.Files.move(aside.toPath, mDir.toPath) // ...files restored: the foreign-JVM state
+    val ex = intercept[IllegalStateException] { commit(1L, 5L) }
+    assert(ex.getMessage.contains("commit state on disk"))
+    rmRec(mDir) // cleanup (catalog no longer owns it)
+  }
 }
