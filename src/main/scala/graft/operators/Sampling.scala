@@ -331,9 +331,20 @@ object Sampling {
       .otherwise(array().cast("array<string>"))
 
   /** The portable bucket hash of one gram (md5-prefix integer mod B —
-    * the shared [[graft.functions.PortableHash]] convention). */
+    * the shared [[graft.functions.PortableHash]] convention). The
+    * 8-hex-digit prefix is nonnegative, so buckets land in
+    * [0, [[DsirBuckets]]). */
   private[graft] def dsirBucket(g: Column): Column =
     graft.functions.PortableHash.md5PrefixLong(g, 8) % DsirBuckets
+
+  /** [[dsirVoteMap]]'s sparse map as a DENSE bucket-indexed vector
+    * (unseen buckets vote 0 — the batch rule's tie case). Serving
+    * should embed THIS as its literal: `element_at` on an array literal
+    * is O(1) positional indexing, where a map literal pays a linear
+    * key scan on every lookup (Catalyst's GetMapValue) — ~B compares
+    * per gram, per document, at streaming rates. */
+  private[graft] def denseVoteArr(votes: Map[Long, Long]): Seq[Long] =
+    (0L until DsirBuckets).map(b => votes.getOrElse(b, 0L))
 
   private[operators] def dsirVotes(docs: DataFrame, isTarget: Column): DataFrame = {
     val t = col("t")

@@ -95,8 +95,9 @@ object StreamingDedup {
     * LITERAL map expression, so scoring a document is one codegen'd
     * projection: tokens → unigram+bigram grams (the SAME shared feature
     * builders as the batch fit — drift between fit and serve is a
-    * compile error away, not a silent skew) → bucket hash → map lookup →
-    * integer vote sum. No join, no shuffle, no streaming state: the gate
+    * compile error away, not a silent skew) → bucket hash → O(1)
+    * vote-vector index → integer vote sum. No join, no shuffle, no
+    * streaming state: the gate
     * composes with any downstream stateful stage without spending the
     * stream's watermark/state budget, and a model refresh is just a new
     * query with a new literal (the standard blue/green swap for
@@ -108,6 +109,10 @@ object StreamingDedup {
     // shorthand) must survive the gate untouched
     val tmp = "__graft_dsir_toks"
     val t = col(tmp)
+    // dense bucket-indexed vote vector: element_at on an ARRAY literal
+    // is O(1) positional indexing (a map literal would linear-scan its
+    // keys on every gram — see Sampling.denseVoteArr)
+    val voteArr = typedlit(Sampling.denseVoteArr(votes))
     newDocs
       .withColumn(tmp, graft.functions.NativeExprs.tokens(col("text")))
       .withColumn(
@@ -115,7 +120,7 @@ object StreamingDedup {
         aggregate(
           transform(
             concat(t, Sampling.dsirBigrams(t)),
-            g => coalesce(element_at(typedlit(votes), Sampling.dsirBucket(g)), lit(0L))),
+            g => element_at(voteArr, (Sampling.dsirBucket(g) + 1).cast("int"))),
           lit(0L),
           (acc, v) => acc + v))
       .filter(col("score_votes") > 0)

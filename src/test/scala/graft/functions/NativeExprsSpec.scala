@@ -374,6 +374,38 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("charTrigrams matches the reference on RANDOM unicode text (generator property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def ref(s: String): Seq[String] = {
+      val norm = " " + s.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).mkString(" ") + " "
+      val cps = norm.codePoints().toArray
+      (0 to cps.length - 3).map(i => new String(cps, i, 3))
+    }
+    // chars drawn from the interesting classes: ascii letters, every
+    // Java-whitespace the tokenizer splits on (incl. vertical tab),
+    // accents, CJK, and an astral (surrogate-pair) codepoint
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', 11.toChar /* vertical tab */, '\f', '\r'),
+      2 -> Gen.oneOf('é', 'ß', '的', 'Ж'),
+      1 -> Gen.const('\uD83D'))
+    // raw surrogates from the generator are paired up into U+1F600 so
+    // inputs stay valid UTF-8 (UTF8String round-trips valid text only)
+    val textGen = Gen.listOf(charGen).map(
+      _.mkString.replace("\uD83D", "😀"))
+    val texts = (1L to 60L).map(seed =>
+      textGen.pureApply(Gen.Parameters.default.withSize(50), Seed(seed)))
+    val got = texts.toDF("text")
+      .select(NativeExprs.charTrigrams(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    texts.zip(got).foreach { case (s, g) =>
+      assert(g === ref(s), s"trigram divergence on ${s.map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
   test("langIdScores equals prior + per-trigram weight sums computed by hand") {
     import spark.implicits._
     val langs = Seq("aa", "bb")
