@@ -19,8 +19,37 @@ object Tables {
     * either generation of the files loads. */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inputs smaller than this are spread across the session's cores
+    * after the scan (see [[t]]); larger inputs rely on parquet split
+    * planning. 64 MB is far below any production table and ~6× the
+    * largest bench-scale file, so the rule is a pure local-scale fix. */
+  private val SmallInputBytes = 64L * 1024 * 1024
+
+  private def pathBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(pathBytes).sum).getOrElse(0L)
+    else f.length()
+
+  /** Scan-parallelism floor, derived from INPUT SIZE (optimization guide
+    * §2/§6): a single small parquet file has one row group, so Spark
+    * plans its whole scan — and every pre-shuffle operator chained onto
+    * it (tokenize, shingle explode, per-row hashing) — as ONE task,
+    * leaving the other cores idle exactly where these pipelines spend
+    * their per-row compute. A table whose total bytes cannot produce
+    * enough splits is round-robin repartitioned to the session's
+    * default parallelism (deterministic: sort-before-repartition is on,
+    * SPARK-23207); the added exchange moves ≤ [[SmallInputBytes]] once.
+    * At 100 TB the condition is simply false and the loader is a plain
+    * scan — the knob derives from data size, not from a hard-coded
+    * cluster shape. Sub-256 KB dimension tables are left alone: they
+    * broadcast anyway, and repartitioning them before a broadcast would
+    * add an exchange for nothing. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val bytes = pathBytes(new java.io.File(s"$dir/$name.parquet"))
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes > 256L * 1024 && bytes < SmallInputBytes && par > 1) df.repartition(par)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

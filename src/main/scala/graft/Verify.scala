@@ -39,8 +39,11 @@ object Verify {
         }
       }
       // drop any caches the query marked (Dedup shingle/doc caches) so
-      // they can't accumulate across the 50+ query dump
+      // they can't accumulate across the 50+ query dump — plus the
+      // RDD-level localCheckpoint leftovers of fixpoint queries, which
+      // the catalog cache API cannot see (same hygiene as Bench)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -113,8 +113,16 @@ object Analytics {
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(min("ts").as("st"), max("ts").as("en"))
-    val deltas = sess.select(col("st").as("t"), lit(1L).as("d"))
-      .unionAll(sess.select((col("en") + expr("INTERVAL 1 MICROSECOND")).as("t"), lit(-1L).as("d")))
+    // ±1 deltas via a 2-way explode of each session row rather than a
+    // union of two selects over `sess`: the union shape evaluated the
+    // whole sessionize window+aggregate subtree once per branch (only
+    // its exchange is runtime-reused), the explode pays it once and
+    // emits the identical (t, d) multiset (guide §2.4)
+    val deltas = sess
+      .select(explode(array(
+        struct(col("st").as("t"), lit(1L).as("d")),
+        struct((col("en") + expr("INTERVAL 1 MICROSECOND")).as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("e.t").as("t"), col("e.d").as("d"))
       .groupBy("t")
       .agg(sum("d").as("dt"))
       .withColumn("day", col("t").cast("date"))
@@ -683,8 +691,13 @@ object Analytics {
   private[operators] def itemCfScored(s: SparkSession, d: String): DataFrame = {
     val itemN = basketItems(s, d).groupBy("pk").agg(count(lit(1)).as("n"))
     val pairs = copurchasePairs(s, d)
-    val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"), col("cooc"))
-      .unionAll(pairs.select(col("ib").as("item"), col("ia").as("neighbor"), col("cooc")))
+    // both directions via explode (one scan of the stored pair table)
+    // instead of a two-branch union (two scans) — same row multiset
+    val directed = pairs
+      .select(explode(array(
+        struct(col("ia").as("item"), col("ib").as("neighbor"), col("cooc")),
+        struct(col("ib").as("item"), col("ia").as("neighbor"), col("cooc")))).as("e"))
+      .select(col("e.item").as("item"), col("e.neighbor").as("neighbor"), col("e.cooc").as("cooc"))
     directed
       .join(itemN.select(col("pk").as("item"), col("n").as("na")), "item")
       .join(itemN.select(col("pk").as("neighbor"), col("n").as("nb")), "neighbor")

@@ -46,12 +46,24 @@ object Dedup {
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
-  /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
-  private[operators] def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame = {
-    val sh = explodedShingles(s, d)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDF)
-    sh.join(rare.select("sh"), "sh")
+  /** Exploded shingles with each row carrying its shingle's corpus df,
+    * via ONE count-over-partition window instead of the former
+    * aggregate-then-join-back shape (guide §2.4): the tokenize+shingle
+    * explode — the expensive leg — runs ONCE instead of twice (once per
+    * join side), and the single exchange on `sh` that the window needs
+    * is the same exchange every downstream sh-keyed consumer (the
+    * candidate self-join) wants anyway, so a cached result is already
+    * co-partitioned for it. Per-shingle window partitions are posting
+    * lists, the same skew profile the old join's probe side had. */
+  private def shinglesWithDf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    explodedShingles(s, d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
   }
+
+  /** doc_id → exploded distinct trigram shingles, stop-shingles capped. */
+  private[operators] def cappedShingles(s: SparkSession, d: String, maxDF: Int): DataFrame =
+    shinglesWithDf(s, d).filter(col("df") <= maxDF).select("doc_id", "sh")
 
   private val AdaptiveCapFloor = 4
 
@@ -70,18 +82,29 @@ object Dedup {
     * broadcasts back into the filter — no corpus-scale window anywhere. */
   private[operators] def cappedShinglesAdaptive(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = explodedShingles(s, d)
-    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val hist = dfs.groupBy("df").agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("df")))
-    val cap = cum.crossJoin(broadcast(hist.agg(sum("cnt").as("total"))))
+    // one windowed pass attaches df to every row (see [[shinglesWithDf]]);
+    // the former shape tokenized the corpus twice and joined df back on.
+    // The output KEEPS the df column: [[qPrefixJaccard]]'s rarity ranking
+    // needs it, and the cap filter keeps or drops ALL rows of a shingle,
+    // so the carried df equals the post-cap per-shingle count exactly.
+    val sh = shinglesWithDf(s, d)
+    // type histogram: a df-d shingle contributes d identical rows, so
+    // count(DISTINCT sh) per df is the former dfs→groupBy(df) type count
+    val hist = sh.groupBy("df").agg(countDistinct("sh").as("cnt"))
+    // total = sum over the SAME tiny hist, as a second window on the one
+    // sorted hist pass — the former crossJoin(broadcast(hist.agg(...)))
+    // evaluated the hist subtree (and the corpus scan under it) twice
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.orderBy("df")))
+      .withColumn("total", sum("cnt").over(
+        Window.orderBy("df").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cap = cum
       .agg(greatest(
         lit(AdaptiveCapFloor.toLong),
         min(when(col("cum") * 2 >= col("total"), col("df")))).as("cap"))
-    sh.join(dfs, "sh")
-      .crossJoin(broadcast(cap))
+    sh.crossJoin(broadcast(cap))
       .filter(col("df") <= col("cap"))
-      .select("doc_id", "sh")
+      .select("doc_id", "sh", "df")
   }
 
   /** Oracle CTEs for the adaptive cap — tri → df table → df HISTOGRAM →
@@ -1539,12 +1562,18 @@ object Dedup {
       .filter(size(col("tk")) >= k)
       .cache()
     // (doc_id, pos, wh): 1-based window start -> md5 of the k-token window
+    // wh is unhex'd to 16 raw bytes: the fingerprint is only ever compared
+    // for equality (groupBy + semi join), and the binary form halves the
+    // bytes cached and shuffled vs the 32-char hex string (guide §2.3 —
+    // narrower types on the shuffle key). distinct(md5) ≡ distinct(unhex
+    // (md5)) — unhex of a fixed-width hex string is injective — so the
+    // span arithmetic downstream is untouched.
     val wins = docs
       .select(
         col("doc_id"),
         explode(expr(
           s"transform(sequence(1, size(tk) - ${k - 1})," +
-            s" i -> struct(i AS pos, md5(concat_ws(' ', slice(tk, i, $k))) AS wh))")).as("w"))
+            s" i -> struct(i AS pos, unhex(md5(concat_ws(' ', slice(tk, i, $k)))) AS wh))")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
       .cache()
     val dupW = wins
@@ -2064,9 +2093,15 @@ object Dedup {
     * ([[groupMembers]]); [[Multimodal.qImageDedup]] keys by the 64-bit
     * dhash itself. */
   private[operators] def groupMembersBy(base: DataFrame, key: Column): DataFrame = {
-    val k = base.select(col("doc_id"), key.as("gk"))
-    val repOf = k.groupBy("gk").agg(min("doc_id").as("rep"))
-    k.join(repOf, "gk").select(col("rep"), col("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    // min-over-window instead of aggregate-then-join-back: the key
+    // derivation (an md5 fingerprint / dhash over every doc) runs ONCE,
+    // where the join shape evaluated `base` once per join side — and the
+    // single exchange on gk is the same shuffle the aggregate needed
+    // anyway (guide §2.4)
+    base.select(col("doc_id"), key.as("gk"))
+      .withColumn("rep", min("doc_id").over(Window.partitionBy("gk")))
+      .select(col("rep"), col("doc_id"))
   }
 
   private def groupMembers(base: DataFrame): DataFrame =
@@ -2182,10 +2217,12 @@ object Dedup {
     val cappedReps = capped
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), "doc_id")
       .cache()
-    val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
     // cached: BOTH sides of the self-join read it, and the window stage
-    // (global-rarity ranking) is the expensive part of building it
-    val prefix = prefixShingles(cappedReps, dfs).cache()
+    // (global-rarity ranking) is the expensive part of building it.
+    // The rarity ranking reads the df column capped already carries —
+    // full-corpus df (reps and members alike), exactly what the former
+    // capped.groupBy("sh") aggregate recomputed.
+    val prefix = prefixShingles(cappedReps).cache()
     val cooc = prefix.as("a")
       .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -2231,12 +2268,14 @@ object Dedup {
   }
 
   /** Per-doc prefix rows under the global rarity order: rank shingles by
-    * (df, sh) ascending within each doc, keep rank ≤ n − ⌈t·n⌉ + 1. */
-  private[operators] def prefixShingles(capped: DataFrame, dfs: DataFrame): DataFrame = {
+    * (df, sh) ascending within each doc, keep rank ≤ n − ⌈t·n⌉ + 1.
+    * `capped` must carry a `df` column ([[cappedShinglesAdaptive]] emits
+    * it directly now — the former shape joined a separately-aggregated
+    * df table back onto the same rows it was counted from). */
+  private[operators] def prefixShingles(capped: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("df", "sh")
     capped
-      .join(dfs, "sh")
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       // ⌈t·n⌉ = (n·num + den−1) div den in exact integer arithmetic,

@@ -26,6 +26,24 @@ import org.apache.spark.sql.DataFrame
   */
 private[operators] object Iterate {
 
+  /** Drop the checkpoint blocks backing a SUPERSEDED fixpoint state
+    * (non-blocking). Every round's `localCheckpoint()` pins its blocks in
+    * the BlockManager until the RDD object is GC'd and the ContextCleaner
+    * notices — on a large driver heap that is effectively never, so a
+    * fixpoint's storage footprint grew O(rounds) (and a long session
+    * accumulated every finished query's dead rounds on top). Freeing the
+    * previous state the moment the next one is materialized keeps live
+    * checkpoint storage O(1) per fixpoint — at 100 TB the difference
+    * between one round's state resident and the whole history. Only ever
+    * called on states this scaffold created and no caller can still see:
+    * the seed and intermediate rounds, never the returned final state. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Converged (or capped) state plus the number of `step` rounds
     * actually executed — the spec hook for round-complexity claims
     * (star-contraction logarithmic rounds, convergence-stopped ranks).
@@ -45,6 +63,7 @@ private[operators] object Iterate {
       val next = step(state, rounds).localCheckpoint()
       rounds += 1
       more = progress(state, next) > 0
+      dropCheckpoint(state) // superseded: next is materialized, probe done
       state = next
     }
     Fixpoint(state, rounds, converged = !more)
@@ -85,6 +104,20 @@ private[operators] object Iterate {
   def fixpointObservedConverged(state0: DataFrame, maxRounds: Int)(
       step: (DataFrame, Int) => DataFrame)(
       metric: org.apache.spark.sql.Column): Fixpoint = {
+    val fp = fixpointObserved(state0, maxRounds)(step)(metric)
+    raiseIfCapped(fp, maxRounds)
+    fp
+  }
+
+  /** [[fixpointObservedConverged]] WITHOUT the cap tripwire — for loops
+    * whose round cap is part of the operator's semantics (a bounded
+    * depth, a fixed budget) rather than a convergence backstop, but
+    * whose progress probe is still a pure aggregate of the new state
+    * (so it rides the checkpoint job: one job per round where the
+    * two-argument [[fixpoint]] probe pays a second scan). */
+  def fixpointObserved(state0: DataFrame, maxRounds: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      metric: org.apache.spark.sql.Column): Fixpoint = {
     var state = state0.localCheckpoint()
     var rounds = 0
     var more = true
@@ -99,11 +132,10 @@ private[operators] object Iterate {
       // is already delivered — this does not block
       more = Option(obs.get("progress"))
         .map(_.asInstanceOf[Number].longValue).getOrElse(0L) > 0
+      dropCheckpoint(state) // superseded: next is materialized
       state = next
     }
-    val fp = Fixpoint(state, rounds, converged = !more)
-    raiseIfCapped(fp, maxRounds)
-    fp
+    Fixpoint(state, rounds, converged = !more)
   }
 
   /** [[fixpointObservedConverged]] for STATE-SUMMARY probes: callers
@@ -116,6 +148,19 @@ private[operators] object Iterate {
     * order preserved) and may throw to surface probe-integrity
     * violations (e.g. a decimal overflow turning a sum NULL). */
   def fixpointObservedConvergedBy(state0: DataFrame, maxRounds: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      metrics: Seq[org.apache.spark.sql.Column])(
+      same: (Seq[Any], Seq[Any]) => Boolean): Fixpoint = {
+    val fp = fixpointObservedBy(state0, maxRounds)(step)(metrics)(same)
+    raiseIfCapped(fp, maxRounds)
+    fp
+  }
+
+  /** [[fixpointObservedConvergedBy]] WITHOUT the cap tripwire — the
+    * state-summary-probe twin of [[fixpointObserved]], for semantically
+    * capped loops (e.g. a depth-bounded BFS, where stopping at the cap
+    * while still expanding is the operator's defined output). */
+  def fixpointObservedBy(state0: DataFrame, maxRounds: Int)(
       step: (DataFrame, Int) => DataFrame)(
       metrics: Seq[org.apache.spark.sql.Column])(
       same: (Seq[Any], Seq[Any]) => Boolean): Fixpoint = {
@@ -136,10 +181,9 @@ private[operators] object Iterate {
       rounds += 1
       more = !same(prevVals, nextVals)
       prevVals = nextVals
+      dropCheckpoint(state) // superseded: next is materialized
       state = next
     }
-    val fp = Fixpoint(state, rounds, converged = !more)
-    raiseIfCapped(fp, maxRounds)
-    fp
+    Fixpoint(state, rounds, converged = !more)
   }
 }

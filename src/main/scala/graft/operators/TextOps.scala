@@ -1904,6 +1904,14 @@ object TextOps {
     * by the PlanShapeSpec hub-graph test). Factored out so that spec
     * drives the exact production iteration. */
   private[operators] def prStep(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame = {
+    // the localCheckpoint on shares is LOAD-BEARING, not a leftover: it
+    // makes the edges⋈shares join a shuffle-over-leaf on both sides, which
+    // is the only shape AQE's skew-join rewrite can split (OptimizeSkewedJoin
+    // needs sort-over-shuffle-stage children; with shares left as a nested
+    // join subtree the hub partition is unsplittable — PlanShapeSpec's
+    // hub-graph test fails exactly that way if this checkpoint is removed).
+    // Costs one extra small job per round; keeps the 100 TB stopword-hub
+    // case splittable.
     val shares = r
       .join(deg.withColumnRenamed("src", "node"), "node")
       .select(col("node"), expr("r div deg").as("share"))
@@ -1924,14 +1932,21 @@ object TextOps {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    Iterate.fixpoint(r0, PrMaxIters) { (r, _) =>
+    // the convergence probe (count of nodes that moved > PrTolMicro) is
+    // folded INTO each round's state: the step's output joins the
+    // incoming ranks back on (the same inner join the old two-argument
+    // probe ran as its own per-round job) and the moved-count is
+    // OBSERVED during the checkpoint materialization — one job per
+    // round instead of two, identical round count and ranks. The cap
+    // stays non-raising exactly like the old plain-fixpoint backstop.
+    // The inner join cannot change the state's node set: edges are the
+    // symmetric doubled und, so every round's prStep output is exactly
+    // the full node set of round 0 — the join only annotates.
+    Iterate.fixpointObserved(r0, PrMaxIters) { (r, _) =>
       prStep(edges, deg, r)
-    } { (prev, next) =>
-      next
-        .join(prev.withColumnRenamed("r", "prev"), "node")
-        .filter(abs(col("r") - col("prev")) > PrTolMicro)
-        .count()
-    }.state.orderBy(col("r").desc, col("node"))
+        .join(r.select(col("node"), col("r").as("prev_r")), "node")
+    } (sum(when(abs(col("r") - col("prev_r")) > PrTolMicro, 1L).otherwise(0L)))
+      .state.select("node", "r").orderBy(col("r").desc, col("node"))
   }
 
   private val qPagerankSql =
@@ -2186,9 +2201,15 @@ object TextOps {
     * every node reachable within [[BfsMaxDepth]]. */
   private[operators] def bfsFrom(edges: DataFrame, seed: DataFrame): DataFrame = {
     // state = visited (node, lvl); round r expands the lvl == r frontier,
-    // so no separate frontier variable needs threading through the loop
-    var prevCount = -1L
-    Iterate.fixpoint(seed, BfsMaxDepth.toInt) { (visited, round) =>
+    // so no separate frontier variable needs threading through the loop.
+    // Progress = "visited grew" — a row-count comparison between rounds,
+    // so it rides each round's checkpoint materialization as an observed
+    // metric (ONE job per round; the two-argument probe shape paid a
+    // second count scan of the new checkpoint per round). The depth cap
+    // is part of the operator's semantics (reachable WITHIN BfsMaxDepth),
+    // so the non-raising variant: stopping at the cap is a defined
+    // output, not a truncated fixpoint.
+    Iterate.fixpointObservedBy(seed, BfsMaxDepth.toInt) { (visited, round) =>
       val next = visited
         .filter(col("lvl") === round.toLong)
         .join(edges, col("node") === col("src"))
@@ -2197,13 +2218,8 @@ object TextOps {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("lvl", lit(round + 1L))
       visited.union(next)
-    } { (prev, next) =>
-      // progress = frontier emptiness (visited only grows); the previous
-      // round's count is memoized so each round pays one count scan
-      val p = if (prevCount >= 0) prevCount else prev.count()
-      val n = next.count()
-      prevCount = n
-      n - p
+    } (Seq(count(lit(1)))) { (prev, next) =>
+      prev.head.asInstanceOf[Long] == next.head.asInstanceOf[Long]
     }.state
   }
 

@@ -1017,9 +1017,9 @@ class ExtrasSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want, s"prefix join diverged: extra=${got -- want} missing=${want -- got}")
     assert(got.nonEmpty, "no qualifying pairs — vacuous equality")
-    // candidate volumes: prefix self-join vs full-index self-join
-    val dfs = capped.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = Dedup.prefixShingles(capped, dfs)
+    // candidate volumes: prefix self-join vs full-index self-join (capped
+    // carries the df column the rarity ranking reads)
+    val prefix = Dedup.prefixShingles(capped)
     def pairCount(rows: org.apache.spark.sql.DataFrame): Long = rows.as("a")
       .join(rows.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
