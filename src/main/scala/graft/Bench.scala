@@ -1,6 +1,7 @@
 package graft
 
 import java.util.Locale
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -120,12 +121,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosAsLong, "true")
-      // ~60 queries × several codegen units far exceed the default
+      // ~240 queries × several codegen units far exceed the default
       // 100-entry generated-class cache: constant eviction forces a Janino
       // recompile of every heavy expression tree on EVERY attempt, which
       // measured as a 5-10× inflation of the late-run queries. Static conf,
-      // so it must be set before the session exists.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // so it must be set before the session exists. Raised 5000 → 24000 in
+      // r15: the 243-query × 3-pass working set crossed 5000 generated
+      // classes and pass 3 ran 2.9× pass 2 (see pass_diag below — the
+      // per-pass recompile count is now self-evidencing on the diagnostics
+      // line). Cache entries are weak-ref'd class holders; 24k of them is
+      // tens of MB against a 24g heap.
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.installOptimizations(spark)
@@ -209,8 +215,21 @@ object Bench {
     // one load probe before each pass and one after the last: a host
     // stall anywhere in the run brackets at least one inflated probe
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // per-pass session-health snapshots (wall clock, Janino compile count,
+    // cumulative GC ms): a pass that recompiles as much as pass 1 means the
+    // generated-class cache is thrashing — the r15 failure mode where pass 3
+    // ran 2.9× pass 2 and every "slow query" was really cache eviction.
+    // Self-evidence on the diagnostics line, like the load probes.
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    def passSnap: (Long, Long, Long) = (
+      System.nanoTime(),
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount,
+      gcMillis)
+    val passSnaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (pass <- 1 to Attempts; q <- headline) {
-      if (q == headline.head) probes += loadProbe(cpus.toInt)
+      if (q == headline.head) { probes += loadProbe(cpus.toInt); passSnaps += passSnap }
       val t0 = System.nanoTime()
       try {
         qeEvents.clear()
@@ -240,6 +259,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     probes += loadProbe(cpus.toInt)
+    passSnaps += passSnap
+    val passDiag = passSnaps.toSeq.sliding(2).collect {
+      case Seq((t0, c0, g0), (t1, c1, g1)) =>
+        s"""{"wall_sec":${"%.1f".formatLocal(Locale.ROOT, (t1 - t0) / 1e9)},""" +
+          s""""codegen_compiles":${c1 - c0},"gc_ms":${g1 - g0}}"""
+    }.mkString("[", ",", "]")
     val results = headline.map { q =>
       val times = passTimes.getOrElse(q.name, Vector.empty)
       // lower median: pass 1 pays this query's JIT/codegen, and a host
@@ -359,7 +384,7 @@ object Bench {
       s"""{"detail":"bench_diagnostics","attempts":$attempts,"shuffle_write_bytes":$shuffles,"errors_full":${errors
           .map { case (k, v) => jstr(k) + ":" + jstr(v) }
           .mkString("{", ",", "}")},"load_probes_1_vs_n":$probesJson,"probe_threads":${cpus.toInt},"host_cpus":${Runtime
-          .getRuntime.availableProcessors()},"build_sec":$buildsJson,"min_median":$stats}""")
+          .getRuntime.availableProcessors()},"pass_diag":$passDiag,"build_sec":$buildsJson,"min_median":$stats}""")
     println(kept)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

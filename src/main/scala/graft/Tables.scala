@@ -19,37 +19,24 @@ object Tables {
     * either generation of the files loads. */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Inputs smaller than this are spread across the session's cores
-    * after the scan (see [[t]]); larger inputs rely on parquet split
-    * planning. 64 MB is far below any production table and ~6× the
-    * largest bench-scale file, so the rule is a pure local-scale fix. */
-  private val SmallInputBytes = 64L * 1024 * 1024
-
-  private def pathBytes(f: java.io.File): Long =
-    if (f.isDirectory) Option(f.listFiles()).map(_.map(pathBytes).sum).getOrElse(0L)
-    else f.length()
-
-  /** Scan-parallelism floor, derived from INPUT SIZE (optimization guide
-    * §2/§6): a single small parquet file has one row group, so Spark
-    * plans its whole scan — and every pre-shuffle operator chained onto
-    * it (tokenize, shingle explode, per-row hashing) — as ONE task,
-    * leaving the other cores idle exactly where these pipelines spend
-    * their per-row compute. A table whose total bytes cannot produce
-    * enough splits is round-robin repartitioned to the session's
-    * default parallelism (deterministic: sort-before-repartition is on,
-    * SPARK-23207); the added exchange moves ≤ [[SmallInputBytes]] once.
-    * At 100 TB the condition is simply false and the loader is a plain
-    * scan — the knob derives from data size, not from a hard-coded
-    * cluster shape. Sub-256 KB dimension tables are left alone: they
-    * broadcast anyway, and repartitioning them before a broadcast would
-    * add an exchange for nothing. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    val bytes = pathBytes(new java.io.File(s"$dir/$name.parquet"))
-    val par = spark.sparkContext.defaultParallelism
-    if (bytes > 256L * 1024 && bytes < SmallInputBytes && par > 1) df.repartition(par)
-    else df
-  }
+  /** Plain parquet scan — deliberately NO scan-parallelism floor. An r15
+    * experiment round-robin repartitioned every 256 KB–64 MB table to the
+    * session's default parallelism (the bench files are single-row-group,
+    * so every scan plans as one task); A/B-measured at sf0.1/local[32] it
+    * was a net LOSS and was reverted: per-query floors were within noise
+    * on the pipelines it targeted (tokenize/shingle), while every
+    * query gained an exchange per table (q1_pricing_summary 0 → 6.4 MB
+    * shuffled, q_join_card_est +29 MB) and queries that run driver-side
+    * jobs during construction (q_dedup_semantic's count + CC fixpoint,
+    * q_zorder_ranked's ntile boundaries) DOUBLED — each tiny job paid the
+    * extra shuffle. The parallelism these scans lose is already recovered
+    * downstream: every heavy pipeline exchanges within a few operators
+    * (the shingle window on `sh`, aggregate/join exchanges), so only the
+    * pre-exchange scan leg is single-task, and that leg measured cheap.
+    * At 100 TB splits come from row groups; OPTIMIZATION_r15.md C1 has
+    * the numbers. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

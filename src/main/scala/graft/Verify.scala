@@ -18,7 +18,7 @@ object Verify {
       .config(Tables.NanosAsLong, "true")
       // the 60-query dump blows the default 100-entry generated-class
       // cache (see Bench.scala — eviction forces Janino recompiles)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.installOptimizations(spark)

@@ -125,7 +125,7 @@ object ClusterProbe {
       .config(Tables.NanosAsLong, "true")
       // static conf: a 255-query sweep session blows the default
       // 100-entry generated-class cache (see Verify/Bench)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .config("spark.executor.memory", "1g")
       .config("spark.executor.extraJavaOptions", addOpens)
       // executor JVMs are forked by the worker with only the

@@ -19,7 +19,7 @@ object Diag {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosAsLong, "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "24000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.installOptimizations(spark)
@@ -30,7 +30,32 @@ object Diag {
     def gcMillis: Long =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(_.getCollectionTime).sum
+    // SPARK_GRAFT_DIAG_WARM_N: run the first N headline queries once
+    // (noop sink, caches cleared after each) BEFORE timing the named
+    // queries — reproduces "query #150 of a bench pass" session state so
+    // an in-bench-only slowdown can be bisected to the session age that
+    // causes it.
+    val warmN = sys.env.getOrElse("SPARK_GRAFT_DIAG_WARM_N", "0").toInt
+    if (warmN > 0) {
+      val tw0 = System.nanoTime()
+      for (q <- SparkEntry.headline.take(warmN)) {
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"[diag] warm ${q.name} failed: $e") }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      println(f"[diag] warmed $warmN queries in ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+    }
+    def memLine: String = {
+      val rt = Runtime.getRuntime
+      val bm = org.apache.spark.SparkEnv.get.blockManager
+      val st = bm.master.getMemoryStatus.values.headOption
+        .map { case (max, rem) => s"storageUsed ${(max - rem) / 1024 / 1024} MB" }
+        .getOrElse("storage n/a")
+      s"heapUsed ${(rt.totalMemory - rt.freeMemory) / 1024 / 1024} MB, $st"
+    }
     val names = args.toSeq
+    println(s"[diag] session state: $memLine")
     for (name <- names; a <- 1 to attempts) {
       val gc0 = gcMillis
       val t0 = System.nanoTime()
