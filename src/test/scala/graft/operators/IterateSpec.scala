@@ -88,4 +88,35 @@ class IterateSpec extends SparkSpec {
       Iterate.fixpointObservedConverged(seed, 3)((st, _) => st)(count(lit(1)))
     }
   }
+
+  test("superseded round checkpoints are unpersisted; the final state survives") {
+    import spark.implicits._
+    // r15 fixpoint-storage contract: each localCheckpoint()ed round is
+    // dropped the moment its successor materializes, so live checkpoint
+    // blocks stay O(1) per fixpoint instead of O(rounds) — while the
+    // RETURNED state's blocks must never be dropped (its lineage is
+    // truncated; dropping them would make it unreadable, not slow).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val seed = (1L to 32L).toDF("x")
+    val fp = Iterate.fixpointObserved(seed, 20)((st, _) =>
+      st.filter(col("x") % 2 === 0).select((col("x") / 2).cast("long").as("x")))(
+      count(when(col("x") % 2 =!= 0, 1)))
+    // {1..32} -> {1..16} -> {1..8} -> {1..4} -> {1,2} -> {1} -> {}:
+    // the {1} state still carries an odd value (progress 1), so the loop
+    // runs one more round and converges on the empty state
+    assert(fp.rounds === 6)
+    // 7 states were checkpointed (seed + 6 rounds); only the final one may
+    // remain persisted — the unpersist is async (blocking=false), so allow
+    // the tail to drain before asserting
+    val deadline = System.currentTimeMillis() + 10000
+    def live() = (spark.sparkContext.getPersistentRDDs.keySet -- before).size
+    while (live() > 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(live() === 1, s"expected only the final state's blocks to stay persisted, got ${live()}")
+    // and the survivor is the final state, still fully readable
+    assert(fp.converged && fp.state.count() === 0)
+    fp.state.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
 }
